@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Dev-only self-check mimicking the driver's correctness gate:
+runs DuckDB on oracle_sql.json and compares against the parquet dumps
+produced by graft.Verify (columns sorted by name, rows sorted, exact
+value equality). Usage: selfcheck.py <sfDir> <verifyOutDir>."""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(f"{sf_dir}/*.parquet"):
+    t = os.path.basename(p).replace(".parquet", "")
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+fail, ok, skip = [], [], []
+for name in sorted(os.listdir(out_dir)):
+    d = os.path.join(out_dir, name)
+    if not os.path.isdir(d):
+        continue
+    files = glob.glob(f"{d}/*.parquet")
+    got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
+    if name not in oracle:
+        skip.append((name, len(got)))
+        continue
+    try:
+        exp = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        fail.append((name, f"oracle SQL error: {e}"))
+        continue
+    got = got.reindex(sorted(got.columns), axis=1)
+    exp = exp.reindex(sorted(exp.columns), axis=1)
+    if list(got.columns) != list(exp.columns):
+        fail.append((name, f"columns differ: got {list(got.columns)} exp {list(exp.columns)}"))
+        continue
+    if len(got) != len(exp):
+        fail.append((name, f"row count differ: got {len(got)} exp {len(exp)}"))
+        continue
+    g = got.sort_values(list(got.columns)).reset_index(drop=True)
+    e = exp.sort_values(list(exp.columns)).reset_index(drop=True)
+    mismatch = None
+    for c in g.columns:
+        gv, ev = g[c], e[c]
+        if gv.dtype != ev.dtype:
+            try:
+                ev = ev.astype(gv.dtype)
+            except Exception:
+                mismatch = f"dtype differ on {c}: {gv.dtype} vs {e[c].dtype}"
+                break
+        eqnan = gv.isna() & ev.isna()
+        neq = ~(eqnan | (gv == ev))
+        if neq.any():
+            i = neq.idxmax()
+            mismatch = f"col {c}: {int(neq.sum())}/{len(gv)} differ; first at row {i}: got {gv[i]!r} exp {ev[i]!r}"
+            break
+    if mismatch:
+        fail.append((name, mismatch))
+    else:
+        ok.append(name)
+
+print(f"PASS {len(ok)}: {' '.join(ok)}")
+print(f"SKIP(no-oracle) {len(skip)}: {' '.join(n for n,_ in skip)}")
+for n, c in skip:
+    if c == 0:
+        print(f"  WARN {n}: 0 rows")
+print(f"FAIL {len(fail)}:")
+for n, m in fail:
+    print(f"  {n}: {m}")
+sys.exit(1 if fail else 0)

@@ -1,0 +1,226 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import graft.ts._
+
+/**
+ * Summarizer-family correctness queries. The DuckDB SQL mirrors the exact
+ * floating-point expression shape of the Scala summarizers (power sums →
+ * identical IEEE op sequence), and inputs are integral-valued doubles, so
+ * comparisons are bit-exact without tolerance. Transcendental outputs
+ * (exp/ln) are rounded to 9 decimals on both sides.
+ */
+object QueriesAgg {
+  import QueriesCore.{events, lineitem, withValue100}
+
+  private val S = Summarizers
+
+  /** SQL fragments mirroring Summarizers' power-sum shapes. */
+  private def nD(x: String) = s"CAST(count($x) AS DOUBLE)"
+  private def mu(x: String) = s"(sum($x) / ${nD(x)})"
+  private def varSql(x: String) =
+    s"((sum($x * $x) / ${nD(x)} - ${mu(x)} * ${mu(x)}) * (${nD(x)} / (${nD(x)} - 1.0)))"
+  private def m(x: String, j: Int) = {
+    val xs = Seq.fill(j)(x).mkString(" * ")
+    s"(sum($xs) / ${nD(x)})"
+  }
+  private def cm2(x: String) = s"(${m(x, 2)} - ${mu(x)} * ${mu(x)})"
+  private def cm3(x: String) =
+    s"(${m(x, 3)} - 3.0 * ${mu(x)} * ${m(x, 2)} + 2.0 * ((${mu(x)} * ${mu(x)}) * ${mu(x)}))"
+  private def cm4(x: String) =
+    s"(${m(x, 4)} - 4.0 * ${mu(x)} * ${m(x, 3)} + 6.0 * ${mu(x)} * ${mu(x)} * ${m(x, 2)} - " +
+      s"3.0 * (((${mu(x)} * ${mu(x)}) * ${mu(x)}) * ${mu(x)}))"
+
+  /** events with value100 + integral weight column w. */
+  private def evw(s: SparkSession, dir: String): DataFrame =
+    withValue100(events(s, dir))
+      .withColumn("w", (F.pmod(F.col("user_id"), F.lit(5)) + 1).cast("double"))
+  private val evwSql =
+    """SELECT epoch_ns(ts) AS time, event_type, user_id,
+       CAST(round(value * 100, 0) AS BIGINT) AS value100,
+       CAST(user_id % 5 + 1 AS DOUBLE) AS w FROM events"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "summarize_sum" -> ((s, dir) =>
+      Summarize.summarize(lineitem(s, dir), S.sum("l_quantity"), Seq("l_returnflag"))
+        .orderBy("l_returnflag")),
+    "summarize_count_mean" -> ((s, dir) =>
+      Summarize.summarize(lineitem(s, dir),
+        S.count() ++ S.count("l_quantity") ++ S.mean("l_quantity"), Seq("l_returnflag"))
+        .orderBy("l_returnflag")),
+    "summarize_minmax" -> ((s, dir) =>
+      Summarize.summarize(
+        lineitem(s, dir).withColumn("ship_us",
+          F.unix_micros(F.col("l_shipdate").cast("timestamp"))),
+        S.min("l_quantity") ++ S.max("l_quantity") ++ S.min("ship_us") ++ S.max("ship_us"),
+        Seq("l_returnflag"))
+        .orderBy("l_returnflag")),
+    "summarize_variance_stddev" -> ((s, dir) =>
+      Summarize.summarize(lineitem(s, dir),
+        S.variance("l_quantity") ++ S.stddev("l_quantity"), Seq("l_returnflag"))
+        .orderBy("l_returnflag")),
+    "summarize_covar_corr" -> ((s, dir) =>
+      Summarize.summarize(lineitem(s, dir),
+        S.covariance("l_quantity", "l_linenumber") ++
+          S.correlation("l_quantity", "l_linenumber"), Seq("l_returnflag"))
+        .orderBy("l_returnflag")),
+    "summarize_moments" -> ((s, dir) =>
+      Summarize.summarize(lineitem(s, dir),
+        S.nthMoment("l_quantity", 3) ++ S.nthCentralMoment("l_quantity", 2) ++
+          S.nthCentralMoment("l_quantity", 3), Seq("l_returnflag"))
+        .orderBy("l_returnflag")),
+    "summarize_skew_kurt" -> ((s, dir) =>
+      Summarize.summarize(lineitem(s, dir),
+        S.skewness("l_quantity") ++ S.kurtosis("l_quantity"), Seq("l_returnflag"))
+        .orderBy("l_returnflag")),
+    "summarize_dot_product" -> ((s, dir) =>
+      Summarize.summarize(lineitem(s, dir),
+        S.dotProduct("l_quantity", "l_linenumber"), Seq("l_returnflag"))
+        .orderBy("l_returnflag")),
+    "summarize_product" -> ((s, dir) =>
+      Summarize.summarize(lineitem(s, dir), S.product("l_linenumber"), Seq("l_orderkey"))
+        .orderBy("l_orderkey")),
+    "summarize_geomean" -> ((s, dir) =>
+      Summarize.summarize(lineitem(s, dir), S.geometricMean("l_quantity"), Seq("l_returnflag"))
+        .select(F.col("time"), F.col("l_returnflag"),
+          F.round(F.col("l_quantity_geometricMean"), 9).as("l_quantity_geometricMean"))
+        .orderBy("l_returnflag")),
+    "summarize_zscore" -> ((s, dir) =>
+      Summarize.summarize(evw(s, dir),
+        S.zScore("value100", includeCurrent = true).prefix("in") ++
+          S.zScore("value100", includeCurrent = false).prefix("out"),
+        Seq("event_type"))
+        .orderBy("event_type")),
+    "summarize_weighted_mean" -> ((s, dir) =>
+      Summarize.summarize(evw(s, dir), S.weightedMeanTest("value100", "w"),
+        Seq("event_type"))
+        .orderBy("event_type")),
+    "summarize_weighted_cov_corr" -> ((s, dir) =>
+      Summarize.summarize(evw(s, dir),
+        S.weightedCovariance("value100", "user_id", "w") ++
+          S.weightedCorrelation("value100", "user_id", "w"),
+        Seq("event_type"))
+        .orderBy("event_type")),
+    "summarize_quantile" -> ((s, dir) =>
+      Summarize.summarize(lineitem(s, dir),
+        S.quantile("l_quantity", Seq(0.25, 0.5, 0.9)), Seq("l_returnflag"))
+        .orderBy("l_returnflag")),
+    "summarize_where_prefix" -> ((s, dir) =>
+      Summarize.summarize(lineitem(s, dir),
+        S.sum("l_quantity").where(F.col("l_linenumber") <= 2).prefix("low") ++
+          S.count().where(F.col("l_quantity") > 25),
+        Seq("l_returnflag"))
+        .orderBy("l_returnflag"))
+  )
+
+  private def q = "l_quantity"
+
+  val oracleSql: Map[String, String] = Map(
+    "summarize_sum" ->
+      s"""SELECT CAST(0 AS BIGINT) AS time, l_returnflag, sum($q) AS l_quantity_sum
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "summarize_count_mean" ->
+      s"""SELECT CAST(0 AS BIGINT) AS time, l_returnflag,
+          count(*) AS count, count($q) AS l_quantity_count,
+          sum($q) / CAST(count($q) AS DOUBLE) AS l_quantity_mean
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "summarize_minmax" ->
+      s"""SELECT CAST(0 AS BIGINT) AS time, l_returnflag,
+          min($q) AS l_quantity_min, max($q) AS l_quantity_max,
+          min(epoch_us(l_shipdate)) AS ship_us_min, max(epoch_us(l_shipdate)) AS ship_us_max
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "summarize_variance_stddev" ->
+      s"""SELECT CAST(0 AS BIGINT) AS time, l_returnflag,
+          ${varSql(q)} AS l_quantity_variance,
+          sqrt(${varSql(q)}) AS l_quantity_stddev
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "summarize_covar_corr" -> {
+      val x = "CAST(l_quantity AS DOUBLE)"; val y = "CAST(l_linenumber AS DOUBLE)"
+      val n = s"CAST(count($x) AS DOUBLE)"
+      val cov = s"((sum($x * $y) / $n - (sum($x) / $n) * (sum($y) / $n)) * ($n / ($n - 1.0)))"
+      val r = s"((sum($x * $y) / $n - (sum($x) / $n) * (sum($y) / $n)) / " +
+        s"(sqrt(sum($x * $x) / $n - (sum($x) / $n) * (sum($x) / $n)) * " +
+        s"sqrt(sum($y * $y) / $n - (sum($y) / $n) * (sum($y) / $n))))"
+      s"""SELECT CAST(0 AS BIGINT) AS time, l_returnflag,
+          $cov AS l_quantity_l_linenumber_covariance,
+          $r AS l_quantity_l_linenumber_correlation,
+          $r * sqrt(($n - 2.0) / (1.0 - $r * $r)) AS l_quantity_l_linenumber_correlationTStat
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+    },
+    "summarize_moments" ->
+      s"""SELECT CAST(0 AS BIGINT) AS time, l_returnflag,
+          sum(((l_quantity * l_quantity) * l_quantity)) / ${nD(q)} AS l_quantity_3thMoment,
+          ${cm2(q)} AS l_quantity_2thCentralMoment,
+          ${cm3(q)} AS l_quantity_3thCentralMoment
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "summarize_skew_kurt" ->
+      s"""SELECT CAST(0 AS BIGINT) AS time, l_returnflag,
+          ${cm3(q)} / (${cm2(q)} * sqrt(${cm2(q)})) AS l_quantity_skewness,
+          ${cm4(q)} / (${cm2(q)} * ${cm2(q)}) - 3.0 AS l_quantity_kurtosis
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "summarize_dot_product" ->
+      s"""SELECT CAST(0 AS BIGINT) AS time, l_returnflag,
+          sum($q * l_linenumber) AS l_quantity_l_linenumber_dotProduct
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "summarize_product" ->
+      s"""SELECT CAST(0 AS BIGINT) AS time, l_orderkey,
+          product(CAST(l_linenumber AS DOUBLE)) AS l_linenumber_product
+          FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
+    "summarize_geomean" ->
+      s"""SELECT CAST(0 AS BIGINT) AS time, l_returnflag,
+          round(exp(sum(ln(abs($q))) / ${nD(q)}), 9) AS l_quantity_geometricMean
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "summarize_zscore" -> {
+      val x = "CAST(value100 AS DOUBLE)"
+      val n = s"CAST(count($x) AS DOUBLE)"
+      val lastV = s"arg_max($x, time)"
+      val inZ = s"(($lastV - sum($x) / $n) / sqrt(${varSql(x)}))"
+      val meanPrev = s"((sum($x) - $lastV) / ($n - 1.0))"
+      val varPrev = s"((sum($x * $x) - $lastV * $lastV - ($n - 1.0) * $meanPrev * $meanPrev) / ($n - 2.0))"
+      s"""WITH e AS ($evwSql)
+          SELECT CAST(0 AS BIGINT) AS time, event_type,
+          $inZ AS in_value100_zScore,
+          (($lastV - $meanPrev) / sqrt($varPrev)) AS out_value100_zScore
+          FROM e GROUP BY event_type ORDER BY event_type"""
+    },
+    "summarize_weighted_mean" -> {
+      val x = "CAST(value100 AS DOUBLE)"
+      val n = "CAST(count(w) AS DOUBLE)"
+      val wm = s"(sum($x * w) / sum(w))"
+      val wvar = s"((sum($x * $x * w) / sum(w) - $wm * $wm) * ($n / ($n - 1.0)))"
+      s"""WITH e AS ($evwSql)
+          SELECT CAST(0 AS BIGINT) AS time, event_type,
+          $wm AS value100_w_weightedMean,
+          sqrt($wvar) AS value100_w_weightedStandardDeviation,
+          $wm / (sqrt($wvar) / sqrt($n)) AS value100_w_weightedTStat,
+          count(w) AS value100_w_observationCount
+          FROM e GROUP BY event_type ORDER BY event_type"""
+    },
+    "summarize_weighted_cov_corr" -> {
+      def wcov(x: String, y: String) = {
+        val n = "CAST(count(w) AS DOUBLE)"
+        s"((sum($x * $y * w) / sum(w) - (sum($x * w) / sum(w)) * (sum($y * w) / sum(w))) * " +
+          s"($n / CAST(count(w) - 1 AS DOUBLE)))"
+      }
+      val x = "CAST(value100 AS DOUBLE)"; val y = "CAST(user_id AS DOUBLE)"
+      s"""WITH e AS ($evwSql)
+          SELECT CAST(0 AS BIGINT) AS time, event_type,
+          ${wcov(x, y)} AS value100_user_id_w_weightedCovariance,
+          ${wcov(x, y)} / sqrt(${wcov(x, x)} * ${wcov(y, y)})
+            AS value100_user_id_w_weightedCorrelation
+          FROM e GROUP BY event_type ORDER BY event_type"""
+    },
+    "summarize_quantile" ->
+      s"""SELECT CAST(0 AS BIGINT) AS time, l_returnflag,
+          quantile_cont($q, 0.25) AS "l_quantity_0.25quantile",
+          quantile_cont($q, 0.5) AS "l_quantity_0.5quantile",
+          quantile_cont($q, 0.9) AS "l_quantity_0.9quantile"
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "summarize_where_prefix" ->
+      s"""SELECT CAST(0 AS BIGINT) AS time, l_returnflag,
+          sum(CASE WHEN l_linenumber <= 2 THEN $q END) AS low_l_quantity_sum,
+          count(CASE WHEN $q > 25 THEN 1 END) AS count
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+  )
+}

@@ -1,0 +1,129 @@
+package graft.ts
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Temporal (as-of) joins — the flagship operators of the reference library
+ * (cf. /root/reference/src/main/scala/com/twosigma/flint/timeseries/TimeSeriesRDD.scala:1012-1069,
+ * algorithms rdd/function/join/LeftJoin.scala:31-97 and FutureLeftJoin.scala:29-136).
+ *
+ * Spark-first design: instead of a hand-scheduled range-merge join over an
+ * ordered RDD, both joins are expressed as a UNION of the two sides followed
+ * by a *running* window frame (`rowsBetween(unboundedPreceding, currentRow)`),
+ * which Spark's WindowExec evaluates incrementally in O(n) per partition.
+ * The forward join runs the same frame over time-descending order — never
+ * the O(n^2) `unboundedFollowing` frame.
+ *
+ * Scale notes (100 TB):
+ *  - one hash exchange of (left ∪ right) on the join key, one sort — the
+ *    minimum any repartition-based as-of join needs; AQE handles skew.
+ *  - all right-side value columns ride in a single struct, so the window
+ *    evaluates exactly one `last(_, ignoreNulls)` per row regardless of the
+ *    number of right columns, and a legitimately-null right column can never
+ *    leak an older row's value.
+ *  - with an empty key the window degenerates to a single partition; that
+ *    matches the reference's semantics (global as-of) but serializes — the
+ *    caller should supply a key at scale, same as any global ordered scan.
+ */
+object AsOfJoin {
+  import TimeSeriesOps.TimeColumn
+
+  private val SrcCol = "__graft_src"
+  private val StructCol = "__graft_rstruct"
+  private val RTimeField = "__rtime"
+
+  /** Apply flint-style alias prefixing: `alias_col` for every non-time,
+    * non-key column (TimeSeriesRDD.scala leftAlias/rightAlias contract). */
+  private def applyAlias(df: DataFrame, alias: Option[String], key: Seq[String]): DataFrame =
+    alias match {
+      case None => df
+      case Some(a) =>
+        val renames = df.columns.filter(c => c != TimeColumn && !key.contains(c))
+          .map(c => c -> s"${a}_$c").toMap
+        df.withColumnsRenamed(renames)
+    }
+
+  private def checkNoClash(left: DataFrame, right: DataFrame, key: Seq[String]): Unit = {
+    val rightVals = right.columns.filter(c => c != TimeColumn && !key.contains(c))
+    val clash = rightVals.intersect(left.columns)
+    require(clash.isEmpty,
+      s"column name clash between left and right: ${clash.mkString(",")}; " +
+        "pass leftAlias/rightAlias to disambiguate")
+  }
+
+  /**
+   * As-of backward left join: for each left row at time t, append the most
+   * recent right row (sharing `key`) with right.time in [t - tolerance, t];
+   * right columns are null when no such row exists. tolerance = "0ns" is the
+   * exact-timestamp join (≙ TimeSeriesRDD.leftJoin).
+   */
+  def leftJoin(left: DataFrame, right: DataFrame, tolerance: String = "0ns",
+               key: Seq[String] = Seq.empty, leftAlias: Option[String] = None,
+               rightAlias: Option[String] = None): DataFrame =
+    asOf(left, right, TimeSeriesOps.parseDuration(tolerance), key,
+      leftAlias, rightAlias, future = false, strict = false)
+
+  /**
+   * As-of forward left join: nearest right row with right.time in
+   * [t, t + tolerance] ((t, t+tolerance] when strictLookahead)
+   * (≙ TimeSeriesRDD.futureLeftJoin).
+   */
+  def futureLeftJoin(left: DataFrame, right: DataFrame, tolerance: String = "0ns",
+                     key: Seq[String] = Seq.empty, leftAlias: Option[String] = None,
+                     rightAlias: Option[String] = None,
+                     strictLookahead: Boolean = false): DataFrame =
+    asOf(left, right, TimeSeriesOps.parseDuration(tolerance), key,
+      leftAlias, rightAlias, future = true, strict = strictLookahead)
+
+  private def asOf(left0: DataFrame, right0: DataFrame, toleranceNs: Long,
+                   key: Seq[String], leftAlias: Option[String],
+                   rightAlias: Option[String], future: Boolean,
+                   strict: Boolean): DataFrame = {
+    require(toleranceNs >= 0, "tolerance must be non-negative")
+    val left = applyAlias(left0, leftAlias, key)
+    val right = applyAlias(right0, rightAlias, key)
+    checkNoClash(left, right, key)
+
+    val rightVals = right.columns.filter(c => c != TimeColumn && !key.contains(c)).toSeq
+    val leftCols = left.columns.toSeq
+
+    // Bundle the right side into one struct; null on left rows after union.
+    val r = right.select(
+      (col(TimeColumn) +: key.map(col)) :+
+        struct((col(TimeColumn).as(RTimeField) +: rightVals.map(col)): _*).as(StructCol): _*)
+      .withColumn(SrcCol, lit(0))
+    val l = left.withColumn(SrcCol, lit(1))
+    val u = l.unionByName(r, allowMissingColumns = true)
+
+    // Running frame over the union. Tie order at equal time encodes the
+    // inclusive/strict endpoint:
+    //   backward  [t-tol, t]: scan asc; right(0) before left(1) => a right
+    //     row at exactly t is already visible to the left row at t.
+    //   forward   [t, t+tol]: scan DESC; right at t before left at t in scan
+    //     order => visible. strict (t, t+tol]: left first => not visible.
+    val ord: Seq[Column] =
+      if (!future) Seq(col(TimeColumn).asc, col(SrcCol).asc)
+      else if (!strict) Seq(col(TimeColumn).desc, col(SrcCol).asc)
+      else Seq(col(TimeColumn).desc, col(SrcCol).desc)
+    val w = Window.partitionBy(key.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val lastR = last(col(StructCol), ignoreNulls = true).over(w)
+    val rt = lastR.getField(RTimeField)
+    val inTol =
+      if (!future) rt >= col(TimeColumn) - toleranceNs
+      else rt <= col(TimeColumn) + toleranceNs
+    val matched = when(lastR.isNotNull && inTol, lastR)
+
+    // The window must run over the union (it needs the right rows); only
+    // then are right rows dropped and the match struct unpacked.
+    val matchCol = "__graft_match"
+    val out = leftCols.map(col) ++
+      rightVals.map(c => col(matchCol).getField(c).as(c))
+    u.withColumn(matchCol, matched)
+      .filter(col(SrcCol) === 1)
+      .select(out: _*)
+  }
+}

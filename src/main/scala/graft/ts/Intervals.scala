@@ -1,0 +1,94 @@
+package graft.ts
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+/**
+ * Interval bucketing (≙ summarizeIntervals/groupByInterval,
+ * /root/reference/src/main/scala/com/twosigma/flint/timeseries/TimeSeriesRDD.scala:1120,912;
+ * semantics matrix rdd/function/group/Intervalize.scala:46-73):
+ *
+ * A clock t0 < t1 < ... < tk defines k intervals. `inclusion` picks
+ * [b, e) ("begin") vs (b, e] ("end"); `rounding` stamps bucketed rows with
+ * the interval's begin or end tick. Rows outside every interval are dropped.
+ *
+ * Implementation: the clock is collected (it is interval metadata, same as
+ * the reference, which broadcasts it — Intervalize.scala:33-44 warns at
+ * ~16 MB) and each row's bucket is found by binary search in a broadcast
+ * sorted array — O(log m) per row, no join, no shuffle beyond the final
+ * groupBy. A uniform clock could use pure arithmetic; the binary search is
+ * already cheap enough that one code path covers both.
+ */
+object Intervals {
+  import TimeSeriesOps.TimeColumn
+
+  /** Max clock ticks we will broadcast without complaint (≙ reference's 16 MB guardrail). */
+  private val MaxClockTicks = 20 * 365 * 24 * 12
+
+  /** Replace `time` with the interval stamp per the inclusion/rounding matrix;
+    * drops rows outside all intervals. Clock passed as a sorted tick array. */
+  def intervalize(df: DataFrame, clock: Array[Long], inclusion: String = "begin",
+                  rounding: String = "end"): DataFrame = {
+    require(Seq("begin", "end").contains(inclusion), "inclusion must be begin|end")
+    require(Seq("begin", "end").contains(rounding), "rounding must be begin|end")
+    var i = 0
+    while (i < clock.length - 1) {
+      require(clock(i) < clock(i + 1), s"clock must be strictly increasing at $i")
+      i += 1
+    }
+    if (clock.length > MaxClockTicks) {
+      System.err.println(s"[graft] broadcast clock has ${clock.length} ticks " +
+        s"(> $MaxClockTicks); consider a coarser clock")
+    }
+    val bc = df.sparkSession.sparkContext.broadcast(clock)
+    val beginIncl = inclusion == "begin"
+    val stampBegin = rounding == "begin"
+    val bucket = F.udf { (t: Long) =>
+      val c = bc.value
+      val m = c.length
+      // idx = insertion point: first index with c(idx) >= t
+      var lo = 0; var hi = m
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (c(mid) < t) lo = mid + 1 else hi = mid
+      }
+      val found = lo < m && c(lo) == t
+      val res: Option[Long] = (beginIncl, stampBegin) match {
+        // [b, e) — a row on a tick belongs to the interval starting there
+        case (true, true) =>
+          if (found) { if (lo < m - 1) Some(c(lo)) else None }
+          else if (lo > 0 && lo < m) Some(c(lo - 1)) else None
+        case (true, false) =>
+          if (found) { if (lo < m - 1) Some(c(lo + 1)) else None }
+          else if (lo > 0 && lo < m) Some(c(lo)) else None
+        // (b, e] — a row on a tick belongs to the interval ending there
+        case (false, true) =>
+          if (found) { if (lo > 0) Some(c(lo - 1)) else None }
+          else if (lo > 0 && lo < m) Some(c(lo - 1)) else None
+        case (false, false) =>
+          if (found) { if (lo > 0) Some(c(lo)) else None }
+          else if (lo > 0 && lo < m) Some(c(lo)) else None
+      }
+      res.map(java.lang.Long.valueOf).orNull
+    }
+    df.withColumn(TimeColumn, bucket(F.col(TimeColumn)))
+      .filter(F.col(TimeColumn).isNotNull)
+  }
+
+  /** Clock from a DataFrame's time column (collected + deduped + sorted —
+    * clock tables are metadata-sized, like the reference's broadcast). */
+  def clockTicks(clock: DataFrame): Array[Long] =
+    clock.select(F.col(TimeColumn).cast("long")).distinct()
+      .orderBy(TimeColumn).collect().map(_.getLong(0))
+
+  /** Bucket + aggregate (≙ summarizeIntervals). */
+  def summarizeIntervals(df: DataFrame, clock: Array[Long], s: Summarizer,
+                         key: Seq[String] = Seq.empty, inclusion: String = "begin",
+                         rounding: String = "end"): DataFrame =
+    Summarize.summarizeCycles(intervalize(df, clock, inclusion, rounding), s, key)
+
+  /** Bucket + collect rows (≙ groupByInterval). */
+  def groupByInterval(df: DataFrame, clock: Array[Long], key: Seq[String] = Seq.empty,
+                      inclusion: String = "begin", rounding: String = "end"): DataFrame =
+    Summarize.groupByCycle(intervalize(df, clock, inclusion, rounding), key)
+}

@@ -1,0 +1,304 @@
+package graft.ts
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.WindowSpec
+import org.apache.spark.sql.{functions => F}
+
+/**
+ * Evaluation context threaded through summarizer recipes: an optional row
+ * pre-filter (≙ SummarizerFactory.where) and an optional window spec. Every
+ * factory wraps its *aggregate calls* in [[SummarizerCtx.agg]], so the same
+ * recipe evaluates as a grouped aggregate (`groupBy(..).agg(..)`) or as a
+ * window function (`agg.over(w)`) — which is how the five aggregation modes
+ * of the reference all share one summarizer library.
+ */
+final case class SummarizerCtx(pred: Option[Column], win: Option[WindowSpec]) {
+  /** Apply the window spec (if any) to an aggregate expression. */
+  def agg(c: Column): Column = win.map(c.over).getOrElse(c)
+  /** Filtered input: aggregates skip nulls, so `when(pred, x)` ≡ FILTER (WHERE pred). */
+  def in(c: Column): Column = pred.map(p => F.when(p, c)).getOrElse(c)
+  def in(name: String): Column = in(F.col(name))
+}
+
+/**
+ * Summarizer algebra, re-expressed as named Catalyst aggregate columns
+ * (cf. /root/reference/src/main/scala/com/twosigma/flint/timeseries/Summarizers.scala,
+ * naming convention `<inputCols>_<statName>` per
+ * timeseries/summarize/Summarizer.scala:61-87).
+ *
+ * Every output is a plain Catalyst expression, so Spark performs partial
+ * (map-side) aggregation automatically and everything stays inside
+ * whole-stage codegen — no row-at-a-time summarizer interpreter.
+ *
+ * Numeric note: the reference uses Neumaier/Kahan compensated summation
+ * (math/Kahan.java:29-88). Spark's codegen'd `sum` is plain summation; a
+ * Kahan-compensated Aggregator is available via [[Summarizers.kahanSum]]
+ * when reproducibility matters more than codegen throughput.
+ */
+final case class Summarizer(
+    private val build: SummarizerCtx => Seq[(String, Column)],
+    private val pred: Option[Column] = None,
+    private val pfx: Option[String] = None) {
+
+  /** Named aggregate expressions (un-aliased), for grouped evaluation. */
+  def namedOutputs: Seq[(String, Column)] = namedOutputs(None)
+
+  /** Named expressions with every aggregate evaluated over `win`. */
+  def namedOutputs(win: Option[WindowSpec]): Seq[(String, Column)] =
+    build(SummarizerCtx(pred, win)).map { case (n, c) =>
+      (pfx.map(p => s"${p}_$n").getOrElse(n), c)
+    }
+
+  /** The aliased aggregate columns this summarizer produces. */
+  def outputs: Seq[Column] = namedOutputs.map { case (n, c) => c.as(n) }
+
+  def names: Seq[String] = namedOutputs.map(_._1)
+
+  /** Pre-filter rows entering the aggregate (≙ SummarizerFactory.where). */
+  def where(p: Column): Summarizer = copy(pred = Some(pred.fold(p)(_ && p)))
+
+  /** Prefix all output column names (≙ .prefix). */
+  def prefix(p: String): Summarizer = copy(pfx = Some(p))
+
+  /** Product of summarizers (≙ Summarizers.compose); each side keeps its own
+    * where/prefix. */
+  def ++(other: Summarizer): Summarizer = {
+    val (a, b) = (this, other)
+    Summarizer(ctx => a.withCtx(ctx) ++ b.withCtx(ctx))
+  }
+
+  private def withCtx(ctx: SummarizerCtx): Seq[(String, Column)] = {
+    val merged = SummarizerCtx(
+      (pred, ctx.pred) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case (a, b) => a.orElse(b)
+      },
+      ctx.win)
+    build(merged).map { case (n, c) => (pfx.map(p => s"${p}_$n").getOrElse(n), c) }
+  }
+}
+
+object Summarizers {
+
+  def compose(ss: Summarizer*): Summarizer = ss.reduce(_ ++ _)
+
+  // ------------------------------------------------------------- basic stats
+
+  /** Row count; column `count` (≙ Summarizers.count, Summarizers.scala:51). */
+  def count(): Summarizer =
+    Summarizer(c => Seq("count" -> c.agg(F.count(c.in(F.lit(1))))))
+
+  /** Non-null count of a column; `<c>_count` (Summarizers.scala:61). */
+  def count(x: String): Summarizer =
+    Summarizer(c => Seq(s"${x}_count" -> c.agg(F.count(c.in(x)))))
+
+  /** Σ; `<c>_sum` (Summarizers.scala:72). */
+  def sum(x: String): Summarizer =
+    Summarizer(c => Seq(s"${x}_sum" -> c.agg(F.sum(c.in(x)))))
+
+  /** Kahan-compensated Σ; same output name as [[sum]]. */
+  def kahanSum(x: String): Summarizer =
+    Summarizer(c => Seq(s"${x}_sum" ->
+      c.agg(graft.ts.agg.KahanAggregates.kahanSum(c.in(x).cast("double")))))
+
+  /** Arithmetic mean; `<c>_mean` (Summarizers.scala:106). */
+  def mean(x: String): Summarizer =
+    Summarizer(c => Seq(s"${x}_mean" -> c.agg(F.avg(c.in(x)))))
+
+  /**
+   * Bessel-corrected sample variance from raw power sums, like the
+   * reference's NthCentralMomentSummarizer (one pass, map-side combinable):
+   * (Σx²/n − μ²) · n/(n−1). `<c>_variance` (Summarizers.scala:129).
+   */
+  def variance(x: String): Summarizer =
+    Summarizer(c => Seq(s"${x}_variance" -> varExpr(c.in(x).cast("double"), c)))
+
+  /** Sample stddev = sqrt(variance); `<c>_stddev` (Summarizers.scala:117). */
+  def stddev(x: String): Summarizer =
+    Summarizer(c => Seq(s"${x}_stddev" -> F.sqrt(varExpr(c.in(x).cast("double"), c))))
+
+  private def varExpr(v: Column, c: SummarizerCtx): Column = {
+    val n = c.agg(F.count(v)).cast("double")
+    val mu = c.agg(F.sum(v)) / n
+    (c.agg(F.sum(v * v)) / n - mu * mu) * (n / (n - F.lit(1.0)))
+  }
+
+  /** Sample covariance from power sums: (Σxy/n − μxμy) · n/(n−1);
+    * `<x>_<y>_covariance` (Summarizers.scala:142). Rows where either side is
+    * null are excluded pairwise. */
+  def covariance(x: String, y: String): Summarizer =
+    Summarizer(c => Seq(s"${x}_${y}_covariance" -> covExpr(x, y, c)))
+
+  private def covExpr(x: String, y: String, c: SummarizerCtx): Column = {
+    val ok = F.col(x).isNotNull && F.col(y).isNotNull
+    val vx = c.in(F.when(ok, F.col(x)).cast("double"))
+    val vy = c.in(F.when(ok, F.col(y)).cast("double"))
+    val n = c.agg(F.count(vx)).cast("double")
+    (c.agg(F.sum(vx * vy)) / n - (c.agg(F.sum(vx)) / n) * (c.agg(F.sum(vy)) / n)) *
+      (n / (n - F.lit(1.0)))
+  }
+
+  /** Pearson correlation + t-stat from power sums; `<x>_<y>_correlation`,
+    * `<x>_<y>_correlationTStat` (Summarizers.scala:223). */
+  def correlation(x: String, y: String): Summarizer = Summarizer { c =>
+    val ok = F.col(x).isNotNull && F.col(y).isNotNull
+    val vx = c.in(F.when(ok, F.col(x)).cast("double"))
+    val vy = c.in(F.when(ok, F.col(y)).cast("double"))
+    val n = c.agg(F.count(vx)).cast("double")
+    val sx = c.agg(F.sum(vx)); val sy = c.agg(F.sum(vy))
+    val sxx = c.agg(F.sum(vx * vx)); val syy = c.agg(F.sum(vy * vy))
+    val sxy = c.agg(F.sum(vx * vy))
+    val r = (sxy / n - (sx / n) * (sy / n)) /
+      (F.sqrt(sxx / n - (sx / n) * (sx / n)) * F.sqrt(syy / n - (sy / n) * (sy / n)))
+    val t = r * F.sqrt((n - F.lit(2.0)) / (F.lit(1.0) - r * r))
+    Seq(s"${x}_${y}_correlation" -> r, s"${x}_${y}_correlationTStat" -> t)
+  }
+
+  /** Weighted sample covariance (w-weighted means, sample correction m/(m-1);
+    * ≙ WeightedCovarianceSummarizer). */
+  def weightedCovariance(x: String, y: String, w: String): Summarizer = Summarizer { c =>
+    Seq(s"${x}_${y}_${w}_weightedCovariance" -> weightedCovExpr(x, y, w, c))
+  }
+
+  private def weightedCovExpr(x: String, y: String, w: String, c: SummarizerCtx): Column = {
+    val ok = F.col(x).isNotNull && F.col(y).isNotNull && F.col(w).isNotNull
+    val ww = c.in(F.when(ok, F.col(w)).cast("double"))
+    val sw = c.agg(F.sum(ww))
+    val mx = c.agg(F.sum(F.col(x) * ww)) / sw
+    val my = c.agg(F.sum(F.col(y) * ww)) / sw
+    val sxy = c.agg(F.sum(F.col(x) * F.col(y) * ww))
+    val n = c.agg(F.count(ww))
+    (sxy / sw - mx * my) * (n.cast("double") / (n - F.lit(1)).cast("double"))
+  }
+
+  /** Weighted Pearson correlation (≙ WeightedCorrelationSummarizer). */
+  def weightedCorrelation(x: String, y: String, w: String): Summarizer = Summarizer { c =>
+    val cxy = weightedCovExpr(x, y, w, c)
+    val cxx = weightedCovExpr(x, x, w, c)
+    val cyy = weightedCovExpr(y, y, w, c)
+    Seq(s"${x}_${y}_${w}_weightedCorrelation" -> cxy / F.sqrt(cxx * cyy))
+  }
+
+  /** Weighted mean / stddev / t-stat / count (≙ WeightedMeanTestSummarizer,
+    * Summarizers.scala:91). */
+  def weightedMeanTest(v: String, w: String): Summarizer = Summarizer { c =>
+    val ok = F.col(v).isNotNull && F.col(w).isNotNull
+    val x = c.in(F.when(ok, F.col(v)).cast("double"))
+    val ww = c.in(F.when(ok, F.col(w)).cast("double"))
+    val n = c.agg(F.count(ww))
+    val nd = n.cast("double")
+    val sw = c.agg(F.sum(ww))
+    val wm = c.agg(F.sum(x * ww)) / sw
+    val wvar = (c.agg(F.sum(x * x * ww)) / sw - wm * wm) * (nd / (nd - F.lit(1.0)))
+    val wsd = F.sqrt(wvar)
+    val t = wm / (wsd / F.sqrt(nd))
+    Seq(
+      s"${v}_${w}_weightedMean" -> wm,
+      s"${v}_${w}_weightedStandardDeviation" -> wsd,
+      s"${v}_${w}_weightedTStat" -> t,
+      s"${v}_${w}_observationCount" -> n)
+  }
+
+  /** z-score of the most recent observation; in-sample (`includeCurrent=true`)
+    * or out-of-sample (≙ ZScoreSummarizer, Summarizers.scala:179). */
+  def zScore(x: String, includeCurrent: Boolean): Summarizer = Summarizer { c =>
+    val v = c.in(x).cast("double")
+    val lastVal = c.agg(F.max_by(v, F.when(v.isNotNull, F.col(TimeSeriesOps.TimeColumn))))
+    val z = if (includeCurrent) {
+      val n = c.agg(F.count(v)).cast("double")
+      (lastVal - c.agg(F.sum(v)) / n) / F.sqrt(varExpr(v, c))
+    } else {
+      val n = c.agg(F.count(v)).cast("double")
+      val s1 = c.agg(F.sum(v))
+      val s2 = c.agg(F.sum(v * v))
+      val meanPrev = (s1 - lastVal) / (n - F.lit(1.0))
+      val varPrev = (s2 - lastVal * lastVal - (n - F.lit(1.0)) * meanPrev * meanPrev) /
+        (n - F.lit(2.0))
+      (lastVal - meanPrev) / F.sqrt(varPrev)
+    }
+    Seq(s"${x}_zScore" -> z)
+  }
+
+  /** Raw n-th moment E[x^n]; `<c>_<n>thMoment` (Summarizers.scala:195). */
+  def nthMoment(x: String, n: Int): Summarizer = Summarizer { c =>
+    Seq(s"${x}_${n}thMoment" -> c.agg(F.avg(intPow(c.in(x).cast("double"), n))))
+  }
+
+  /** Population central n-th moment E[(x-μ)^n]; `<c>_<n>thCentralMoment`
+    * (≙ NthCentralMomentSummarizer; population normalization). */
+  def nthCentralMoment(x: String, n: Int): Summarizer = Summarizer { c =>
+    Seq(s"${x}_${n}thCentralMoment" -> centralMoment(c.in(x).cast("double"), n, c))
+  }
+
+  /** Skewness m3/m2^1.5 (population, ≙ StandardizedMomentSummarizer).
+    * m2·sqrt(m2) instead of pow(m2, 1.5): sqrt is correctly rounded per
+    * IEEE-754, pow is libm-dependent. */
+  def skewness(x: String): Summarizer = Summarizer { c =>
+    val v = c.in(x).cast("double")
+    val m2 = centralMoment(v, 2, c)
+    Seq(s"${x}_skewness" -> centralMoment(v, 3, c) / (m2 * F.sqrt(m2)))
+  }
+
+  /** Excess kurtosis m4/m2^2 - 3 (population). */
+  def kurtosis(x: String): Summarizer = Summarizer { c =>
+    val v = c.in(x).cast("double")
+    Seq(s"${x}_kurtosis" ->
+      (centralMoment(v, 4, c) / (centralMoment(v, 2, c) * centralMoment(v, 2, c)) - F.lit(3.0)))
+  }
+
+  private def intPow(x: Column, n: Int): Column =
+    (1 until n).foldLeft(x)((acc, _) => acc * x)
+
+  /** Population central moment from raw power sums (single pass, map-side
+    * combinable — no two-pass mean subtraction). */
+  private def centralMoment(x: Column, k: Int, c: SummarizerCtx): Column = {
+    val n = c.agg(F.count(x)).cast("double")
+    val mu = c.agg(F.sum(x)) / n
+    def m(j: Int): Column = c.agg(F.sum(intPow(x, j))) / n
+    k match {
+      case 2 => m(2) - mu * mu
+      case 3 => m(3) - F.lit(3.0) * mu * m(2) + F.lit(2.0) * intPow(mu, 3)
+      case 4 => m(4) - F.lit(4.0) * mu * m(3) + F.lit(6.0) * mu * mu * m(2) -
+        F.lit(3.0) * intPow(mu, 4)
+      case _ => throw new IllegalArgumentException(s"central moment order $k not supported")
+    }
+  }
+
+  /** Extrema; `<c>_min` / `<c>_max` (Summarizers.scala:674,686). */
+  def min(x: String): Summarizer =
+    Summarizer(c => Seq(s"${x}_min" -> c.agg(F.min(c.in(x)))))
+  def max(x: String): Summarizer =
+    Summarizer(c => Seq(s"${x}_max" -> c.agg(F.max(c.in(x)))))
+
+  /** Π; `<c>_product` (Summarizers.scala:698). */
+  def product(x: String): Summarizer =
+    Summarizer(c => Seq(s"${x}_product" -> c.agg(F.product(c.in(x).cast("double")))))
+
+  /** Σ xy; `<x>_<y>_dotProduct` (Summarizers.scala:711). */
+  def dotProduct(x: String, y: String): Summarizer =
+    Summarizer(c => Seq(s"${x}_${y}_dotProduct" -> c.agg(F.sum(c.in(F.col(x) * F.col(y))))))
+
+  /** Geometric mean, sign/zero-aware (≙ GeometricMeanSummarizer): zero if any
+    * zero; sign = parity of negatives; magnitude = exp(mean(ln|x|)). */
+  def geometricMean(x: String): Summarizer = Summarizer { c =>
+    val v = c.in(x).cast("double")
+    val zeros = c.agg(F.count(F.when(v === 0.0, F.lit(1))))
+    val negs = c.agg(F.count(F.when(v < 0.0, F.lit(1))))
+    val mag = F.exp(c.agg(F.avg(F.log(F.abs(F.nullif(v, F.lit(0.0)))))))
+    val sign = F.when(zeros > 0, F.lit(0.0))
+      .otherwise(F.when(F.pmod(negs, F.lit(2)) === 1, F.lit(-1.0)).otherwise(F.lit(1.0)))
+    Seq(s"${x}_geometricMean" -> sign * mag)
+  }
+
+  /** Exact quantiles, R-7 linear interpolation (≙ QuantileSummarizer,
+    * Apache-math3 Percentile type R-7); `<c>_<p>quantile`. */
+  def quantile(x: String, ps: Seq[Double]): Summarizer = Summarizer { c =>
+    ps.map(q => s"${x}_${q}quantile" -> c.agg(F.percentile(c.in(x), F.lit(q))))
+  }
+
+  /** Collect the group's rows as array<struct> sorted by time; column `rows`
+    * (≙ RowsSummarizer). Use with groupByCycle/addWindows. */
+  def rows(cols: Seq[String]): Summarizer =
+    Summarizer(c => Seq("rows" -> F.array_sort(
+      c.agg(F.collect_list(c.in(F.struct(cols.map(F.col): _*)))))))
+}

@@ -1,7 +1,7 @@
 package graft.ts
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.api.java.UDF1
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -105,6 +105,40 @@ object TimeSeriesOps {
     casts.foldLeft(df) { case (d, (n, t)) => d.withColumn(n, col(n).cast(t)) }
   }
 
+  /**
+   * Row-closure filter (≙ keepRows, TimeSeriesRDD.scala:682). The reference
+   * documents that `filter(Column)` performs better (codegen vs closure,
+   * TimeSeriesRDD.scala:685-687) — same here; prefer `df.filter(Column)`.
+   */
+  def keepRows(df: DataFrame, f: org.apache.spark.sql.Row => Boolean): DataFrame = {
+    val pred = udf((r: org.apache.spark.sql.Row) => f(r))
+    df.filter(pred(struct(df.columns.map(col).toSeq: _*)))
+  }
+
+  /** Inverse of keepRows (≙ deleteRows, TimeSeriesRDD.scala:697). */
+  def deleteRows(df: DataFrame, f: org.apache.spark.sql.Row => Boolean): DataFrame =
+    keepRows(df, r => !f(r))
+
+  /** Computed columns from Column expressions (≙ addColumns' fast path; the
+    * reference's Row=>Any closure form maps to `addRowColumn`). */
+  def addColumns(df: DataFrame, cols: (String, Column)*): DataFrame =
+    df.withColumns(cols.toMap)
+
+  /** Row-closure computed column (≙ addColumns((name,type,Row=>Any)),
+    * TimeSeriesRDD.scala:759). Closure path — slower than addColumns. */
+  def addRowColumn(df: DataFrame, name: String, dataType: DataType,
+                   f: org.apache.spark.sql.Row => Any): DataFrame = {
+    val u = udf(new UDF1[org.apache.spark.sql.Row, Any] {
+      override def call(r: org.apache.spark.sql.Row): Any = f(r)
+    }, dataType)
+    df.withColumn(name, u(struct(df.columns.map(col).toSeq: _*)))
+  }
+
+  /** Narrow partition-count reduction (≙ coalesce, TimeSeriesRDD.scala:671):
+    * adjacent partitions merge, so time order is preserved without a shuffle. */
+  def coalesce(df: DataFrame, numPartitions: Int): DataFrame =
+    df.coalesce(numPartitions)
+
   /** Shift all timestamps by a signed duration; monotone, so ordering is
     * preserved by construction (≙ shift / lookBackwardClock / lookForwardClock). */
   def shift(df: DataFrame, duration: String, forward: Boolean = true): DataFrame = {
@@ -118,16 +152,35 @@ object TimeSeriesOps {
 
   /**
    * Debug assertion that the frame is globally time-sorted under its current
-   * layout (≙ validate, TimeSeriesRDD.scala:1872-1893): checks
-   * monotonically-nondecreasing time via a lag window over partition ids.
+   * layout (≙ validate, TimeSeriesRDD.scala:1872-1893). Single cheap
+   * mapPartitions pass (no shuffle): per partition checks pairwise
+   * monotonicity and collects (min, max) time; the driver then checks that
+   * partition ranges, in partition-id order, do not overlap — which is what
+   * globally-sorted means for a range-partitioned layout.
    */
   def validate(df: DataFrame): Unit = {
-    val byPart = df
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__prev", lag(col(TimeColumn), 1)
-        .over(Window.partitionBy(col("__pid")).orderBy(monotonically_increasing_id())))
-    val bad = byPart.filter(col("__prev") > col(TimeColumn)).count()
-    require(bad == 0, s"$bad rows out of time order within partitions")
+    val timeIdx = df.schema.fieldIndex(TimeColumn)
+    val perPart = df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+      var bad = 0L; var n = 0L
+      var mn = Long.MaxValue; var mx = Long.MinValue; var prev = Long.MinValue
+      while (it.hasNext) {
+        val t = it.next().getLong(timeIdx)
+        if (t < prev) bad += 1
+        prev = t; n += 1
+        if (t < mn) mn = t
+        if (t > mx) mx = t
+      }
+      Iterator.single((pid, n, bad, mn, mx))
+    }.collect().sortBy(_._1)
+    val outOfOrder = perPart.map(_._3).sum
+    require(outOfOrder == 0, s"$outOfOrder rows out of time order within partitions")
+    val nonEmpty = perPart.filter(_._2 > 0)
+    nonEmpty.sliding(2).foreach {
+      case Array((p1, _, _, _, mx1), (p2, _, _, mn2, _)) =>
+        require(mx1 <= mn2,
+          s"partition $p1 max time $mx1 overlaps partition $p2 min time $mn2")
+      case _ =>
+    }
   }
 
   // ---------------------------------------------------------------- clocks
@@ -137,6 +190,8 @@ object TimeSeriesOps {
   def uniformClock(spark: SparkSession, beginNanos: Long, endNanos: Long,
                    frequency: String): DataFrame = {
     val step = parseDuration(frequency)
+    require(step > 0, s"frequency must be positive: $frequency")
+    require(endNanos >= beginNanos, s"end ($endNanos) must be >= begin ($beginNanos)")
     val n = (endNanos - beginNanos) / step + 1
     spark.range(n).select((lit(beginNanos) + col("id") * step).as(TimeColumn))
   }
@@ -144,8 +199,13 @@ object TimeSeriesOps {
   /** Merge two same-schema time-series tables preserving order; ties keep
     * left rows first via a source-rank column (≙ merge, Merge.scala:27-77). */
   def merge(left: DataFrame, right: DataFrame): DataFrame = {
-    require(left.schema.fieldNames.sameElements(right.schema.fieldNames),
-      "merge requires identical schemas")
+    val lf = left.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    val rf = right.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    require(lf == rf, {
+      val mismatch = lf.zipAll(rf, null, null).filter { case (a, b) => a != b }
+      s"merge requires identical schemas (name and type); mismatching fields: " +
+        mismatch.map { case (a, b) => s"left=$a right=$b" }.mkString(", ")
+    })
     val l = left.withColumn("__src", lit(0))
     val r = right.withColumn("__src", lit(1))
     l.unionAll(r)
