@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import graft.llm._
+
+/**
+ * LLM-data-pipeline correctness/bench queries over documents.parquet and
+ * embeddings.parquet. Oracle notes: token/set arithmetic is exact-integer
+ * on both engines; cosine similarities are kept out of hashed output (ids
+ * and ranks only) except where rounded; hash-based ops (minhash, simhash)
+ * have no DuckDB equivalent and are registered rows-only.
+ */
+object QueriesLLM {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_token_stats" -> ((s, dir) =>
+      docs(s, dir).select(
+        F.col("doc_id"),
+        TextStats.tokenCount(F.col("text")).as("n_tokens"),
+        TextStats.uniqueTokenCount(F.col("text")).as("n_unique"),
+        TextStats.meanTokenLength(F.col("text")).as("mean_token_len"))
+        .orderBy("doc_id")),
+    "doc_quality" -> ((s, dir) =>
+      docs(s, dir).select(
+        F.col("doc_id"),
+        TextStats.tokenSetRatio(F.col("text"), TextStats.EnStop).as("stop_ratio"),
+        TextStats.punctRatio(F.col("text")).as("punct_ratio"),
+        TextStats.qualityScore(F.col("text")).as("quality"))
+        .orderBy("doc_id")),
+    "doc_langid" -> ((s, dir) =>
+      docs(s, dir).select(
+        F.col("doc_id"),
+        TextStats.langId(F.col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+    "doc_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(
+        F.col("doc_id"),
+        TextStats.md5Fingerprint(F.col("text")).as("md5"),
+        TextStats.rollingHash(F.col("text")).as("rolling_hash"))
+        .orderBy("doc_id")),
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactDedup(docs(s, dir), "doc_id", "text")
+        .select("dup_key", "keep_id", "n_dupes")
+        .orderBy("keep_id")),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashDedupPairs(docs(s, dir), "doc_id", "text",
+        numHashes = 128, bands = 16, shingleSize = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashPairs(docs(s, dir), "doc_id", "text", maxHamming = 8)
+        .orderBy("id_a", "id_b")),
+    "near_dup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairsWithin(docs(s, dir), "doc_id", "text", "source", 0.5)
+        .orderBy("id_a", "id_b")),
+    "ann_cosine_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.bruteForceTopK(e.filter(F.col("vec_id") < 10), e, "vec_id", "embedding", 5)
+        .select("q_id", "n_id", "rank")
+        .orderBy("q_id", "rank")
+    }),
+    "ann_ivf_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val centroids = e.filter(F.col("vec_id") < 16).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toSeq).toSeq
+      Similarity.ivfTopK(e.filter(F.col("vec_id") < 10), e, "vec_id", "embedding",
+        centroids, k = 5, nprobe = 4)
+        .select("q_id", "n_id", "rank")
+        .orderBy("q_id", "rank")
+    }),
+    "emb_norm_stats" -> ((s, dir) =>
+      embs(s, dir)
+        .select(F.col("label"),
+          Similarity.l2Norm(F.col("embedding")).as("norm"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.round(F.min(F.col("norm")), 6).as("min_norm"),
+          F.round(F.max(F.col("norm")), 6).as("max_norm"))
+        .orderBy("label")),
+    "mm_meta" -> ((s, dir) =>
+      Multimodal.extract(docs(s, dir), "text")
+        .select(F.col("doc_id"), F.col("meta.n_bytes").as("n_bytes"),
+          F.col("meta.width").as("width"), F.col("meta.height").as("height"),
+          F.col("meta.format").as("format"),
+          F.size(F.col("frames")).as("n_frames"))
+        .orderBy("doc_id"))
+  )
+
+  private val stopEn = inList(TextStats.EnStop)
+
+  val oracleSql: Map[String, String] = Map(
+    "doc_token_stats" ->
+      """SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_unique,
+         (CAST(length(text) AS DOUBLE) - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1.0))
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_token_len
+         FROM documents ORDER BY doc_id""",
+    "doc_quality" -> {
+      val n = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
+      val uniq = "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)"
+      val stop = s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopEn))) AS DOUBLE)"
+      val mtl = s"(CAST(length(text) AS DOUBLE) - ($n - 1.0)) / $n"
+      s"""SELECT doc_id,
+          $stop / $n AS stop_ratio,
+          CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+            / CAST(length(text) AS DOUBLE) AS punct_ratio,
+          ((CASE WHEN $n >= 20 AND $n <= 1000 THEN 1.0 ELSE 0.5 END) * 0.25)
+          + ((CASE WHEN $mtl >= 3.0 AND $mtl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.25)
+          + (($uniq / $n) * 0.25) + (($stop / $n) * 0.25) AS quality
+          FROM documents ORDER BY doc_id"""
+    },
+    "doc_langid" -> {
+      def h(ws: Seq[String]) =
+        s"len(list_filter(string_split(text, ' '), t -> t IN (${inList(ws)})))"
+      val en = h(TextStats.EnStop); val es = h(TextStats.EsStop)
+      val de = h(TextStats.DeStop); val fr = h(TextStats.FrStop)
+      // RE2 (DuckDB) spells the CJK range \x{4e00}; Java regex uses 一
+      val zh = "length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))"
+      s"""SELECT doc_id,
+          CASE WHEN $en = greatest($en, $es, $de, $fr, $zh) THEN 'en'
+               WHEN $es = greatest($en, $es, $de, $fr, $zh) THEN 'es'
+               WHEN $de = greatest($en, $es, $de, $fr, $zh) THEN 'de'
+               WHEN $fr = greatest($en, $es, $de, $fr, $zh) THEN 'fr'
+               ELSE 'zh' END AS lang_pred
+          FROM documents ORDER BY doc_id"""
+    },
+    "dedup_exact" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+           AS dup_key,
+         min(doc_id) AS keep_id, count(*) AS n_dupes
+         FROM documents GROUP BY 1 ORDER BY keep_id""",
+    "near_dup_jaccard" ->
+      """WITH d AS (SELECT source, doc_id,
+            list_sort(list_distinct(string_split(text, ' '))) AS ws FROM documents)
+         SELECT a.source AS block, a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+           CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE) AS jaccard
+         FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+           CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE) >= 0.5
+         ORDER BY id_a, id_b""",
+    "ann_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
+         scored AS (
+           SELECT q.q_id, c.n_id,
+             list_dot_product(q.q_vec::DOUBLE[], c.n_vec::DOUBLE[]) /
+             (sqrt(list_dot_product(q.q_vec::DOUBLE[], q.q_vec::DOUBLE[])) *
+              sqrt(list_dot_product(c.n_vec::DOUBLE[], c.n_vec::DOUBLE[]))) AS cos
+           FROM q, c WHERE q.q_id <> c.n_id),
+         ranked AS (
+           SELECT q_id, n_id,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INTEGER)
+               AS rank
+           FROM scored)
+         SELECT q_id, n_id, rank FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
+    "emb_norm_stats" ->
+      """WITH e AS (SELECT label,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+         FROM embeddings)
+         SELECT label, count(*) AS n,
+           round(min(norm), 6) AS min_norm, round(max(norm), 6) AS max_norm
+         FROM e GROUP BY label ORDER BY label""",
+    "mm_meta" ->
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+         CAST(ascii(substring(text, 1, 1)) % 640 + 64 AS INTEGER) AS width,
+         CAST(ascii(substring(text, 1, 1)) % 480 + 48 AS INTEGER) AS height,
+         CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'jpeg'
+              WHEN octet_length(encode(text)) % 3 = 1 THEN 'png'
+              ELSE 'webp' END AS format,
+         CAST(least(CAST(floor((octet_length(encode(text)) + 255) / 256) AS INTEGER), 16)
+           AS INTEGER) AS n_frames
+         FROM documents ORDER BY doc_id"""
+  )
+}

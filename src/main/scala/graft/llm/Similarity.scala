@@ -1,0 +1,86 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+
+/**
+ * Similarity search over an embedding column (`array<float>`).
+ *
+ * Two paths:
+ *  - [[bruteForceTopK]]: exact cosine top-k — the baseline. The (small)
+ *    query set is broadcast against the corpus, so the cost is one linear
+ *    corpus scan per batch of queries; ranking is a per-query window top-k.
+ *  - [[ivfTopK]]: IVF-style cell-probed search — the scale path. The corpus
+ *    is assigned once to its nearest centroid cell (a narrow map), queries
+ *    probe their `nprobe` nearest cells, and candidate scoring touches only
+ *    those cells' vectors: an equi-join on cell id instead of the full scan.
+ *    Centroids are caller-provided (k-means or sampled seeds) and broadcast
+ *    as a literal — they are model parameters, not data.
+ *
+ * All vector math is `zip_with`/`aggregate` over the array column in double
+ * precision — codegen'd, no UDF, no collect.
+ */
+object Similarity {
+
+  /** Σ a_i b_i in double precision (sequential fold, deterministic). */
+  def dot(a: Column, b: Column): Column =
+    F.aggregate(F.zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      F.lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = F.sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /**
+   * Exact top-k neighbors for each query vector. `queries` must be small
+   * (it is broadcast); `corpus` streams. Self-matches (same id) excluded.
+   * Output: (q_id, n_id, rank, cosine).
+   */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(F.col(idCol).as("q_id"), F.col(vecCol).as("q_vec"))
+    val c = corpus.select(F.col(idCol).as("n_id"), F.col(vecCol).as("n_vec"))
+    val scored = c.join(F.broadcast(q), F.col("q_id") =!= F.col("n_id"))
+      .withColumn("cosine", cosine(F.col("q_vec"), F.col("n_vec")))
+    val w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc, F.col("n_id"))
+    scored.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cosine")
+  }
+
+  /** Nearest-centroid cell id (0-based) for a vector, against a broadcast
+    * centroid list; ties resolve to the lowest cell id. */
+  def cellOf(vec: Column, centroids: Seq[Seq[Float]]): Column = {
+    val cents = F.typedlit(centroids)
+    val sims = F.transform(cents, c => cosine(vec, c))
+    F.array_position(sims, F.array_max(sims)).cast("int") - 1
+  }
+
+  /** Top-`nprobe` nearest cells for a query vector. */
+  def probeCells(vec: Column, centroids: Seq[Seq[Float]], nprobe: Int): Column = {
+    val cents = F.typedlit(centroids)
+    val scored = F.transform(cents, (c, i) => F.struct(cosine(vec, c).as("s"), i.as("cell")))
+    F.transform(F.slice(F.reverse(F.array_sort(scored)), 1, nprobe), x => x.getField("cell"))
+  }
+
+  /**
+   * IVF-style ANN: corpus assigned to cells once; each query probes its
+   * `nprobe` best cells and ranks only those candidates.
+   * Output: (q_id, n_id, rank, cosine).
+   */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+              centroids: Seq[Seq[Float]], k: Int, nprobe: Int = 2): DataFrame = {
+    val c = corpus.select(F.col(idCol).as("n_id"), F.col(vecCol).as("n_vec"))
+      .withColumn("cell", cellOf(F.col("n_vec"), centroids))
+    val q = queries.select(F.col(idCol).as("q_id"), F.col(vecCol).as("q_vec"))
+      .withColumn("cell", F.explode(probeCells(F.col("q_vec"), centroids, nprobe)))
+    val scored = c.join(F.broadcast(q), Seq("cell"))
+      .filter(F.col("q_id") =!= F.col("n_id"))
+      .withColumn("cosine", cosine(F.col("q_vec"), F.col("n_vec")))
+    val w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc, F.col("n_id"))
+    scored.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cosine")
+  }
+}

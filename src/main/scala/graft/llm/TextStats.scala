@@ -1,0 +1,88 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines:
+ * tokenization stats, quality scoring, language-ID heuristics, document
+ * fingerprinting. All are pure Catalyst expressions (split / filter /
+ * aggregate higher-order functions), so they run inside whole-stage codegen
+ * and scale linearly with no shuffle — exactly what a 100 TB corpus pass
+ * needs (one scan, columnar pruning, no UDF serialization).
+ */
+object TextStats {
+
+  /** Whitespace tokens (single-space convention of the corpus). */
+  def tokens(text: Column): Column = F.split(text, " ")
+
+  def tokenCount(text: Column): Column = F.size(tokens(text))
+
+  def uniqueTokenCount(text: Column): Column = F.size(F.array_distinct(tokens(text)))
+
+  /** Mean token length for single-space-joined text:
+    * (chars - (n-1)) / n, deterministic double. */
+  def meanTokenLength(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    (F.length(text).cast("double") - (n - F.lit(1.0))) / n
+  }
+
+  /** Ratio of tokens found in `words` (e.g. stopwords). */
+  def tokenSetRatio(text: Column, words: Seq[String]): Column =
+    hits(text, words).cast("double") / tokenCount(text).cast("double")
+
+  private def hits(text: Column, words: Seq[String]): Column =
+    F.size(F.filter(tokens(text), t => t.isin(words.map(F.lit(_)): _*)))
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    (F.length(text) - F.length(F.regexp_replace(text, "[.,!?;:]", "")))
+      .cast("double") / F.length(text).cast("double")
+
+  val EnStop = Seq("the", "a", "is", "of", "to", "and", "in", "that", "it", "on")
+  val EsStop = Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no")
+  val DeStop = Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein")
+  val FrStop = Seq("le", "les", "des", "et", "une", "est", "dans", "que", "pour", "au")
+
+  /**
+   * N-gram/stopword language-ID heuristic: count hits per language's stopword
+   * list (+ CJK character count for zh) and take the argmax with a fixed
+   * preference order (en > es > de > fr > zh) on ties. Deterministic; no model.
+   */
+  def langId(text: Column): Column = {
+    val en = hits(text, EnStop); val es = hits(text, EsStop)
+    val de = hits(text, DeStop); val fr = hits(text, FrStop)
+    val zh = F.length(F.regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
+    val best = F.greatest(en, es, de, fr, zh)
+    F.when(en === best, "en").when(es === best, "es").when(de === best, "de")
+      .when(fr === best, "fr").otherwise("zh")
+  }
+
+  /**
+   * Composite quality score in [0,1]: length band + stopword presence −
+   * repetition penalty. Deterministic arithmetic on integral counts (the
+   * usual pre-training heuristic filter, expressible in one scan).
+   */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val uniqRatio = uniqueTokenCount(text).cast("double") / n
+    val stopRatio = tokenSetRatio(text, EnStop)
+    val lengthOk = F.when(n >= 20 && n <= 1000, F.lit(1.0)).otherwise(F.lit(0.5))
+    val mtl = meanTokenLength(text)
+    val mtlOk = F.when(mtl >= 3.0 && mtl <= 10.0, F.lit(1.0)).otherwise(F.lit(0.5))
+    (lengthOk * F.lit(0.25)) + (mtlOk * F.lit(0.25)) +
+      (uniqRatio * F.lit(0.25)) + (stopRatio * F.lit(0.25))
+  }
+
+  /** MD5 fingerprint (content-exact). */
+  def md5Fingerprint(text: Column): Column = F.md5(text)
+
+  /**
+   * 64-bit rolling (order-sensitive) hash over tokens: a chained-hash fold
+   * acc' = xxhash64(acc, token). Equivalent role to a Rabin-Karp polynomial
+   * hash but ANSI-safe (no overflowing multiply) and still a pure
+   * `aggregate` fold — no UDF.
+   */
+  def rollingHash(text: Column): Column =
+    F.aggregate(tokens(text), F.lit(0L), (acc, t) => F.xxhash64(acc, t))
+}
