@@ -111,6 +111,16 @@ object QueriesAgg {
         S.sum("l_quantity").where(F.col("l_linenumber") <= 2).prefix("low") ++
           S.count().where(F.col("l_quantity") > 25),
         Seq("l_returnflag"))
+        .orderBy("l_returnflag")),
+    "summarize_ols" -> ((s, dir) =>
+      Summarize.summarize(
+        lineitem(s, dir).withColumn("y", F.round(F.col("l_extendedprice"), 0)),
+        S.OLSRegression("y", Seq("l_quantity")), Seq("l_returnflag"))
+        .select(F.col("time"), F.col("l_returnflag"),
+          F.col("y_OLSRegression.samples").as("samples"),
+          F.col("y_OLSRegression.beta")(0).as("slope"),
+          F.col("y_OLSRegression.intercept").as("intercept"),
+          F.col("y_OLSRegression.rSquared").as("r2"))
         .orderBy("l_returnflag"))
   )
 
@@ -221,6 +231,22 @@ object QueriesAgg {
       s"""SELECT CAST(0 AS BIGINT) AS time, l_returnflag,
           sum(CASE WHEN l_linenumber <= 2 THEN $q END) AS low_l_quantity_sum,
           count(CASE WHEN $q > 25 THEN 1 END) AS count
-          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "summarize_ols" ->
+      // mirrors the Gaussian-elimination-without-pivoting order of the
+      // OLS aggregator: f = Sx/n; slope = (Sxy - f*Sy)/(Sxx - f*Sx);
+      // intercept = (Sy - Sx*slope)/n; r2 from SSR/SST computational forms
+      """WITH s AS (
+           SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n, count(*) AS samples,
+             sum(l_quantity) AS sx, sum(round(l_extendedprice, 0)) AS sy,
+             sum(l_quantity * round(l_extendedprice, 0)) AS sxy,
+             sum(l_quantity * l_quantity) AS sxx,
+             sum(round(l_extendedprice, 0) * round(l_extendedprice, 0)) AS syy
+           FROM lineitem GROUP BY l_returnflag),
+         t AS (SELECT *, (sxy - (sx / n) * sy) / (sxx - (sx / n) * sx) AS slope FROM s),
+         u AS (SELECT *, (sy - sx * slope) / n AS intercept FROM t)
+         SELECT CAST(0 AS BIGINT) AS time, l_returnflag, samples, slope, intercept,
+           1.0 - ((syy - (intercept * sy + slope * sxy)) / (syy - (sy / n) * sy)) AS r2
+         FROM u ORDER BY l_returnflag"""
   )
 }

@@ -296,6 +296,22 @@ object Summarizers {
     ps.map(q => s"${x}_${q}quantile" -> c.agg(F.percentile(c.in(x), F.lit(q))))
   }
 
+  /**
+   * Streaming weighted OLS with intercept (≙ Summarizers.OLSRegression,
+   * Summarizers.scala:325): one struct-typed output column
+   * `<y>_OLSRegression` with fields samples / beta / intercept / rSquared /
+   * stdErr_beta / tStat_beta. Gram-matrix Aggregator — distributes via
+   * partial aggregation like any builtin.
+   */
+  def OLSRegression(y: String, xs: Seq[String], weight: Option[String] = None): Summarizer =
+    Summarizer { c =>
+      val fn = graft.ts.agg.OLSAggregate.olsUdaf(xs.length)
+      val w = weight.map(F.col(_).cast("double")).getOrElse(F.lit(1.0))
+      val args = (c.in(F.col(y).cast("double")) +:
+        xs.map(x => F.col(x).cast("double"))) :+ w
+      Seq(s"${y}_OLSRegression" -> c.agg(fn(args: _*)))
+    }
+
   /** Collect the group's rows as array<struct> sorted by time; column `rows`
     * (≙ RowsSummarizer). Use with groupByCycle/addWindows. */
   def rows(cols: Seq[String]): Summarizer =
