@@ -44,11 +44,9 @@ for name in sorted(os.listdir(out_dir)):
     for c in g.columns:
         gv, ev = g[c], e[c]
         if gv.dtype != ev.dtype:
-            try:
-                ev = ev.astype(gv.dtype)
-            except Exception:
-                mismatch = f"dtype differ on {c}: {gv.dtype} vs {e[c].dtype}"
-                break
+            # As strict as the driver's hash gate: dtype mismatch = failure.
+            mismatch = f"dtype differ on {c}: {gv.dtype} vs {e[c].dtype}"
+            break
         eqnan = gv.isna() & ev.isna()
         neq = ~(eqnan | (gv == ev))
         if neq.any():

@@ -56,7 +56,7 @@ object QueriesWindows {
         s"(CASE WHEN $modT = 0 THEN $t ELSE $floorT + $DAY END)")
     }
     s"""SELECT $timeExpr AS time, count(*) AS count,
-        sum(CAST(round(value * 100, 0) AS BIGINT)) AS value100_sum
+        CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value100_sum
         FROM events WHERE $where GROUP BY 1 ORDER BY time"""
   }
 
@@ -110,7 +110,8 @@ object QueriesWindows {
   val oracleSql: Map[String, String] = Map(
     "summarize_cycles" ->
       s"""WITH e AS ($evHourSql)
-          SELECT time, event_type, count(*) AS count, sum(value100) AS value100_sum
+          SELECT time, event_type, count(*) AS count,
+          CAST(sum(value100) AS BIGINT) AS value100_sum
           FROM e GROUP BY time, event_type ORDER BY time, event_type""",
     "group_by_cycle_sizes" ->
       s"""WITH e AS ($evHourSql)
@@ -130,14 +131,14 @@ object QueriesWindows {
     "summarize_windows_past" ->
       s"""WITH e AS ($evVSql)
           SELECT time, event_id, user_id,
-          count(*) OVER w AS count, sum(value100) OVER w AS value100_sum
+          count(*) OVER w AS count, CAST(sum(value100) OVER w AS BIGINT) AS value100_sum
           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY time
             RANGE BETWEEN ${1 * DAY} PRECEDING AND CURRENT ROW)
           ORDER BY time, event_id""",
     "summarize_windows_future" ->
       s"""WITH e AS ($evVSql)
           SELECT time, event_id, user_id,
-          count(*) OVER w AS count, sum(value100) OVER w AS value100_sum
+          count(*) OVER w AS count, CAST(sum(value100) OVER w AS BIGINT) AS value100_sum
           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY time
             RANGE BETWEEN CURRENT ROW AND ${6 * HOUR} FOLLOWING)
           ORDER BY time, event_id""",
@@ -150,7 +151,7 @@ object QueriesWindows {
     "add_summary_columns" ->
       s"""WITH e AS ($evVSql)
           SELECT time, event_id, user_id,
-          count(*) OVER w AS count, sum(value100) OVER w AS value100_sum
+          count(*) OVER w AS count, CAST(sum(value100) OVER w AS BIGINT) AS value100_sum
           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY time, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
           ORDER BY time, event_id""",

@@ -45,15 +45,28 @@ object Dedup {
         i => F.array_join(F.slice(toks, i + 1, F.lit(k)), " ")))
   }
 
+  /** Each shingle hashed once to a 64-bit long. All downstream min-hash
+    * work is cheap long remixing of this array — strings are built and
+    * hashed exactly once per row. */
+  def hashedShingles(text: Column, k: Int): Column =
+    F.transform(shingles(text, k), s => F.xxhash64(s))
+
   /**
-   * MinHash signature: numHashes independent min-hashes of the shingle set,
-   * h_i(S) = min over s in S of xxhash64(i, s). Row-local, codegen'd.
+   * MinHash signature from pre-hashed shingles: ONE fold over the shingle
+   * hashes carrying all `numHashes` running minima; the hash family is
+   * h_i(x) = xxhash64(i, x), i.e. per (seed, shingle) a fixed-width long
+   * remix. Structured as `aggregate(input, zero, merge)` because the input
+   * argument is evaluated exactly once per row — an expression captured
+   * inside an outer lambda (the round-2 shape) is re-evaluated per lambda
+   * iteration, which recomputed the shingle array numHashes times per row.
    */
-  def minHashSignature(text: Column, numHashes: Int, shingleSize: Int): Column = {
-    val sh = shingles(text, shingleSize)
-    F.transform(F.sequence(F.lit(0), F.lit(numHashes - 1)),
-      seed => F.array_min(F.transform(sh, s => F.xxhash64(seed, s))))
-  }
+  def minHashOfHashed(hs: Column, numHashes: Int): Column =
+    F.aggregate(hs,
+      F.array_repeat(F.lit(Long.MaxValue), numHashes),
+      (acc, h) => F.transform(acc, (m, i) => F.least(m, F.xxhash64(i, h))))
+
+  def minHashSignature(text: Column, numHashes: Int, shingleSize: Int): Column =
+    minHashOfHashed(hashedShingles(text, shingleSize), numHashes)
 
   /** LSH band buckets: signature split into `bands` rows of `rowsPerBand`,
     * each band hashed to one bucket id. */
@@ -72,8 +85,10 @@ object Dedup {
                         shingleSize: Int = 3, threshold: Double = 0.7,
                         maxBucketSize: Int = 64): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val withSig = df.select(F.col(idCol).as("id"),
-      minHashSignature(F.col(textCol), numHashes, shingleSize).as("sig"))
+    val hashed = df.select(F.col(idCol).as("id"),
+      hashedShingles(F.col(textCol), shingleSize).as("hs"))
+    val withSig = hashed.select(F.col("id"),
+      minHashOfHashed(F.col("hs"), numHashes).as("sig"))
     val buckets = withSig
       .select(F.col("id"), F.explode(lshBuckets(F.col("sig"), bands, rowsPerBand)).as("bk"))
       .select(F.col("id"), F.col("bk.band"), F.col("bk.bucket"))
@@ -85,8 +100,10 @@ object Dedup {
       .select(F.explode(pairsOf(F.col("ids"))).as("p"))
       .select(F.col("p.a").as("id_a"), F.col("p.b").as("id_b"))
       .distinct()
-    val sh = df.select(F.col(idCol).as("id"),
-      shingles(F.col(textCol), shingleSize).as("sh"))
+    // Exact Jaccard over the hashed shingle sets (collision probability on
+    // 64-bit hashes is negligible); re-uses the same one-hash-per-shingle
+    // representation instead of rebuilding string shingles per pair side.
+    val sh = hashed.select(F.col("id"), F.col("hs").as("sh"))
     pairs
       .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
       .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
@@ -104,20 +121,25 @@ object Dedup {
         F.struct(a.as("a"), b.as("b")))))
 
   /** 64-bit SimHash over the token multiset: bit i of the sketch is the
-    * majority vote of bit i across token hashes. Row-local expressions. */
+    * majority vote of bit i across token hashes. A single fold over the
+    * token hashes carries 64 per-bit counters (the round-2 form ran 64
+    * separate interpreted passes over the token array per row); the finish
+    * lambda turns counts into the packed sketch. */
   def simHash(text: Column): Column = {
-    val toks = F.split(text, " ")
-    val m = F.size(toks)
-    // 64 per-bit majority votes, unrolled at plan-build time (shift amounts
-    // must be literals); each is a codegen'd filter over the token array.
-    val bits = (0 until 64).map { i =>
-      val ones = F.size(F.filter(toks, t =>
-        F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1L)) === 1L))
-      F.when(ones * 2 > m, F.lit(1L)).otherwise(F.lit(0L))
-    }
-    // bitwise fold (shift+or): ANSI mode rejects the overflowing acc*2+b
-    F.aggregate(F.array(bits: _*), F.lit(0L),
-      (acc, b) => F.shiftleft(acc, 1).bitwiseOR(b))
+    val tokHashes = F.transform(F.split(text, " "), t => F.xxhash64(t))
+    F.aggregate(
+      tokHashes,
+      F.struct(F.array_repeat(F.lit(0L), 64).as("counts"), F.lit(0L).as("n")),
+      (acc, h) => F.struct(
+        F.transform(acc.getField("counts"), (c, i) =>
+          c + F.call_function("shiftright", h, i).bitwiseAND(F.lit(1L))).as("counts"),
+        (acc.getField("n") + F.lit(1L)).as("n")),
+      acc => F.aggregate(
+        F.transform(acc.getField("counts"), c =>
+          F.when(c * 2 > acc.getField("n"), F.lit(1L)).otherwise(F.lit(0L))),
+        F.lit(0L),
+        // bitwise fold (shift+or): ANSI mode rejects the overflowing acc*2+b
+        (sk, b) => F.shiftleft(sk, 1).bitwiseOR(b)))
   }
 
   /** SimHash near-dup candidates: split the 64-bit sketch into 4 16-bit
@@ -149,12 +171,21 @@ object Dedup {
         F.struct(a.as("a"), b.as("b")))))
 
   /** Exact n-gram (word-set) Jaccard similarity pairs within a blocking key
-    * (e.g. source): a grouped self-join — the blocked-comparison shape that
-    * scales when block sizes are bounded. */
+    * (e.g. source): a grouped self-join bounded by `maxBlockSize` — each
+    * block is truncated to its first `maxBlockSize` ids (deterministic), so
+    * a hot/skewed block key can never go quadratic. This is the exact
+    * blocked-comparison baseline; the scale path for unbounded corpora is
+    * `minHashDedupPairs` (LSH candidates → exact-Jaccard verify). */
   def jaccardPairsWithin(df: DataFrame, idCol: String, textCol: String,
-                         blockCol: String, threshold: Double): DataFrame = {
+                         blockCol: String, threshold: Double,
+                         maxBlockSize: Int = 10000): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("blk").orderBy("id")
     val d = df.select(F.col(blockCol).as("blk"), F.col(idCol).as("id"),
       normalizedTokens(F.col(textCol)).as("ws"))
+      .withColumn("__rn", F.row_number().over(win))
+      .filter(F.col("__rn") <= maxBlockSize)
+      .drop("__rn")
     val a = d.select(F.col("blk"), F.col("id").as("id_a"), F.col("ws").as("ws_a"))
     val b = d.select(F.col("blk"), F.col("id").as("id_b"), F.col("ws").as("ws_b"))
     a.join(b, Seq("blk"))
