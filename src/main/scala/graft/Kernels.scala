@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+/**
+ * Tight JVM loops behind the custom Catalyst expressions in
+ * `org.apache.spark.sql.graft`. Each method is called once per row from
+ * whole-stage-generated code (objects get static forwarders, so generated
+ * Java can call `graft.Kernels.minHashSig(...)` directly) — replacing the
+ * interpreted higher-order-function folds that dominated the round-2 bench
+ * (one boxed lambda dispatch per array element per seed).
+ *
+ * Hash family: Spark's own XXH64 (`xxhash64` uses seed 42 over the value
+ * bytes), so `tokenHash` below is bit-identical to `F.xxhash64(stringCol)`.
+ */
+object Kernels {
+
+  /** Sentinel for "row falls outside every interval" (interval bucketing). */
+  final val NoBucket: Long = Long.MinValue
+
+  /** Bit-identical to Spark's `xxhash64(string)` (seed 42 over UTF8 bytes). */
+  def tokenHash(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    if (s == null) 42L
+    else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+
+  /**
+   * Sorted distinct 64-bit fingerprints of the word k-shingles of a token
+   * array. Each token is hashed once; a shingle's fingerprint is the
+   * hashLong-chain over its k token hashes — no intermediate strings are
+   * built (the reference materializes joined shingle strings; at ~n shingles
+   * x k tokens per row that allocation was the single hottest path in the
+   * round-2 profile). If the row has fewer than k tokens it yields one
+   * shingle covering all of them, mirroring `Dedup.shingles`.
+   */
+  def hashedShingles(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) { th(i) = tokenHash(tokens.getUTF8String(i)); i += 1 }
+    val m = math.max(n - k + 1, 1)
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var h = 42L
+      var j = i
+      val e = math.min(i + k, n)
+      while (j < e) { h = XXH64.hashLong(th(j), h); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
+  /**
+   * MinHash signature over pre-hashed shingles: `numHashes` running minima
+   * of h_i(x) = XXH64.hashLong(x, seed = i) in one pass — numHashes * |hs|
+   * primitive hash+compare ops per row, no allocation beyond the result.
+   */
+  def minHashSig(hs: ArrayData, numHashes: Int): ArrayData = {
+    val res = new Array[Long](numHashes)
+    java.util.Arrays.fill(res, Long.MaxValue)
+    val n = hs.numElements()
+    var j = 0
+    while (j < n) {
+      val h = hs.getLong(j)
+      var i = 0
+      while (i < numHashes) {
+        val v = XXH64.hashLong(h, i.toLong)
+        if (v < res(i)) res(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(res)
+  }
+
+  /** |A ∩ B| of two ascending-sorted distinct long arrays by merge walk. */
+  def sortedIntersectSize(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /**
+   * 64-bit SimHash of a token array: bit b of the sketch is the majority
+   * vote of bit b across the tokens' xxhash64 values. Token hashing matches
+   * `F.xxhash64(token)` bit-for-bit, and the bit packing matches the
+   * round-2 expression form (first vote lands in the top bit), so sketches
+   * are stable across the rewrite.
+   */
+  def simHash64(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = tokenHash(tokens.getUTF8String(i))
+      var b = 0
+      while (b < 64) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
+      i += 1
+    }
+    var sk = 0L
+    var b = 0
+    while (b < 64) { sk = (sk << 1) | (if (counts(b) * 2 > n) 1L else 0L); b += 1 }
+    sk
+  }
+
+  /**
+   * Interval bucket stamp for time `t` against a strictly-increasing clock:
+   * `beginIncl` selects [b, e) vs (b, e] membership, `stampBegin` selects
+   * which endpoint stamps the row. Returns `NoBucket` when t falls outside
+   * every interval. O(log m) binary search, no allocation.
+   */
+  def intervalBucket(c: Array[Long], t: Long,
+                     beginIncl: Boolean, stampBegin: Boolean): Long = {
+    val m = c.length
+    var lo = 0
+    var hi = m
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (c(mid) < t) lo = mid + 1 else hi = mid
+    }
+    val found = lo < m && c(lo) == t
+    if (beginIncl) {
+      if (found) { if (lo < m - 1) { if (stampBegin) c(lo) else c(lo + 1) } else NoBucket }
+      else if (lo > 0 && lo < m) { if (stampBegin) c(lo - 1) else c(lo) }
+      else NoBucket
+    } else {
+      if (found) { if (lo > 0) { if (stampBegin) c(lo - 1) else c(lo) } else NoBucket }
+      else if (lo > 0 && lo < m) { if (stampBegin) c(lo - 1) else c(lo) }
+      else NoBucket
+    }
+  }
+}

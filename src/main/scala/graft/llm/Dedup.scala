@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.graft.GraftColumns
 
 /**
  * Deduplication operators for training-data pipelines: exact, MinHash+LSH,
@@ -45,28 +46,30 @@ object Dedup {
         i => F.array_join(F.slice(toks, i + 1, F.lit(k)), " ")))
   }
 
-  /** Each shingle hashed once to a 64-bit long. All downstream min-hash
-    * work is cheap long remixing of this array — strings are built and
-    * hashed exactly once per row. */
+  /** Sorted distinct 64-bit shingle fingerprints, one codegen'd kernel call
+    * per row (`graft.Kernels.hashedShingles`): tokens hashed once, k-grams
+    * fingerprinted by hash chaining — no shingle strings are ever built.
+    * Sorted output doubles as the set representation for the merge-walk
+    * exact-Jaccard verifier. */
   def hashedShingles(text: Column, k: Int): Column =
-    F.transform(shingles(text, k), s => F.xxhash64(s))
+    GraftColumns.hashedShingles(F.split(text, " "), k)
 
-  /**
-   * MinHash signature from pre-hashed shingles: ONE fold over the shingle
-   * hashes carrying all `numHashes` running minima; the hash family is
-   * h_i(x) = xxhash64(i, x), i.e. per (seed, shingle) a fixed-width long
-   * remix. Structured as `aggregate(input, zero, merge)` because the input
-   * argument is evaluated exactly once per row — an expression captured
-   * inside an outer lambda (the round-2 shape) is re-evaluated per lambda
-   * iteration, which recomputed the shingle array numHashes times per row.
-   */
+  /** MinHash signature from pre-hashed shingles: numHashes running minima
+    * of h_i(x) = xxhash64-remix(x, seed=i), computed in one compiled loop
+    * (the round-2 higher-order-function fold paid one interpreted lambda
+    * dispatch per shingle per seed — 81% of the whole bench). */
   def minHashOfHashed(hs: Column, numHashes: Int): Column =
-    F.aggregate(hs,
-      F.array_repeat(F.lit(Long.MaxValue), numHashes),
-      (acc, h) => F.transform(acc, (m, i) => F.least(m, F.xxhash64(i, h))))
+    GraftColumns.minHashSig(hs, numHashes)
 
   def minHashSignature(text: Column, numHashes: Int, shingleSize: Int): Column =
     minHashOfHashed(hashedShingles(text, shingleSize), numHashes)
+
+  /** Exact Jaccard of two ascending-sorted distinct long arrays:
+    * |A∩B| by merge walk; |A∪B| = |A|+|B|-|A∩B| (never materialized). */
+  private def sortedJaccard(a: Column, b: Column): Column = {
+    val isz = GraftColumns.sortedIntersectSize(a, b).cast("double")
+    isz / (F.size(a).cast("double") + F.size(b).cast("double") - isz)
+  }
 
   /** LSH band buckets: signature split into `bands` rows of `rowsPerBand`,
     * each band hashed to one bucket id. */
@@ -102,14 +105,12 @@ object Dedup {
       .distinct()
     // Exact Jaccard over the hashed shingle sets (collision probability on
     // 64-bit hashes is negligible); re-uses the same one-hash-per-shingle
-    // representation instead of rebuilding string shingles per pair side.
+    // sorted representation instead of rebuilding shingles per pair side.
     val sh = hashed.select(F.col("id"), F.col("hs").as("sh"))
     pairs
       .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
       .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double") /
-          F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("double"))
+      .withColumn("jaccard", sortedJaccard(F.col("sh_a"), F.col("sh_b")))
       .filter(F.col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -121,26 +122,13 @@ object Dedup {
         F.struct(a.as("a"), b.as("b")))))
 
   /** 64-bit SimHash over the token multiset: bit i of the sketch is the
-    * majority vote of bit i across token hashes. A single fold over the
-    * token hashes carries 64 per-bit counters (the round-2 form ran 64
-    * separate interpreted passes over the token array per row); the finish
-    * lambda turns counts into the packed sketch. */
-  def simHash(text: Column): Column = {
-    val tokHashes = F.transform(F.split(text, " "), t => F.xxhash64(t))
-    F.aggregate(
-      tokHashes,
-      F.struct(F.array_repeat(F.lit(0L), 64).as("counts"), F.lit(0L).as("n")),
-      (acc, h) => F.struct(
-        F.transform(acc.getField("counts"), (c, i) =>
-          c + F.call_function("shiftright", h, i).bitwiseAND(F.lit(1L))).as("counts"),
-        (acc.getField("n") + F.lit(1L)).as("n")),
-      acc => F.aggregate(
-        F.transform(acc.getField("counts"), c =>
-          F.when(c * 2 > acc.getField("n"), F.lit(1L)).otherwise(F.lit(0L))),
-        F.lit(0L),
-        // bitwise fold (shift+or): ANSI mode rejects the overflowing acc*2+b
-        (sk, b) => F.shiftleft(sk, 1).bitwiseOR(b)))
-  }
+    * majority vote of bit i across token xxhash64 values, computed in one
+    * compiled pass per row (`graft.Kernels.simHash64`; the round-2 form ran
+    * 64 separate interpreted passes over the token array per row). Token
+    * hashing is bit-identical to `F.xxhash64(token)`, keeping sketches
+    * stable across the rewrite. */
+  def simHash(text: Column): Column =
+    GraftColumns.simHash64(F.split(text, " "))
 
   /** SimHash near-dup candidates: split the 64-bit sketch into 4 16-bit
     * bands; docs sharing any band are candidates (covers Hamming distance
@@ -181,18 +169,26 @@ object Dedup {
                          maxBlockSize: Int = 10000): DataFrame = {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("blk").orderBy("id")
+    // Token SET as sorted distinct 64-bit hashes (hashedShingles with k=1):
+    // the O(block²) pair loop then costs one merge walk over longs per pair
+    // instead of interpreted string-array intersect+union.
     val d = df.select(F.col(blockCol).as("blk"), F.col(idCol).as("id"),
-      normalizedTokens(F.col(textCol)).as("ws"))
+      GraftColumns.hashedShingles(F.split(F.col(textCol), " "), 1).as("ws"))
       .withColumn("__rn", F.row_number().over(win))
       .filter(F.col("__rn") <= maxBlockSize)
       .drop("__rn")
-    val a = d.select(F.col("blk"), F.col("id").as("id_a"), F.col("ws").as("ws_a"))
-    val b = d.select(F.col("blk"), F.col("id").as("id_b"), F.col("ws").as("ws_b"))
+      .withColumn("n", F.size(F.col("ws")))
+    val a = d.select(F.col("blk"), F.col("id").as("id_a"), F.col("ws").as("ws_a"),
+      F.col("n").as("n_a"))
+    val b = d.select(F.col("blk"), F.col("id").as("id_b"), F.col("ws").as("ws_b"),
+      F.col("n").as("n_b"))
     a.join(b, Seq("blk"))
-      .filter(F.col("id_a") < F.col("id_b"))
-      .withColumn("jaccard",
-        F.size(F.array_intersect(F.col("ws_a"), F.col("ws_b"))).cast("double") /
-          F.size(F.array_union(F.col("ws_a"), F.col("ws_b"))).cast("double"))
+      // J >= t implies min(|A|,|B|)/max(|A|,|B|) >= t: prune on sizes before
+      // touching the arrays (classic set-similarity length filter).
+      .filter(F.col("id_a") < F.col("id_b") &&
+        F.least(F.col("n_a"), F.col("n_b")).cast("double") >=
+          F.lit(threshold) * F.greatest(F.col("n_a"), F.col("n_b")).cast("double"))
+      .withColumn("jaccard", sortedJaccard(F.col("ws_a"), F.col("ws_b")))
       .filter(F.col("jaccard") >= threshold)
       .select(F.col("blk").as("block"), F.col("id_a"), F.col("id_b"), F.col("jaccard"))
   }

@@ -41,37 +41,13 @@ object Intervals {
         s"(> $MaxClockTicks); consider a coarser clock")
     }
     val bc = df.sparkSession.sparkContext.broadcast(clock)
-    val beginIncl = inclusion == "begin"
-    val stampBegin = rounding == "begin"
-    val bucket = F.udf { (t: Long) =>
-      val c = bc.value
-      val m = c.length
-      // idx = insertion point: first index with c(idx) >= t
-      var lo = 0; var hi = m
-      while (lo < hi) {
-        val mid = (lo + hi) >>> 1
-        if (c(mid) < t) lo = mid + 1 else hi = mid
-      }
-      val found = lo < m && c(lo) == t
-      val res: Option[Long] = (beginIncl, stampBegin) match {
-        // [b, e) — a row on a tick belongs to the interval starting there
-        case (true, true) =>
-          if (found) { if (lo < m - 1) Some(c(lo)) else None }
-          else if (lo > 0 && lo < m) Some(c(lo - 1)) else None
-        case (true, false) =>
-          if (found) { if (lo < m - 1) Some(c(lo + 1)) else None }
-          else if (lo > 0 && lo < m) Some(c(lo)) else None
-        // (b, e] — a row on a tick belongs to the interval ending there
-        case (false, true) =>
-          if (found) { if (lo > 0) Some(c(lo - 1)) else None }
-          else if (lo > 0 && lo < m) Some(c(lo - 1)) else None
-        case (false, false) =>
-          if (found) { if (lo > 0) Some(c(lo)) else None }
-          else if (lo > 0 && lo < m) Some(c(lo)) else None
-      }
-      res.map(java.lang.Long.valueOf).orNull
-    }
-    df.withColumn(TimeColumn, bucket(F.col(TimeColumn)))
+    // Codegen'd binary-search expression (graft.Kernels.intervalBucket):
+    // O(log m) per row inside whole-stage codegen — replaces the round-2
+    // Scala UDF, which boxed every row and broke the codegen stage.
+    df.withColumn(TimeColumn,
+        org.apache.spark.sql.graft.GraftColumns.intervalBucket(
+          F.col(TimeColumn), bc,
+          beginInclusive = inclusion == "begin", stampBegin = rounding == "begin"))
       .filter(F.col(TimeColumn).isNotNull)
   }
 

@@ -1,0 +1,134 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/**
+ * Custom codegen'd Catalyst expressions for the hot row-local kernels
+ * (MinHash / SimHash sketching, set intersection, interval bucketing).
+ * Each participates in whole-stage codegen — the generated Java calls the
+ * corresponding `graft.Kernels` static method, so the per-row work is one
+ * monomorphic call into a JIT-compiled primitive loop instead of the
+ * interpreted higher-order-function fold it replaces. Pattern follows the
+ * reference's codegen'd time-cast expressions
+ * (/root/reference/src/main/scala/org/apache/spark/sql/TimestampCast.scala:68-84).
+ *
+ * This file lives under `org.apache.spark.sql` only for `ExpressionUtils`
+ * (Expression <-> Column bridging, `private[sql]` in Spark 4).
+ */
+object GraftColumns {
+  private def col(e: Expression): Column = ExpressionUtils.column(e)
+  private def ex(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Sorted distinct xxhash64 fingerprints of word k-shingles of a token array. */
+  def hashedShingles(tokens: Column, k: Int): Column = col(HashedShingles(ex(tokens), k))
+
+  /** MinHash signature (array of `numHashes` longs) of a hashed-shingle array. */
+  def minHashSig(hashedShingles: Column, numHashes: Int): Column =
+    col(MinHashSignature(ex(hashedShingles), numHashes))
+
+  /** |A ∩ B| of two ascending-sorted distinct long arrays. */
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    col(SortedIntersectSize(ex(a), ex(b)))
+
+  /** 64-bit SimHash sketch of a token array. */
+  def simHash64(tokens: Column): Column = col(SimHash64(ex(tokens)))
+
+  /** Interval bucket stamp for a long time column; null when outside the clock. */
+  def intervalBucket(time: Column, clock: Broadcast[Array[Long]],
+                     beginInclusive: Boolean, stampBegin: Boolean): Column =
+    col(IntervalBucket(ex(time), clock, beginInclusive, stampBegin))
+}
+
+case class HashedShingles(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    graft.Kernels.hashedShingles(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.Kernels.hashedShingles($c, $k);")
+  override protected def withNewChildInternal(newChild: Expression): HashedShingles =
+    copy(child = newChild)
+}
+
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    graft.Kernels.minHashSig(input.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.Kernels.minHashSig($c, $numHashes);")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.Kernels.sortedIntersectSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.Kernels.sortedIntersectSize($a, $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSize =
+    copy(left = newLeft, right = newRight)
+}
+
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    graft.Kernels.simHash64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.Kernels.simHash64($c);")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/**
+ * Stamps each time with its interval's begin/end tick per the
+ * inclusion/rounding matrix; null for rows outside every interval. The
+ * clock rides a `Broadcast` (interval metadata, one copy per executor) and
+ * the search is an O(log m) branch-free-ish binary search in generated code.
+ */
+case class IntervalBucket(child: Expression, clock: Broadcast[Array[Long]],
+                          beginInclusive: Boolean, stampBegin: Boolean)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = {
+    val r = graft.Kernels.intervalBucket(
+      clock.value, input.asInstanceOf[Long], beginInclusive, stampBegin)
+    if (r == graft.Kernels.NoBucket) null else r
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcName = ctx.addReferenceObj("clockBc", clock, classOf[Broadcast[_]].getName)
+    val b = ctx.freshName("graftBucket")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      long $b = graft.Kernels.intervalBucket(
+        (long[]) $bcName.value(), $c, $beginInclusive, $stampBegin);
+      if ($b == ${graft.Kernels.NoBucket}L) { ${ev.isNull} = true; }
+      else { ${ev.value} = $b; }
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): IntervalBucket =
+    copy(child = newChild)
+}
