@@ -23,22 +23,32 @@ object Bench {
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // Warm-up: exercise parquet scan, shuffle, window + aggregate codegen.
+    // Warm-up: exercise parquet scan, shuffle, window + aggregate codegen —
+    // via an *unregistered* query so no measured entry gets a private
+    // JIT-warm advantage.
     try {
+      import org.apache.spark.sql.{functions => F}
       val ev = QueriesCore.events(spark, sfDir)
       force(ev.groupBy("event_type").count())
-      force(SparkEntry.queries("summarize_windows_past")(spark, sfDir))
+      val w = graft.ts.WindowOps.pastAbsoluteTime("30m")
+      force(graft.ts.WindowOps.summarizeWindows(
+        ev.select("time", "event_type", "value"), w,
+        graft.ts.Summarizers.mean("value"), Seq("event_type")))
     } catch { case _: Throwable => }
 
+    // A query that throws is recorded as -1 (never a near-zero "success")
+    // and listed in "errors".
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try force(fn(spark, sfDir)) catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { force(fn(spark, sfDir)); true } catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -57,7 +57,14 @@ object Dedup {
   /** MinHash signature from pre-hashed shingles: numHashes running minima
     * of h_i(x) = xxhash64-remix(x, seed=i), computed in one compiled loop
     * (the round-2 higher-order-function fold paid one interpreted lambda
-    * dispatch per shingle per seed — 81% of the whole bench). */
+    * dispatch per shingle per seed — 81% of the whole bench).
+    *
+    * Signature-format note: this hash family (chained-hash shingle
+    * fingerprints + `XXH64.hashLong(h, seed=i)`) replaced the original
+    * `xxhash64(seed, shingle_string)` family. Signatures and LSH buckets
+    * are NOT comparable with sketches persisted by earlier versions —
+    * recompute sketches rather than mixing generations. (SimHash sketches
+    * ARE stable across versions; see [[simHash]].) */
   def minHashOfHashed(hs: Column, numHashes: Int): Column =
     GraftColumns.minHashSig(hs, numHashes)
 
@@ -159,25 +166,30 @@ object Dedup {
         F.struct(a.as("a"), b.as("b")))))
 
   /** Exact n-gram (word-set) Jaccard similarity pairs within a blocking key
-    * (e.g. source): a grouped self-join bounded by `maxBlockSize` — each
-    * block is truncated to its first `maxBlockSize` ids (deterministic), so
-    * a hot/skewed block key can never go quadratic. This is the exact
-    * blocked-comparison baseline; the scale path for unbounded corpora is
-    * `minHashDedupPairs` (LSH candidates → exact-Jaccard verify). */
+    * (e.g. source): a grouped self-join, the exact blocked-comparison
+    * baseline. Exact semantics by default: every row of every block
+    * participates (`maxBlockSize = Int.MaxValue`). A caller that accepts
+    * truncation for a known-skewed corpus can opt in to a cap, which keeps
+    * the first `maxBlockSize` ids per block (deterministic) — but dropped
+    * rows silently vanish from the result, so the scale path for unbounded
+    * or skewed corpora is `minHashDedupPairs` (LSH candidates →
+    * exact-Jaccard verify), not a cap. */
   def jaccardPairsWithin(df: DataFrame, idCol: String, textCol: String,
                          blockCol: String, threshold: Double,
-                         maxBlockSize: Int = 10000): DataFrame = {
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy("blk").orderBy("id")
+                         maxBlockSize: Int = Int.MaxValue): DataFrame = {
     // Token SET as sorted distinct 64-bit hashes (hashedShingles with k=1):
     // the O(block²) pair loop then costs one merge walk over longs per pair
     // instead of interpreted string-array intersect+union.
-    val d = df.select(F.col(blockCol).as("blk"), F.col(idCol).as("id"),
+    val d0 = df.select(F.col(blockCol).as("blk"), F.col(idCol).as("id"),
       GraftColumns.hashedShingles(F.split(F.col(textCol), " "), 1).as("ws"))
-      .withColumn("__rn", F.row_number().over(win))
-      .filter(F.col("__rn") <= maxBlockSize)
-      .drop("__rn")
-      .withColumn("n", F.size(F.col("ws")))
+    val capped = if (maxBlockSize == Int.MaxValue) d0 else {
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("blk").orderBy("id")
+      d0.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= maxBlockSize)
+        .drop("__rn")
+    }
+    val d = capped.withColumn("n", F.size(F.col("ws")))
     val a = d.select(F.col("blk"), F.col("id").as("id_a"), F.col("ws").as("ws_a"),
       F.col("n").as("n_a"))
     val b = d.select(F.col("blk"), F.col("id").as("id_b"), F.col("ws").as("ws_b"),

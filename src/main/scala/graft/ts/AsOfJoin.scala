@@ -103,10 +103,22 @@ object AsOfJoin {
     //     row at exactly t is already visible to the left row at t.
     //   forward   [t, t+tol]: scan DESC; right at t before left at t in scan
     //     order => visible. strict (t, t+tol]: left first => not visible.
-    val ord: Seq[Column] =
+    // Several right rows at identical (key, time) would otherwise be matched
+    // nondeterministically (the reference picks physical row order, which a
+    // declarative plan cannot reference); a final sort on the bundled right
+    // struct makes the winner the row with the greatest value tuple —
+    // stable across runs and partitionings. Skipped when a right column
+    // type is unorderable (map), where ties stay plan-order dependent.
+    val structTieBreak: Seq[Column] = {
+      val structType = r.schema(StructCol).dataType
+      if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(structType))
+        Seq(col(StructCol).asc_nulls_first)
+      else Seq.empty
+    }
+    val ord: Seq[Column] = (
       if (!future) Seq(col(TimeColumn).asc, col(SrcCol).asc)
       else if (!strict) Seq(col(TimeColumn).desc, col(SrcCol).asc)
-      else Seq(col(TimeColumn).desc, col(SrcCol).desc)
+      else Seq(col(TimeColumn).desc, col(SrcCol).desc)) ++ structTieBreak
     val w = Window.partitionBy(key.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 

@@ -31,6 +31,11 @@ object Intervals {
                   rounding: String = "end"): DataFrame = {
     require(Seq("begin", "end").contains(inclusion), "inclusion must be begin|end")
     require(Seq("begin", "end").contains(rounding), "rounding must be begin|end")
+    // First tick must exceed Long.MinValue: Kernels.NoBucket uses it as the
+    // out-of-band "no bucket" sentinel, so a legitimate tick there would be
+    // conflated with bucketless rows and silently dropped.
+    require(clock.isEmpty || clock(0) > Long.MinValue,
+      "clock ticks must be > Long.MinValue")
     var i = 0
     while (i < clock.length - 1) {
       require(clock(i) < clock(i + 1), s"clock must be strictly increasing at $i")

@@ -171,11 +171,24 @@ object Summarizers {
     (sxy / sw - mx * my) * (n.cast("double") / (n - F.lit(1)).cast("double"))
   }
 
-  /** Weighted Pearson correlation (≙ WeightedCorrelationSummarizer). */
+  /** Weighted Pearson correlation (≙ WeightedCorrelationSummarizer).
+    * cxy/cxx/cyy share one set of seven base sums (pairwise-complete on
+    * x,y,w) instead of three textually-distinct expansions — Catalyst dedups
+    * identical aggregate children, so the partial-agg buffer carries 7 sums,
+    * not 15, and codegen compiles one tree a third the size. */
   def weightedCorrelation(x: String, y: String, w: String): Summarizer = Summarizer { c =>
-    val cxy = weightedCovExpr(x, y, w, c)
-    val cxx = weightedCovExpr(x, x, w, c)
-    val cyy = weightedCovExpr(y, y, w, c)
+    val ok = F.col(x).isNotNull && F.col(y).isNotNull && F.col(w).isNotNull
+    val ww = c.in(F.when(ok, F.col(w)).cast("double"))
+    val vx = F.col(x).cast("double")
+    val vy = F.col(y).cast("double")
+    val sw = c.agg(F.sum(ww))
+    val n = c.agg(F.count(ww)).cast("double")
+    val corr = n / (n - F.lit(1.0))
+    val mx = c.agg(F.sum(vx * ww)) / sw
+    val my = c.agg(F.sum(vy * ww)) / sw
+    val cxy = (c.agg(F.sum(vx * vy * ww)) / sw - mx * my) * corr
+    val cxx = (c.agg(F.sum(vx * vx * ww)) / sw - mx * mx) * corr
+    val cyy = (c.agg(F.sum(vy * vy * ww)) / sw - my * my) * corr
     Seq(s"${x}_${y}_${w}_weightedCorrelation" -> cxy / F.sqrt(cxx * cyy))
   }
 

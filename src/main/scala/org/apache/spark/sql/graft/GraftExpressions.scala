@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
@@ -110,7 +110,10 @@ case class SimHash64(child: Expression)
  */
 case class IntervalBucket(child: Expression, clock: Broadcast[Array[Long]],
                           beginInclusive: Boolean, stampBegin: Boolean)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  // ImplicitCastInputTypes (not just ExpectsInputTypes): an int/short time
+  // column gets an implicit cast inserted, like the ScalaUDF path this
+  // expression replaced, instead of failing analysis.
   override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
