@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/**
+ * ScalaCheck laws for the row-local kernels behind the custom Catalyst
+ * expressions — pure JVM, no Spark session (≙ the reference's
+ * algebraic-law harness, SummarizerSuite.scala:110-357, applied to our
+ * kernel layer).
+ */
+object KernelLaws extends Properties("Kernels") {
+
+  private val sortedDistinct: Gen[Array[Long]] =
+    Gen.listOf(Gen.chooseNum(-1000L, 1000L)).map(_.distinct.sorted.toArray)
+
+  property("sortedIntersectSize = |A ∩ B| (set semantics)") =
+    forAll(sortedDistinct, sortedDistinct) { (a, b) =>
+      Kernels.sortedIntersectSize(new GenericArrayData(a), new GenericArrayData(b)) ==
+        a.toSet.intersect(b.toSet).size
+    }
+
+  private val tokens: Gen[Array[String]] =
+    Gen.nonEmptyListOf(Gen.oneOf("a", "bb", "ccc", "dog", "cat", "x1")).map(_.toArray)
+
+  private def arr(ts: Array[String]) =
+    new GenericArrayData(ts.map(t => UTF8String.fromString(t)))
+
+  property("hashedShingles(k=1) = sorted distinct chained token hashes") =
+    forAll(tokens) { ts =>
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      val got = Kernels.hashedShingles(arr(ts), 1).toLongArray().toSeq
+      val want = ts
+        .map(t => XXH64.hashLong(Kernels.tokenHash(UTF8String.fromString(t)), 42L))
+        .distinct.sorted.toSeq
+      got == want
+    }
+
+  property("hashedShingles count = distinct k-windows (or 1 short-row shingle)") =
+    forAll(tokens, Gen.chooseNum(1, 5)) { (ts, k) =>
+      val got = Kernels.hashedShingles(arr(ts), k).numElements()
+      val windows = if (ts.length < k) 1
+        else ts.sliding(k).map(_.toSeq).toSet.size
+      // distinct windows can hash-collide only astronomically rarely
+      got == windows
+    }
+
+  property("minHash signature of a union = elementwise min of signatures") =
+    forAll(sortedDistinct.suchThat(_.nonEmpty), sortedDistinct.suchThat(_.nonEmpty)) {
+      (a, b) =>
+        val u = (a ++ b).distinct.sorted
+        val sa = Kernels.minHashSig(new GenericArrayData(a), 16).toLongArray()
+        val sb = Kernels.minHashSig(new GenericArrayData(b), 16).toLongArray()
+        val su = Kernels.minHashSig(new GenericArrayData(u), 16).toLongArray()
+        su.toSeq == sa.zip(sb).map { case (x, y) => math.min(x, y) }.toSeq
+    }
+
+  property("simHash of a single token = bit-reversed token hash") =
+    forAll(Gen.oneOf("a", "bb", "ccc", "dog")) { t =>
+      val h = Kernels.tokenHash(UTF8String.fromString(t))
+      Kernels.simHash64(arr(Array(t))) == java.lang.Long.reverse(h)
+    }
+
+  property("simHash is permutation-invariant") =
+    forAll(tokens) { ts =>
+      Kernels.simHash64(arr(ts)) == Kernels.simHash64(arr(ts.reverse))
+    }
+
+  private val clockGen: Gen[Array[Long]] =
+    Gen.chooseNum(2, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-100L, 100L)).map(_.distinct.sorted.toArray))
+      .suchThat(_.length >= 2)
+
+  /** Linear-scan reference for the interval-bucket kernel. */
+  private def bucketRef(c: Array[Long], t: Long,
+                        beginIncl: Boolean, stampBegin: Boolean): Long = {
+    var i = 0
+    while (i < c.length - 1) {
+      val in =
+        if (beginIncl) t >= c(i) && t < c(i + 1)
+        else t > c(i) && t <= c(i + 1)
+      if (in) return if (stampBegin) c(i) else c(i + 1)
+      i += 1
+    }
+    Kernels.NoBucket
+  }
+
+  property("intervalBucket = linear-scan reference over the 4-way matrix") =
+    forAll(clockGen, Gen.chooseNum(-120L, 120L), Gen.oneOf(true, false),
+      Gen.oneOf(true, false)) { (c, t, bi, sb) =>
+      Kernels.intervalBucket(c, t, bi, sb) == bucketRef(c, t, bi, sb)
+    }
+}

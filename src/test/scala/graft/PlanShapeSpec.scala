@@ -1,0 +1,106 @@
+package graft
+
+import graft.ts._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.SortExec
+import org.apache.spark.sql.{functions => F}
+
+/**
+ * Plan-shape assertions (≙ the reference's PartitionPreservingOperationSpec
+ * idea, adapted: instead of side-metadata preservation we assert the
+ * physical plans carry no more shuffles/sorts than the design claims —
+ * the property that actually matters at 100 TB).
+ *
+ * AQE is off in the test session, so the statically planned Exchange/Sort
+ * nodes are visible directly.
+ */
+class PlanShapeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def plan(df: DataFrame): SparkPlan = df.queryExecution.executedPlan
+
+  private def exchanges(df: DataFrame): Int =
+    plan(df).collect { case e: ShuffleExchangeExec => e }.size
+
+  private def cartesians(df: DataFrame): Int =
+    plan(df).collect {
+      case c: CartesianProductExec => c
+      case b: BroadcastNestedLoopJoinExec => b
+    }.size
+
+  private def globalSorts(df: DataFrame): Int =
+    plan(df).collect { case s: SortExec if s.global => s }.size
+
+  private lazy val left = Seq((10L, "a", 1), (11L, "b", 2)).toDF("time", "k", "lv")
+  private lazy val right = Seq((9L, "a", 5), (10L, "b", 6)).toDF("time", "k", "rv")
+
+  it should "plan the as-of join with exactly one shuffle and no cartesian" in {
+    val j = AsOfJoin.leftJoin(left, right, "5ns", Seq("k"))
+    exchanges(j) shouldBe 1
+    cartesians(j) shouldBe 0
+    globalSorts(j) shouldBe 0
+  }
+
+  it should "plan the future as-of join with exactly one shuffle" in {
+    val j = AsOfJoin.futureLeftJoin(left, right, "5ns", Seq("k"),
+      strictLookahead = true)
+    exchanges(j) shouldBe 1
+    cartesians(j) shouldBe 0
+  }
+
+  it should "plan summarize as one partial/final aggregation exchange" in {
+    val g = Summarize.summarize(left, Summarizers.sum("lv"), Seq("k"))
+    exchanges(g) shouldBe 1
+    cartesians(g) shouldBe 0
+  }
+
+  it should "plan merge as one range exchange with no global sort" in {
+    val l = Seq((1L, 1)).toDF("time", "v")
+    val r = Seq((2L, 2)).toDF("time", "v")
+    val m = TimeSeriesOps.merge(l, r)
+    exchanges(m) shouldBe 1
+    globalSorts(m) shouldBe 0
+  }
+
+  it should "plan windowed summarizers without re-sorting ordered input" in {
+    val df = Seq((1L, "a", 1.0), (2L, "a", 2.0)).toDF("time", "k", "v")
+    val w = WindowOps.summarizeWindows(df, WindowOps.pastAbsoluteTime("1ns"),
+      Summarizers.sum("v"), Seq("k"))
+    exchanges(w) shouldBe 1 // hash by key for the window, nothing else
+    cartesians(w) shouldBe 0
+  }
+
+  it should "plan LSH dedup without any cartesian product" in {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("id", "text")
+    val d = graft.llm.Dedup.minHashDedupPairs(docs, "id", "text",
+      numHashes = 16, bands = 4, shingleSize = 2, threshold = 0.5)
+    cartesians(d) shouldBe 0
+  }
+
+  it should "push the time-range filter and column pruning into parquet scans" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan").toString
+    try {
+      Seq((10L, 1.0, "x"), (20L, 2.0, "y"), (30L, 3.0, "z"))
+        .toDF("time", "v", "s").write.mode("overwrite").parquet(dir)
+      val df = Sources.fromParquet(spark, dir, columns = Seq("v"),
+        beginNanos = Some(15L), endNanos = Some(25L))
+      val scan = plan(df).toString
+      scan should include("PushedFilters")
+      scan should include("GreaterThanOrEqual(time,15)")
+      scan should not include ("s#") // pruned column never read
+      df.collect().map(_.getLong(0)) shouldBe Array(20L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  it should "keep orderByTime idempotent at one exchange" in {
+    val df = TimeSeriesOps.orderByTime(Seq(3L, 1L, 2L).toDF("time"))
+    exchanges(df) shouldBe 1
+    // A second orderByTime must not stack a second sort-free exchange pair
+    exchanges(TimeSeriesOps.orderByTime(df)) should be <= 2
+  }
+}

@@ -1,0 +1,164 @@
+package graft.llm
+
+import graft.SparkTestBase
+import org.apache.spark.sql.{functions => F}
+
+/** LLM-pipeline operators: dedup (exact / Jaccard / MinHash-LSH / SimHash),
+  * text stats, similarity search — semantics on hand-checkable corpora. */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  behavior of "exactDedup"
+
+  it should "group normalized duplicates under the smallest id" in {
+    val docs = Seq(
+      (1L, "b a c"), (2L, "a b c"), (3L, "a b c c"), // same token set
+      (4L, "x y z"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    out.map(r => (r.getLong(1), r.getLong(2))) shouldBe Array((1L, 3L), (4L, 1L))
+  }
+
+  it should "distinguish token order when normalize = false" in {
+    val docs = Seq((1L, "a b"), (2L, "b a")).toDF("doc_id", "text")
+    Dedup.exactDedup(docs, "doc_id", "text", normalize = false).count() shouldBe 2
+  }
+
+  behavior of "jaccardPairsWithin"
+
+  private val jdocs = Seq(
+    (1L, "s1", "a b c d"),   // J(1,2) = 3/5 = 0.6
+    (2L, "s1", "a b c e"),
+    (3L, "s1", "p q r"),     // J with others = 0
+    (4L, "s2", "a b c d"))   // other block: never compared to 1
+    .toDF("doc_id", "source", "text")
+
+  it should "emit exactly the pairs at or above the threshold" in {
+    val out = Dedup.jaccardPairsWithin(jdocs, "doc_id", "text", "source", 0.5)
+      .collect()
+    out.length shouldBe 1
+    val r = out.head
+    (r.getLong(1), r.getLong(2)) shouldBe ((1L, 2L))
+    approx(r.getDouble(3), 0.6, 1e-12)
+  }
+
+  it should "never compare across blocks" in {
+    val out = Dedup.jaccardPairsWithin(jdocs, "doc_id", "text", "source", 0.0)
+      .collect()
+    // within s1: pairs (1,2),(1,3),(2,3); s2 has one doc -> none
+    out.map(_.getString(0)).distinct shouldBe Array("s1")
+    out.length shouldBe 3
+  }
+
+  it should "include all rows by default and truncate only on opt-in cap" in {
+    val all = Dedup.jaccardPairsWithin(jdocs, "doc_id", "text", "source", 0.0)
+    all.count() shouldBe 3
+    val capped = Dedup.jaccardPairsWithin(jdocs, "doc_id", "text", "source", 0.0,
+      maxBlockSize = 2)
+    capped.count() shouldBe 1 // only ids 1,2 survive in s1
+  }
+
+  behavior of "minHashDedupPairs"
+
+  it should "find near-duplicates and verify with exact Jaccard" in {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"tok$i").mkString(" ") + " other words"
+    val docs = Seq(
+      (1L, base), (2L, base),         // identical -> J = 1.0
+      (3L, nearDup),                  // high overlap with 1,2
+      (4L, (100 to 140).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.minHashDedupPairs(docs, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleSize = 3, threshold = 0.9)
+      .collect()
+    val exact = out.filter(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    exact.length shouldBe 1
+    exact.head.getDouble(2) shouldBe 1.0
+    // precision 1.0 by construction: every emitted pair passed exact verify
+    out.map(_.getDouble(2)).foreach(j => j should be >= 0.9)
+  }
+
+  behavior of "simHashPairs"
+
+  it should "pair identical docs at hamming 0 and keep distinct docs apart" in {
+    val a = (1 to 30).map(i => s"w$i").mkString(" ")
+    val b = (100 to 130).map(i => s"q$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, a), (3L, b)).toDF("doc_id", "text")
+    val out = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .collect()
+    out.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))) shouldBe
+      Array((1L, 2L, 0))
+  }
+
+  behavior of "TextStats"
+
+  it should "count tokens and compute mean token length" in {
+    val df = Seq((1L, "ab cde f")).toDF("id", "text")
+    val r = df.select(
+      TextStats.tokenCount($"text"),
+      TextStats.uniqueTokenCount($"text"),
+      TextStats.meanTokenLength($"text")).collect().head
+    r.getInt(0) shouldBe 3
+    r.getInt(1) shouldBe 3
+    approx(r.getDouble(2), 2.0) // (8 - 2) / 3
+  }
+
+  it should "compute punctuation ratio and langid" in {
+    val r = Seq((1L, "the cat is on the mat.")).toDF("id", "text")
+      .select(TextStats.punctRatio($"text"), TextStats.langId($"text"))
+      .collect().head
+    approx(r.getDouble(0), 1.0 / 22.0, 1e-12)
+    r.getString(1) shouldBe "en"
+    Seq((1L, "el perro de la casa que no se ve"))
+      .toDF("id", "text")
+      .select(TextStats.langId($"text")).collect().head.getString(0) shouldBe "es"
+  }
+
+  it should "fingerprint with real md5 and an order-sensitive rolling hash" in {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = md.digest("hello world".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val df = Seq((1L, "hello world"), (2L, "world hello")).toDF("id", "text")
+    val rows = df.select(TextStats.md5Fingerprint($"text"),
+      TextStats.rollingHash($"text")).collect()
+    rows(0).getString(0) shouldBe expected
+    rows(0).getLong(1) should not be rows(1).getLong(1) // order-sensitive
+  }
+
+  behavior of "Similarity"
+
+  private val vecs = Seq(
+    (0L, Seq(1.0f, 0.0f)),
+    (1L, Seq(0.9f, 0.1f)),
+    (2L, Seq(0.0f, 1.0f)),
+    (3L, Seq(-1.0f, 0.0f)))
+    .toDF("vec_id", "embedding")
+
+  it should "rank exact cosine neighbors" in {
+    val out = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" === 0L), vecs, "vec_id", "embedding", 3)
+      .orderBy("rank").collect()
+    out.map(_.getLong(1)) shouldBe Array(1L, 2L, 3L)
+    approx(out(1).getDouble(3), 0.0, 1e-12) // orthogonal
+    approx(out(2).getDouble(3), -1.0, 1e-12) // opposite
+  }
+
+  it should "agree with brute force when IVF probes all cells" in {
+    val centroids = Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), Seq(-1.0f, 0.0f))
+    val bf = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" === 0L), vecs, "vec_id", "embedding", 3)
+      .select("n_id", "rank").orderBy("rank").collect()
+    val ivf = Similarity.ivfTopK(
+      vecs.filter($"vec_id" === 0L), vecs, "vec_id", "embedding",
+      centroids, k = 3, nprobe = 3)
+      .select("n_id", "rank").orderBy("rank").collect()
+    ivf.map(_.toSeq) shouldBe bf.map(_.toSeq)
+  }
+
+  it should "compute l2 norms via array folds" in {
+    val r = Seq((1L, Seq(3.0f, 4.0f))).toDF("id", "v")
+      .select(Similarity.l2Norm($"v")).collect().head
+    approx(r.getDouble(0), 5.0, 1e-12)
+  }
+}

@@ -1,0 +1,131 @@
+package graft.ts
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+
+/** As-of join corner cases (≙ reference LeftJoinSpec/FutureLeftJoinSpec:
+  * tolerance=0 exact matching, ties, null-padding, empty sides, aliases,
+  * and the deterministic tie-break added in round 4). */
+class AsOfJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def left(rows: (Long, String)*) = rows.toDF("time", "k")
+  private def right(rows: (Long, String, Int)*) = rows.toDF("time", "k", "v")
+
+  private def joined(l: Seq[(Long, String)], r: Seq[(Long, String, Int)],
+                     tol: String, future: Boolean = false,
+                     strict: Boolean = false) = {
+    val lf = left(l: _*)
+    val rf = right(r: _*)
+    val out =
+      if (future) AsOfJoin.futureLeftJoin(lf, rf, tol, Seq("k"), strictLookahead = strict)
+      else AsOfJoin.leftJoin(lf, rf, tol, Seq("k"))
+    out.collect().map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) None else Some(r.getInt(2)))).sortBy(x => (x._1, x._2))
+  }
+
+  behavior of "leftJoin (backward as-of)"
+
+  it should "pick the most recent right row within tolerance" in {
+    joined(Seq((10L, "a")), Seq((5L, "a", 1), (8L, "a", 2), (12L, "a", 9)),
+      "3ns") shouldBe Array((10L, "a", Some(2)))
+  }
+
+  it should "null-pad when the nearest right row is outside tolerance" in {
+    joined(Seq((10L, "a")), Seq((6L, "a", 1)), "3ns") shouldBe
+      Array((10L, "a", None))
+  }
+
+  it should "treat tolerance 0ns as exact-timestamp matching" in {
+    joined(Seq((10L, "a"), (11L, "a")), Seq((10L, "a", 7)), "0ns") shouldBe
+      Array((10L, "a", Some(7)), (11L, "a", None))
+  }
+
+  it should "match only rows sharing the key" in {
+    joined(Seq((10L, "a"), (10L, "b")), Seq((9L, "b", 5)), "5ns") shouldBe
+      Array((10L, "a", None), (10L, "b", Some(5)))
+  }
+
+  it should "see a right row at exactly the left time" in {
+    joined(Seq((10L, "a")), Seq((10L, "a", 3)), "5ns") shouldBe
+      Array((10L, "a", Some(3)))
+  }
+
+  it should "break right-side ties at identical (key, time) deterministically" in {
+    // Two right rows at the same instant: winner = greatest value tuple,
+    // regardless of input order or partitioning.
+    val r1 = Seq((10L, "a", 1), (10L, "a", 2))
+    joined(Seq((10L, "a")), r1, "5ns") shouldBe Array((10L, "a", Some(2)))
+    joined(Seq((10L, "a")), r1.reverse, "5ns") shouldBe Array((10L, "a", Some(2)))
+  }
+
+  it should "handle an empty right side with all-null padding" in {
+    joined(Seq((10L, "a")), Seq.empty, "5ns") shouldBe Array((10L, "a", None))
+  }
+
+  it should "return no rows for an empty left side" in {
+    joined(Seq.empty, Seq((10L, "a", 1)), "5ns") shouldBe Array.empty
+  }
+
+  it should "reject negative tolerance" in {
+    an[IllegalArgumentException] should be thrownBy
+      AsOfJoin.leftJoin(left((1L, "a")), right((1L, "a", 1)), "-1ns", Seq("k"))
+  }
+
+  behavior of "futureLeftJoin (forward as-of)"
+
+  it should "pick the nearest future right row within tolerance" in {
+    joined(Seq((10L, "a")), Seq((11L, "a", 4), (13L, "a", 5), (9L, "a", 6)),
+      "5ns", future = true) shouldBe Array((10L, "a", Some(4)))
+  }
+
+  it should "include a right row at exactly t when not strict" in {
+    joined(Seq((10L, "a")), Seq((10L, "a", 7), (11L, "a", 8)),
+      "5ns", future = true) shouldBe Array((10L, "a", Some(7)))
+  }
+
+  it should "exclude a right row at exactly t when strictLookahead" in {
+    joined(Seq((10L, "a")), Seq((10L, "a", 7), (11L, "a", 8)),
+      "5ns", future = true, strict = true) shouldBe Array((10L, "a", Some(8)))
+  }
+
+  it should "null-pad when the nearest future row is beyond tolerance" in {
+    joined(Seq((10L, "a")), Seq((16L, "a", 1)), "5ns", future = true) shouldBe
+      Array((10L, "a", None))
+  }
+
+  behavior of "aliases and clashes"
+
+  it should "prefix right columns with rightAlias" in {
+    val out = AsOfJoin.leftJoin(
+      Seq((10L, "a", 1)).toDF("time", "k", "v"),
+      Seq((9L, "a", 2)).toDF("time", "k", "v"),
+      "5ns", Seq("k"), rightAlias = Some("r"))
+    out.columns.toSeq shouldBe Seq("time", "k", "v", "r_v")
+    out.select("r_v").as[Int].head() shouldBe 2
+  }
+
+  it should "reject colliding value column names without aliases" in {
+    an[IllegalArgumentException] should be thrownBy AsOfJoin.leftJoin(
+      Seq((10L, "a", 1)).toDF("time", "k", "v"),
+      Seq((9L, "a", 2)).toDF("time", "k", "v"),
+      "5ns", Seq("k"))
+  }
+
+  it should "carry multiple right value columns through one struct" in {
+    val l = Seq((10L, "a")).toDF("time", "k")
+    val r = Seq((8L, "a", 1, "x"), (9L, "a", 2, "y")).toDF("time", "k", "v", "s")
+    val row = AsOfJoin.leftJoin(l, r, "5ns", Seq("k")).collect().head
+    row shouldBe Row(10L, "a", 2, "y")
+  }
+
+  it should "not leak an older right value when matched row has a null column" in {
+    // right@8 has s="x"; right@9 (the match) has s=null — the null must
+    // survive (struct bundling prevents per-column last() leakage).
+    val l = Seq((10L, "a")).toDF("time", "k")
+    val r = Seq((8L, "a", 1, "x"), (9L, "a", 2, null))
+      .toDF("time", "k", "v", "s")
+    val row = AsOfJoin.leftJoin(l, r, "5ns", Seq("k")).collect().head
+    row shouldBe Row(10L, "a", 2, null)
+  }
+}

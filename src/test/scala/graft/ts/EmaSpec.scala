@@ -1,0 +1,98 @@
+package graft.ts
+
+import graft.SparkTestBase
+
+/**
+ * EMA family vs hand-computed constants (≙ the reference's
+ * ExponentialSmoothingSummarizerSpec / EWMA goldens; math spec
+ * /root/reference/doc/ema.md). All expected values below are derived by
+ * hand from the recurrences, not by running the engine.
+ */
+class EmaSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val day = 86400000000000L
+
+  private def series(xs: Double*) =
+    xs.zipWithIndex.map { case (x, i) => (i * day, "k", x) }.toDF("time", "k", "v")
+
+  private def value(df: org.apache.spark.sql.DataFrame, col: String): Double =
+    df.select(col).collect().head.getDouble(0)
+
+  behavior of "ewma"
+
+  it should "match the adjust-style recursion with constant periods (legacy)" in {
+    // alpha=0.5: p0=1; p1=0.5*1+2=2.5; p2=0.5*2.5+3=4.25
+    val out = EmaOps.ewma(series(1.0, 2.0, 3.0), "v", Seq("k"),
+      alpha = 0.5, durationPerPeriod = "constant", convention = "legacy")
+    approx(value(out, "v_ewma"), 4.25, 1e-12)
+  }
+
+  it should "normalize by the auxiliary series under core convention" in {
+    // aux: 1, 1.5, 1.75 -> 4.25/1.75
+    val out = EmaOps.ewma(series(1.0, 2.0, 3.0), "v", Seq("k"),
+      alpha = 0.5, durationPerPeriod = "constant", convention = "core")
+    approx(value(out, "v_ewma"), 4.25 / 1.75, 1e-12)
+  }
+
+  it should "treat day-spaced rows with 1d periods like constant periods" in {
+    val out = EmaOps.ewma(series(1.0, 2.0, 3.0), "v", Seq("k"),
+      alpha = 0.5, durationPerPeriod = "1d", convention = "legacy")
+    approx(value(out, "v_ewma"), 4.25, 1e-9)
+  }
+
+  behavior of "exponentialSmoothing"
+
+  it should "return x0 for a single point under core convention" in {
+    // primary = interp(0,x0,priming) = a*x0; aux = a -> core = x0
+    val out = EmaOps.exponentialSmoothing(series(7.5), "v", Seq("k"),
+      alpha = 0.3, primingPeriods = 1.0, nanosPerPeriod = day.toDouble,
+      interpolation = "current", convention = "core")
+    approx(value(out, "v_ema"), 7.5, 1e-12)
+  }
+
+  it should "match the two-point closed form (current/core)" in {
+    // alpha=0.5, dt=1 period: core = ((1-a)x0 + x1) / ((1-a) + 1)
+    val out = EmaOps.exponentialSmoothing(series(1.0, 3.0), "v", Seq("k"),
+      alpha = 0.5, primingPeriods = 1.0, nanosPerPeriod = day.toDouble,
+      interpolation = "current", convention = "core")
+    approx(value(out, "v_ema"), (0.5 * 1.0 + 3.0) / 1.5, 1e-12)
+  }
+
+  it should "use the previous value under previous interpolation" in {
+    // legacy conv, t0=0 -> priming=0; x=[4,2,6], dt=1, alpha=0.5:
+    // p after r2 = 0.5*4 = 2; after r3 = 0.5*2 + 0.5*2 = 2
+    val out = EmaOps.exponentialSmoothing(series(4.0, 2.0, 6.0), "v", Seq("k"),
+      alpha = 0.5, primingPeriods = 1.0, nanosPerPeriod = day.toDouble,
+      interpolation = "previous", convention = "legacy")
+    approx(value(out, "v_ema"), 2.0, 1e-12)
+  }
+
+  it should "parameterize by half-life" in {
+    // halfLife=1d over [4,2,6] = previous/legacy alpha=0.5 case above
+    val out = EmaOps.emaHalfLife(series(4.0, 2.0, 6.0), "v", Seq("k"),
+      halfLife = "1d", primingPeriods = 0.0,
+      interpolation = "previous", convention = "legacy")
+    approx(value(out, "v_ema"), 2.0, 1e-12)
+  }
+
+  it should "skip null values like FilterNullInput" in {
+    val df = Seq((0L, "k", Some(1.0)), (day, "k", None), (2 * day, "k", Some(3.0)))
+      .toDF("time", "k", "v")
+    val out = EmaOps.ewma(df, "v", Seq("k"),
+      alpha = 0.5, durationPerPeriod = "constant", convention = "legacy")
+    // nulls dropped -> [1,3]: p = 0.5*1 + 3 = 3.5
+    approx(value(out, "v_ewma"), 3.5, 1e-12)
+  }
+
+  it should "compute one value per key group" in {
+    val df = Seq((0L, "a", 1.0), (0L, "b", 10.0), (day, "a", 2.0), (day, "b", 20.0))
+      .toDF("time", "k", "v")
+    val out = EmaOps.ewma(df, "v", Seq("k"),
+      alpha = 0.5, durationPerPeriod = "constant", convention = "legacy")
+      .orderBy("k").collect()
+    out.map(_.getString(1)) shouldBe Array("a", "b")
+    approx(out(0).getDouble(2), 2.5, 1e-12)
+    approx(out(1).getDouble(2), 25.0, 1e-12)
+  }
+}

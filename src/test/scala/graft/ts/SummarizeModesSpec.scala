@@ -1,0 +1,144 @@
+package graft.ts
+
+import graft.SparkTestBase
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+
+/**
+ * The five aggregation modes: cycles, intervals (full inclusion×rounding
+ * matrix incl. boundary-equality cases ≙ Intervalize.roundFn's 4 branches),
+ * sliding windows (closed endpoints), running summaries, cycle UDF columns.
+ */
+class SummarizeModesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  behavior of "summarizeCycles / groupByCycle"
+
+  private lazy val cyc = Seq(
+    (1L, "a", 1.0), (1L, "a", 2.0), (1L, "b", 5.0), (2L, "a", 3.0))
+    .toDF("time", "k", "v")
+
+  it should "aggregate rows sharing a timestamp per key" in {
+    val out = Summarize.summarizeCycles(cyc, Summarizers.sum("v"), Seq("k"))
+      .orderBy("time", "k").collect()
+    out.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))) shouldBe
+      Array((1L, "a", 3.0), (1L, "b", 5.0), (2L, "a", 3.0))
+  }
+
+  it should "collect cycle rows as array<struct>" in {
+    val out = Summarize.groupByCycle(cyc, Seq("k"))
+      .orderBy("time", "k").collect()
+    out.map(_.getSeq[Any](2).size) shouldBe Array(2, 1, 1)
+  }
+
+  it should "compute per-cycle closure columns positionally" in {
+    val out = Summarize.addColumnsForCycle(cyc, Seq("k"),
+      ("share", DoubleType, rows => {
+        val tot = rows.map(_.getDouble(2)).sum
+        rows.map(_.getDouble(2) / tot)
+      }))
+    val shares = out.orderBy("time", "k", "v").collect().map(_.getDouble(3))
+    shares(0) shouldBe 1.0 / 3.0
+    shares(1) shouldBe 2.0 / 3.0
+  }
+
+  behavior of "summarizeIntervals inclusion x rounding"
+
+  // clock ticks 0,10,20; points at boundaries and interiors
+  private val clock = Array(0L, 10L, 20L)
+  private lazy val pts = Seq(0L, 5L, 10L, 15L, 20L, 25L)
+    .map(t => (t, 1.0)).toDF("time", "v")
+
+  private def counts(inclusion: String, rounding: String): Map[Long, Long] =
+    Intervals.summarizeIntervals(pts, clock, Summarizers.count(), Seq.empty,
+      inclusion, rounding)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  it should "bucket [b,e) stamped with end" in {
+    counts("begin", "end") shouldBe Map(10L -> 2L, 20L -> 2L)
+  }
+
+  it should "bucket [b,e) stamped with begin" in {
+    counts("begin", "begin") shouldBe Map(0L -> 2L, 10L -> 2L)
+  }
+
+  it should "bucket (b,e] stamped with end" in {
+    counts("end", "end") shouldBe Map(10L -> 2L, 20L -> 2L)
+  }
+
+  it should "bucket (b,e] stamped with begin" in {
+    counts("end", "begin") shouldBe Map(0L -> 2L, 10L -> 2L)
+  }
+
+  it should "assign interior points identically under both inclusions" in {
+    // 5 and 15 are interior: same bucket regardless of inclusion
+    val be = counts("begin", "end"); val ee = counts("end", "end")
+    be.values.sum shouldBe 4
+    ee.values.sum shouldBe 4
+  }
+
+  it should "reject clocks with Long.MinValue ticks or non-increasing ticks" in {
+    an[IllegalArgumentException] should be thrownBy
+      Intervals.intervalize(pts, Array(Long.MinValue, 0L))
+    an[IllegalArgumentException] should be thrownBy
+      Intervals.intervalize(pts, Array(5L, 5L))
+  }
+
+  it should "group interval rows via groupByInterval" in {
+    val out = Intervals.groupByInterval(pts, clock)
+      .orderBy("time").collect()
+    out.map(r => (r.getLong(0), r.getSeq[Any](1).size)) shouldBe
+      Array((10L, 2), (20L, 2))
+  }
+
+  behavior of "summarizeWindows / addWindows"
+
+  private lazy val ser = Seq(1L, 2L, 3L, 4L, 5L).map(t => (t, t.toDouble))
+    .toDF("time", "v")
+
+  it should "aggregate the closed past window [t-2, t]" in {
+    val out = WindowOps.summarizeWindows(ser, WindowOps.TimeWindow(-2L, 0L, "p"),
+      Summarizers.sum("v"))
+      .orderBy("time").collect().map(_.getDouble(2))
+    out shouldBe Array(1.0, 3.0, 6.0, 9.0, 12.0)
+  }
+
+  it should "aggregate the closed future window [t, t+2]" in {
+    val out = WindowOps.summarizeWindows(ser, WindowOps.TimeWindow(0L, 2L, "f"),
+      Summarizers.sum("v"))
+      .orderBy("time").collect().map(_.getDouble(2))
+    out shouldBe Array(6.0, 9.0, 12.0, 9.0, 5.0)
+  }
+
+  it should "parse pastAbsoluteTime/futureAbsoluteTime specs" in {
+    WindowOps.pastAbsoluteTime("1d") shouldBe
+      WindowOps.TimeWindow(-86400000000000L, 0L, "past_1d")
+    WindowOps.futureAbsoluteTime("2s") shouldBe
+      WindowOps.TimeWindow(0L, 2000000000L, "future_2s")
+  }
+
+  it should "collect window rows via addWindows" in {
+    val out = WindowOps.addWindows(ser, WindowOps.pastAbsoluteTime("2ns"))
+      .orderBy("time").collect()
+    out.map(_.getSeq[Any](2).size) shouldBe Array(1, 2, 3, 3, 3)
+  }
+
+  it should "append running aggregates via addSummaryColumns" in {
+    val df = Seq((1L, "a", 1.0), (2L, "a", 2.0), (1L, "b", 5.0), (3L, "a", 3.0))
+      .toDF("time", "k", "v")
+    val out = WindowOps.addSummaryColumns(df, Summarizers.sum("v"), Seq("k"))
+      .orderBy("k", "time").collect().map(_.getDouble(3))
+    out shouldBe Array(1.0, 3.0, 6.0, 5.0)
+  }
+
+  behavior of "summarize with key"
+
+  it should "stamp summarize() output with time 0 and group by key" in {
+    val df = Seq((5L, "a", 1.0), (6L, "b", 2.0), (7L, "a", 3.0))
+      .toDF("time", "k", "v")
+    val out = Summarize.summarize(df, Summarizers.sum("v"), Seq("k"))
+      .orderBy("k").collect()
+    out.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))) shouldBe
+      Array((0L, "a", 4.0), (0L, "b", 2.0))
+  }
+}

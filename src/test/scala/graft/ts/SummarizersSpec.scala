@@ -1,0 +1,173 @@
+package graft.ts
+
+import graft.SparkTestBase
+import org.apache.spark.sql.{functions => F}
+
+/**
+ * Summarizer library vs independently computed (two-pass, test-side)
+ * statistics — a different algorithm than the engine's one-pass power sums,
+ * so agreement is a real cross-check (≙ the reference's per-summarizer
+ * specs under timeseries/summarize/summarizer/).
+ */
+class SummarizersSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // time, x, y, w
+  private val data = Seq(
+    (1L, 1.0, 2.0, 1.0),
+    (2L, 2.0, 4.0, 2.0),
+    (3L, 3.0, 5.0, 3.0),
+    (4L, 4.0, 9.0, 4.0))
+  private lazy val df = data.toDF("time", "x", "y", "w")
+
+  private val xs = data.map(_._2)
+  private val ys = data.map(_._3)
+  private val ws = data.map(_._4)
+  private val n = xs.length
+
+  // test-side two-pass reference stats
+  private def mean(v: Seq[Double]) = v.sum / v.length
+  private def sampleVar(v: Seq[Double]) = {
+    val m = mean(v); v.map(x => (x - m) * (x - m)).sum / (v.length - 1)
+  }
+  private def sampleCov(a: Seq[Double], b: Seq[Double]) = {
+    val (ma, mb) = (mean(a), mean(b))
+    a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum / (a.length - 1)
+  }
+
+  private def one(s: Summarizer): org.apache.spark.sql.Row =
+    Summarize.summarize(df, s).collect().head
+
+  it should "compute count/sum/mean/min/max" in {
+    val r = one(Summarizers.count() ++ Summarizers.sum("x") ++
+      Summarizers.mean("x") ++ Summarizers.min("x") ++ Summarizers.max("x"))
+    r.getLong(1) shouldBe 4L          // count
+    approx(r.getDouble(2), 10.0)      // x_sum
+    approx(r.getDouble(3), 2.5)       // x_mean
+    r.getDouble(4) shouldBe 1.0       // x_min
+    r.getDouble(5) shouldBe 4.0       // x_max
+  }
+
+  it should "compute Bessel-corrected variance and stddev" in {
+    val r = one(Summarizers.variance("x") ++ Summarizers.stddev("x"))
+    approx(r.getDouble(1), sampleVar(xs))
+    approx(r.getDouble(2), math.sqrt(sampleVar(xs)))
+  }
+
+  it should "compute sample covariance and Pearson correlation with t-stat" in {
+    val r = one(Summarizers.covariance("x", "y") ++ Summarizers.correlation("x", "y"))
+    approx(r.getDouble(1), sampleCov(xs, ys))
+    val rho = sampleCov(xs, ys) / math.sqrt(sampleVar(xs) * sampleVar(ys))
+    approx(r.getDouble(2), rho, 1e-9)
+    approx(r.getDouble(3), rho * math.sqrt((n - 2) / (1 - rho * rho)), 1e-9)
+  }
+
+  it should "compute weighted covariance and correlation" in {
+    val r = one(Summarizers.weightedCovariance("x", "y", "w") ++
+      Summarizers.weightedCorrelation("x", "y", "w"))
+    val sw = ws.sum
+    val mx = xs.zip(ws).map { case (x, w) => x * w }.sum / sw
+    val my = ys.zip(ws).map { case (y, w) => y * w }.sum / sw
+    def wcov(a: Seq[Double], ma: Double, b: Seq[Double], mb: Double) =
+      a.indices.map(i => ws(i) * (a(i) - ma) * (b(i) - mb)).sum / sw * n / (n - 1)
+    val cxy = wcov(xs, mx, ys, my)
+    approx(r.getDouble(1), cxy, 1e-9)
+    val rho = cxy / math.sqrt(wcov(xs, mx, xs, mx) * wcov(ys, my, ys, my))
+    approx(r.getDouble(2), rho, 1e-9)
+  }
+
+  it should "compute the weighted mean test block" in {
+    val r = one(Summarizers.weightedMeanTest("x", "w"))
+    val sw = ws.sum
+    val wm = xs.zip(ws).map { case (x, w) => x * w }.sum / sw
+    val wvar = (xs.zip(ws).map { case (x, w) => x * x * w }.sum / sw - wm * wm) *
+      n / (n - 1.0)
+    approx(r.getDouble(1), wm, 1e-9)
+    approx(r.getDouble(2), math.sqrt(wvar), 1e-9)
+    approx(r.getDouble(3), wm / (math.sqrt(wvar) / math.sqrt(n.toDouble)), 1e-9)
+    r.getLong(4) shouldBe n.toLong
+  }
+
+  it should "compute in-sample and out-of-sample zScore of the latest point" in {
+    val rIn = one(Summarizers.zScore("x", includeCurrent = true))
+    approx(rIn.getDouble(1), (4.0 - mean(xs)) / math.sqrt(sampleVar(xs)), 1e-9)
+    val rOut = one(Summarizers.zScore("x", includeCurrent = false))
+    val prev = xs.init
+    approx(rOut.getDouble(1), (4.0 - mean(prev)) / math.sqrt(sampleVar(prev)), 1e-9)
+  }
+
+  it should "compute raw and central moments, skewness, kurtosis" in {
+    val r = one(Summarizers.nthMoment("x", 2) ++ Summarizers.nthCentralMoment("x", 2) ++
+      Summarizers.skewness("x") ++ Summarizers.kurtosis("x"))
+    approx(r.getDouble(1), xs.map(x => x * x).sum / n) // E[x^2] = 7.5
+    val m = mean(xs)
+    def cm(k: Int) = xs.map(x => math.pow(x - m, k)).sum / n
+    approx(r.getDouble(2), cm(2))
+    approx(r.getDouble(3), cm(3) / math.pow(cm(2), 1.5), 1e-9) // 0 (symmetric)
+    approx(r.getDouble(4), cm(4) / (cm(2) * cm(2)) - 3.0, 1e-9)
+  }
+
+  it should "compute product and dotProduct" in {
+    val r = one(Summarizers.product("x") ++ Summarizers.dotProduct("x", "y"))
+    approx(r.getDouble(1), xs.product)
+    approx(r.getDouble(2), xs.zip(ys).map { case (a, b) => a * b }.sum)
+  }
+
+  it should "compute sign/zero-aware geometric mean" in {
+    val neg = Seq((1L, 2.0), (2L, -3.0), (3L, 4.0)).toDF("time", "x")
+    val r = Summarize.summarize(neg, Summarizers.geometricMean("x")).collect().head
+    approx(r.getDouble(1), -math.cbrt(24.0), 1e-9)
+    val withZero = Seq((1L, 2.0), (2L, 0.0)).toDF("time", "x")
+    val rz = Summarize.summarize(withZero, Summarizers.geometricMean("x")).collect().head
+    rz.getDouble(1) shouldBe 0.0
+  }
+
+  it should "compute exact R-7 quantiles" in {
+    val r = one(Summarizers.quantile("x", Seq(0.25, 0.5, 1.0)))
+    approx(r.getDouble(1), 1.75) // R-7: idx 0.75 between 1 and 2
+    approx(r.getDouble(2), 2.5)
+    approx(r.getDouble(3), 4.0)
+  }
+
+  it should "fit exact OLS with intercept" in {
+    // y = 3 + 2*x1 - x2, exact fit
+    val pts = Seq(
+      (1L, 1.0, 1.0), (2L, 2.0, 1.0), (3L, 3.0, 2.0),
+      (4L, 4.0, 5.0), (5L, 5.0, 3.0), (6L, 6.0, 1.0))
+      .map { case (t, x1, x2) => (t, x1, x2, 3.0 + 2.0 * x1 - x2) }
+      .toDF("time", "x1", "x2", "y")
+    val r = Summarize.summarize(pts,
+      Summarizers.OLSRegression("y", Seq("x1", "x2"))).collect().head
+    val ols = r.getStruct(1)
+    ols.getLong(0) shouldBe 6L
+    val beta = ols.getSeq[Double](1)
+    approx(beta(0), 2.0, 1e-8)
+    approx(beta(1), -1.0, 1e-8)
+    approx(ols.getDouble(2), 3.0, 1e-8)  // intercept
+    approx(ols.getDouble(3), 1.0, 1e-10) // rSquared
+  }
+
+  it should "apply where predicates before aggregating" in {
+    val r = one(Summarizers.sum("x").where(F.col("x") > 2))
+    approx(r.getDouble(1), 7.0)
+  }
+
+  it should "prefix output names and compose summarizers" in {
+    val s = Summarizers.sum("x").prefix("L") ++ Summarizers.count().prefix("R")
+    s.names shouldBe Seq("L_x_sum", "R_count")
+  }
+
+  it should "sum exactly with Kahan compensation" in {
+    val vals = Seq((1L, 1e16), (2L, 1.0), (3L, -1e16)).toDF("time", "x").coalesce(1)
+    val r = Summarize.summarize(vals, Summarizers.kahanSum("x")).collect().head
+    r.getDouble(1) shouldBe 1.0
+  }
+
+  it should "collect rows sorted by time via rows()" in {
+    val shuffled = Seq((3L, "c"), (1L, "a"), (2L, "b")).toDF("time", "v")
+    val r = Summarize.summarize(shuffled, Summarizers.rows(Seq("time", "v")))
+      .collect().head
+    r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(1)) shouldBe
+      Seq("a", "b", "c")
+  }
+}

@@ -1,0 +1,174 @@
+package graft.ts
+
+import graft.SparkTestBase
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+
+/** Core row/column operator semantics (≙ the reference's
+  * TimeSeriesRDDSpec.scala cases: canonize precision, refuse-time rules,
+  * merge tie order, validate invariants). */
+class TimeSeriesOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  behavior of "canonize"
+
+  it should "rename a Long time column, move it first and keep values" in {
+    val df = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("x", "name", "t")
+    val out = TimeSeriesOps.canonize(df, "t")
+    out.columns.toSeq shouldBe Seq("time", "x", "name")
+    out.select("time").as[Long].collect().sorted shouldBe Array(10L, 20L)
+  }
+
+  it should "scale integral time by unitToNanos" in {
+    val df = Seq((7L, 1)).toDF("t", "v") // t in millis
+    val out = TimeSeriesOps.canonize(df, "t", unitToNanos = 1000000L)
+    out.select("time").as[Long].head() shouldBe 7000000L
+  }
+
+  it should "convert timestamps to long nanos (micro precision)" in {
+    val df = Seq("2024-01-01 00:00:00.000001").toDF("s")
+      .select(F.to_timestamp($"s").as("t"))
+    val out = TimeSeriesOps.canonize(df, "t")
+    out.select("time").as[Long].head() shouldBe 1704067200000001000L
+  }
+
+  it should "convert dates to long nanos at midnight UTC" in {
+    val df = Seq("2024-01-02").toDF("s").select(F.to_date($"s").as("t"))
+    val out = TimeSeriesOps.canonize(df, "t")
+    out.select("time").as[Long].head() shouldBe
+      (1704067200L + 86400L) * 1000000000L
+  }
+
+  it should "reject a missing time column" in {
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    an[IllegalArgumentException] should be thrownBy TimeSeriesOps.canonize(df, "t")
+  }
+
+  it should "reject an unsupported time type" in {
+    val df = Seq(("x", 1L)).toDF("t", "v")
+    an[IllegalArgumentException] should be thrownBy TimeSeriesOps.canonize(df, "t")
+  }
+
+  behavior of "between"
+
+  it should "be begin-inclusive and end-exclusive" in {
+    val df = Seq(5L, 10L, 14L, 15L).toDF("time")
+    TimeSeriesOps.between(df, 10L, 15L).as[Long].collect().sorted shouldBe
+      Array(10L, 14L)
+  }
+
+  behavior of "column ops"
+
+  it should "keepColumns always retains time" in {
+    val df = Seq((1L, "a", 2.0)).toDF("time", "k", "v")
+    TimeSeriesOps.keepColumns(df, "v").columns.toSeq shouldBe Seq("time", "v")
+  }
+
+  it should "deleteColumns refuses to drop time" in {
+    val df = Seq((1L, "a")).toDF("time", "k")
+    an[IllegalArgumentException] should be thrownBy
+      TimeSeriesOps.deleteColumns(df, "time")
+    TimeSeriesOps.deleteColumns(df, "k").columns.toSeq shouldBe Seq("time")
+  }
+
+  it should "renameColumns refuses time and duplicate targets" in {
+    val df = Seq((1L, "a", "b")).toDF("time", "x", "y")
+    an[IllegalArgumentException] should be thrownBy
+      TimeSeriesOps.renameColumns(df, "time" -> "t2")
+    an[IllegalArgumentException] should be thrownBy
+      TimeSeriesOps.renameColumns(df, "x" -> "y")
+    TimeSeriesOps.renameColumns(df, "x" -> "z").columns.toSeq shouldBe
+      Seq("time", "z", "y")
+  }
+
+  it should "castColumns casts values and refuses time" in {
+    val df = Seq((1L, "3")).toDF("time", "v")
+    an[IllegalArgumentException] should be thrownBy
+      TimeSeriesOps.castColumns(df, "time" -> IntegerType)
+    val out = TimeSeriesOps.castColumns(df, "v" -> IntegerType)
+    out.schema("v").dataType shouldBe IntegerType
+    out.select("v").as[Int].head() shouldBe 3
+  }
+
+  it should "shift moves timestamps by a signed duration" in {
+    val df = Seq(100L).toDF("time")
+    TimeSeriesOps.shift(df, "50ns").as[Long].head() shouldBe 150L
+    TimeSeriesOps.shift(df, "50ns", forward = false).as[Long].head() shouldBe 50L
+  }
+
+  it should "setTime recomputes time and restores global order" in {
+    val df = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("time", "v")
+    val out = TimeSeriesOps.setTime(df, F.lit(100L) - $"time")
+    out.select("time").as[Long].collect().sorted shouldBe Array(70L, 80L, 90L)
+    TimeSeriesOps.validate(out) // must not throw
+  }
+
+  it should "keepRows/deleteRows filter via row closures" in {
+    val df = Seq((1L, 5), (2L, 10), (3L, 15)).toDF("time", "v")
+    TimeSeriesOps.keepRows(df, r => r.getInt(1) > 7).count() shouldBe 2
+    TimeSeriesOps.deleteRows(df, r => r.getInt(1) > 7).count() shouldBe 1
+  }
+
+  it should "addColumns and addRowColumn compute new columns" in {
+    val df = Seq((1L, 2)).toDF("time", "v")
+    val out = TimeSeriesOps.addColumns(df, "twice" -> ($"v" * 2))
+    out.select("twice").as[Int].head() shouldBe 4
+    val out2 = TimeSeriesOps.addRowColumn(df, "sum", LongType,
+      r => r.getLong(0) + r.getInt(1))
+    out2.select("sum").as[Long].head() shouldBe 3L
+  }
+
+  behavior of "merge"
+
+  it should "require identical schemas" in {
+    val l = Seq((1L, "a")).toDF("time", "x")
+    val r = Seq((1L, 2)).toDF("time", "x")
+    an[IllegalArgumentException] should be thrownBy TimeSeriesOps.merge(l, r)
+  }
+
+  it should "union both sides and keep left rows first on time ties" in {
+    val l = Seq((10L, "left")).toDF("time", "who")
+    val r = Seq((10L, "right"), (5L, "right")).toDF("time", "who")
+    val rows = TimeSeriesOps.merge(l, r).collect()
+    rows.length shouldBe 3
+    // per-partition order after range partition + sort: 5, then (10,left),(10,right)
+    val at10 = rows.filter(_.getLong(0) == 10L).map(_.getString(1))
+    at10 shouldBe Array("left", "right")
+  }
+
+  behavior of "uniformClock"
+
+  it should "generate inclusive evenly spaced ticks" in {
+    val out = TimeSeriesOps.uniformClock(spark, 0L, 10L, "2ns")
+    out.as[Long].collect().sorted shouldBe Array(0L, 2L, 4L, 6L, 8L, 10L)
+  }
+
+  it should "reject a non-positive frequency and inverted range" in {
+    an[IllegalArgumentException] should be thrownBy
+      TimeSeriesOps.uniformClock(spark, 0L, 10L, "0ns")
+    an[IllegalArgumentException] should be thrownBy
+      TimeSeriesOps.uniformClock(spark, 10L, 0L, "1ns")
+  }
+
+  behavior of "validate"
+
+  it should "pass on a range-partitioned sorted frame" in {
+    val df = TimeSeriesOps.orderByTime(
+      Seq(5L, 3L, 9L, 1L, 7L).toDF("time"))
+    noException should be thrownBy TimeSeriesOps.validate(df)
+  }
+
+  it should "fail on out-of-order rows within a partition" in {
+    val df = Seq(3L, 1L, 2L).toDF("time").coalesce(1)
+    an[IllegalArgumentException] should be thrownBy TimeSeriesOps.validate(df)
+  }
+
+  behavior of "parseDuration"
+
+  it should "parse ns/ms/s/m/h/d duration strings" in {
+    TimeSeriesOps.parseDuration("250ns") shouldBe 250L
+    TimeSeriesOps.parseDuration("1ms") shouldBe 1000000L
+    TimeSeriesOps.parseDuration("2s") shouldBe 2000000000L
+    TimeSeriesOps.parseDuration("1d") shouldBe 86400000000000L
+  }
+}
