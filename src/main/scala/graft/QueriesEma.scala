@@ -47,7 +47,24 @@ object QueriesEma {
     "ema_half_life" -> ((s, dir) =>
       round4(EmaOps.emaHalfLife(ev(s, dir), "value", Seq("event_type"),
         halfLife = "12h", primingPeriods = 0.0,
-        interpolation = "previous", convention = "legacy"), "value_ema"))
+        interpolation = "previous", convention = "legacy"), "value_ema")),
+    "ema_rows_es_current_core" -> ((s, dir) =>
+      EmaOps.exponentialSmoothingRows(
+        ev(s, dir).select("time", "event_id", "event_type", "value"),
+        "value", Seq("event_type"),
+        alpha = 0.05, primingPeriods = 1.0, nanosPerPeriod = EmaOps.NanosPerDay,
+        interpolation = "current", convention = "core")
+        .select(F.col("time"), F.col("event_id"), F.col("event_type"),
+          F.round(F.col("value_ema"), 4).as("value_ema"))
+        .orderBy("time", "event_id")),
+    "ema_rows_ewma_legacy" -> ((s, dir) =>
+      EmaOps.ewmaRows(
+        ev(s, dir).select("time", "event_id", "event_type", "value"),
+        "value", Seq("event_type"),
+        alpha = 0.05, durationPerPeriod = "1d", convention = "legacy")
+        .select(F.col("time"), F.col("event_id"), F.col("event_type"),
+          F.round(F.col("value_ewma"), 4).as("value_ewma"))
+        .orderBy("time", "event_id"))
   )
 
   /** Shared SQL skeleton: per-event_type lag/min/max windows over events. */
@@ -124,6 +141,44 @@ object QueriesEma {
         FROM e GROUP BY event_type ORDER BY event_type"""
   }
 
+  /** Per-row ES (current/core): value at row i = the closed-form weighted
+    * sum over rows j ≤ i of the same key, via a time-conditioned self-join
+    * (O(Σ n_k²) — fine at oracle scale). */
+  private def esRowsSql(alpha: Double, primingPeriods: Double, period: String): String = {
+    val kk = k(alpha)
+    s"""WITH e AS (SELECT event_type, event_id, epoch_ns(ts) AS t, value AS x,
+          lag(epoch_ns(ts)) OVER w AS tp,
+          min(epoch_ns(ts)) OVER (PARTITION BY event_type) AS tmin,
+          arg_min(value, epoch_ns(ts)) OVER (PARTITION BY event_type) AS x0
+          FROM events WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ns(ts))),
+        b AS (SELECT *,
+          CASE WHEN tp IS NULL THEN 0.0
+               ELSE (1.0 - exp($kk * ((t - tp) / $period))) * x END AS term,
+          CASE WHEN tp IS NULL THEN 0.0
+               ELSE (1.0 - exp($kk * ((t - tp) / $period))) END AS aterm
+          FROM e),
+        s AS (SELECT l.event_type AS event_type, l.event_id AS event_id,
+                l.t AS t, l.tmin AS tmin, l.x0 AS x0,
+                sum(r.term * exp($kk * ((l.t - r.t) / $period))) AS ps,
+                sum(r.aterm * exp($kk * ((l.t - r.t) / $period))) AS asum
+              FROM b l JOIN b r ON l.event_type = r.event_type AND r.t <= l.t
+              GROUP BY 1, 2, 3, 4, 5)
+        SELECT t AS time, event_id, event_type,
+          round(((1.0 - exp($kk * $primingPeriods)) * x0 * exp($kk * ((t - tmin) / $period)) + ps)
+              / ((1.0 - exp($kk * $primingPeriods)) * exp($kk * ((t - tmin) / $period)) + asum),
+            4) AS value_ema
+        FROM s ORDER BY time, event_id"""
+  }
+
+  private def ewmaRowsSql(alpha: Double, period: String): String = {
+    val kk = k(alpha)
+    s"""WITH e AS (SELECT event_type, event_id, epoch_ns(ts) AS t, value AS x FROM events)
+        SELECT l.t AS time, l.event_id AS event_id, l.event_type AS event_type,
+          round(sum(r.x * exp($kk * ((l.t - r.t) / $period))), 4) AS value_ewma
+        FROM e l JOIN e r ON l.event_type = r.event_type AND r.t <= l.t
+        GROUP BY 1, 2, 3 ORDER BY time, event_id"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "ema_ewma_legacy" -> ewmaSql(0.05, "legacy"),
     "ema_ewma_core" -> ewmaSql(0.05, "core"),
@@ -131,6 +186,8 @@ object QueriesEma {
     "ema_es_prev_core" -> esSql(0.05, "previous", "core", 1.0, Day),
     "ema_es_current_core" -> esSql(0.05, "current", "core", 1.0, Day),
     "ema_es_linear_convolution" -> esSql(0.05, "linear", "convolution", 1.0, Day),
-    "ema_half_life" -> esSql(0.5, "previous", "legacy", 0.0, "43200000000000.0")
+    "ema_half_life" -> esSql(0.5, "previous", "legacy", 0.0, "43200000000000.0"),
+    "ema_rows_es_current_core" -> esRowsSql(0.05, 1.0, Day),
+    "ema_rows_ewma_legacy" -> ewmaRowsSql(0.05, Day)
   )
 }

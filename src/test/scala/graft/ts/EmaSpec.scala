@@ -85,6 +85,61 @@ class EmaSpec extends SparkTestBase {
     approx(value(out, "v_ewma"), 3.5, 1e-12)
   }
 
+  behavior of "per-row running EMA"
+
+  it should "emit the running ewma at every row" in {
+    val out = EmaOps.ewmaRows(series(1.0, 2.0, 3.0), "v", Seq("k"),
+      alpha = 0.5, durationPerPeriod = "constant", convention = "legacy")
+      .orderBy("time").collect().map(_.getDouble(3))
+    out shouldBe Array(1.0, 2.5, 4.25)
+  }
+
+  it should "match summarize-mode EMA at the last row" in {
+    val df = series(4.0, 2.0, 6.0, 1.5)
+    val whole = EmaOps.exponentialSmoothing(df, "v", Seq("k"),
+      alpha = 0.3, primingPeriods = 1.0, nanosPerPeriod = day.toDouble,
+      interpolation = "linear", convention = "core")
+      .collect().head.getDouble(2)
+    val lastRow = EmaOps.exponentialSmoothingRows(df, "v", Seq("k"),
+      alpha = 0.3, primingPeriods = 1.0, nanosPerPeriod = day.toDouble,
+      interpolation = "linear", convention = "core")
+      .orderBy("time").collect().last.getDouble(3)
+    approx(lastRow, whole, 1e-9)
+  }
+
+  it should "match summarize-mode at every prefix" in {
+    val xs = Seq(4.0, 2.0, 6.0, 1.5, 3.25)
+    val rows = EmaOps.exponentialSmoothingRows(series(xs: _*), "v", Seq("k"),
+      alpha = 0.1, primingPeriods = 1.0, nanosPerPeriod = day.toDouble,
+      interpolation = "current", convention = "core")
+      .orderBy("time").collect().map(_.getDouble(3))
+    for (i <- 1 to xs.length) {
+      val prefix = EmaOps.exponentialSmoothing(series(xs.take(i): _*), "v", Seq("k"),
+        alpha = 0.1, primingPeriods = 1.0, nanosPerPeriod = day.toDouble,
+        interpolation = "current", convention = "core")
+        .collect().head.getDouble(2)
+      approx(rows(i - 1), prefix, 1e-9)
+    }
+  }
+
+  it should "preserve all input columns in rows mode" in {
+    val df = Seq((0L, "k", "meta", 1.0), (day, "k", "data", 2.0))
+      .toDF("time", "k", "tag", "v")
+    val out = EmaOps.ewmaRows(df, "v", Seq("k"),
+      alpha = 0.5, durationPerPeriod = "constant")
+    out.columns.toSeq shouldBe Seq("time", "k", "tag", "v", "v_ewma")
+    out.orderBy("time").collect().map(_.getString(2)) shouldBe Array("meta", "data")
+  }
+
+  it should "carry state independently per key in rows mode" in {
+    val df = Seq((0L, "a", 1.0), (0L, "b", 10.0), (day, "a", 2.0), (day, "b", 20.0))
+      .toDF("time", "k", "v")
+    val out = EmaOps.ewmaRows(df, "v", Seq("k"),
+      alpha = 0.5, durationPerPeriod = "constant", convention = "legacy")
+      .orderBy("k", "time").collect().map(_.getDouble(3))
+    out shouldBe Array(1.0, 2.5, 10.0, 25.0)
+  }
+
   it should "compute one value per key group" in {
     val df = Seq((0L, "a", 1.0), (0L, "b", 10.0), (day, "a", 2.0), (day, "b", 20.0))
       .toDF("time", "k", "v")
