@@ -43,9 +43,21 @@ object QueriesLLM {
     "doc_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(
         F.col("doc_id"),
-        TextStats.md5Fingerprint(F.col("text")).as("md5"),
-        TextStats.rollingHash(F.col("text")).as("rolling_hash"))
+        TextStats.md5Fingerprint(F.col("text")).as("md5"))
         .orderBy("doc_id")),
+    // Rolling hash has no DuckDB mirror (xxhash64 chain); verify it
+    // behaviorally instead: equal fingerprints of the *normalized* text
+    // must coincide exactly with equal normalized text (injective on this
+    // corpus, deterministic across engines' row orders).
+    "doc_fingerprint_rolling" -> ((s, dir) => {
+      val norm = F.array_join(Dedup.normalizedTokens(F.col("text")), " ")
+      val d = docs(s, dir).select(F.col("doc_id"),
+        TextStats.rollingHash(norm).as("rh"))
+      val a = d.select(F.col("doc_id").as("id_a"), F.col("rh"))
+      val b = d.select(F.col("doc_id").as("id_b"), F.col("rh"))
+      a.join(b, Seq("rh")).filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").orderBy("id_a", "id_b")
+    }),
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactDedup(docs(s, dir), "doc_id", "text")
         .select("dup_key", "keep_id", "n_dupes")
@@ -138,6 +150,55 @@ object QueriesLLM {
            AS dup_key,
          min(doc_id) AS keep_id, count(*) AS n_dupes
          FROM documents GROUP BY 1 ORDER BY keep_id""",
+    "doc_fingerprint" ->
+      "SELECT doc_id, md5(text) AS md5 FROM documents ORDER BY doc_id",
+    "doc_fingerprint_rolling" ->
+      """WITH d AS (SELECT doc_id,
+           array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS nt
+         FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM d a JOIN d b ON a.nt = b.nt AND a.doc_id < b.doc_id
+         ORDER BY id_a, id_b""",
+    "dedup_minhash_lsh" -> {
+      // Exact word-3-shingle Jaccard over all pairs: on this corpus every
+      // true pair has J >= 0.9 (gap below 0.9 is empty), where 16-band/8-row
+      // LSH recall is ~1 - 1e-4 — so the LSH+exact-verify output equals the
+      // exact pair list, and the jaccard values are identical integer ratios.
+      val isz = "len(list_intersect(a.sh, b.sh))"
+      val j = s"CAST($isz AS DOUBLE) / CAST(len(a.sh) + len(b.sh) - $isz AS DOUBLE)"
+      s"""WITH d AS (
+           SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+               for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, $j AS jaccard
+         FROM d a JOIN d b ON a.doc_id < b.doc_id
+         WHERE $j >= 0.5
+         ORDER BY id_a, id_b"""
+    },
+    "ann_ivf_topk" -> {
+      def cos(x: String, y: String) =
+        s"list_dot_product($x, $y) / (sqrt(list_dot_product($x, $x)) * sqrt(list_dot_product($y, $y)))"
+      s"""WITH cents AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS c
+             FROM embeddings WHERE vec_id < 16),
+         n AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS v FROM embeddings),
+         nc AS (SELECT n_id, v, cell FROM (
+             SELECT n_id, v, cell, row_number() OVER (PARTITION BY n_id
+               ORDER BY ${cos("v", "c")} DESC, cell ASC) AS rk
+             FROM n, cents) WHERE rk = 1),
+         q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+             FROM embeddings WHERE vec_id < 10),
+         qp AS (SELECT q_id, qv, cell FROM (
+             SELECT q_id, qv, cell, row_number() OVER (PARTITION BY q_id
+               ORDER BY ${cos("qv", "c")} DESC, cell DESC) AS rk
+             FROM q, cents) WHERE rk <= 4),
+         cand AS (SELECT qp.q_id, nc.n_id, qp.qv, nc.v
+             FROM qp JOIN nc ON qp.cell = nc.cell AND qp.q_id <> nc.n_id),
+         ranked AS (SELECT q_id, n_id,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY ${cos("qv", "v")} DESC, n_id) AS INTEGER) AS rank
+             FROM cand)
+         SELECT q_id, n_id, rank FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
+    },
     "near_dup_jaccard" ->
       """WITH d AS (SELECT source, doc_id,
             list_sort(list_distinct(string_split(text, ' '))) AS ws FROM documents)
