@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types.LongType
+import graft.ts._
+
+/**
+ * Registered queries for the source/ingest/row-transform operators that
+ * previously had no correctness row: CSV round-trip, pruned parquet reads,
+ * seeded clocks, the test-data generator, row-closure transforms, and the
+ * repartition/coalesce/validate layout pipeline.
+ */
+object QueriesSources {
+  import QueriesCore.{events, withValue100, T0, DAY, HOUR}
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CSV.from: write the canonized events back out as CSV, read through
+    // fromCSV (header + schema inference + canonize + re-sort), and emit.
+    "csv_roundtrip" -> ((s, dir) => {
+      val tmp = s"/tmp/graft_csv_${new java.io.File(dir).getName}"
+      events(s, dir).select("time", "event_id", "user_id", "value")
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      // inference picks the narrowest integer type; cast ids back to long
+      // (also exercises castColumns on the read path)
+      TimeSeriesOps.castColumns(Sources.fromCSV(s, tmp, header = true),
+        "event_id" -> LongType, "user_id" -> LongType)
+        .orderBy("time", "event_id")
+    }),
+    // fromParquet with column list + [begin, end) time range: projection
+    // and range filter reach the scan (asserted in PlanShapeSpec).
+    "from_parquet_pruned" -> ((s, dir) => {
+      try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      catch { case _: Throwable => }
+      Sources.fromParquet(s, s"$dir/events.parquet",
+        columns = Seq("event_id", "value"),
+        beginNanos = Some(T0 + 5 * DAY), endNanos = Some(T0 + 15 * DAY),
+        timeCol = "ts")
+        .withColumn(TimeSeriesOps.TimeColumn, F.expr("time div 1000 * 1000"))
+        .orderBy("time", "event_id")
+    }),
+    "clock_random" -> ((s, _) =>
+      Sources.randomClock(s, T0, T0 + 30 * DAY, "1d", seed = 7L)
+        .orderBy("time")),
+    "ts_generator" -> ((s, _) =>
+      Sources.timeSeries(s, T0, T0 + 9 * HOUR, "1h",
+        ids = Seq(1, 2, 3), valueColumns = Seq("v1", "v2"), seed = 5L)
+        .orderBy("time", "id")),
+    // addColumns (expr) + addRowColumn (Row closure) + keepRows/deleteRows
+    // (Row-closure filters) chained over events.
+    "add_columns_keep_rows" -> ((s, dir) => {
+      val ev = withValue100(events(s, dir))
+        .select("time", "event_id", "user_id", "value100")
+      val added = TimeSeriesOps.addColumns(ev, "v2" -> (F.col("value100") * 2))
+      val withMod = TimeSeriesOps.addRowColumn(added, "uid_mod", LongType,
+        r => r.getLong(r.fieldIndex("user_id")) % 10)
+      val kept = TimeSeriesOps.keepRows(withMod,
+        r => r.getLong(r.fieldIndex("uid_mod")) < 5)
+      TimeSeriesOps.deleteRows(kept,
+        r => r.getLong(r.fieldIndex("uid_mod")) == 0)
+        .orderBy("time", "event_id")
+    }),
+    // orderByTime(n) (range repartition = the fromDF ingest-sort path),
+    // coalesce, then validate() asserts the layout invariants hold.
+    "repartition_validate" -> ((s, dir) => {
+      val df = TimeSeriesOps.orderByTime(
+        events(s, dir).select("time", "event_id"), 8)
+      val c = TimeSeriesOps.coalesce(df, 3)
+      TimeSeriesOps.validate(c)
+      c.orderBy("time", "event_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "csv_roundtrip" ->
+      """SELECT epoch_ns(ts) AS time, event_id, user_id, value FROM events
+         ORDER BY time, event_id""",
+    "from_parquet_pruned" ->
+      s"""SELECT epoch_ns(ts) AS time, event_id, value FROM events
+          WHERE epoch_ns(ts) >= ${T0 + 5 * DAY} AND epoch_ns(ts) < ${T0 + 15 * DAY}
+          ORDER BY time, event_id""",
+    "clock_random" ->
+      s"""SELECT t AS time FROM (
+            SELECT $T0 + gs * $DAY + (gs * 2654435761 + 7) % $DAY AS t
+            FROM generate_series(0, 30) s(gs))
+          WHERE t <= ${T0 + 30 * DAY} ORDER BY time""",
+    "ts_generator" ->
+      s"""SELECT $T0 + gs * $HOUR AS time, id,
+            ((gs * 131 + id * 7 + 5 + 0) % 1000000) * 2654435761 % 1000000 / 1000000.0 AS v1,
+            ((gs * 131 + id * 7 + 5 + 1) % 1000000) * 2654435761 % 1000000 / 1000000.0 AS v2
+          FROM generate_series(0, 9) s(gs), (VALUES (1), (2), (3)) i(id)
+          ORDER BY time, id""",
+    "add_columns_keep_rows" ->
+      """SELECT epoch_ns(ts) AS time, event_id, user_id,
+           CAST(round(value * 100, 0) AS BIGINT) AS value100,
+           CAST(round(value * 100, 0) AS BIGINT) * 2 AS v2,
+           user_id % 10 AS uid_mod
+         FROM events WHERE user_id % 10 BETWEEN 1 AND 4
+         ORDER BY time, event_id""",
+    "repartition_validate" ->
+      "SELECT epoch_ns(ts) AS time, event_id FROM events ORDER BY time, event_id"
+  )
+}

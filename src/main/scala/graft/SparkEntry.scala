@@ -25,11 +25,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesCore.queries ++ QueriesAgg.queries ++ QueriesWindows.queries ++
-      QueriesLLM.queries ++ QueriesEma.queries
+      QueriesLLM.queries ++ QueriesEma.queries ++ QueriesSources.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     QueriesCore.oracleSql ++ QueriesAgg.oracleSql ++ QueriesWindows.oracleSql ++
-      QueriesLLM.oracleSql ++ QueriesEma.oracleSql
+      QueriesLLM.oracleSql ++ QueriesEma.oracleSql ++ QueriesSources.oracleSql
 }

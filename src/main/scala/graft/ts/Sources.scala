@@ -54,31 +54,42 @@ object Sources {
     }
   }
 
-  /** Randomly spaced clock (≙ Clocks.random): uniform ticks jittered by up to
-    * one period, seeded and deterministic, distributed via spark.range. */
+  /** Knuth multiplicative constant for the portable jitter/value hash. */
+  private val HashMult = 2654435761L
+
+  /** Randomly spaced clock (≙ Clocks.random): uniform ticks jittered by up
+    * to one period. The jitter is a seeded multiplicative hash rather than
+    * `F.rand(seed)`: rand's sequence is engine-implementation-defined,
+    * while `(i*c + seed) mod step` is reproducible anywhere — same
+    * determinism contract as the reference's seeded clock. */
   def randomClock(spark: SparkSession, beginNanos: Long, endNanos: Long,
                   frequency: String, seed: Long = 42L): DataFrame = {
     val step = TimeSeriesOps.parseDuration(frequency)
     require(step > 0 && endNanos >= beginNanos, "invalid clock range")
     val n = (endNanos - beginNanos) / step + 1
+    val jitter = F.pmod(F.col("id") * HashMult + seed, F.lit(step))
     spark.range(n)
-      .select((F.lit(beginNanos) + F.col("id") * step +
-        (F.rand(seed) * step).cast("long")).as(TimeColumn))
+      .select((F.lit(beginNanos) + F.col("id") * step + jitter).as(TimeColumn))
       .filter(F.col(TimeColumn) <= endNanos)
   }
 
-  /** Deterministic random test data (≙ TimeSeriesGenerator): `ids` per cycle
-    * at `frequency` spacing, value columns drawn from seeded rand. */
+  /** Deterministic pseudo-random test data (≙ TimeSeriesGenerator): `ids`
+    * per cycle at `frequency` spacing; value columns in [0, 1) from a
+    * seeded multiplicative hash of (cycle, id, column) — portable across
+    * engines, bounded operands (no long overflow). */
   def timeSeries(spark: SparkSession, beginNanos: Long, endNanos: Long,
                  frequency: String, ids: Seq[Int], valueColumns: Seq[String],
                  seed: Long = 42L): DataFrame = {
     val step = TimeSeriesOps.parseDuration(frequency)
     val n = (endNanos - beginNanos) / step + 1
     val base = spark.range(n)
-      .select((F.lit(beginNanos) + F.col("id") * step).as(TimeColumn))
+      .select(F.col("id").as("__cycle"),
+        (F.lit(beginNanos) + F.col("id") * step).as(TimeColumn))
       .crossJoin(spark.createDataFrame(ids.map(Tuple1(_))).toDF("id"))
-    valueColumns.zipWithIndex.foldLeft(base) { case (df, (c, i)) =>
-      df.withColumn(c, F.rand(seed + i))
-    }
+    valueColumns.zipWithIndex.foldLeft(base) { case (df, (c, j)) =>
+      val h = F.pmod((F.col("__cycle") * 131 + F.col("id") * 7 + seed + j),
+        F.lit(1000000L))
+      df.withColumn(c, F.pmod(h * HashMult, F.lit(1000000L)) / 1000000.0)
+    }.drop("__cycle")
   }
 }

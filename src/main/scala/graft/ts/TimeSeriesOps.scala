@@ -134,10 +134,34 @@ object TimeSeriesOps {
     df.withColumn(name, u(struct(df.columns.map(col).toSeq: _*)))
   }
 
-  /** Narrow partition-count reduction (≙ coalesce, TimeSeriesRDD.scala:671):
-    * adjacent partitions merge, so time order is preserved without a shuffle. */
-  def coalesce(df: DataFrame, numPartitions: Int): DataFrame =
-    df.coalesce(numPartitions)
+  /** Narrow partition-count reduction that merges only ADJACENT partitions,
+    * so a range-partitioned frame stays globally time-ordered
+    * (≙ coalesce's proportional slicing, reference OrderedRDD.scala:229-272).
+    * Spark's own `Dataset.coalesce` groups partitions by locality, which can
+    * interleave non-adjacent ranges — `validate()` catches exactly that —
+    * hence the explicit contiguous coalescer at the RDD layer. */
+  def coalesce(df: DataFrame, numPartitions: Int): DataFrame = {
+    val co = df.rdd.coalesce(numPartitions, shuffle = false,
+      Some(new ContiguousCoalescer))
+    df.sparkSession.createDataFrame(co, df.schema)
+  }
+
+  /** Groups partition indices into contiguous chunks of near-equal size. */
+  private class ContiguousCoalescer extends org.apache.spark.rdd.PartitionCoalescer
+      with Serializable {
+    override def coalesce(maxPartitions: Int,
+                          parent: org.apache.spark.rdd.RDD[_]): Array[org.apache.spark.rdd.PartitionGroup] = {
+      val parts = parent.partitions
+      val n = math.min(maxPartitions, math.max(parts.length, 1))
+      val groups = Array.fill(n)(new org.apache.spark.rdd.PartitionGroup())
+      parts.foreach { p =>
+        // chunked assignment: indices [i*len/n, (i+1)*len/n) -> group i
+        val g = ((p.index.toLong * n) / math.max(parts.length, 1)).toInt
+        groups(math.min(g, n - 1)).partitions += p
+      }
+      groups.filter(_.partitions.nonEmpty)
+    }
+  }
 
   /** Shift all timestamps by a signed duration; monotone, so ordering is
     * preserved by construction (≙ shift / lookBackwardClock / lookForwardClock). */

@@ -163,6 +163,22 @@ class TimeSeriesOpsSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy TimeSeriesOps.validate(df)
   }
 
+  behavior of "coalesce"
+
+  it should "merge only adjacent partitions, preserving global time order" in {
+    // Spark's Dataset.coalesce groups partitions by locality and can
+    // interleave non-adjacent time ranges; ours must not (regression:
+    // caught by validate() on the sf0.01 events table).
+    val df = TimeSeriesOps.orderByTime(
+      Seq.tabulate(64)(i => (i * 37 % 64).toLong).toDF("time"), 8)
+    for (n <- Seq(1, 3, 7)) {
+      val c = TimeSeriesOps.coalesce(df, n)
+      c.rdd.getNumPartitions should be <= n
+      noException should be thrownBy TimeSeriesOps.validate(c)
+      c.count() shouldBe 64
+    }
+  }
+
   behavior of "parseDuration"
 
   it should "parse ns/ms/s/m/h/d duration strings" in {
