@@ -121,6 +121,40 @@ object QueriesAgg {
           F.col("y_OLSRegression.beta")(0).as("slope"),
           F.col("y_OLSRegression.intercept").as("intercept"),
           F.col("y_OLSRegression.rSquared").as("r2"))
+        .orderBy("l_returnflag")),
+    "summarize_ols_ext" -> ((s, dir) =>
+      Summarize.summarize(
+        lineitem(s, dir).withColumn("y", F.round(F.col("l_extendedprice"), 0)),
+        S.OLSRegression("y", Seq("l_quantity")), Seq("l_returnflag"))
+        .select(F.col("time"), F.col("l_returnflag"),
+          F.col("y_OLSRegression.stdErr_beta")(0).as("se_slope"),
+          F.col("y_OLSRegression.tStat_beta")(0).as("t_slope"),
+          F.col("y_OLSRegression.stdErr_intercept").as("se_intercept"),
+          F.col("y_OLSRegression.tStat_intercept").as("t_intercept"),
+          F.round(F.col("y_OLSRegression.logLikelihood"), 9).as("logL"),
+          F.round(F.col("y_OLSRegression.akaikeIC"), 9).as("aic"),
+          F.round(F.col("y_OLSRegression.bayesIC"), 9).as("bic"),
+          F.round(F.col("y_OLSRegression.cond"), 6).as("cond"),
+          F.size(F.col("y_OLSRegression.constantsCoordinates")).as("n_const"))
+        .orderBy("l_returnflag")),
+    "summarize_stack" -> ((s, dir) =>
+      Summarize.summarize(lineitem(s, dir),
+        S.stack(
+          S.sum("l_quantity").where(F.col("l_linenumber") <= 2),
+          S.sum("l_quantity").where(F.col("l_linenumber") > 2)),
+        Seq("l_returnflag"))
+        .select(F.col("time"), F.col("l_returnflag"),
+          F.col("stack")(0)("l_quantity_sum").as("low_sum"),
+          F.col("stack")(1)("l_quantity_sum").as("high_sum"))
+        .orderBy("l_returnflag")),
+    "summarize_corr_pairs" -> ((s, dir) =>
+      Summarize.summarize(lineitem(s, dir),
+        S.correlation(Seq("l_quantity", "l_linenumber", "l_orderkey")),
+        Seq("l_returnflag"))
+        .orderBy("l_returnflag")),
+    "summarize_state" -> ((s, dir) =>
+      Summarize.summarize(lineitem(s, dir), S.momentsState("l_quantity"),
+        Seq("l_returnflag"))
         .orderBy("l_returnflag"))
   )
 
@@ -247,6 +281,73 @@ object QueriesAgg {
          u AS (SELECT *, (sy - sx * slope) / n AS intercept FROM t)
          SELECT CAST(0 AS BIGINT) AS time, l_returnflag, samples, slope, intercept,
            1.0 - ((syy - (intercept * sy + slope * sxy)) / (syy - (sy / n) * sy)) AS r2
-         FROM u ORDER BY l_returnflag"""
+         FROM u ORDER BY l_returnflag""",
+    "summarize_ols_ext" ->
+      // mirrors finish()'s op order: g = Sxx - f*Sx (elimination pivot),
+      // diag of (X'X)^-1 via the same back-substitution arithmetic,
+      // sigma2 = ssr/(n-2); transcendental outputs rounded (9), cond (6,
+      // Jacobi vs closed-form eigenvalues differ in low-order bits)
+      """WITH s AS (
+           SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+             sum(l_quantity) AS sx, sum(round(l_extendedprice, 0)) AS sy,
+             sum(l_quantity * round(l_extendedprice, 0)) AS sxy,
+             sum(l_quantity * l_quantity) AS sxx,
+             sum(round(l_extendedprice, 0) * round(l_extendedprice, 0)) AS syy
+           FROM lineitem GROUP BY l_returnflag),
+         t AS (SELECT *, (sx / n) AS f,
+                  (sxy - (sx / n) * sy) / (sxx - (sx / n) * sx) AS slope,
+                  (sxx - (sx / n) * sx) AS g FROM s),
+         u AS (SELECT *, (sy - sx * slope) / n AS intercept FROM t),
+         v AS (SELECT *, (syy - (intercept * sy + slope * sxy)) AS ssr,
+                  ((0.0 - f) / g) AS x1 FROM u),
+         w AS (SELECT *, (ssr / (n - 2.0)) AS sigma2,
+                  ((1.0 - sx * x1) / n) AS diag0,
+                  (1.0 / g) AS diag1,
+                  (-0.5 * n * (ln(ssr) + 1.0 + ln(2.0 * pi() / n)) + 0.0) AS logl,
+                  ((n + sxx) / 2.0 + sqrt((n + sxx) * (n + sxx) / 4.0 - (n * sxx - sx * sx)))
+                    AS lmax,
+                  ((n + sxx) / 2.0 - sqrt((n + sxx) * (n + sxx) / 4.0 - (n * sxx - sx * sx)))
+                    AS lmin
+               FROM v)
+         SELECT CAST(0 AS BIGINT) AS time, l_returnflag,
+           sqrt(sigma2 * diag1) AS se_slope,
+           slope / sqrt(sigma2 * diag1) AS t_slope,
+           sqrt(sigma2 * diag0) AS se_intercept,
+           intercept / sqrt(sigma2 * diag0) AS t_intercept,
+           round(logl, 9) AS logL,
+           round(-2.0 * logl + 4.0, 9) AS aic,
+           round(-2.0 * logl + 2.0 * ln(n), 9) AS bic,
+           round(lmax / lmin, 6) AS cond,
+           CAST(0 AS INTEGER) AS n_const
+         FROM w ORDER BY l_returnflag""",
+    "summarize_stack" ->
+      s"""SELECT CAST(0 AS BIGINT) AS time, l_returnflag,
+          sum(CASE WHEN l_linenumber <= 2 THEN $q END) AS low_sum,
+          sum(CASE WHEN l_linenumber > 2 THEN $q END) AS high_sum
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "summarize_corr_pairs" -> {
+      def pair(xr: String, yr: String) = {
+        val x = s"CAST($xr AS DOUBLE)"; val y = s"CAST($yr AS DOUBLE)"
+        val n = s"CAST(count($x) AS DOUBLE)"
+        val r = s"((sum($x * $y) / $n - (sum($x) / $n) * (sum($y) / $n)) / " +
+          s"(sqrt(sum($x * $x) / $n - (sum($x) / $n) * (sum($x) / $n)) * " +
+          s"sqrt(sum($y * $y) / $n - (sum($y) / $n) * (sum($y) / $n))))"
+        s"""$r AS ${xr}_${yr}_correlation,
+            $r * sqrt(($n - 2.0) / (1.0 - $r * $r)) AS ${xr}_${yr}_correlationTStat"""
+      }
+      s"""SELECT CAST(0 AS BIGINT) AS time, l_returnflag,
+          ${pair("l_quantity", "l_linenumber")},
+          ${pair("l_quantity", "l_orderkey")},
+          ${pair("l_linenumber", "l_orderkey")}
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+    },
+    "summarize_state" ->
+      s"""SELECT CAST(0 AS BIGINT) AS time, l_returnflag,
+          count(CAST($q AS DOUBLE)) AS l_quantity_state_n,
+          sum(CAST($q AS DOUBLE)) AS l_quantity_state_s1,
+          sum(CAST($q AS DOUBLE) * CAST($q AS DOUBLE)) AS l_quantity_state_s2,
+          sum((CAST($q AS DOUBLE) * CAST($q AS DOUBLE)) * CAST($q AS DOUBLE)) AS l_quantity_state_s3,
+          sum(((CAST($q AS DOUBLE) * CAST($q AS DOUBLE)) * CAST($q AS DOUBLE)) * CAST($q AS DOUBLE)) AS l_quantity_state_s4
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }

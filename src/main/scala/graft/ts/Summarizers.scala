@@ -67,7 +67,7 @@ final case class Summarizer(
     Summarizer(ctx => a.withCtx(ctx) ++ b.withCtx(ctx))
   }
 
-  private def withCtx(ctx: SummarizerCtx): Seq[(String, Column)] = {
+  private[ts] def withCtx(ctx: SummarizerCtx): Seq[(String, Column)] = {
     val merged = SummarizerCtx(
       (pred, ctx.pred) match {
         case (Some(a), Some(b)) => Some(a && b)
@@ -81,6 +81,19 @@ final case class Summarizer(
 object Summarizers {
 
   def compose(ss: Summarizer*): Summarizer = ss.reduce(_ ++ _)
+
+  /** Same-schema summarizers evaluated side by side as one array-of-structs
+    * column `stack` (≙ Summarizers.stack, reference Summarizers.scala:441 /
+    * StackSummarizerFactory.scala:24). Each element keeps its own
+    * where/prefix; all elements must produce identical output names. */
+  def stack(ss: Summarizer*): Summarizer = {
+    require(ss.nonEmpty, "stack requires at least one summarizer")
+    val names = ss.head.names
+    require(ss.forall(_.names == names),
+      s"stack requires identical output schemas; got ${ss.map(_.names)}")
+    Summarizer(ctx => Seq("stack" -> F.array(ss.map(s =>
+      F.struct(s.withCtx(ctx).map { case (n, c) => c.as(n) }: _*)): _*)))
+  }
 
   // ------------------------------------------------------------- basic stats
 
@@ -152,6 +165,31 @@ object Summarizers {
       (F.sqrt(sxx / n - (sx / n) * (sx / n)) * F.sqrt(syy / n - (sy / n) * (sy / n)))
     val t = r * F.sqrt((n - F.lit(2.0)) / (F.lit(1.0) - r * r))
     Seq(s"${x}_${y}_correlation" -> r, s"${x}_${y}_correlationTStat" -> t)
+  }
+
+  /** All-pairs Pearson correlation over a column list (≙ the reference's
+    * multi-column correlation(cols*), Summarizers.scala:223-231, which
+    * composes the pairwise summarizer over every unordered pair). */
+  def correlation(cols: Seq[String]): Summarizer = {
+    require(cols.length >= 2, "multi-pair correlation needs >= 2 columns")
+    compose((for {
+      i <- cols.indices; j <- (i + 1) until cols.length
+    } yield correlation(cols(i), cols(j))): _*)
+  }
+
+  /** Raw algebraic state of the moment family — n, Σx, Σx², Σx³, Σx⁴ —
+    * the buffer every moment-based summarizer is derived from
+    * (≙ summarizeState's expose-the-buffer debugging role,
+    * TimeSeriesRDD.scala:1196; our expression recipes have no hidden
+    * buffer, so the power sums ARE the state). */
+  def momentsState(x: String): Summarizer = Summarizer { c =>
+    val v = c.in(x).cast("double")
+    Seq(
+      s"${x}_state_n" -> c.agg(F.count(v)),
+      s"${x}_state_s1" -> c.agg(F.sum(v)),
+      s"${x}_state_s2" -> c.agg(F.sum(v * v)),
+      s"${x}_state_s3" -> c.agg(F.sum(v * v * v)),
+      s"${x}_state_s4" -> c.agg(F.sum(v * v * v * v)))
   }
 
   /** Weighted sample covariance (w-weighted means, sample correction m/(m-1);

@@ -6,13 +6,14 @@ import org.apache.spark.sql.functions.udaf
 import org.apache.spark.sql.types._
 
 /** Gram-matrix buffer for streaming (weighted) OLS: X'WX upper triangle,
-  * X'Wy, y'Wy, Σw, n — a fixed-width mergeable state, so Spark's partial
-  * aggregation distributes it like any other aggregate
-  * (≙ OLSRegressionSummarizer's state,
+  * X'Wy, y'Wy, per-column Σw·x, Σln(w), Σw, n — a fixed-width mergeable
+  * state, so Spark's partial aggregation distributes it like any other
+  * aggregate (≙ OLSRegressionSummarizer's state,
   * /root/reference/src/main/scala/com/twosigma/flint/rdd/function/summarize/
   * summarizer/subtractable/OLSRegressionSummarizer.scala:66-366). */
 final case class OLSBuf(xtx: Array[Double], xty: Array[Double],
-                        yy: Double, sw: Double, n: Long)
+                        xsum: Array[Double], yy: Double, lw: Double,
+                        sw: Double, n: Long)
 
 /**
  * Streaming weighted OLS with intercept as a Spark `Aggregator`, registered
@@ -23,7 +24,13 @@ final case class OLSBuf(xtx: Array[Double], xty: Array[Double],
  * property).
  *
  * Output struct: samples, beta array<double> (no intercept term), intercept,
- * rSquared, stdErr_beta array<double>, tStat_beta array<double>.
+ * rSquared, stdErr_beta array<double>, tStat_beta array<double>, plus the
+ * reference's extended diagnostics (OLSRegressionSummarizer.scala:180-244):
+ * stdErr_intercept, tStat_intercept, logLikelihood
+ * (−n/2·(ln(ssr) + 1 + ln(2π/n)) + Σln(w)/2), akaikeIC (−2logL + 2k),
+ * bayesIC (−2logL + k·ln n) with k = design width incl. intercept,
+ * cond (λmax/λmin of X'WX), and constantsCoordinates — 0-based indices of
+ * regressors with ~zero weighted variance (reported, not dropped).
  */
 object OLSAggregate {
 
@@ -41,7 +48,64 @@ object OLSAggregate {
     StructField("intercept", DoubleType),
     StructField("rSquared", DoubleType),
     StructField("stdErr_beta", ArrayType(DoubleType)),
-    StructField("tStat_beta", ArrayType(DoubleType))))
+    StructField("tStat_beta", ArrayType(DoubleType)),
+    StructField("stdErr_intercept", DoubleType),
+    StructField("tStat_intercept", DoubleType),
+    StructField("logLikelihood", DoubleType),
+    StructField("akaikeIC", DoubleType),
+    StructField("bayesIC", DoubleType),
+    StructField("cond", DoubleType),
+    StructField("constantsCoordinates", ArrayType(IntegerType))))
+
+  /** Eigenvalues of a symmetric d×d matrix (row-major) via cyclic Jacobi
+    * rotations — d is the design width (tiny), so O(d³) per sweep is noise.
+    * Used for the Gram-matrix condition number. */
+  private[agg] def symEigenvalues(a0: Array[Double], d: Int): Array[Double] = {
+    val a = a0.clone()
+    var sweep = 0
+    var rotating = true
+    while (rotating && sweep < 64) {
+      rotating = false
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p * d + q)
+          val scale = math.abs(a(p * d + p)) + math.abs(a(q * d + q))
+          if (math.abs(apq) > 1e-15 * scale && apq != 0.0) {
+            rotating = true
+            val theta = (a(q * d + q) - a(p * d + p)) / (2.0 * apq)
+            val t = math.signum(theta) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+                case 0.0 => 1.0 // theta == 0 -> 45-degree rotation
+                case v => v
+              }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i * d + p); val aiq = a(i * d + q)
+              a(i * d + p) = c * aip - s * aiq
+              a(i * d + q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p * d + i); val aqi = a(q * d + i)
+              a(p * d + i) = c * api - s * aqi
+              a(q * d + i) = s * api + c * aqi
+              i += 1
+            }
+            a(p * d + q) = 0.0; a(q * d + p) = 0.0
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    Array.tabulate(d)(i => a(i * d + i))
+  }
 
   /** Solve A x = b in place (A (d x d) row-major, no pivoting). */
   private[agg] def solve(a: Array[Double], b: Array[Double], d: Int): Array[Double] = {
@@ -94,7 +158,8 @@ private[agg] class OLSAgg(k: Int, hasIntercept: Boolean)
       (1 to k).map(i => StructField(s"x$i", DoubleType)) :+
       StructField("w", DoubleType)))
 
-  def zero: OLSBuf = OLSBuf(new Array[Double](d * (d + 1) / 2), new Array[Double](d), 0.0, 0.0, 0L)
+  def zero: OLSBuf = OLSBuf(new Array[Double](d * (d + 1) / 2),
+    new Array[Double](d), new Array[Double](d), 0.0, 0.0, 0.0, 0L)
 
   private def design(r: Row): Array[Double] = {
     val x = new Array[Double](d)
@@ -117,9 +182,11 @@ private[agg] class OLSAgg(k: Int, hasIntercept: Boolean)
         var j = i
         while (j < d) { b.xtx(idx) += w * x(i) * x(j); idx += 1; j += 1 }
         b.xty(i) += w * x(i) * y
+        b.xsum(i) += w * x(i)
         i += 1
       }
-      OLSBuf(b.xtx, b.xty, b.yy + w * y * y, b.sw + w, b.n + 1)
+      OLSBuf(b.xtx, b.xty, b.xsum, b.yy + w * y * y, b.lw + math.log(w),
+        b.sw + w, b.n + 1)
     }
   }
 
@@ -130,11 +197,16 @@ private[agg] class OLSAgg(k: Int, hasIntercept: Boolean)
     val xty = a.xty.clone()
     i = 0
     while (i < xty.length) { xty(i) += b.xty(i); i += 1 }
-    OLSBuf(xtx, xty, a.yy + b.yy, a.sw + b.sw, a.n + b.n)
+    val xsum = a.xsum.clone()
+    i = 0
+    while (i < xsum.length) { xsum(i) += b.xsum(i); i += 1 }
+    OLSBuf(xtx, xty, xsum, a.yy + b.yy, a.lw + b.lw, a.sw + b.sw, a.n + b.n)
   }
 
   def finish(b: OLSBuf): Row = {
-    if (b.n < d + 1) return Row(b.n, null, null, null, null, null)
+    if (b.n < d + 1)
+      return Row(b.n, null, null, null, null, null, null, null, null, null,
+        null, null, null)
     // unpack upper triangle to full symmetric matrix
     val a = new Array[Double](d * d)
     var idx = 0
@@ -159,7 +231,25 @@ private[agg] class OLSAgg(k: Int, hasIntercept: Boolean)
     val stdErr = (0 until k).map(j => math.sqrt(sigma2 * diag(j + off))).toArray
     val betas = (0 until k).map(j => beta(j + off)).toArray
     val t = (0 until k).map(j => betas(j) / stdErr(j)).toArray
-    Row(b.n, betas.toSeq, if (hasIntercept) beta(0) else 0.0, r2, stdErr.toSeq, t.toSeq)
+    val (seI, tI) =
+      if (hasIntercept) {
+        val se = math.sqrt(sigma2 * diag(0)); (se, beta(0) / se)
+      } else (Double.NaN, Double.NaN)
+    // extended diagnostics (reference formulas, LinearRegressionModel.scala:473-515)
+    val logL = -0.5 * b.n * (math.log(ssr) + 1.0 + math.log(2.0 * math.Pi / b.n)) +
+      0.5 * b.lw
+    val aic = -2.0 * logL + 2.0 * d
+    val bic = -2.0 * logL + d * math.log(b.n.toDouble)
+    val eig = OLSAggregate.symEigenvalues(a, d)
+    val cond = eig.max / eig.min
+    // regressor j is constant when its weighted variance ~ 0
+    val consts = (0 until k).filter { j =>
+      val jj = j + off
+      val m = b.xsum(jj) / b.sw
+      math.abs(a(jj * d + jj) / b.sw - m * m) < 1e-12
+    }.toArray
+    Row(b.n, betas.toSeq, if (hasIntercept) beta(0) else 0.0, r2,
+      stdErr.toSeq, t.toSeq, seI, tI, logL, aic, bic, cond, consts.toSeq)
   }
 
   def bufferEncoder: Encoder[OLSBuf] = Encoders.product[OLSBuf]

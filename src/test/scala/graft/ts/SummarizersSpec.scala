@@ -147,6 +147,62 @@ class SummarizersSpec extends SparkTestBase {
     approx(ols.getDouble(3), 1.0, 1e-10) // rSquared
   }
 
+  it should "stack same-schema summarizers into an array of structs" in {
+    val s = Summarizers.stack(
+      Summarizers.sum("x").where(F.col("x") <= 2),
+      Summarizers.sum("x").where(F.col("x") > 2))
+    val r = one(s)
+    val arr = r.getSeq[org.apache.spark.sql.Row](1)
+    arr.map(_.getDouble(0)) shouldBe Seq(3.0, 7.0)
+    an[IllegalArgumentException] should be thrownBy
+      Summarizers.stack(Summarizers.sum("x"), Summarizers.mean("x"))
+  }
+
+  it should "expand multi-column correlation into all pairs" in {
+    val s = Summarizers.correlation(Seq("x", "y", "w"))
+    s.names shouldBe Seq(
+      "x_y_correlation", "x_y_correlationTStat",
+      "x_w_correlation", "x_w_correlationTStat",
+      "y_w_correlation", "y_w_correlationTStat")
+    val r = one(s)
+    // x and w are identical sequences -> r = 1
+    approx(r.getDouble(3), 1.0, 1e-12)
+  }
+
+  it should "expose the moment family's algebraic state" in {
+    val r = one(Summarizers.momentsState("x"))
+    r.getLong(1) shouldBe 4L
+    r.getDouble(2) shouldBe 10.0
+    r.getDouble(3) shouldBe 30.0   // sum x^2
+    r.getDouble(4) shouldBe 100.0  // sum x^3
+    r.getDouble(5) shouldBe 354.0  // sum x^4
+  }
+
+  it should "report OLS extended diagnostics on a well-posed design" in {
+    val pts = Seq.tabulate(8) { i =>
+      val x1 = (i + 1).toDouble; val x2 = ((i * 3) % 7).toDouble
+      (i.toLong, x1, x2, 1.0 + 2.0 * x1 - x2 + 0.01 * x1 * x1)
+    }.toDF("time", "x1", "x2", "y")
+    val ols = Summarize.summarize(pts,
+      Summarizers.OLSRegression("y", Seq("x1", "x2"))).collect().head.getStruct(1)
+    val logL = ols.getDouble(8)
+    approx(ols.getDouble(9), -2.0 * logL + 2.0 * 3, 1e-9)  // AIC, k = 3
+    approx(ols.getDouble(10), -2.0 * logL + 3 * math.log(8.0), 1e-9)
+    ols.getDouble(11) should be >= 1.0 // cond of a PSD Gram
+    ols.getSeq[Int](12) shouldBe Seq.empty // no constant regressors
+    // stdErr_intercept / tStat_intercept populated and consistent
+    approx(ols.getDouble(2) / ols.getDouble(6), ols.getDouble(7), 1e-9)
+  }
+
+  it should "flag constant regressors via constantsCoordinates" in {
+    val pts = Seq.tabulate(6) { i =>
+      (i.toLong, (i + 1).toDouble, 7.0, 2.0 * (i + 1) + 0.1 * i * i)
+    }.toDF("time", "x1", "c", "y")
+    val ols = Summarize.summarize(pts,
+      Summarizers.OLSRegression("y", Seq("x1", "c"))).collect().head.getStruct(1)
+    ols.getSeq[Int](12) shouldBe Seq(1)
+  }
+
   it should "apply where predicates before aggregating" in {
     val r = one(Summarizers.sum("x").where(F.col("x") > 2))
     approx(r.getDouble(1), 7.0)
