@@ -102,6 +102,26 @@ object QueriesCore {
       AsOfJoin.futureLeftJoin(l, r, tolerance = "6h", key = Seq("user_id"),
         strictLookahead = true)
         .orderBy("time", "event_id")
+    }),
+    "symmetric_join_asof" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val l = ev.filter(F.col("event_type") === "click")
+        .select(F.col("time"), F.col("user_id"), F.col("event_id").as("click_id"))
+      val r = withValue100(ev.filter(F.col("event_type") === "purchase"))
+        .select(F.col("time"), F.col("user_id"), F.col("value100").as("p_value100"))
+      AsOfJoin.symmetricJoin(l, r, tolerance = "1d", key = Seq("user_id"))
+        .orderBy("time", "side", "user_id")
+    }),
+    "read_builder" -> ((s, dir) => {
+      try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      catch { case _: Throwable => }
+      Sources.read(s)
+        .columns("event_id", "user_id")
+        .range(T0 + 10 * DAY, T0 + 20 * DAY)
+        .time("ts")
+        .parquet(s"$dir/events.parquet")
+        .withColumn(TimeSeriesOps.TimeColumn, F.expr("time div 1000 * 1000"))
+        .orderBy("time", "event_id")
     })
   )
 
@@ -148,6 +168,26 @@ object QueriesCore {
             CASE WHEN r.time <= l.time + ${6 * HOUR} THEN r.err_id END AS err_id,
             CASE WHEN r.time <= l.time + ${6 * HOUR} THEN r.err_time END AS err_time
           FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.time > l.time
-          ORDER BY l.time, l.event_id"""
+          ORDER BY l.time, l.event_id""",
+    "symmetric_join_asof" ->
+      s"""WITH l AS (SELECT epoch_ns(ts) AS time, user_id, event_id AS click_id
+                 FROM events WHERE event_type = 'click'),
+          r AS (SELECT epoch_ns(ts) AS time, user_id,
+                 CAST(round(value * 100, 0) AS BIGINT) AS p_value100
+                FROM events WHERE event_type = 'purchase')
+          SELECT l.time, l.user_id, l.click_id,
+            CASE WHEN r.time >= l.time - ${1 * DAY} THEN r.p_value100 END AS p_value100,
+            'left' AS side
+          FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.time <= l.time
+          UNION ALL
+          SELECT r.time, r.user_id,
+            CASE WHEN l.time >= r.time - ${1 * DAY} THEN l.click_id END AS click_id,
+            r.p_value100, 'right' AS side
+          FROM r ASOF LEFT JOIN l ON r.user_id = l.user_id AND l.time <= r.time
+          ORDER BY time, side, user_id""",
+    "read_builder" ->
+      s"""SELECT epoch_ns(ts) AS time, event_id, user_id FROM events
+          WHERE epoch_ns(ts) >= ${T0 + 10 * DAY} AND epoch_ns(ts) < ${T0 + 20 * DAY}
+          ORDER BY time, event_id"""
   )
 }

@@ -77,6 +77,76 @@ object AsOfJoin {
     asOf(left, right, TimeSeriesOps.parseDuration(tolerance), key,
       leftAlias, rightAlias, future = true, strict = strictLookahead)
 
+  /**
+   * Symmetric (full-outer) as-of join (≙ OrderedRDD.symmetricJoin,
+   * reference SymmetricJoin.scala:26-122): one output row per input row
+   * from EITHER side; a left row at t carries the most recent right row in
+   * [t - tolerance, t] (same key), a right row at t carries the most recent
+   * left row in the same window; the other side is null-padded on miss.
+   * `side` marks the originating table ("left" / "right") — the flattened
+   * schema would otherwise lose what the reference's (Option, Option)
+   * encoding keeps implicit.
+   *
+   * Same execution shape as [[leftJoin]]: one union, one hash exchange on
+   * the key, two running window frames (one per direction's tie order) that
+   * WindowExec evaluates in O(n) per partition.
+   */
+  def symmetricJoin(left0: DataFrame, right0: DataFrame, tolerance: String = "0ns",
+                    key: Seq[String] = Seq.empty, leftAlias: Option[String] = None,
+                    rightAlias: Option[String] = None): DataFrame = {
+    val tol = TimeSeriesOps.parseDuration(tolerance)
+    require(tol >= 0, "tolerance must be non-negative")
+    val left = applyAlias(left0, leftAlias, key)
+    val right = applyAlias(right0, rightAlias, key)
+    checkNoClash(left, right, key)
+    val lVals = left.columns.filter(c => c != TimeColumn && !key.contains(c)).toSeq
+    val rVals = right.columns.filter(c => c != TimeColumn && !key.contains(c)).toSeq
+
+    val LCol = "__graft_lstruct"
+    val LTimeField = "__ltime"
+    val l = left.select(
+      (col(TimeColumn) +: key.map(col)) :+
+        struct((col(TimeColumn).as(LTimeField) +: lVals.map(col)): _*).as(LCol): _*)
+      .withColumn(SrcCol, lit(1))
+    val r = right.select(
+      (col(TimeColumn) +: key.map(col)) :+
+        struct((col(TimeColumn).as(RTimeField) +: rVals.map(col)): _*).as(StructCol): _*)
+      .withColumn(SrcCol, lit(0))
+    val u = l.unionByName(r, allowMissingColumns = true)
+
+    def tieBreak(c: String): Seq[Column] = {
+      val t = u.schema(c).dataType
+      if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(t))
+        Seq(col(c).asc_nulls_first)
+      else Seq.empty
+    }
+    // rights-first order: a left row at t sees right rows at exactly t
+    val wR = Window.partitionBy(key.map(col): _*)
+      .orderBy((Seq(col(TimeColumn).asc, col(SrcCol).asc) ++ tieBreak(StructCol)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // lefts-first order: a right row at t sees left rows at exactly t
+    val wL = Window.partitionBy(key.map(col): _*)
+      .orderBy((Seq(col(TimeColumn).asc, col(SrcCol).desc) ++ tieBreak(LCol)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val lastR = last(col(StructCol), ignoreNulls = true).over(wR)
+    val lastL = last(col(LCol), ignoreNulls = true).over(wL)
+    val matchedR = when(col(SrcCol) === 1,
+      when(lastR.isNotNull && lastR.getField(RTimeField) >= col(TimeColumn) - tol, lastR))
+    val matchedL = when(col(SrcCol) === 0,
+      when(lastL.isNotNull && lastL.getField(LTimeField) >= col(TimeColumn) - tol, lastL))
+    val outL = when(col(SrcCol) === 1, col(LCol)).otherwise(matchedL)
+    val outR = when(col(SrcCol) === 0, col(StructCol)).otherwise(matchedR)
+
+    val mL = "__graft_ml"
+    val mR = "__graft_mr"
+    u.withColumn(mL, outL).withColumn(mR, outR)
+      .select((col(TimeColumn) +: key.map(col)) ++
+        lVals.map(c => col(mL).getField(c).as(c)) ++
+        rVals.map(c => col(mR).getField(c).as(c)) :+
+        when(col(SrcCol) === 1, "left").otherwise("right").as("side"): _*)
+  }
+
   private def asOf(left0: DataFrame, right0: DataFrame, toleranceNs: Long,
                    key: Seq[String], leftAlias: Option[String],
                    rightAlias: Option[String], future: Boolean,

@@ -54,6 +54,53 @@ object Sources {
     }
   }
 
+  /**
+   * Fluent reader facade (≙ ReadBuilder,
+   * /root/reference/src/main/scala/com/twosigma/flint/timeseries/io/read/ReadBuilder.scala:38-290):
+   * `Sources.read(spark).option(...).range(b, e).columns(...).parquet(path)`.
+   * A thin builder over [[fromParquet]]/[[fromCSV]] — pruning and range
+   * pushdown come from those, not from builder logic.
+   */
+  def read(spark: SparkSession): ReadBuilder = new ReadBuilder(spark)
+
+  final class ReadBuilder private[Sources] (spark: SparkSession) {
+    private var opts: Map[String, String] = Map.empty
+    private var begin: Option[Long] = None
+    private var end: Option[Long] = None
+    private var cols: Seq[String] = Seq.empty
+    private var timeCol: String = TimeColumn
+    private var unitToNanos: Long = 1L
+
+    def option(k: String, v: String): ReadBuilder = { opts += (k -> v); this }
+    def options(kvs: Map[String, String]): ReadBuilder = { opts ++= kvs; this }
+    /** [begin, end) time range in nanos; either side optional via null-free overloads. */
+    def range(beginNanos: Long, endNanos: Long): ReadBuilder = {
+      begin = Some(beginNanos); end = Some(endNanos); this
+    }
+    def beginNanos(b: Long): ReadBuilder = { begin = Some(b); this }
+    def endNanos(e: Long): ReadBuilder = { end = Some(e); this }
+    def columns(cs: String*): ReadBuilder = { cols = cs; this }
+    def time(col: String, toNanos: Long = 1L): ReadBuilder = {
+      timeCol = col; unitToNanos = toNanos; this
+    }
+
+    def parquet(path: String): org.apache.spark.sql.DataFrame =
+      fromParquet(spark, path, cols, begin, end, timeCol, unitToNanos)
+
+    def csv(path: String): org.apache.spark.sql.DataFrame = {
+      val header = opts.getOrElse("header", "true").toBoolean
+      val delim = opts.getOrElse("delimiter", ",")
+      val df = fromCSV(spark, path, header, delim, None, timeCol, unitToNanos)
+      val ranged = (begin, end) match {
+        case (Some(b), Some(e)) => TimeSeriesOps.between(df, b, e)
+        case (Some(b), None) => df.filter(F.col(TimeColumn) >= b)
+        case (None, Some(e)) => df.filter(F.col(TimeColumn) < e)
+        case _ => df
+      }
+      if (cols.nonEmpty) TimeSeriesOps.keepColumns(ranged, cols: _*) else ranged
+    }
+  }
+
   /** Knuth multiplicative constant for the portable jitter/value hash. */
   private val HashMult = 2654435761L
 

@@ -94,6 +94,48 @@ class AsOfJoinSpec extends SparkTestBase {
       Array((10L, "a", None))
   }
 
+  behavior of "symmetricJoin (full-outer as-of)"
+
+  private def sym(l: Seq[(Long, String, Int)], r: Seq[(Long, String, Int)],
+                  tol: String) = {
+    val lf = l.toDF("time", "k", "lv")
+    val rf = r.toDF("time", "k", "rv")
+    AsOfJoin.symmetricJoin(lf, rf, tol, Seq("k"))
+      .collect().map(row => (row.getLong(0), row.getString(4),
+        if (row.isNullAt(2)) None else Some(row.getInt(2)),
+        if (row.isNullAt(3)) None else Some(row.getInt(3))))
+      .sortBy(x => (x._1, x._2))
+  }
+
+  it should "emit one row per input row with backward matches both ways" in {
+    sym(Seq((10L, "a", 1)), Seq((8L, "a", 5), (12L, "a", 6)), "5ns") shouldBe
+      Array(
+        (8L, "right", None, Some(5)),      // no left at or before 8
+        (10L, "left", Some(1), Some(5)),   // left@10 sees right@8
+        (12L, "right", Some(1), Some(6)))  // right@12 sees left@10
+  }
+
+  it should "null-pad matches outside tolerance in both directions" in {
+    sym(Seq((10L, "a", 1)), Seq((2L, "a", 5)), "3ns") shouldBe
+      Array(
+        (2L, "right", None, Some(5)),
+        (10L, "left", Some(1), None))
+  }
+
+  it should "let equal-time rows see each other in both directions" in {
+    sym(Seq((10L, "a", 1)), Seq((10L, "a", 5)), "0ns") shouldBe
+      Array(
+        (10L, "left", Some(1), Some(5)),
+        (10L, "right", Some(1), Some(5)))
+  }
+
+  it should "respect keys in both directions" in {
+    sym(Seq((10L, "a", 1)), Seq((9L, "b", 5)), "5ns") shouldBe
+      Array(
+        (9L, "right", None, Some(5)),
+        (10L, "left", Some(1), None))
+  }
+
   behavior of "aliases and clashes"
 
   it should "prefix right columns with rightAlias" in {
