@@ -112,6 +112,18 @@ object QueriesCore {
       AsOfJoin.symmetricJoin(l, r, tolerance = "1d", key = Seq("user_id"))
         .orderBy("time", "side", "user_id")
     }),
+    // Keyless global as-of join on the binned scale path: parallelism
+    // |bins| instead of one partition.
+    "left_join_asof_binned" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val l = ev.filter(F.col("event_type") === "click")
+        .select("time", "event_id")
+      val r = withValue100(ev.filter(F.col("event_type") === "purchase"))
+        .select(F.col("time"), F.col("value100").as("p_value100"),
+          F.col("time").as("p_time"))
+      AsOfJoin.leftJoin(l, r, tolerance = "6h", binned = true)
+        .orderBy("time", "event_id")
+    }),
     "read_builder" -> ((s, dir) => {
       try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       catch { case _: Throwable => }
@@ -185,6 +197,17 @@ object QueriesCore {
             r.p_value100, 'right' AS side
           FROM r ASOF LEFT JOIN l ON r.user_id = l.user_id AND l.time <= r.time
           ORDER BY time, side, user_id""",
+    "left_join_asof_binned" ->
+      s"""WITH l AS (SELECT epoch_ns(ts) AS time, event_id FROM events WHERE event_type = 'click'),
+          r AS (SELECT epoch_ns(ts) AS time,
+                 CAST(round(value * 100, 0) AS BIGINT) AS p_value100,
+                 epoch_ns(ts) AS p_time
+                FROM events WHERE event_type = 'purchase')
+          SELECT l.time, l.event_id,
+            CASE WHEN r.time >= l.time - ${6 * HOUR} THEN r.p_value100 END AS p_value100,
+            CASE WHEN r.time >= l.time - ${6 * HOUR} THEN r.p_time END AS p_time
+          FROM l ASOF LEFT JOIN r ON r.time <= l.time
+          ORDER BY l.time, l.event_id""",
     "read_builder" ->
       s"""SELECT epoch_ns(ts) AS time, event_id, user_id FROM events
           WHERE epoch_ns(ts) >= ${T0 + 10 * DAY} AND epoch_ns(ts) < ${T0 + 20 * DAY}

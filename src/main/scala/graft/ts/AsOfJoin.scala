@@ -58,24 +58,38 @@ object AsOfJoin {
    * recent right row (sharing `key`) with right.time in [t - tolerance, t];
    * right columns are null when no such row exists. tolerance = "0ns" is the
    * exact-timestamp join (≙ TimeSeriesRDD.leftJoin).
+   *
+   * `binned = true` selects the scale path for low-cardinality or empty
+   * keys: time is cut into tolerance-width bins, each right row is
+   * duplicated into its own and the following bin, and the running window
+   * partitions on (key, bin). Identical results (requires tolerance > 0),
+   * but parallelism becomes |keys| × |bins| instead of |keys| — a keyless
+   * join no longer degenerates to one partition, and one hot key no longer
+   * serializes into one task, at the cost of shuffling the right side
+   * twice (the declarative analog of the reference's range-intersecting
+   * partition merge, RangeMergeJoin.scala:28-140).
    */
   def leftJoin(left: DataFrame, right: DataFrame, tolerance: String = "0ns",
                key: Seq[String] = Seq.empty, leftAlias: Option[String] = None,
-               rightAlias: Option[String] = None): DataFrame =
+               rightAlias: Option[String] = None,
+               binned: Boolean = false): DataFrame =
     asOf(left, right, TimeSeriesOps.parseDuration(tolerance), key,
-      leftAlias, rightAlias, future = false, strict = false)
+      leftAlias, rightAlias, future = false, strict = false, binned = binned)
 
   /**
    * As-of forward left join: nearest right row with right.time in
    * [t, t + tolerance] ((t, t+tolerance] when strictLookahead)
-   * (≙ TimeSeriesRDD.futureLeftJoin).
+   * (≙ TimeSeriesRDD.futureLeftJoin). `binned` as in [[leftJoin]] (right
+   * rows duplicate into their own and the PRECEDING bin).
    */
   def futureLeftJoin(left: DataFrame, right: DataFrame, tolerance: String = "0ns",
                      key: Seq[String] = Seq.empty, leftAlias: Option[String] = None,
                      rightAlias: Option[String] = None,
-                     strictLookahead: Boolean = false): DataFrame =
+                     strictLookahead: Boolean = false,
+                     binned: Boolean = false): DataFrame =
     asOf(left, right, TimeSeriesOps.parseDuration(tolerance), key,
-      leftAlias, rightAlias, future = true, strict = strictLookahead)
+      leftAlias, rightAlias, future = true, strict = strictLookahead,
+      binned = binned)
 
   /**
    * Symmetric (full-outer) as-of join (≙ OrderedRDD.symmetricJoin,
@@ -150,7 +164,7 @@ object AsOfJoin {
   private def asOf(left0: DataFrame, right0: DataFrame, toleranceNs: Long,
                    key: Seq[String], leftAlias: Option[String],
                    rightAlias: Option[String], future: Boolean,
-                   strict: Boolean): DataFrame = {
+                   strict: Boolean, binned: Boolean = false): DataFrame = {
     require(toleranceNs >= 0, "tolerance must be non-negative")
     val left = applyAlias(left0, leftAlias, key)
     val right = applyAlias(right0, rightAlias, key)
@@ -160,11 +174,27 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
 
     // Bundle the right side into one struct; null on left rows after union.
-    val r = right.select(
+    val r0 = right.select(
       (col(TimeColumn) +: key.map(col)) :+
         struct((col(TimeColumn).as(RTimeField) +: rightVals.map(col)): _*).as(StructCol): _*)
       .withColumn(SrcCol, lit(0))
-    val l = left.withColumn(SrcCol, lit(1))
+    val l0 = left.withColumn(SrcCol, lit(1))
+
+    // Binned scale path: cut time into tolerance-width bins; every right
+    // row lands in its own bin AND the adjacent bin a left row could reach
+    // it from, so the window can partition on (key, bin). `div` keeps the
+    // arithmetic integral (epoch nanos are non-negative).
+    val BinCol = "__graft_bin"
+    val (l, r, partKey) =
+      if (!binned) (l0, r0, key)
+      else {
+        require(toleranceNs > 0, "binned as-of join requires tolerance > 0")
+        val bin = expr(s"$TimeColumn div ${toleranceNs}L")
+        val dup = if (!future) array(bin, bin + 1) else array(bin, bin - 1)
+        (l0.withColumn(BinCol, bin),
+          r0.withColumn(BinCol, explode(dup)),
+          key :+ BinCol)
+      }
     val u = l.unionByName(r, allowMissingColumns = true)
 
     // Running frame over the union. Tie order at equal time encodes the
@@ -189,7 +219,7 @@ object AsOfJoin {
       if (!future) Seq(col(TimeColumn).asc, col(SrcCol).asc)
       else if (!strict) Seq(col(TimeColumn).desc, col(SrcCol).asc)
       else Seq(col(TimeColumn).desc, col(SrcCol).desc)) ++ structTieBreak
-    val w = Window.partitionBy(key.map(col): _*).orderBy(ord: _*)
+    val w = Window.partitionBy(partKey.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val lastR = last(col(StructCol), ignoreNulls = true).over(w)

@@ -94,6 +94,38 @@ class AsOfJoinSpec extends SparkTestBase {
       Array((10L, "a", None))
   }
 
+  behavior of "binned as-of join (scale path)"
+
+  it should "produce identical results to the unbinned plan" in {
+    val rnd = new scala.util.Random(42)
+    val lrows = Seq.tabulate(300)(i =>
+      (rnd.nextInt(1000).toLong, if (rnd.nextBoolean()) "a" else "b", i))
+    val rrows = Seq.tabulate(300)(i =>
+      (rnd.nextInt(1000).toLong, if (rnd.nextBoolean()) "a" else "b", i + 1000))
+    val lf = lrows.toDF("time", "k", "lv")
+    val rf = rrows.toDF("time", "k", "rv")
+    for (tol <- Seq("7ns", "40ns", "1000ns")) {
+      def norm(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).sortBy(_.toString)
+      norm(AsOfJoin.leftJoin(lf, rf, tol, Seq("k"), binned = true)) shouldBe
+        norm(AsOfJoin.leftJoin(lf, rf, tol, Seq("k")))
+      norm(AsOfJoin.futureLeftJoin(lf, rf, tol, Seq("k"), binned = true)) shouldBe
+        norm(AsOfJoin.futureLeftJoin(lf, rf, tol, Seq("k")))
+      norm(AsOfJoin.futureLeftJoin(lf, rf, tol, Seq("k"),
+        strictLookahead = true, binned = true)) shouldBe
+        norm(AsOfJoin.futureLeftJoin(lf, rf, tol, Seq("k"), strictLookahead = true))
+      // keyless: the case binning exists for
+      norm(AsOfJoin.leftJoin(lf.drop("k"), rf.drop("k"), tol, binned = true)) shouldBe
+        norm(AsOfJoin.leftJoin(lf.drop("k"), rf.drop("k"), tol))
+    }
+  }
+
+  it should "reject binned mode with zero tolerance" in {
+    an[IllegalArgumentException] should be thrownBy
+      AsOfJoin.leftJoin(left((1L, "a")), right((1L, "a", 1)), "0ns", Seq("k"),
+        binned = true)
+  }
+
   behavior of "symmetricJoin (full-outer as-of)"
 
   private def sym(l: Seq[(Long, String, Int)], r: Seq[(Long, String, Int)],
