@@ -1,0 +1,211 @@
+"""TimeSeriesDataFrame: the Python surface of the engine
+(mirrors /root/reference/python/ts/flint/dataframe.py:107 over our Scala
+API; every JVM call goes through graft.python.PyApi)."""
+
+# The classic (py4j-backed) DataFrame: pyspark 4's pyspark.sql.DataFrame is
+# an abstract facade whose __new__ dispatches between classic and connect;
+# a py4j binding is classic by construction.
+from pyspark.sql.classic.dataframe import DataFrame
+
+
+def _api(df):
+    return df.sparkSession._jvm.graft.python.PyApi
+
+
+def _jlist(session, items):
+    """Python list[str] -> java.util.ArrayList[String] (None -> empty)."""
+    jl = session._jvm.java.util.ArrayList()
+    for x in items or []:
+        jl.add(x)
+    return jl
+
+
+def _wrap(jdf, session):
+    return TimeSeriesDataFrame(DataFrame(jdf, session))
+
+
+class TimeSeriesDataFrame(DataFrame):
+    """A pyspark DataFrame with a canonical long-nanos ``time`` column and
+    the graft time-series / as-of operator surface.
+
+    Construct from any DataFrame with :meth:`from_df` (canonizes the time
+    column), or wrap an already-canonical frame directly.
+    """
+
+    # pyspark.sql.DataFrame.__new__ dispatches classic-vs-connect from its
+    # (jdf, sql_ctx) arguments; our wrapper constructor takes a DataFrame,
+    # so bypass that dispatch (we are classic by construction).
+    def __new__(cls, *args, **kwargs):
+        return object.__new__(cls)
+
+    def __init__(self, df):
+        super().__init__(df._jdf, df.sparkSession)
+
+    # ------------------------------------------------------------ factory
+
+    @classmethod
+    def from_df(cls, df, time_column="time", unit_to_nanos=1):
+        """Canonize ``time_column`` (rename to ``time``, convert to long
+        nanos, move first) - the ingest path (≙ fromDF)."""
+        jdf = _api(df).canonize(df._jdf, time_column, unit_to_nanos)
+        return _wrap(jdf, df.sparkSession)
+
+    def _with(self, jdf):
+        return _wrap(jdf, self.sparkSession)
+
+    # ----------------------------------------------------------- row ops
+
+    def between(self, begin_nanos, end_nanos):
+        return self._with(_api(self).between(self._jdf, begin_nanos, end_nanos))
+
+    def order_by_time(self, num_partitions=0):
+        return self._with(_api(self).orderByTime(self._jdf, num_partitions))
+
+    def keep_columns(self, *cols):
+        return self._with(_api(self).keepColumns(
+            self._jdf, _jlist(self.sparkSession, list(cols))))
+
+    def delete_columns(self, *cols):
+        return self._with(_api(self).deleteColumns(
+            self._jdf, _jlist(self.sparkSession, list(cols))))
+
+    def rename_columns(self, mapping):
+        s = self.sparkSession
+        return self._with(_api(self).renameColumns(
+            self._jdf, _jlist(s, list(mapping.keys())),
+            _jlist(s, list(mapping.values()))))
+
+    def cast_column(self, col, to_type):
+        return self._with(_api(self).castColumn(self._jdf, col, to_type))
+
+    def add_column(self, name, sql_expr):
+        return self._with(_api(self).addColumn(self._jdf, name, sql_expr))
+
+    def shift(self, duration, forward=True):
+        return self._with(_api(self).shift(self._jdf, duration, forward))
+
+    def set_time(self, sql_expr):
+        return self._with(_api(self).setTime(self._jdf, sql_expr))
+
+    def coalesce_ordered(self, n):
+        """Adjacent-only partition merge preserving global time order."""
+        return self._with(_api(self).coalesce(self._jdf, n))
+
+    def validate(self):
+        """Assert per-partition sortedness + non-overlapping ranges."""
+        _api(self).validate(self._jdf)
+        return self
+
+    def merge(self, other):
+        return self._with(_api(self).merge(self._jdf, other._jdf))
+
+    # -------------------------------------------------------------- joins
+
+    def left_join(self, right, tolerance="0ns", key=None, left_alias=None,
+                  right_alias=None, binned=False):
+        """Backward as-of join (≙ leftJoin)."""
+        return self._with(_api(self).leftJoin(
+            self._jdf, right._jdf, tolerance,
+            _jlist(self.sparkSession, key), left_alias or "", right_alias or "",
+            binned))
+
+    def future_left_join(self, right, tolerance="0ns", key=None,
+                         left_alias=None, right_alias=None,
+                         strict_lookahead=False, binned=False):
+        """Forward as-of join (≙ futureLeftJoin)."""
+        return self._with(_api(self).futureLeftJoin(
+            self._jdf, right._jdf, tolerance,
+            _jlist(self.sparkSession, key), left_alias or "", right_alias or "",
+            strict_lookahead, binned))
+
+    def symmetric_join(self, right, tolerance="0ns", key=None,
+                       left_alias=None, right_alias=None):
+        """Full-outer as-of join (≙ symmetricJoin)."""
+        return self._with(_api(self).symmetricJoin(
+            self._jdf, right._jdf, tolerance,
+            _jlist(self.sparkSession, key), left_alias or "", right_alias or ""))
+
+    # ------------------------------------------------------- aggregations
+
+    def summarize(self, summarizer, key=None):
+        return self._with(_api(self).summarize(
+            self._jdf, summarizer._jsum(self.sparkSession),
+            _jlist(self.sparkSession, key)))
+
+    def summarize_cycles(self, summarizer, key=None):
+        return self._with(_api(self).summarizeCycles(
+            self._jdf, summarizer._jsum(self.sparkSession),
+            _jlist(self.sparkSession, key)))
+
+    def group_by_cycle(self, key=None):
+        return self._with(_api(self).groupByCycle(
+            self._jdf, _jlist(self.sparkSession, key)))
+
+    def summarize_intervals(self, clock, summarizer, key=None,
+                            inclusion="begin", rounding="end"):
+        return self._with(_api(self).summarizeIntervals(
+            self._jdf, clock._jdf, summarizer._jsum(self.sparkSession),
+            _jlist(self.sparkSession, key), inclusion, rounding))
+
+    def group_by_interval(self, clock, key=None, inclusion="begin",
+                          rounding="end"):
+        return self._with(_api(self).groupByInterval(
+            self._jdf, clock._jdf, _jlist(self.sparkSession, key),
+            inclusion, rounding))
+
+    def summarize_windows(self, summarizer, past=None, future=None, key=None):
+        return self._with(_api(self).summarizeWindows(
+            self._jdf, summarizer._jsum(self.sparkSession),
+            past or "", future or "", _jlist(self.sparkSession, key)))
+
+    def add_windows(self, past=None, future=None, key=None):
+        return self._with(_api(self).addWindows(
+            self._jdf, past or "", future or "",
+            _jlist(self.sparkSession, key)))
+
+    def add_summary_columns(self, summarizer, key=None, tie_break=None):
+        return self._with(_api(self).addSummaryColumns(
+            self._jdf, summarizer._jsum(self.sparkSession),
+            _jlist(self.sparkSession, key),
+            _jlist(self.sparkSession, tie_break)))
+
+    # --------------------------------------------------------- EMA family
+
+    def exponential_smoothing(self, col, key=None, alpha=0.05,
+                              priming_periods=1.0,
+                              nanos_per_period=86400e9,
+                              interpolation="current", convention="core",
+                              per_row=False):
+        fn = (_api(self).exponentialSmoothingRows if per_row
+              else _api(self).exponentialSmoothing)
+        return self._with(fn(self._jdf, col, _jlist(self.sparkSession, key),
+                             alpha, priming_periods, nanos_per_period,
+                             interpolation, convention))
+
+    def ewma(self, col, key=None, alpha=0.05, duration_per_period="1d",
+             convention="legacy", per_row=False):
+        fn = _api(self).ewmaRows if per_row else _api(self).ewma
+        return self._with(fn(self._jdf, col, _jlist(self.sparkSession, key),
+                             alpha, duration_per_period, convention))
+
+    # ------------------------------------------------- LLM pipeline ops
+
+    def exact_dedup(self, id_col, text_col, normalize=True):
+        return self._with(_api(self).exactDedup(
+            self._jdf, id_col, text_col, normalize))
+
+    def minhash_dedup_pairs(self, id_col, text_col, num_hashes=128, bands=16,
+                            shingle_size=3, threshold=0.7, max_bucket_size=64):
+        return self._with(_api(self).minHashDedupPairs(
+            self._jdf, id_col, text_col, num_hashes, bands, shingle_size,
+            threshold, max_bucket_size))
+
+    def simhash_pairs(self, id_col, text_col, max_hamming=3,
+                      max_bucket_size=64):
+        return self._with(_api(self).simHashPairs(
+            self._jdf, id_col, text_col, max_hamming, max_bucket_size))
+
+    def jaccard_pairs_within(self, id_col, text_col, block_col, threshold,
+                             max_block_size=2147483647):
+        return self._with(_api(self).jaccardPairsWithin(
+            self._jdf, id_col, text_col, block_col, threshold, max_block_size))

@@ -1,0 +1,235 @@
+package graft.python
+
+import java.util.{List => JList}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import graft.ts._
+
+/**
+ * Java/py4j-friendly facade over the Scala API for the Python binding
+ * (≙ the reference's py4j entry points used by python/ts/flint/java.py):
+ * no default arguments, no Scala `Option`/`Seq`/tuples in signatures —
+ * `null`/empty strings mean "absent", `java.util.List` carries sequences.
+ * The Python package calls ONLY this object, so the Scala API can evolve
+ * without breaking py4j call sites.
+ */
+object PyApi {
+
+  private def seq(l: JList[String]): Seq[String] =
+    if (l == null) Seq.empty else l.asScala.toSeq
+  private def opt(s: String): Option[String] = Option(s).filter(_.nonEmpty)
+
+  // ------------------------------------------------------------- core ops
+
+  def canonize(df: DataFrame, timeCol: String, unitToNanos: Long): DataFrame =
+    TimeSeriesOps.canonize(df, timeCol, unitToNanos)
+
+  def between(df: DataFrame, beginNanos: Long, endNanos: Long): DataFrame =
+    TimeSeriesOps.between(df, beginNanos, endNanos)
+
+  def orderByTime(df: DataFrame, numPartitions: Int): DataFrame =
+    TimeSeriesOps.orderByTime(df, numPartitions)
+
+  def keepColumns(df: DataFrame, cols: JList[String]): DataFrame =
+    TimeSeriesOps.keepColumns(df, seq(cols): _*)
+
+  def deleteColumns(df: DataFrame, cols: JList[String]): DataFrame =
+    TimeSeriesOps.deleteColumns(df, seq(cols): _*)
+
+  def renameColumns(df: DataFrame, from: JList[String], to: JList[String]): DataFrame =
+    TimeSeriesOps.renameColumns(df, seq(from).zip(seq(to)): _*)
+
+  def castColumn(df: DataFrame, col: String, toType: String): DataFrame =
+    TimeSeriesOps.castColumns(df,
+      col -> org.apache.spark.sql.types.DataType.fromDDL(toType))
+
+  def addColumn(df: DataFrame, name: String, sqlExpr: String): DataFrame =
+    TimeSeriesOps.addColumns(df, name -> F.expr(sqlExpr))
+
+  def shift(df: DataFrame, duration: String, forward: Boolean): DataFrame =
+    TimeSeriesOps.shift(df, duration, forward)
+
+  def setTime(df: DataFrame, sqlExpr: String): DataFrame =
+    TimeSeriesOps.setTime(df, F.expr(sqlExpr))
+
+  def coalesce(df: DataFrame, n: Int): DataFrame = TimeSeriesOps.coalesce(df, n)
+
+  def validate(df: DataFrame): Unit = TimeSeriesOps.validate(df)
+
+  def merge(left: DataFrame, right: DataFrame): DataFrame =
+    TimeSeriesOps.merge(left, right)
+
+  def uniformClock(spark: SparkSession, beginNanos: Long, endNanos: Long,
+                   frequency: String): DataFrame =
+    TimeSeriesOps.uniformClock(spark, beginNanos, endNanos, frequency)
+
+  def randomClock(spark: SparkSession, beginNanos: Long, endNanos: Long,
+                  frequency: String, seed: Long): DataFrame =
+    Sources.randomClock(spark, beginNanos, endNanos, frequency, seed)
+
+  // --------------------------------------------------------------- joins
+
+  def leftJoin(left: DataFrame, right: DataFrame, tolerance: String,
+               key: JList[String], leftAlias: String, rightAlias: String,
+               binned: Boolean): DataFrame =
+    AsOfJoin.leftJoin(left, right, tolerance, seq(key),
+      opt(leftAlias), opt(rightAlias), binned)
+
+  def futureLeftJoin(left: DataFrame, right: DataFrame, tolerance: String,
+                     key: JList[String], leftAlias: String, rightAlias: String,
+                     strictLookahead: Boolean, binned: Boolean): DataFrame =
+    AsOfJoin.futureLeftJoin(left, right, tolerance, seq(key),
+      opt(leftAlias), opt(rightAlias), strictLookahead, binned)
+
+  def symmetricJoin(left: DataFrame, right: DataFrame, tolerance: String,
+                    key: JList[String], leftAlias: String,
+                    rightAlias: String): DataFrame =
+    AsOfJoin.symmetricJoin(left, right, tolerance, seq(key),
+      opt(leftAlias), opt(rightAlias))
+
+  // --------------------------------------------------- summarizer algebra
+
+  def sum(x: String): Summarizer = Summarizers.sum(x)
+  def kahanSum(x: String): Summarizer = Summarizers.kahanSum(x)
+  def count(): Summarizer = Summarizers.count()
+  def countCol(x: String): Summarizer = Summarizers.count(x)
+  def mean(x: String): Summarizer = Summarizers.mean(x)
+  def variance(x: String): Summarizer = Summarizers.variance(x)
+  def stddev(x: String): Summarizer = Summarizers.stddev(x)
+  def min(x: String): Summarizer = Summarizers.min(x)
+  def max(x: String): Summarizer = Summarizers.max(x)
+  def product(x: String): Summarizer = Summarizers.product(x)
+  def dotProduct(x: String, y: String): Summarizer = Summarizers.dotProduct(x, y)
+  def geometricMean(x: String): Summarizer = Summarizers.geometricMean(x)
+  def covariance(x: String, y: String): Summarizer = Summarizers.covariance(x, y)
+  def correlation(x: String, y: String): Summarizer = Summarizers.correlation(x, y)
+  def correlationPairs(cols: JList[String]): Summarizer =
+    Summarizers.correlation(seq(cols))
+  def weightedCovariance(x: String, y: String, w: String): Summarizer =
+    Summarizers.weightedCovariance(x, y, w)
+  def weightedCorrelation(x: String, y: String, w: String): Summarizer =
+    Summarizers.weightedCorrelation(x, y, w)
+  def weightedMeanTest(x: String, w: String): Summarizer =
+    Summarizers.weightedMeanTest(x, w)
+  def zScore(x: String, includeCurrent: Boolean): Summarizer =
+    Summarizers.zScore(x, includeCurrent)
+  def nthMoment(x: String, n: Int): Summarizer = Summarizers.nthMoment(x, n)
+  def nthCentralMoment(x: String, n: Int): Summarizer =
+    Summarizers.nthCentralMoment(x, n)
+  def skewness(x: String): Summarizer = Summarizers.skewness(x)
+  def kurtosis(x: String): Summarizer = Summarizers.kurtosis(x)
+  def quantile(x: String, ps: JList[java.lang.Double]): Summarizer =
+    Summarizers.quantile(x, ps.asScala.toSeq.map(_.doubleValue()))
+  def olsRegression(y: String, xs: JList[String], weight: String): Summarizer =
+    Summarizers.OLSRegression(y, seq(xs), opt(weight))
+  def momentsState(x: String): Summarizer = Summarizers.momentsState(x)
+  def rows(cols: JList[String]): Summarizer = Summarizers.rows(seq(cols))
+
+  def compose(ss: JList[Summarizer]): Summarizer =
+    Summarizers.compose(ss.asScala.toSeq: _*)
+  def stack(ss: JList[Summarizer]): Summarizer =
+    Summarizers.stack(ss.asScala.toSeq: _*)
+  def where(s: Summarizer, sqlPredicate: String): Summarizer =
+    s.where(F.expr(sqlPredicate))
+  def prefix(s: Summarizer, p: String): Summarizer = s.prefix(p)
+
+  // ---------------------------------------------------- aggregation modes
+
+  def summarize(df: DataFrame, s: Summarizer, key: JList[String]): DataFrame =
+    Summarize.summarize(df, s, seq(key))
+
+  def summarizeCycles(df: DataFrame, s: Summarizer, key: JList[String]): DataFrame =
+    Summarize.summarizeCycles(df, s, seq(key))
+
+  def groupByCycle(df: DataFrame, key: JList[String]): DataFrame =
+    Summarize.groupByCycle(df, seq(key))
+
+  def summarizeIntervals(df: DataFrame, clock: DataFrame, s: Summarizer,
+                         key: JList[String], inclusion: String,
+                         rounding: String): DataFrame =
+    Intervals.summarizeIntervals(df, Intervals.clockTicks(clock), s, seq(key),
+      inclusion, rounding)
+
+  def groupByInterval(df: DataFrame, clock: DataFrame, key: JList[String],
+                      inclusion: String, rounding: String): DataFrame =
+    Intervals.groupByInterval(df, Intervals.clockTicks(clock), seq(key),
+      inclusion, rounding)
+
+  def summarizeWindows(df: DataFrame, s: Summarizer, past: String,
+                       future: String, key: JList[String]): DataFrame = {
+    val w = window(past, future)
+    WindowOps.summarizeWindows(df, w, s, seq(key))
+  }
+
+  def addWindows(df: DataFrame, past: String, future: String,
+                 key: JList[String]): DataFrame =
+    WindowOps.addWindows(df, window(past, future), seq(key))
+
+  def addSummaryColumns(df: DataFrame, s: Summarizer, key: JList[String],
+                        tieBreak: JList[String]): DataFrame =
+    WindowOps.addSummaryColumns(df, s, seq(key), seq(tieBreak))
+
+  private def window(past: String, future: String): WindowOps.TimeWindow =
+    (opt(past), opt(future)) match {
+      case (Some(p), None) => WindowOps.pastAbsoluteTime(p)
+      case (None, Some(f)) => WindowOps.futureAbsoluteTime(f)
+      case (Some(p), Some(f)) => WindowOps.TimeWindow(
+        -TimeSeriesOps.parseDuration(p), TimeSeriesOps.parseDuration(f),
+        s"past_${p}_future_$f")
+      case _ => throw new IllegalArgumentException(
+        "window needs a past and/or future duration")
+    }
+
+  // ------------------------------------------------------------ EMA family
+
+  def exponentialSmoothing(df: DataFrame, x: String, key: JList[String],
+                           alpha: Double, primingPeriods: Double,
+                           nanosPerPeriod: Double, interpolation: String,
+                           convention: String): DataFrame =
+    EmaOps.exponentialSmoothing(df, x, seq(key), alpha, primingPeriods,
+      nanosPerPeriod, interpolation, convention)
+
+  def exponentialSmoothingRows(df: DataFrame, x: String, key: JList[String],
+                               alpha: Double, primingPeriods: Double,
+                               nanosPerPeriod: Double, interpolation: String,
+                               convention: String): DataFrame =
+    EmaOps.exponentialSmoothingRows(df, x, seq(key), alpha, primingPeriods,
+      nanosPerPeriod, interpolation, convention)
+
+  def ewma(df: DataFrame, x: String, key: JList[String], alpha: Double,
+           durationPerPeriod: String, convention: String): DataFrame =
+    EmaOps.ewma(df, x, seq(key), alpha, durationPerPeriod, convention)
+
+  def ewmaRows(df: DataFrame, x: String, key: JList[String], alpha: Double,
+               durationPerPeriod: String, convention: String): DataFrame =
+    EmaOps.ewmaRows(df, x, seq(key), alpha, durationPerPeriod, convention)
+
+  // -------------------------------------------------- LLM pipeline ops
+
+  def exactDedup(df: DataFrame, idCol: String, textCol: String,
+                 normalize: Boolean): DataFrame =
+    graft.llm.Dedup.exactDedup(df, idCol, textCol, normalize)
+
+  def minHashDedupPairs(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int, bands: Int, shingleSize: Int,
+                        threshold: Double, maxBucketSize: Int): DataFrame =
+    graft.llm.Dedup.minHashDedupPairs(df, idCol, textCol, numHashes, bands,
+      shingleSize, threshold, maxBucketSize)
+
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int, maxBucketSize: Int): DataFrame =
+    graft.llm.Dedup.simHashPairs(df, idCol, textCol, maxHamming, maxBucketSize)
+
+  def jaccardPairsWithin(df: DataFrame, idCol: String, textCol: String,
+                         blockCol: String, threshold: Double,
+                         maxBlockSize: Int): DataFrame =
+    graft.llm.Dedup.jaccardPairsWithin(df, idCol, textCol, blockCol,
+      threshold, maxBlockSize)
+
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame =
+    graft.llm.Similarity.bruteForceTopK(queries, corpus, idCol, vecCol, k)
+}
