@@ -61,11 +61,19 @@ object EmaOps {
     val k = math.log(1.0 - alpha)
     val p = nanosPerPeriod
 
-    val base = withKeyStats(project(df, xCol, key), key)
-    val w = Window.partitionBy(key.map(F.col): _*).orderBy(F.col("__t"))
+    // One keyed window pass yields the lag neighbors AND the per-key
+    // extremes (whole-partition frames share the sort with the lag), so the
+    // input is scanned once — no second scan + broadcast join like ewma's
+    // windowless path needs.
+    val base = project(df, xCol, key)
+    val wp = Window.partitionBy(key.map(F.col): _*)
+    val wo = wp.orderBy(F.col("__t"))
     val lagged = base
-      .withColumn("__tp", F.lag("__t", 1).over(w))
-      .withColumn("__xp", F.lag("__x", 1).over(w))
+      .withColumn("__tp", F.lag("__t", 1).over(wo))
+      .withColumn("__xp", F.lag("__x", 1).over(wo))
+      .withColumn("__tmax", F.max("__t").over(wp))
+      .withColumn("__tmin", F.min("__t").over(wp))
+      .withColumn("__x0", F.min_by(F.col("__x"), F.col("__t")).over(wp))
 
     val dt = (F.col("__t") - F.col("__tp")) / p
     val d = F.exp(F.lit(k) * dt)
