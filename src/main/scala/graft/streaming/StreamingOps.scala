@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{functions => F}
+import graft.ts.{Summarizer, TimeSeriesOps}
+
+/**
+ * Structured Streaming variants of the aggregation surface. The reference
+ * is batch-only (SURVEY §2.8) — this is the post-parity capability the
+ * engine adds, expressed purely on Spark's streaming primitives so the
+ * SAME code runs on a batch frame or a `readStream` frame:
+ *
+ *  - [[summarizeTumbling]] / [[summarizeSliding]]: event-time windowed
+ *    summarize with a watermark (`F.window` + groupBy — incremental
+ *    stateful aggregation, late data dropped past the watermark).
+ *  - [[summarizeSessions]]: gap-based session windows (`F.session_window`).
+ *  - [[ewmaStateful]]: per-key running EWMA across micro-batches via
+ *    `flatMapGroupsWithState` — the custom-state path for semantics the
+ *    built-in windowed aggregates cannot express (order-dependent decay).
+ *
+ * Times: input keeps the canonical long-nanos `time` column; event-time
+ * operators need a TimestampType column, derived here as `event_ts`
+ * (micro truncation — Spark watermarks are microsecond-grained).
+ */
+object StreamingOps {
+  import TimeSeriesOps.TimeColumn
+
+  private val EventTs = "event_ts"
+
+  /** Add the TimestampType event-time column streaming operators key on. */
+  def withEventTime(df: DataFrame): DataFrame =
+    df.withColumn(EventTs, TimeSeriesOps.nanosToTimestamp(F.col(TimeColumn)))
+
+  /** Event-time tumbling-window summarize with a watermark. Output columns:
+    * window_start/window_end (long nanos), key..., aggregates. */
+  def summarizeTumbling(df: DataFrame, s: Summarizer, windowDuration: String,
+                        watermarkDelay: String,
+                        key: Seq[String] = Seq.empty): DataFrame =
+    windowed(df, s, F.window(F.col(EventTs), windowDuration), watermarkDelay, key)
+
+  /** Sliding-window variant: one result row per (window, key) for every
+    * `slideDuration` step. */
+  def summarizeSliding(df: DataFrame, s: Summarizer, windowDuration: String,
+                       slideDuration: String, watermarkDelay: String,
+                       key: Seq[String] = Seq.empty): DataFrame =
+    windowed(df, s, F.window(F.col(EventTs), windowDuration, slideDuration),
+      watermarkDelay, key)
+
+  /** Session windows: rows closer than `gapDuration` merge into one session. */
+  def summarizeSessions(df: DataFrame, s: Summarizer, gapDuration: String,
+                        watermarkDelay: String,
+                        key: Seq[String] = Seq.empty): DataFrame =
+    windowed(df, s, F.session_window(F.col(EventTs), gapDuration),
+      watermarkDelay, key)
+
+  private def windowed(df: DataFrame, s: Summarizer, windowCol: org.apache.spark.sql.Column,
+                       watermarkDelay: String, key: Seq[String]): DataFrame = {
+    val withTs = withEventTime(df).withWatermark(EventTs, watermarkDelay)
+    val aggs = s.outputs
+    withTs
+      .groupBy(windowCol.as("__w") +: key.map(F.col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select((F.unix_micros(F.col("__w.start")) * 1000L).as("window_start") +:
+        (F.unix_micros(F.col("__w.end")) * 1000L).as("window_end") +:
+        (key.map(F.col) ++ s.names.map(n => F.col(s"`$n`"))): _*)
+  }
+
+  /**
+   * Per-key running EWMA across micro-batches: emits one row per input row
+   * with the running value, state = (lastTime, primary, auxiliary) carried
+   * in `GroupState` between batches. Rows inside a batch are processed in
+   * event-time order; state times out after `stateTimeout` of event-time
+   * inactivity (watermark-driven), bounding state size on unbounded key
+   * spaces. Output: (time, key, value, <x>_ewma).
+   *
+   * Late-data caveat: with event-time timeouts Spark drops events at or
+   * before the current watermark — this includes an event at exactly the
+   * epoch-0 instant against the initial watermark, so streams should carry
+   * real (positive) event times.
+   */
+  def ewmaStateful(df: DataFrame, xCol: String, key: String,
+                   alpha: Double = 0.05, durationPerPeriod: String = "1d",
+                   convention: String = "legacy",
+                   watermarkDelay: String = "0 seconds",
+                   stateTimeout: String = "30 days"): DataFrame = {
+    require(Seq("core", "legacy").contains(convention))
+    val logDecay = math.log(1.0 - alpha)
+    val perPeriod = TimeSeriesOps.parseDuration(durationPerPeriod).toDouble
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val in = withEventTime(df).withWatermark(EventTs, watermarkDelay)
+      .select(F.col(TimeColumn), F.col(key).cast("string").as("__k"),
+        F.col(xCol).cast("double").as("__x"), F.col(EventTs))
+
+    val outSchema = StructType(Seq(
+      StructField(TimeColumn, LongType),
+      StructField(key, StringType),
+      StructField(xCol, DoubleType),
+      StructField(s"${xCol}_ewma", DoubleType)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+
+    in.as[(Long, String, Double, java.sql.Timestamp)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (k: String, rows: Iterator[(Long, String, Double, java.sql.Timestamp)],
+         state: GroupState[(Long, Double, Double)]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var (lastT, primary, aux) = state.getOption.getOrElse((Long.MinValue, 0.0, 0.0))
+            val out = rows.toSeq.sortBy(_._1).map { case (t, _, x, _) =>
+              if (lastT == Long.MinValue) { primary = x; aux = 1.0 }
+              else {
+                val decay = math.exp((t - lastT) / perPeriod * logDecay)
+                primary = decay * primary + x
+                aux = decay * aux + 1.0
+              }
+              lastT = t
+              Row(t, k, x, if (convention == "core") primary / aux else primary)
+            }
+            state.update((lastT, primary, aux))
+            if (state.getCurrentWatermarkMs() > 0) {
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() +
+                TimeSeriesOps.parseDuration(stateTimeout) / 1000000L)
+            }
+            out.iterator
+          }
+        }).toDF(TimeColumn, key, xCol, s"${xCol}_ewma")
+  }
+}

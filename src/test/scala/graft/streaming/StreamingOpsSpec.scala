@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.ts.Summarizers
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/**
+ * Structured Streaming operators: event-time windowed summarize (batch
+ * parity + incremental micro-batch execution), session windows, and
+ * cross-batch stateful EWMA via flatMapGroupsWithState.
+ */
+class StreamingOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val S = 1000000000L // 1s in nanos
+
+  behavior of "summarizeTumbling"
+
+  it should "bucket event time into tumbling windows on a batch frame" in {
+    val df = Seq(
+      (0L, "a", 1.0), (30 * S, "a", 2.0), (90 * S, "a", 4.0), (30 * S, "b", 8.0))
+      .toDF("time", "k", "v")
+    val out = StreamingOps.summarizeTumbling(df, Summarizers.sum("v"),
+      "1 minute", "0 seconds", Seq("k"))
+      .orderBy("window_start", "k").collect()
+    out.map(r => (r.getLong(0), r.getString(2), r.getDouble(3))) shouldBe Array(
+      (0L, "a", 3.0), (0L, "b", 8.0), (60L * S, "a", 4.0))
+  }
+
+  it should "emit overlapping windows when sliding" in {
+    val df = Seq((30 * S, "a", 1.0)).toDF("time", "k", "v")
+    val out = StreamingOps.summarizeSliding(df, Summarizers.count(),
+      "1 minute", "30 seconds", "0 seconds", Seq("k"))
+      .orderBy("window_start").collect()
+    // a row at t=30s falls in windows [0,60) and [30,90)
+    out.map(_.getLong(0)) shouldBe Array(0L, 30L * S)
+  }
+
+  it should "merge rows within the gap into one session" in {
+    val df = Seq((0L, "a", 1.0), (5 * S, "a", 2.0), (60 * S, "a", 4.0))
+      .toDF("time", "k", "v")
+    val out = StreamingOps.summarizeSessions(df, Summarizers.sum("v"),
+      "10 seconds", "0 seconds", Seq("k"))
+      .orderBy("window_start").collect()
+    out.map(r => (r.getLong(0), r.getDouble(3))) shouldBe Array(
+      (0L, 3.0), (60L * S, 4.0))
+  }
+
+  behavior of "streaming execution"
+
+  it should "aggregate tumbling windows incrementally over micro-batches" in {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    val sdf = mem.toDF().toDF("time", "k", "v")
+    val agg = StreamingOps.summarizeTumbling(sdf, Summarizers.sum("v"),
+      "1 minute", "0 seconds", Seq("k"))
+    val q = agg.writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("complete").start()
+    try {
+      mem.addData((0L, "a", 1.0), (30 * S, "a", 2.0))
+      q.processAllAvailable()
+      mem.addData((40 * S, "a", 4.0)) // same window, later batch
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_test")
+        .orderBy("window_start").collect()
+      rows.map(r => (r.getLong(0), r.getDouble(3))) shouldBe Array((0L, 7.0))
+    } finally q.stop()
+  }
+
+  it should "carry EWMA state across micro-batches" in {
+    implicit val sqlCtx = spark.sqlContext
+    val day = 86400L * S
+    val mem = MemoryStream[(Long, String, Double)]
+    val sdf = mem.toDF().toDF("time", "k", "v")
+    val ewma = StreamingOps.ewmaStateful(sdf, "v", "k",
+      alpha = 0.5, durationPerPeriod = "1d", convention = "legacy")
+    val q = ewma.writeStream.format("memory").queryName("ewma_test")
+      .outputMode("append").start()
+    try {
+      mem.addData((day, "a", 1.0), (2 * day, "a", 2.0))
+      q.processAllAvailable()
+      mem.addData((3 * day, "a", 3.0)) // decay must continue from batch 1
+      q.processAllAvailable()
+      val rows = spark.table("ewma_test").orderBy("time").collect()
+      rows.map(_.getDouble(3)) shouldBe Array(1.0, 2.5, 4.25)
+    } finally q.stop()
+  }
+}
