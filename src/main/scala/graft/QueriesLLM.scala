@@ -88,6 +88,15 @@ object QueriesLLM {
         .select("q_id", "n_id", "rank")
         .orderBy("q_id", "rank")
     }),
+    "emb_near_dup" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val centroids = e.filter(F.col("vec_id") < 16).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toSeq).toSeq
+      Similarity.cosineDupPairs(e, "vec_id", "embedding", centroids,
+        threshold = 0.45, nprobe = 2)
+        .orderBy("id_a", "id_b")
+    }),
     "emb_norm_stats" -> ((s, dir) =>
       embs(s, dir)
         .select(F.col("label"),
@@ -224,6 +233,22 @@ object QueriesLLM {
                AS rank
            FROM scored)
          SELECT q_id, n_id, rank FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
+    "emb_near_dup" -> {
+      def cos(x: String, y: String) =
+        s"list_dot_product($x, $y) / (sqrt(list_dot_product($x, $x)) * sqrt(list_dot_product($y, $y)))"
+      s"""WITH cents AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS c
+             FROM embeddings WHERE vec_id < 16),
+         n AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS v FROM embeddings),
+         nc AS (SELECT n_id, v, cell FROM (
+             SELECT n_id, v, cell, row_number() OVER (PARTITION BY n_id
+               ORDER BY ${cos("v", "c")} DESC, cell DESC) AS rk
+             FROM n, cents) WHERE rk <= 2),
+         p AS (SELECT DISTINCT a.n_id AS id_a, b.n_id AS id_b,
+             round(${cos("a.v", "b.v")}, 6) AS cosine
+           FROM nc a JOIN nc b ON a.cell = b.cell AND a.n_id < b.n_id)
+         SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.45
+         ORDER BY id_a, id_b"""
+    },
     "emb_norm_stats" ->
       """WITH e AS (SELECT label,
            sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm

@@ -65,6 +65,34 @@ object Similarity {
   }
 
   /**
+   * Embedding-cosine near-duplicate pairs, cell-bucketed: every vector is
+   * duplicated into its `nprobe` nearest centroid cells, candidate pairs
+   * share a cell, and the exact cosine filter keeps pairs at or above
+   * `threshold`. The pair fan-out is per-cell (never an all-pairs
+   * crossJoin), the same candidates→exact-verify shape as MinHash-LSH —
+   * the 100 TB path for embedding dedup. Near-identical vectors share a
+   * nearest cell with overwhelming probability; recall at low thresholds
+   * is bounded by cell granularity (grow `nprobe`/centroids to taste).
+   * Output: (id_a, id_b, cosine rounded to 6).
+   */
+  def cosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                     centroids: Seq[Seq[Float]], threshold: Double,
+                     nprobe: Int = 2): DataFrame = {
+    val c = df.select(F.col(idCol).as("id"), F.col(vecCol).as("v"))
+      .withColumn("cell", F.explode(probeCells(F.col("v"), centroids, nprobe)))
+    val a = c.select(F.col("cell"), F.col("id").as("id_a"), F.col("v").as("v_a"))
+    val b = c.select(F.col("cell"), F.col("id").as("id_b"), F.col("v").as("v_b"))
+    a.join(b, Seq("cell"))
+      .filter(F.col("id_a") < F.col("id_b"))
+      .select(F.col("id_a"), F.col("id_b"),
+        F.round(cosine(F.col("v_a"), F.col("v_b")), 6).as("cosine"))
+      // a pair sharing several probed cells appears once per cell with an
+      // identical cosine; collapse before the threshold filter
+      .dropDuplicates("id_a", "id_b")
+      .filter(F.col("cosine") >= threshold)
+  }
+
+  /**
    * IVF-style ANN: corpus assigned to cells once; each query probes its
    * `nprobe` best cells and ranks only those candidates.
    * Output: (q_id, n_id, rank, cosine).

@@ -156,6 +156,17 @@ class DedupSpec extends SparkTestBase {
     ivf.map(_.toSeq) shouldBe bf.map(_.toSeq)
   }
 
+  it should "find embedding near-duplicates via cell buckets" in {
+    val vs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.001f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))
+    val out = Similarity.cosineDupPairs(vs, "vec_id", "embedding", cents, 0.99)
+      .collect()
+    out.map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((0L, 1L))
+    out.head.getDouble(2) should be >= 0.999
+  }
+
   it should "compute l2 norms via array folds" in {
     val r = Seq((1L, Seq(3.0f, 4.0f))).toDF("id", "v")
       .select(Similarity.l2Norm($"v")).collect().head
