@@ -177,6 +177,13 @@ object Summarizers {
     } yield correlation(cols(i), cols(j))): _*)
   }
 
+  /** Pearson correlation for every (x, y) pair from two column lists
+    * (≙ the reference's correlation(xs, ys) form, Summarizers.scala:248). */
+  def correlation(xs: Seq[String], ys: Seq[String]): Summarizer = {
+    require(xs.nonEmpty && ys.nonEmpty, "both column lists must be non-empty")
+    compose((for { x <- xs; y <- ys } yield correlation(x, y)): _*)
+  }
+
   /** Raw algebraic state of the moment family — n, Σx, Σx², Σx³, Σx⁴ —
     * the buffer every moment-based summarizer is derived from
     * (≙ summarizeState's expose-the-buffer debugging role,

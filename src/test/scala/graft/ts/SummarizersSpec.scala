@@ -169,6 +169,12 @@ class SummarizersSpec extends SparkTestBase {
     approx(r.getDouble(3), 1.0, 1e-12)
   }
 
+  it should "expand two-list correlation into the cross product of pairs" in {
+    Summarizers.correlation(Seq("x"), Seq("y", "w")).names shouldBe Seq(
+      "x_y_correlation", "x_y_correlationTStat",
+      "x_w_correlation", "x_w_correlationTStat")
+  }
+
   it should "expose the moment family's algebraic state" in {
     val r = one(Summarizers.momentsState("x"))
     r.getLong(1) shouldBe 4L
