@@ -122,6 +122,94 @@ object Kernels {
     sk
   }
 
+  /** Σ aᵢ·bᵢ in double precision, sequential accumulation — bit-identical
+    * to the `zip_with`+`aggregate` fold it replaces. Null on length
+    * mismatch (the fold's null-padding produced null there too); elements
+    * must be non-null. */
+  def dotD(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    java.lang.Double.valueOf(s)
+  }
+
+  /** cos(a, b) = Σab / (√Σaa · √Σbb), accumulated in one pass with the
+    * same per-accumulator op order as three separate folds. */
+  def cosineD(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var sab = 0.0; var saa = 0.0; var sbb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      sab += x * y; saa += x * x; sbb += y * y
+      i += 1
+    }
+    java.lang.Double.valueOf(sab / (math.sqrt(saa) * math.sqrt(sbb)))
+  }
+
+  /** Cosine of `v` against each centroid row (flat row-major `cents`). */
+  private def centroidCosines(v: ArrayData, cents: Array[Double],
+                              dim: Int): Array[Double] = {
+    val k = cents.length / dim
+    val out = new Array[Double](k)
+    var svv = 0.0
+    var i = 0
+    while (i < dim) { val x = v.getDouble(i); svv += x * x; i += 1 }
+    val nv = math.sqrt(svv)
+    var c = 0
+    while (c < k) {
+      var sab = 0.0; var scc = 0.0
+      val off = c * dim
+      i = 0
+      while (i < dim) {
+        val x = v.getDouble(i); val y = cents(off + i)
+        sab += x * y; scc += y * y
+        i += 1
+      }
+      out(c) = sab / (nv * math.sqrt(scc))
+      c += 1
+    }
+    out
+  }
+
+  /** Nearest-centroid cell: argmax cosine, ties to the LOWEST cell id
+    * (matches `array_position(sims, array_max(sims)) - 1`). */
+  def centroidCell(v: ArrayData, cents: Array[Double], dim: Int): Int = {
+    val cos = centroidCosines(v, cents, dim)
+    var best = 0
+    var i = 1
+    while (i < cos.length) { if (cos(i) > cos(best)) best = i; i += 1 }
+    best
+  }
+
+  /** Top-`nprobe` cells by cosine, ties to the HIGHER cell id first
+    * (matches `reverse(array_sort(struct(cos, cell)))`). */
+  def centroidProbes(v: ArrayData, cents: Array[Double], dim: Int,
+                     nprobe: Int): ArrayData = {
+    val cos = centroidCosines(v, cents, dim)
+    val k = cos.length
+    val taken = new Array[Boolean](k)
+    val m = math.min(nprobe, k)
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = -1
+      var i = 0
+      while (i < k) {
+        if (!taken(i) && (best < 0 || cos(i) > cos(best) ||
+          (cos(i) == cos(best) && i > best))) best = i
+        i += 1
+      }
+      taken(best) = true
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /**
    * Interval bucket stamp for time `t` against a strictly-increasing clock:
    * `beginIncl` selects [b, e) vs (b, e] membership, `stampBegin` selects

@@ -23,14 +23,16 @@ import org.apache.spark.sql.{functions => F}
  */
 object Similarity {
 
-  /** Σ a_i b_i in double precision (sequential fold, deterministic). */
+  /** Σ a_i b_i in double precision — a codegen'd kernel expression with the
+    * same sequential accumulation order as the `zip_with`+`aggregate` fold
+    * it replaced (identical IEEE results, ~10x less per-row dispatch). */
   def dot(a: Column, b: Column): Column =
-    F.aggregate(F.zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      F.lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.graft.GraftColumns.dotProduct(a, b)
 
   def l2Norm(a: Column): Column = F.sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.GraftColumns.cosineSim(a, b)
 
   /**
    * Exact top-k neighbors for each query vector. `queries` must be small
@@ -49,19 +51,24 @@ object Similarity {
       .select("q_id", "n_id", "rank", "cosine")
   }
 
-  /** Nearest-centroid cell id (0-based) for a vector, against a broadcast
-    * centroid list; ties resolve to the lowest cell id. */
-  def cellOf(vec: Column, centroids: Seq[Seq[Float]]): Column = {
-    val cents = F.typedlit(centroids)
-    val sims = F.transform(cents, c => cosine(vec, c))
-    F.array_position(sims, F.array_max(sims)).cast("int") - 1
+  private def flat(centroids: Seq[Seq[Float]]): (Array[Double], Int) = {
+    val dim = centroids.head.length
+    require(centroids.forall(_.length == dim), "centroids must share one dimension")
+    (centroids.flatten.map(_.toDouble).toArray, dim)
   }
 
-  /** Top-`nprobe` nearest cells for a query vector. */
+  /** Nearest-centroid cell id (0-based) for a vector; ties resolve to the
+    * lowest cell id. One compiled pass over the centroid matrix per row. */
+  def cellOf(vec: Column, centroids: Seq[Seq[Float]]): Column = {
+    val (cents, dim) = flat(centroids)
+    org.apache.spark.sql.graft.GraftColumns.centroidCell(vec, cents, dim)
+  }
+
+  /** Top-`nprobe` nearest cells for a query vector (ties → higher cell
+    * first, matching the reverse-sort form this kernel replaced). */
   def probeCells(vec: Column, centroids: Seq[Seq[Float]], nprobe: Int): Column = {
-    val cents = F.typedlit(centroids)
-    val scored = F.transform(cents, (c, i) => F.struct(cosine(vec, c).as("s"), i.as("cell")))
-    F.transform(F.slice(F.reverse(F.array_sort(scored)), 1, nprobe), x => x.getField("cell"))
+    val (cents, dim) = flat(centroids)
+    org.apache.spark.sql.graft.GraftColumns.centroidProbes(vec, cents, dim, nprobe)
   }
 
   /**

@@ -349,7 +349,13 @@ object Summarizers {
   }
 
   /** Exact quantiles, R-7 linear interpolation (≙ QuantileSummarizer,
-    * Apache-math3 Percentile type R-7); `<c>_<p>quantile`. */
+    * Apache-math3 Percentile type R-7); `<c>_<p>quantile`.
+    *
+    * Memory note: exact percentile buffers every value of the group — the
+    * same caveat the reference documents for summarize()-scale use
+    * (reference Summarizers.scala:374-378). For huge groups prefer
+    * `F.approx_percentile` (bounded sketch) unless bit-exact quantiles
+    * are required. */
   def quantile(x: String, ps: Seq[Double]): Summarizer = Summarizer { c =>
     ps.map(q => s"${x}_${q}quantile" -> c.agg(F.percentile(c.in(x), F.lit(q))))
   }

@@ -43,6 +43,21 @@ object GraftColumns {
   def intervalBucket(time: Column, clock: Broadcast[Array[Long]],
                      beginInclusive: Boolean, stampBegin: Boolean): Column =
     col(IntervalBucket(ex(time), clock, beginInclusive, stampBegin))
+
+  /** Σ aᵢ·bᵢ of two numeric arrays in double precision. */
+  def dotProduct(a: Column, b: Column): Column = col(DotProductExpr(ex(a), ex(b)))
+
+  /** Cosine similarity of two numeric arrays. */
+  def cosineSim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
+
+  /** Nearest-centroid cell id (ties → lowest). Centroids ride the closure. */
+  def centroidCell(vec: Column, centroids: Array[Double], dim: Int): Column =
+    col(CentroidCell(ex(vec), centroids, dim))
+
+  /** Top-`nprobe` centroid cells by cosine (ties → highest first). */
+  def centroidProbes(vec: Column, centroids: Array[Double], dim: Int,
+                     nprobe: Int): Column =
+    col(CentroidProbes(ex(vec), centroids, dim, nprobe))
 }
 
 case class HashedShingles(child: Expression, k: Int)
@@ -99,6 +114,77 @@ case class SimHash64(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.Kernels.simHash64($c);")
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.Kernels.dotD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double r = graft.Kernels.dotD($a, $b);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+    """)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.Kernels.cosineD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double r = graft.Kernels.cosineD($a, $b);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+    """)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+case class CentroidCell(child: Expression, centroids: Array[Double], dim: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    graft.Kernels.centroidCell(input.asInstanceOf[ArrayData], centroids, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.Kernels.centroidCell($c, $cents, $dim);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CentroidCell =
+    copy(child = newChild)
+}
+
+case class CentroidProbes(child: Expression, centroids: Array[Double],
+                          dim: Int, nprobe: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    graft.Kernels.centroidProbes(input.asInstanceOf[ArrayData], centroids, dim, nprobe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.Kernels.centroidProbes($c, $cents, $dim, $nprobe);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CentroidProbes =
     copy(child = newChild)
 }
 
