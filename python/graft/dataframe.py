@@ -209,3 +209,54 @@ class TimeSeriesDataFrame(DataFrame):
                              max_block_size=2147483647):
         return self._with(_api(self).jaccardPairsWithin(
             self._jdf, id_col, text_col, block_col, threshold, max_block_size))
+
+    def _jcentroids(self, centroids):
+        jl = self.sparkSession._jvm.java.util.ArrayList()
+        for c in centroids:
+            inner = self.sparkSession._jvm.java.util.ArrayList()
+            for v in c:
+                inner.add(float(v))
+            jl.add(inner)
+        return jl
+
+    def ivf_topk(self, queries, id_col, vec_col, centroids, k, nprobe=2):
+        """IVF-style ANN: self is the corpus, queries probe nprobe cells."""
+        return self._with(_api(self).ivfTopK(
+            queries._jdf, self._jdf, id_col, vec_col,
+            self._jcentroids(centroids), k, nprobe))
+
+    def cosine_dup_pairs(self, id_col, vec_col, centroids, threshold,
+                         nprobe=2):
+        """Embedding-cosine near-duplicate pairs via centroid cells."""
+        return self._with(_api(self).cosineDupPairs(
+            self._jdf, id_col, vec_col, self._jcentroids(centroids),
+            threshold, nprobe))
+
+    # ---------------------------------------------------------- streaming
+
+    def summarize_tumbling(self, summarizer, window_duration,
+                           watermark_delay="0 seconds", key=None):
+        """Event-time tumbling-window summarize (works on readStream frames)."""
+        return self._with(_api(self).summarizeTumbling(
+            self._jdf, summarizer._jsum(self.sparkSession), window_duration,
+            watermark_delay, _jlist(self.sparkSession, key)))
+
+    def summarize_sliding(self, summarizer, window_duration, slide_duration,
+                          watermark_delay="0 seconds", key=None):
+        return self._with(_api(self).summarizeSliding(
+            self._jdf, summarizer._jsum(self.sparkSession), window_duration,
+            slide_duration, watermark_delay, _jlist(self.sparkSession, key)))
+
+    def summarize_sessions(self, summarizer, gap_duration,
+                           watermark_delay="0 seconds", key=None):
+        return self._with(_api(self).summarizeSessions(
+            self._jdf, summarizer._jsum(self.sparkSession), gap_duration,
+            watermark_delay, _jlist(self.sparkSession, key)))
+
+    def ewma_stateful(self, col, key, alpha=0.05, duration_per_period="1d",
+                      convention="legacy", watermark_delay="0 seconds",
+                      state_timeout="30 days"):
+        """Cross-batch running EWMA via flatMapGroupsWithState."""
+        return self._with(_api(self).ewmaStateful(
+            self._jdf, col, key, alpha, duration_per_period, convention,
+            watermark_delay, state_timeout))

@@ -112,6 +112,25 @@ dd = docs.exact_dedup("doc_id", "text").orderBy("keep_id").collect()
 check("exact_dedup groups normalized duplicates",
       [(r["keep_id"], r["n_dupes"]) for r in dd] == [(1, 2), (3, 1)])
 
+# ---------------------------------------------------------- similarity
+vecs = TimeSeriesDataFrame.from_df(spark.createDataFrame(
+    [(0, 0, [1.0, 0.0]), (1, 1, [1.0, 0.001]), (2, 2, [0.0, 1.0])],
+    "time long, vec_id long, embedding array<float>"))
+cents = [[1.0, 0.0], [0.0, 1.0]]
+dups = vecs.cosine_dup_pairs("vec_id", "embedding", cents, 0.99).collect()
+check("cosine_dup_pairs finds the near-identical pair",
+      [(r["id_a"], r["id_b"]) for r in dups] == [(0, 1)])
+ivf = vecs.ivf_topk(vecs.where("vec_id = 0"), "vec_id", "embedding",
+                    cents, k=2, nprobe=2).orderBy("rank").collect()
+check("ivf_topk ranks probed candidates",
+      [r["n_id"] for r in ivf] == [1, 2])
+
+# ---------------------------------------------------------- streaming API
+tw = ts.summarize_tumbling(summarizers.sum("v"), "1 minute", key=["k"])
+check("summarize_tumbling on a batch frame",
+      {(r["window_start"], r["k"]): r["v_sum"] for r in tw.collect()}
+      == {(0, "a"): 4.0, (0, "b"): 2.0})
+
 # ------------------------------------------------- multimodal mapInPandas
 mm = spark.createDataFrame(
     [(1, bytearray(b"x" * 300)), (2, bytearray(b"y" * 10))],

@@ -232,4 +232,43 @@ object PyApi {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame =
     graft.llm.Similarity.bruteForceTopK(queries, corpus, idCol, vecCol, k)
+
+  private def cents(centroids: JList[JList[java.lang.Double]]): Seq[Seq[Float]] =
+    centroids.asScala.toSeq.map(_.asScala.toSeq.map(_.floatValue()))
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, centroids: JList[JList[java.lang.Double]],
+              k: Int, nprobe: Int): DataFrame =
+    graft.llm.Similarity.ivfTopK(queries, corpus, idCol, vecCol,
+      cents(centroids), k, nprobe)
+
+  def cosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                     centroids: JList[JList[java.lang.Double]],
+                     threshold: Double, nprobe: Int): DataFrame =
+    graft.llm.Similarity.cosineDupPairs(df, idCol, vecCol, cents(centroids),
+      threshold, nprobe)
+
+  // ----------------------------------------------------------- streaming
+
+  def summarizeTumbling(df: DataFrame, s: Summarizer, windowDuration: String,
+                        watermarkDelay: String, key: JList[String]): DataFrame =
+    graft.streaming.StreamingOps.summarizeTumbling(df, s, windowDuration,
+      watermarkDelay, seq(key))
+
+  def summarizeSliding(df: DataFrame, s: Summarizer, windowDuration: String,
+                       slideDuration: String, watermarkDelay: String,
+                       key: JList[String]): DataFrame =
+    graft.streaming.StreamingOps.summarizeSliding(df, s, windowDuration,
+      slideDuration, watermarkDelay, seq(key))
+
+  def summarizeSessions(df: DataFrame, s: Summarizer, gapDuration: String,
+                        watermarkDelay: String, key: JList[String]): DataFrame =
+    graft.streaming.StreamingOps.summarizeSessions(df, s, gapDuration,
+      watermarkDelay, seq(key))
+
+  def ewmaStateful(df: DataFrame, xCol: String, key: String, alpha: Double,
+                   durationPerPeriod: String, convention: String,
+                   watermarkDelay: String, stateTimeout: String): DataFrame =
+    graft.streaming.StreamingOps.ewmaStateful(df, xCol, key, alpha,
+      durationPerPeriod, convention, watermarkDelay, stateTimeout)
 }
