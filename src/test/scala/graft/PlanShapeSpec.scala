@@ -51,6 +51,18 @@ class PlanShapeSpec extends SparkTestBase {
     cartesians(j) shouldBe 0
   }
 
+  it should "plan the symmetric join with exactly one shuffle" in {
+    val j = AsOfJoin.symmetricJoin(left, right, "5ns", Seq("k"))
+    exchanges(j) shouldBe 1
+    cartesians(j) shouldBe 0
+  }
+
+  it should "plan the binned as-of join with exactly one shuffle" in {
+    val j = AsOfJoin.leftJoin(left, right, "5ns", Seq("k"), binned = true)
+    exchanges(j) shouldBe 1
+    cartesians(j) shouldBe 0
+  }
+
   it should "plan summarize as one partial/final aggregation exchange" in {
     val g = Summarize.summarize(left, Summarizers.sum("lv"), Seq("k"))
     exchanges(g) shouldBe 1

@@ -67,6 +67,14 @@ class AsOfJoinSpec extends SparkTestBase {
     joined(Seq.empty, Seq((10L, "a", 1)), "5ns") shouldBe Array.empty
   }
 
+  it should "match null keys to null keys like the reference's SK map" in {
+    val l = Seq((10L, null.asInstanceOf[String]), (10L, "a")).toDF("time", "k")
+    val r = Seq((9L, null.asInstanceOf[String], 7), (8L, "a", 8)).toDF("time", "k", "v")
+    AsOfJoin.leftJoin(l, r, "5ns", Seq("k")).collect()
+      .map(row => (Option(row.getString(1)), row.getInt(2)))
+      .sortBy(_._1) shouldBe Array((None, 7), (Some("a"), 8))
+  }
+
   it should "reject negative tolerance" in {
     an[IllegalArgumentException] should be thrownBy
       AsOfJoin.leftJoin(left((1L, "a")), right((1L, "a", 1)), "-1ns", Seq("k"))
