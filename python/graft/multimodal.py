@@ -84,8 +84,15 @@ def extract_features(df, dim=16, id_col="doc_id", payload_col="payload"):
     """
 
     def features(payload: bytes):
-        h = hashlib.sha256(payload or b"").digest()
-        return [float(h[i]) / 255.0 for i in range(dim)]
+        # counter-chained sha256 blocks so any dim works (one digest is
+        # only 32 bytes)
+        out = []
+        counter = 0
+        while len(out) < dim:
+            h = hashlib.sha256((payload or b"") + counter.to_bytes(4, "big"))
+            out.extend(float(b) / 255.0 for b in h.digest())
+            counter += 1
+        return out[:dim]
 
     def gen(batches):
         for pdf in batches:

@@ -124,25 +124,30 @@ object Kernels {
 
   /** Σ aᵢ·bᵢ in double precision, sequential accumulation — bit-identical
     * to the `zip_with`+`aggregate` fold it replaces. Null on length
-    * mismatch (the fold's null-padding produced null there too); elements
-    * must be non-null. */
+    * mismatch or any null element (the fold propagated null there too). */
   def dotD(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     java.lang.Double.valueOf(s)
   }
 
   /** cos(a, b) = Σab / (√Σaa · √Σbb), accumulated in one pass with the
-    * same per-accumulator op order as three separate folds. */
+    * same per-accumulator op order as three separate folds. Null on length
+    * mismatch or null elements, like [[dotD]]. */
   def cosineD(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var sab = 0.0; var saa = 0.0; var sbb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getDouble(i); val y = b.getDouble(i)
       sab += x * y; saa += x * x; sbb += y * y
       i += 1
@@ -175,18 +180,25 @@ object Kernels {
     out
   }
 
+  /** "Greater" with SQL total ordering: NaN sorts above every number,
+    * matching `array_max` / descending `array_sort` semantics so the
+    * kernels rank zero-norm (NaN-cosine) cells exactly like the
+    * higher-order-function forms they replaced. */
+  private def gtNaN(a: Double, b: Double): Boolean =
+    if (a.isNaN) !b.isNaN else !b.isNaN && a > b
+
   /** Nearest-centroid cell: argmax cosine, ties to the LOWEST cell id
-    * (matches `array_position(sims, array_max(sims)) - 1`). */
+    * (matches `array_position(sims, array_max(sims)) - 1`, NaN greatest). */
   def centroidCell(v: ArrayData, cents: Array[Double], dim: Int): Int = {
     val cos = centroidCosines(v, cents, dim)
     var best = 0
     var i = 1
-    while (i < cos.length) { if (cos(i) > cos(best)) best = i; i += 1 }
+    while (i < cos.length) { if (gtNaN(cos(i), cos(best))) best = i; i += 1 }
     best
   }
 
   /** Top-`nprobe` cells by cosine, ties to the HIGHER cell id first
-    * (matches `reverse(array_sort(struct(cos, cell)))`). */
+    * (matches `reverse(array_sort(struct(cos, cell)))`, NaN greatest). */
   def centroidProbes(v: ArrayData, cents: Array[Double], dim: Int,
                      nprobe: Int): ArrayData = {
     val cos = centroidCosines(v, cents, dim)
@@ -199,8 +211,9 @@ object Kernels {
       var best = -1
       var i = 0
       while (i < k) {
-        if (!taken(i) && (best < 0 || cos(i) > cos(best) ||
-          (cos(i) == cos(best) && i > best))) best = i
+        if (!taken(i) && (best < 0 || gtNaN(cos(i), cos(best)) ||
+          (cos(i) == cos(best) && i > best) ||
+          (cos(i).isNaN && cos(best).isNaN && i > best))) best = i
         i += 1
       }
       taken(best) = true

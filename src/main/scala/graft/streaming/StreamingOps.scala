@@ -95,6 +95,9 @@ object StreamingOps {
     val in = withEventTime(df).withWatermark(EventTs, watermarkDelay)
       .select(F.col(TimeColumn), F.col(key).cast("string").as("__k"),
         F.col(xCol).cast("double").as("__x"), F.col(EventTs))
+      // FilterNullInput parity with batch ewma — and the tuple encoder
+      // below decodes __x into a primitive, which a null would crash
+      .filter(F.col("__x").isNotNull && F.col(TimeColumn).isNotNull)
 
     val outSchema = StructType(Seq(
       StructField(TimeColumn, LongType),

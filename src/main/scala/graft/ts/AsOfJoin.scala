@@ -113,6 +113,8 @@ object AsOfJoin {
     val left = applyAlias(left0, leftAlias, key)
     val right = applyAlias(right0, rightAlias, key)
     checkNoClash(left, right, key)
+    require(!left.columns.contains("side") && !right.columns.contains("side"),
+      "symmetricJoin emits a 'side' column; rename or alias the existing one")
     val lVals = left.columns.filter(c => c != TimeColumn && !key.contains(c)).toSeq
     val rVals = right.columns.filter(c => c != TimeColumn && !key.contains(c)).toSeq
 

@@ -91,9 +91,13 @@ object EmaOps {
     val aTerm = F.when(F.col("__tp").isNull, 0.0).otherwise((F.lit(1.0) - d) * toEnd)
 
     val grouped = lagged.groupBy(key.map(F.col): _*).agg(
-      F.sum(pTerm).as("__ps"), F.sum(aTerm).as("__as"),
-      F.max("__tmax").as("__tmax"), F.max("__tmin").as("__tmin"),
-      F.max("__x0").as("__x0"))
+        F.sum(pTerm).as("__ps"), F.sum(aTerm).as("__as"),
+        F.max("__tmax").as("__tmax"), F.max("__tmin").as("__tmin"),
+        F.max("__x0").as("__x0"))
+      // keyless groupBy() emits one global row even for empty input;
+      // max over zero rows is null -> drop it (contract: no output row
+      // when no non-null x exists)
+      .filter(F.col("__tmax").isNotNull)
 
     // priming mass: interp(0, x0, actualPriming) decayed over the key's span
     val actualPriming: Column =
@@ -140,7 +144,10 @@ object EmaOps {
     val base = withKeyStats(project(df, xCol, key), key)
     val wgt = F.exp(F.lit(k) * ((F.col("__tmax") - F.col("__t")) / perPeriod))
     val grouped = base.groupBy(key.map(F.col): _*).agg(
-      F.sum(F.col("__x") * wgt).as("__p"), F.sum(wgt).as("__a"))
+        F.sum(F.col("__x") * wgt).as("__p"), F.sum(wgt).as("__a"))
+      // keyless groupBy() emits one global row even for empty input (§ the
+      // exponentialSmoothing note); sum over zero rows is null -> drop
+      .filter(F.col("__a").isNotNull)
     val out = if (convention == "core") F.col("__p") / F.col("__a") else F.col("__p")
     grouped.select((F.lit(0L).as(TimeColumn) +: key.map(F.col)) :+
       out.as(s"${xCol}_ewma"): _*)

@@ -18,12 +18,15 @@ import org.apache.spark.sql.types.StructType
 object Sources {
   import TimeSeriesOps.TimeColumn
 
-  /** CSV → canonical time-series frame (≙ CSV.from). */
+  /** CSV → canonical time-series frame (≙ CSV.from). `options` pass
+    * through to Spark's CSV reader (nullValue, quote, codec, ...). */
   def fromCSV(spark: SparkSession, path: String, header: Boolean = true,
               delimiter: String = ",", schema: Option[StructType] = None,
               timeCol: String = TimeColumn, unitToNanos: Long = 1L,
-              sorted: Boolean = false): DataFrame = {
-    var r = spark.read.option("header", header.toString).option("delimiter", delimiter)
+              sorted: Boolean = false,
+              options: Map[String, String] = Map.empty): DataFrame = {
+    var r = spark.read.options(options)
+      .option("header", header.toString).option("delimiter", delimiter)
     val df = schema match {
       case Some(s) => r.schema(s).csv(path)
       case None => r.option("inferSchema", "true").csv(path)
@@ -34,11 +37,13 @@ object Sources {
 
   /** Parquet scan with optional column list and [begin, end) time range
     * (≙ fromParquet). Both the projection and the range filter reach the
-    * parquet reader (PushedFilters / ReadSchema) via Catalyst. */
+    * parquet reader (PushedFilters / ReadSchema) via Catalyst. `options`
+    * pass through to the reader (mergeSchema, ...). */
   def fromParquet(spark: SparkSession, path: String, columns: Seq[String] = Seq.empty,
                   beginNanos: Option[Long] = None, endNanos: Option[Long] = None,
-                  timeCol: String = TimeColumn, unitToNanos: Long = 1L): DataFrame = {
-    var df = spark.read.parquet(path)
+                  timeCol: String = TimeColumn, unitToNanos: Long = 1L,
+                  options: Map[String, String] = Map.empty): DataFrame = {
+    var df = spark.read.options(options).parquet(path)
     if (columns.nonEmpty) {
       val keep = (timeCol +: columns.filter(_ != timeCol)).distinct
       df = df.select(keep.map(F.col): _*)
@@ -85,12 +90,13 @@ object Sources {
     }
 
     def parquet(path: String): org.apache.spark.sql.DataFrame =
-      fromParquet(spark, path, cols, begin, end, timeCol, unitToNanos)
+      fromParquet(spark, path, cols, begin, end, timeCol, unitToNanos, opts)
 
     def csv(path: String): org.apache.spark.sql.DataFrame = {
       val header = opts.getOrElse("header", "true").toBoolean
       val delim = opts.getOrElse("delimiter", ",")
-      val df = fromCSV(spark, path, header, delim, None, timeCol, unitToNanos)
+      val df = fromCSV(spark, path, header, delim, None, timeCol, unitToNanos,
+        sorted = false, options = opts -- Seq("header", "delimiter"))
       val ranged = (begin, end) match {
         case (Some(b), Some(e)) => TimeSeriesOps.between(df, b, e)
         case (Some(b), None) => df.filter(F.col(TimeColumn) >= b)

@@ -140,11 +140,9 @@ object TimeSeriesOps {
     * Spark's own `Dataset.coalesce` groups partitions by locality, which can
     * interleave non-adjacent ranges — `validate()` catches exactly that —
     * hence the explicit contiguous coalescer at the RDD layer. */
-  def coalesce(df: DataFrame, numPartitions: Int): DataFrame = {
-    val co = df.rdd.coalesce(numPartitions, shuffle = false,
-      Some(new ContiguousCoalescer))
-    df.sparkSession.createDataFrame(co, df.schema)
-  }
+  def coalesce(df: DataFrame, numPartitions: Int): DataFrame =
+    org.apache.spark.sql.graft.GraftColumns.coalesceInternal(
+      df, numPartitions, new ContiguousCoalescer)
 
   /** Groups partition indices into contiguous chunks of near-equal size. */
   private class ContiguousCoalescer extends org.apache.spark.rdd.PartitionCoalescer

@@ -171,7 +171,11 @@ private[agg] class OLSAgg(k: Int, hasIntercept: Boolean)
   }
 
   def reduce(b: OLSBuf, r: Row): OLSBuf = {
-    if (r == null || r.isNullAt(0) || (1 to k).exists(r.isNullAt) || r.isNullAt(k + 1)) b
+    // w <= 0 rows are excluded entirely: they contribute nothing to any
+    // weighted sum, and ln(w) would poison logLikelihood/AIC/BIC with
+    // -Inf/NaN while the fit itself stayed valid.
+    if (r == null || r.isNullAt(0) || (1 to k).exists(r.isNullAt) ||
+      r.isNullAt(k + 1) || r.getDouble(k + 1) <= 0.0) b
     else {
       val w = r.getDouble(k + 1)
       val y = r.getDouble(0)

@@ -58,6 +58,21 @@ object GraftColumns {
   def centroidProbes(vec: Column, centroids: Array[Double], dim: Int,
                      nprobe: Int): Column =
     col(CentroidProbes(ex(vec), centroids, dim, nprobe))
+
+  /**
+   * Narrow partition-count reduction at the InternalRow layer: applies the
+   * given coalescer to `queryExecution.toRdd` and rebuilds the DataFrame
+   * via `internalCreateDataFrame` (private[sql] — the reason this lives in
+   * the spark namespace), so no external-Row round trip is paid. Safe
+   * because coalesce is pass-through: reused row buffers are never held.
+   */
+  def coalesceInternal(df: org.apache.spark.sql.DataFrame, numPartitions: Int,
+                       coalescer: org.apache.spark.rdd.PartitionCoalescer): org.apache.spark.sql.DataFrame = {
+    val rdd = df.queryExecution.toRdd
+      .coalesce(numPartitions, shuffle = false, Some(coalescer))
+    df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, df.schema)
+  }
 }
 
 case class HashedShingles(child: Expression, k: Int)

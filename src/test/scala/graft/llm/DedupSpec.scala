@@ -172,4 +172,29 @@ class DedupSpec extends SparkTestBase {
       .select(Similarity.l2Norm($"v")).collect().head
     approx(r.getDouble(0), 5.0, 1e-12)
   }
+
+  it should "propagate null for null elements or length mismatch in dot" in {
+    val r = spark.range(1).select(
+      Similarity.dot(F.expr("array(1.0D, cast(null as double))"),
+        F.expr("array(1.0D, 2.0D)")).as("a"),
+      Similarity.dot(F.expr("array(1.0D)"),
+        F.expr("array(1.0D, 2.0D)")).as("b"),
+      Similarity.cosine(F.expr("array(1.0D, cast(null as double))"),
+        F.expr("array(1.0D, 2.0D)")).as("c")).collect().head
+    r.isNullAt(0) shouldBe true
+    r.isNullAt(1) shouldBe true
+    r.isNullAt(2) shouldBe true
+  }
+
+  it should "rank NaN cosines greatest in cell assignment (array_max parity)" in {
+    // centroid 0 has zero norm -> NaN cosine; array_max treats NaN as the
+    // maximum, so the kernel must pick cell 0 despite the finite 1.0 at cell 1
+    val vs = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val cents = Seq(Seq(0.0f, 0.0f), Seq(1.0f, 0.0f))
+    val cell = vs.select(Similarity.cellOf($"embedding", cents)).collect().head.getInt(0)
+    cell shouldBe 0
+    val probes = vs.select(Similarity.probeCells($"embedding", cents, 2))
+      .collect().head.getSeq[Int](0)
+    probes shouldBe Seq(0, 1)
+  }
 }

@@ -176,6 +176,13 @@ class AsOfJoinSpec extends SparkTestBase {
         (10L, "left", Some(1), None))
   }
 
+  it should "reject inputs that already carry a 'side' column" in {
+    val l = Seq((1L, "a", "x")).toDF("time", "k", "side")
+    val r = Seq((1L, "a", 2)).toDF("time", "k", "rv")
+    an[IllegalArgumentException] should be thrownBy
+      AsOfJoin.symmetricJoin(l, r, "1ns", Seq("k"))
+  }
+
   behavior of "aliases and clashes"
 
   it should "prefix right columns with rightAlias" in {

@@ -140,6 +140,14 @@ class EmaSpec extends SparkTestBase {
     out shouldBe Array(1.0, 2.5, 10.0, 25.0)
   }
 
+  it should "emit no rows for empty or all-null keyless input" in {
+    val empty = Seq.empty[(Long, Double)].toDF("time", "v")
+    EmaOps.ewma(empty, "v", alpha = 0.5).count() shouldBe 0
+    EmaOps.exponentialSmoothing(empty, "v").count() shouldBe 0
+    val allNull = Seq((0L, None: Option[Double])).toDF("time", "v")
+    EmaOps.ewma(allNull, "v", alpha = 0.5).count() shouldBe 0
+  }
+
   it should "compute one value per key group" in {
     val df = Seq((0L, "a", 1.0), (0L, "b", 10.0), (day, "a", 2.0), (day, "b", 20.0))
       .toDF("time", "k", "v")

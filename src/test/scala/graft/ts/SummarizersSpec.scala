@@ -200,6 +200,20 @@ class SummarizersSpec extends SparkTestBase {
     approx(ols.getDouble(2) / ols.getDouble(6), ols.getDouble(7), 1e-9)
   }
 
+  it should "exclude zero-weight rows from OLS without poisoning diagnostics" in {
+    val base = Seq.tabulate(6)(i =>
+      (i.toLong, (i + 1).toDouble, 2.0 * (i + 1) + 0.1 * i * i, 1.0))
+    val withZero = base :+ (99L, 1000.0, -1000.0, 0.0) // excluded outlier
+    def fit(rows: Seq[(Long, Double, Double, Double)]) =
+      Summarize.summarize(rows.toDF("time", "x1", "y", "w"),
+        Summarizers.OLSRegression("y", Seq("x1"), weight = Some("w")))
+        .collect().head.getStruct(1)
+    val a = fit(base); val b = fit(withZero)
+    b.getLong(0) shouldBe a.getLong(0) // samples excludes the w=0 row
+    approx(b.getSeq[Double](1).head, a.getSeq[Double](1).head, 1e-12)
+    assert(!b.getDouble(8).isNaN && !b.getDouble(8).isInfinite) // logL finite
+  }
+
   it should "flag constant regressors via constantsCoordinates" in {
     val pts = Seq.tabulate(6) { i =>
       (i.toLong, (i + 1).toDouble, 7.0, 2.0 * (i + 1) + 0.1 * i * i)
