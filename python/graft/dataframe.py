@@ -163,6 +163,14 @@ class TimeSeriesDataFrame(DataFrame):
             self._jdf, past or "", future or "",
             _jlist(self.sparkSession, key)))
 
+    def add_columns_for_cycle(self, func, schema, key=None):
+        """Apply a pandas function to every (time, key...) cycle — the
+        GROUPED_MAP path of the reference's addColumnsForCycle python
+        surface (func(pdf) -> pdf, executed via applyInPandas over Arrow
+        batches; schema is the full output schema DDL)."""
+        grouped = self.groupBy(*(["time"] + list(key or [])))
+        return TimeSeriesDataFrame(grouped.applyInPandas(func, schema))
+
     def add_summary_columns(self, summarizer, key=None, tie_break=None):
         return self._with(_api(self).addSummaryColumns(
             self._jdf, summarizer._jsum(self.sparkSession),

@@ -112,6 +112,22 @@ dd = docs.exact_dedup("doc_id", "text").orderBy("keep_id").collect()
 check("exact_dedup groups normalized duplicates",
       [(r["keep_id"], r["n_dupes"]) for r in dd] == [(1, 2), (3, 1)])
 
+# ------------------------------------------------------ cycle pandas UDF
+cyc = TimeSeriesDataFrame.from_df(spark.createDataFrame(
+    [(1, "a", 1.0), (1, "a", 3.0), (2, "a", 5.0)], "time long, k string, v double"))
+
+
+def cycle_share(pdf):
+    pdf = pdf.copy()
+    pdf["share"] = pdf["v"] / pdf["v"].sum()
+    return pdf
+
+
+shares = cyc.add_columns_for_cycle(
+    cycle_share, "time long, k string, v double, share double", key=["k"])
+check("add_columns_for_cycle pandas transform",
+      sorted(r["share"] for r in shares.collect()) == [0.25, 0.75, 1.0])
+
 # ---------------------------------------------------------- similarity
 vecs = TimeSeriesDataFrame.from_df(spark.createDataFrame(
     [(0, 0, [1.0, 0.0]), (1, 1, [1.0, 0.001]), (2, 2, [0.0, 1.0])],
