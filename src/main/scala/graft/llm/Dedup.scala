@@ -190,18 +190,33 @@ object Dedup {
         .drop("__rn")
     }
     val d = capped.withColumn("n", F.size(F.col("ws")))
-    val a = d.select(F.col("blk"), F.col("id").as("id_a"), F.col("ws").as("ws_a"),
-      F.col("n").as("n_a"))
-    val b = d.select(F.col("blk"), F.col("id").as("id_b"), F.col("ws").as("ws_b"),
-      F.col("n").as("n_b"))
-    a.join(b, Seq("blk"))
-      // J >= t implies min(|A|,|B|)/max(|A|,|B|) >= t: prune on sizes before
-      // touching the arrays (classic set-similarity length filter).
+    // Length banding: J >= t forces min(|A|,|B|)/max(|A|,|B|) >= t, so a
+    // qualifying pair's floor(log2 |set|) values differ by at most
+    // kSpan = ceil(log2(1/t)). Joining on (block, band) — with each row
+    // duplicated into its own and the next kSpan bands — prunes
+    // cross-length pairs BEFORE they materialize and raises join
+    // parallelism from |blocks| to |blocks| x |bands|. The band is exact
+    // integer arithmetic (length of the binary string), so coverage is
+    // provable, and the post-join length filter keeps exactness anyway.
+    val banded = if (threshold > 0.0 && threshold < 1.0) {
+      var kSpan = 0
+      while (math.pow(2, kSpan) * threshold < 1.0) kSpan += 1
+      val band = F.length(F.bin(F.greatest(F.col("n"), F.lit(1)))) - 1
+      d.withColumn("band", F.explode(F.sequence(band, band + kSpan)))
+    } else d.withColumn("band", F.lit(0))
+    val a = banded.select(F.col("blk"), F.col("band"), F.col("id").as("id_a"),
+      F.col("ws").as("ws_a"), F.col("n").as("n_a"))
+    val b = banded.select(F.col("blk"), F.col("band"), F.col("id").as("id_b"),
+      F.col("ws").as("ws_b"), F.col("n").as("n_b"))
+    a.join(b, Seq("blk", "band"))
+      // the exact size prune (banding is a superset of it)
       .filter(F.col("id_a") < F.col("id_b") &&
         F.least(F.col("n_a"), F.col("n_b")).cast("double") >=
           F.lit(threshold) * F.greatest(F.col("n_a"), F.col("n_b")).cast("double"))
       .withColumn("jaccard", sortedJaccard(F.col("ws_a"), F.col("ws_b")))
       .filter(F.col("jaccard") >= threshold)
       .select(F.col("blk").as("block"), F.col("id_a"), F.col("id_b"), F.col("jaccard"))
+      // same-band pairs meet in two shared bands; keep one copy
+      .dropDuplicates("block", "id_a", "id_b")
   }
 }
