@@ -103,6 +103,18 @@ object QueriesCore {
         strictLookahead = true)
         .orderBy("time", "event_id")
     }),
+    // Same query as left_join_asof, executed on the phase-2 custom
+    // range-merge physical operator instead of the union-window rewrite.
+    "left_join_asof_merge" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val l = ev.filter(F.col("event_type") === "click")
+        .select("time", "event_id", "user_id")
+      val r = withValue100(ev.filter(F.col("event_type") === "purchase"))
+        .select(F.col("time"), F.col("user_id"), F.col("value100").as("p_value100"),
+          F.col("time").as("p_time"))
+      AsOfJoin.leftJoinMerge(l, r, tolerance = "3d", key = Seq("user_id"))
+        .orderBy("time", "event_id")
+    }),
     "symmetric_join_asof" -> ((s, dir) => {
       val ev = events(s, dir)
       val l = ev.filter(F.col("event_type") === "click")
@@ -180,6 +192,17 @@ object QueriesCore {
             CASE WHEN r.time <= l.time + ${6 * HOUR} THEN r.err_id END AS err_id,
             CASE WHEN r.time <= l.time + ${6 * HOUR} THEN r.err_time END AS err_time
           FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.time > l.time
+          ORDER BY l.time, l.event_id""",
+    "left_join_asof_merge" ->
+      s"""WITH l AS (SELECT epoch_ns(ts) AS time, event_id, user_id FROM events WHERE event_type = 'click'),
+          r AS (SELECT epoch_ns(ts) AS time, user_id,
+                 CAST(round(value * 100, 0) AS BIGINT) AS p_value100,
+                 epoch_ns(ts) AS p_time
+                FROM events WHERE event_type = 'purchase')
+          SELECT l.time, l.event_id, l.user_id,
+            CASE WHEN r.time >= l.time - ${3 * DAY} THEN r.p_value100 END AS p_value100,
+            CASE WHEN r.time >= l.time - ${3 * DAY} THEN r.p_time END AS p_time
+          FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.time <= l.time
           ORDER BY l.time, l.event_id""",
     "symmetric_join_asof" ->
       s"""WITH l AS (SELECT epoch_ns(ts) AS time, user_id, event_id AS click_id

@@ -163,6 +163,41 @@ object AsOfJoin {
         when(col(SrcCol) === 1, "left").otherwise("right").as("side"): _*)
   }
 
+  /**
+   * Phase-2 backward as-of join on the custom range-merge physical
+   * operator (`org.apache.spark.sql.graft.AsOfMergeJoinExec`): both sides
+   * hash-clustered on the key and merged in one O(|L|+|R|) streaming pass
+   * per partition — no union, no window machinery, right columns never
+   * ride through left rows. Same results as [[leftJoin]]; ties among right
+   * rows at identical (key, time) resolve to plan order rather than the
+   * union path's value-tuple order.
+   */
+  def leftJoinMerge(left0: DataFrame, right0: DataFrame, tolerance: String = "0ns",
+                    key: Seq[String] = Seq.empty, leftAlias: Option[String] = None,
+                    rightAlias: Option[String] = None): DataFrame = {
+    val tol = TimeSeriesOps.parseDuration(tolerance)
+    require(tol >= 0, "tolerance must be non-negative")
+    val left = applyAlias(left0, leftAlias, key)
+    val rightAliased = applyAlias(right0, rightAlias, key)
+    checkNoClash(left, rightAliased, key)
+    // fresh exprIds on the right so self-joins (both sides derived from
+    // one scan) cannot alias the same attributes on both sides
+    val right = rightAliased.select(
+      rightAliased.columns.map(c => col(c).as(c)).toSeq: _*)
+    val merged = org.apache.spark.sql.graft.AsOfMergeJoin.leftJoinMerge(
+      left, right, tol, key, TimeColumn)
+    // project to leftJoin's output schema: left columns + right value
+    // columns; positional temp names sidestep the duplicated time/key names
+    val lCols = left.columns.toSeq
+    val rCols = right.columns.toSeq
+    val tmp = lCols.indices.map(i => s"__l$i") ++ rCols.indices.map(i => s"__r$i")
+    merged.toDF(tmp: _*).select(
+      lCols.zipWithIndex.map { case (c, i) => col(s"__l$i").as(c) } ++
+        rCols.zipWithIndex.collect {
+          case (c, i) if c != TimeColumn && !key.contains(c) => col(s"__r$i").as(c)
+        }: _*)
+  }
+
   private def asOf(left0: DataFrame, right0: DataFrame, toleranceNs: Long,
                    key: Seq[String], leftAlias: Option[String],
                    rightAlias: Option[String], future: Boolean,

@@ -63,6 +63,14 @@ class PlanShapeSpec extends SparkTestBase {
     cartesians(j) shouldBe 0
   }
 
+  it should "plan the range-merge as-of join as two clustered exchanges" in {
+    val j = AsOfJoin.leftJoinMerge(left, right, "5ns", Seq("k"))
+    exchanges(j) shouldBe 2 // one per side, like a sort-merge equi-join
+    cartesians(j) shouldBe 0
+    globalSorts(j) shouldBe 0
+    plan(j).toString should include("AsOfMergeJoin")
+  }
+
   it should "plan summarize as one partial/final aggregation exchange" in {
     val g = Summarize.summarize(left, Summarizers.sum("lv"), Seq("k"))
     exchanges(g) shouldBe 1

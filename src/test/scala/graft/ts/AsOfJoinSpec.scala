@@ -134,6 +134,49 @@ class AsOfJoinSpec extends SparkTestBase {
         binned = true)
   }
 
+  behavior of "leftJoinMerge (phase-2 range-merge operator)"
+
+  it should "produce identical results to the union-window plan" in {
+    val rnd = new scala.util.Random(7)
+    // unique (k, time) pairs so tie semantics cannot differ between paths
+    val lrows = rnd.shuffle(Seq.tabulate(400)(i =>
+      ((i * 5).toLong, if (i % 3 == 0) "a" else "b", i)))
+    val rrows = rnd.shuffle(Seq.tabulate(400)(i =>
+      ((i * 7 + 1).toLong, if (i % 2 == 0) "a" else "b", i + 1000)))
+    val lf = lrows.toDF("time", "k", "lv")
+    val rf = rrows.toDF("time", "k", "rv")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString)
+    for (tol <- Seq("0ns", "10ns", "500ns", "100000ns")) {
+      norm(AsOfJoin.leftJoinMerge(lf, rf, tol, Seq("k"))) shouldBe
+        norm(AsOfJoin.leftJoin(lf, rf, tol, Seq("k")))
+    }
+    // keyless (AllTuples distribution)
+    norm(AsOfJoin.leftJoinMerge(lf.drop("k"), rf.drop("k"), "500ns")) shouldBe
+      norm(AsOfJoin.leftJoin(lf.drop("k"), rf.drop("k"), "500ns"))
+  }
+
+  it should "handle a self-derived right side (duplicate exprIds)" in {
+    val base = Seq((1L, "a", 1), (2L, "a", 2), (3L, "a", 3)).toDF("time", "k", "v")
+    val l = base.filter($"v" =!= 2).select($"time", $"k", $"v".as("lv"))
+    val r = base.filter($"v" === 2).select($"time", $"k", $"v".as("rv"))
+    val out = AsOfJoin.leftJoinMerge(l, r, "5ns", Seq("k"))
+      .orderBy("time").collect()
+    out.map(row => (row.getLong(0),
+      if (row.isNullAt(3)) None else Some(row.getInt(3)))) shouldBe
+      Array((1L, None), (3L, Some(2)))
+  }
+
+  it should "match columns and null-padding of the union path" in {
+    val l = Seq((10L, "a")).toDF("time", "k")
+    val r = Seq((8L, "a", 1, "x")).toDF("time", "k", "v", "s")
+    val out = AsOfJoin.leftJoinMerge(l, r, "5ns", Seq("k"))
+    out.columns.toSeq shouldBe Seq("time", "k", "v", "s")
+    out.collect().head shouldBe Row(10L, "a", 1, "x")
+    val miss = AsOfJoin.leftJoinMerge(l, r, "1ns", Seq("k")).collect().head
+    miss shouldBe Row(10L, "a", null, null)
+  }
+
   behavior of "symmetricJoin (full-outer as-of)"
 
   private def sym(l: Seq[(Long, String, Int)], r: Seq[(Long, String, Int)],
