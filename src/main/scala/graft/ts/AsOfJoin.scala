@@ -174,7 +174,26 @@ object AsOfJoin {
    */
   def leftJoinMerge(left0: DataFrame, right0: DataFrame, tolerance: String = "0ns",
                     key: Seq[String] = Seq.empty, leftAlias: Option[String] = None,
-                    rightAlias: Option[String] = None): DataFrame = {
+                    rightAlias: Option[String] = None): DataFrame =
+    mergeJoin(left0, right0, tolerance, key, leftAlias, rightAlias,
+      future = false, strict = false)
+
+  /** Forward variant of [[leftJoinMerge]] (≙ futureLeftJoin semantics on
+    * the custom operator): nearest right row in [t, t+tolerance], or
+    * (t, t+tolerance] with `strictLookahead`. */
+  def futureLeftJoinMerge(left0: DataFrame, right0: DataFrame,
+                          tolerance: String = "0ns",
+                          key: Seq[String] = Seq.empty,
+                          leftAlias: Option[String] = None,
+                          rightAlias: Option[String] = None,
+                          strictLookahead: Boolean = false): DataFrame =
+    mergeJoin(left0, right0, tolerance, key, leftAlias, rightAlias,
+      future = true, strict = strictLookahead)
+
+  private def mergeJoin(left0: DataFrame, right0: DataFrame, tolerance: String,
+                        key: Seq[String], leftAlias: Option[String],
+                        rightAlias: Option[String], future: Boolean,
+                        strict: Boolean): DataFrame = {
     val tol = TimeSeriesOps.parseDuration(tolerance)
     require(tol >= 0, "tolerance must be non-negative")
     val left = applyAlias(left0, leftAlias, key)
@@ -185,7 +204,7 @@ object AsOfJoin {
     val right = rightAliased.select(
       rightAliased.columns.map(c => col(c).as(c)).toSeq: _*)
     val merged = org.apache.spark.sql.graft.AsOfMergeJoin.leftJoinMerge(
-      left, right, tol, key, TimeColumn)
+      left, right, tol, key, TimeColumn, future, strict)
     // project to leftJoin's output schema: left columns + right value
     // columns; positional temp names sidestep the duplicated time/key names
     val lCols = left.columns.toSeq

@@ -35,7 +35,8 @@ import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistrib
 case class AsOfMergePlan(left: LogicalPlan, right: LogicalPlan,
                          leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                          leftTime: Expression, rightTime: Expression,
-                         toleranceNs: Long) extends BinaryNode {
+                         toleranceNs: Long, future: Boolean,
+                         strict: Boolean) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override lazy val resolved: Boolean = childrenResolved &&
@@ -47,8 +48,9 @@ case class AsOfMergePlan(left: LogicalPlan, right: LogicalPlan,
 
 object AsOfMergeStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfMergePlan(l, r, lk, rk, lt, rt, tol) =>
-      AsOfMergeJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol) :: Nil
+    case AsOfMergePlan(l, r, lk, rk, lt, rt, tol, fut, st) =>
+      AsOfMergeJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol,
+        fut, st) :: Nil
     case _ => Nil
   }
 }
@@ -56,7 +58,8 @@ object AsOfMergeStrategy extends SparkStrategy {
 case class AsOfMergeJoinExec(left: SparkPlan, right: SparkPlan,
                              leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                              leftTime: Expression, rightTime: Expression,
-                             toleranceNs: Long)
+                             toleranceNs: Long, future: Boolean,
+                             strict: Boolean)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -97,35 +100,63 @@ case class AsOfMergeJoinExec(left: SparkPlan, right: SparkPlan,
       val nullRight = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rOut.size)
       val joined = new JoinedRow
 
-      // last right row whose (key, time) <= current left (key, time),
-      // for the current key only (inputs are key-major sorted)
-      var lastKey: InternalRow = null
-      var lastRight: InternalRow = null
-      var lastRightTime: Long = 0L
-
-      lIt.map { lRow =>
-        val lKey = lKeyProj(lRow)
-        val lTime = lTimeBound.eval(lRow).asInstanceOf[Long]
-        // advance the right side up to and including (lKey, lTime)
-        var advancing = true
-        while (advancing && rIt.hasNext) {
-          val rRow = rIt.head
-          val rKey = rKeyProj(rRow)
-          val cmp = keyOrd.compare(rKey, lKey)
-          if (cmp < 0) { rIt.next() } // right key behind: discard
-          else if (cmp == 0) {
-            val rTime = rTimeBound.eval(rRow).asInstanceOf[Long]
-            if (rTime <= lTime) {
-              // candidate: remember a COPY (unsafe rows are reused buffers)
-              lastKey = rKey.copy()
-              lastRight = rIt.next().copy()
-              lastRightTime = rTime
+      if (!future) {
+        // backward: last right row whose (key, time) <= current left
+        // (key, time), for the current key only (inputs key-major sorted)
+        var lastKey: InternalRow = null
+        var lastRight: InternalRow = null
+        var lastRightTime: Long = 0L
+        lIt.map { lRow =>
+          val lKey = lKeyProj(lRow)
+          val lTime = lTimeBound.eval(lRow).asInstanceOf[Long]
+          // advance the right side up to and including (lKey, lTime)
+          var advancing = true
+          while (advancing && rIt.hasNext) {
+            val rRow = rIt.head
+            val rKey = rKeyProj(rRow)
+            val cmp = keyOrd.compare(rKey, lKey)
+            if (cmp < 0) { rIt.next() } // right key behind: discard
+            else if (cmp == 0) {
+              val rTime = rTimeBound.eval(rRow).asInstanceOf[Long]
+              if (rTime <= lTime) {
+                // candidate: remember a COPY (unsafe rows are reused buffers)
+                lastKey = rKey.copy()
+                lastRight = rIt.next().copy()
+                lastRightTime = rTime
+              } else advancing = false
             } else advancing = false
-          } else advancing = false
+          }
+          val matched = lastRight != null && lastKey != null &&
+            keyOrd.compare(lastKey, lKey) == 0 && lastRightTime >= lTime - tol
+          joined(lRow, if (matched) lastRight else nullRight)
         }
-        val matched = lastRight != null && lastKey != null &&
-          keyOrd.compare(lastKey, lKey) == 0 && lastRightTime >= lTime - tol
-        joined(lRow, if (matched) lastRight else nullRight)
+      } else {
+        // forward: the first right row at/after (strictly after when
+        // strict) the left time is the nearest future match. Rights behind
+        // the window start can never match a later left (lefts ascend), so
+        // they are discarded; the matching head is only PEEKED — it may
+        // match later lefts too.
+        lIt.map { lRow =>
+          val lKey = lKeyProj(lRow)
+          val lTime = lTimeBound.eval(lRow).asInstanceOf[Long]
+          var discarding = true
+          while (discarding && rIt.hasNext) {
+            val rRow = rIt.head
+            val cmp = keyOrd.compare(rKeyProj(rRow), lKey)
+            if (cmp < 0) rIt.next()
+            else if (cmp == 0) {
+              val rTime = rTimeBound.eval(rRow).asInstanceOf[Long]
+              if (if (strict) rTime <= lTime else rTime < lTime) rIt.next()
+              else discarding = false
+            } else discarding = false
+          }
+          val matched = rIt.hasNext && {
+            val rRow = rIt.head
+            keyOrd.compare(rKeyProj(rRow), lKey) == 0 &&
+              rTimeBound.eval(rRow).asInstanceOf[Long] <= lTime + tol
+          }
+          joined(lRow, if (matched) rIt.head else nullRight)
+        }
       }
     }
   }
@@ -149,7 +180,8 @@ object AsOfMergeJoin {
     * attributes are resolved by name against each side. Output = left
     * columns ++ right columns (nullable). */
   def leftJoinMerge(left: DataFrame, right: DataFrame, toleranceNs: Long,
-                    key: Seq[String], timeCol: String): DataFrame = {
+                    key: Seq[String], timeCol: String,
+                    future: Boolean = false, strict: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     ensureRegistered(spark)
     val lPlan = left.queryExecution.analyzed
@@ -160,7 +192,7 @@ object AsOfMergeJoin {
           s"column $name not found in ${plan.output.map(_.name).mkString(",")}"))
     val plan = AsOfMergePlan(lPlan, rPlan,
       key.map(attr(lPlan, _)), key.map(attr(rPlan, _)),
-      attr(lPlan, timeCol), attr(rPlan, timeCol), toleranceNs)
+      attr(lPlan, timeCol), attr(rPlan, timeCol), toleranceNs, future, strict)
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
   }

@@ -154,6 +154,14 @@ class AsOfJoinSpec extends SparkTestBase {
     // keyless (AllTuples distribution)
     norm(AsOfJoin.leftJoinMerge(lf.drop("k"), rf.drop("k"), "500ns")) shouldBe
       norm(AsOfJoin.leftJoin(lf.drop("k"), rf.drop("k"), "500ns"))
+    // forward variants, strict and non-strict
+    for (tol <- Seq("0ns", "10ns", "500ns")) {
+      norm(AsOfJoin.futureLeftJoinMerge(lf, rf, tol, Seq("k"))) shouldBe
+        norm(AsOfJoin.futureLeftJoin(lf, rf, tol, Seq("k")))
+      norm(AsOfJoin.futureLeftJoinMerge(lf, rf, tol, Seq("k"),
+        strictLookahead = true)) shouldBe
+        norm(AsOfJoin.futureLeftJoin(lf, rf, tol, Seq("k"), strictLookahead = true))
+    }
   }
 
   it should "handle a self-derived right side (duplicate exprIds)" in {
