@@ -70,4 +70,21 @@ object Summarize {
       }
     }(enc)
   }
+
+  /**
+   * Map-form of [[addColumnsForCycle]] (≙ CycleColumn's Map variant,
+   * reference CycleColumn.scala:32-100): the closure returns a Map from
+   * row to value; rows absent from the map get null.
+   */
+  def addColumnsForCycleMap(
+      df: DataFrame,
+      key: Seq[String],
+      columns: (String, org.apache.spark.sql.types.DataType, Seq[Row] => Map[Row, Any])*): DataFrame =
+    addColumnsForCycle(df, key,
+      columns.map { case (n, t, f) =>
+        (n, t, (rows: Seq[Row]) => {
+          val m = f(rows)
+          rows.map(m.getOrElse(_, null))
+        })
+      }: _*)
 }

@@ -42,6 +42,17 @@ class SummarizeModesSpec extends SparkTestBase {
     shares(1) shouldBe 2.0 / 3.0
   }
 
+  it should "null-pad rows absent from Map-form cycle columns" in {
+    val out = Summarize.addColumnsForCycleMap(cyc, Seq("k"),
+      ("max_flag", org.apache.spark.sql.types.StringType, rows => {
+        val best = rows.maxBy(_.getDouble(2))
+        Map(best -> "max")
+      }))
+    val flagged = out.collect()
+    flagged.count(_.getString(3) == "max") shouldBe 3 // one per cycle
+    flagged.count(_.isNullAt(3)) shouldBe 1
+  }
+
   behavior of "summarizeIntervals inclusion x rounding"
 
   // clock ticks 0,10,20; points at boundaries and interiors
