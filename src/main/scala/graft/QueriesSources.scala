@@ -79,9 +79,22 @@ object QueriesSources {
       s"""SELECT epoch_ns(ts) AS time, event_id, value FROM events
           WHERE epoch_ns(ts) >= ${T0 + 5 * DAY} AND epoch_ns(ts) < ${T0 + 15 * DAY}
           ORDER BY time, event_id""",
+    // Mirrors Sources.randomClock's avalanche-mixed jitter (two 32-bit
+    // xorshift-multiply mixes -> 63-bit value mod step); every intermediate
+    // is bounded below 2^59, so BIGINT arithmetic is exact on both engines.
     "clock_random" ->
       s"""SELECT t AS time FROM (
-            SELECT $T0 + gs * $DAY + (gs * 2654435761 + 7) % $DAY AS t
+            SELECT gs,
+              (gs + 7) % 4294967296 AS a0,
+              xor(a0, a0 >> 16) * 73244475 % 4294967296 AS a1,
+              xor(a1, a1 >> 16) * 73244475 % 4294967296 AS a2,
+              xor(a2, a2 >> 16) AS h1,
+              (gs + 7 + 2654435761) % 4294967296 AS b0,
+              xor(b0, b0 >> 16) * 73244475 % 4294967296 AS b1,
+              xor(b1, b1 >> 16) * 73244475 % 4294967296 AS b2,
+              xor(b2, b2 >> 16) AS h2,
+              $T0 + gs * $DAY +
+                ((h1 % 2147483648) * 4294967296 + h2) % $DAY AS t
             FROM generate_series(0, 30) s(gs))
           WHERE t <= ${T0 + 30 * DAY} ORDER BY time""",
     "ts_generator" ->

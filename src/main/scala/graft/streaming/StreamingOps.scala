@@ -80,6 +80,14 @@ object StreamingOps {
    * before the current watermark — this includes an event at exactly the
    * epoch-0 instant against the initial watermark, so streams should carry
    * real (positive) event times.
+   *
+   * Cross-batch ordering caveat: rows are sorted within each micro-batch,
+   * but an in-watermark row may still arrive in a later batch than a newer
+   * row of the same key. Such a row is folded in with its decay gap clamped
+   * at 0 (treated as simultaneous with the newest row seen), so state never
+   * amplifies; its contribution is approximate versus a fully ordered batch
+   * replay. Use the batch [[graft.ts.EmaOps.ewmaRows]] when exact
+   * order-sensitive values over late data matter.
    */
   def ewmaStateful(df: DataFrame, xCol: String, key: String,
                    alpha: Double = 0.05, durationPerPeriod: String = "1d",
@@ -119,11 +127,19 @@ object StreamingOps {
             val out = rows.toSeq.sortBy(_._1).map { case (t, _, x, _) =>
               if (lastT == Long.MinValue) { primary = x; aux = 1.0 }
               else {
-                val decay = math.exp((t - lastT) / perPeriod * logDecay)
+                // Rows are ordered within a batch, but an in-watermark late
+                // row can still be older than the state's lastT from a
+                // previous batch. Clamp the gap at 0 (decay = 1, i.e.
+                // treated as simultaneous with the newest row seen) —
+                // exp(k*dt) with dt < 0 would exceed 1 and amplify state.
+                val periods = math.max(0.0, (t - lastT) / perPeriod)
+                val decay = math.exp(periods * logDecay)
                 primary = decay * primary + x
                 aux = decay * aux + 1.0
               }
-              lastT = t
+              // max, not assignment: a clamped late row must not rewind the
+              // clock, or the next in-order row would pay its decay twice.
+              lastT = math.max(lastT, t)
               Row(t, k, x, if (convention == "core") primary / aux else primary)
             }
             state.update((lastT, primary, aux))

@@ -200,16 +200,22 @@ object EmaOps {
       F.col(xCol).cast("double").as("__x")): _*)
       .filter(F.col("__x").isNotNull)
 
-  /** Broadcast-join per-key (tmax, tmin, x-at-tmin): one row per key, so the
-    * join never shuffles the fact side and scan parallelism is preserved. */
+  /** Join per-key (tmax, tmin, x-at-tmin) back onto the rows. The stats
+    * side has one row per key; a forced `F.broadcast` would be fastest for
+    * few keys but can exceed the broadcast/driver limit when keys are
+    * high-cardinality (per-user keys at 100 TB), so the join is left
+    * unhinted — AQE converts it to a broadcast join at runtime when the
+    * aggregated side is actually small, and falls back to a shuffle join
+    * otherwise. Keyless input aggregates to exactly one global row, where
+    * the broadcast hint is always safe. */
   private def withKeyStats(base: DataFrame, key: Seq[String]): DataFrame = {
     val aggs = Seq(F.max("__t").as("__tmax"), F.min("__t").as("__tmin"),
       F.min_by(F.col("__x"), F.col("__t")).as("__x0"))
     if (key.isEmpty)
       base.crossJoin(F.broadcast(base.agg(aggs.head, aggs.tail: _*)))
     else
-      base.join(F.broadcast(base.groupBy(key.map(F.col): _*)
-        .agg(aggs.head, aggs.tail: _*)), key)
+      base.join(base.groupBy(key.map(F.col): _*)
+        .agg(aggs.head, aggs.tail: _*), key)
   }
 
   private trait RunningState {

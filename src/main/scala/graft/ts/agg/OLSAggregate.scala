@@ -31,6 +31,10 @@ final case class OLSBuf(xtx: Array[Double], xty: Array[Double],
  * bayesIC (−2logL + k·ln n) with k = design width incl. intercept,
  * cond (λmax/λmin of X'WX), and constantsCoordinates — 0-based indices of
  * regressors with ~zero weighted variance (reported, not dropped).
+ *
+ * Weight semantics: rows with null fields are skipped; rows with w <= 0 are
+ * included in all sums and in `samples` (reference parity) — for such inputs
+ * logLikelihood/AIC/BIC degrade to -Inf/NaN while the fit stays valid.
  */
 object OLSAggregate {
 
@@ -171,11 +175,15 @@ private[agg] class OLSAgg(k: Int, hasIntercept: Boolean)
   }
 
   def reduce(b: OLSBuf, r: Row): OLSBuf = {
-    // w <= 0 rows are excluded entirely: they contribute nothing to any
-    // weighted sum, and ln(w) would poison logLikelihood/AIC/BIC with
-    // -Inf/NaN while the fit itself stayed valid.
+    // Rows with any null field are skipped (FilterNullInput). Rows with
+    // w <= 0 are INCLUDED in every sum and in `samples`, matching the
+    // reference (OLSRegressionSummarizer.scala:307): a zero weight
+    // contributes nothing to the fit but still counts as a sample, and
+    // only the ln(w)-based diagnostics (logLikelihood/AIC/BIC) degrade to
+    // -Inf/NaN — which is surfaced honestly rather than silently changing
+    // `samples` and the degrees of freedom.
     if (r == null || r.isNullAt(0) || (1 to k).exists(r.isNullAt) ||
-      r.isNullAt(k + 1) || r.getDouble(k + 1) <= 0.0) b
+      r.isNullAt(k + 1)) b
     else {
       val w = r.getDouble(k + 1)
       val y = r.getDouble(0)

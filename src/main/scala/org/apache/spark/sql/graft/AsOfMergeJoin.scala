@@ -85,10 +85,17 @@ case class AsOfMergeJoinExec(left: SparkPlan, right: SparkPlan,
     val lOut = left.output
     val rOut = right.output
     val keyTypes = lKeyExprs.map(_.dataType)
+    val outAttrs = output
 
     left.execute().zipPartitions(right.execute()) { (lIt, rIt0) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      // Emitted rows must be UnsafeRows: downstream operators that consume
+      // rows directly (executeCollect, SortExec's UnsafeExternalRowSorter)
+      // cast to UnsafeRow, and a raw JoinedRow(GenericInternalRow) would
+      // ClassCastException there — same contract as
+      // SortMergeJoinExec.createResultProjection.
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
       val lTimeBound = BindReferences.bindReference(lTimeExpr, lOut)
       val rTimeBound = BindReferences.bindReference(rTimeExpr, rOut)
       val keyOrd: Ordering[InternalRow] =
@@ -128,7 +135,7 @@ case class AsOfMergeJoinExec(left: SparkPlan, right: SparkPlan,
           }
           val matched = lastRight != null && lastKey != null &&
             keyOrd.compare(lastKey, lKey) == 0 && lastRightTime >= lTime - tol
-          joined(lRow, if (matched) lastRight else nullRight)
+          resultProj(joined(lRow, if (matched) lastRight else nullRight))
         }
       } else {
         // forward: the first right row at/after (strictly after when
@@ -155,7 +162,7 @@ case class AsOfMergeJoinExec(left: SparkPlan, right: SparkPlan,
             keyOrd.compare(rKeyProj(rRow), lKey) == 0 &&
               rTimeBound.eval(rRow).asInstanceOf[Long] <= lTime + tol
           }
-          joined(lRow, if (matched) rIt.head else nullRight)
+          resultProj(joined(lRow, if (matched) rIt.head else nullRight))
         }
       }
     }

@@ -85,4 +85,31 @@ class StreamingOpsSpec extends SparkTestBase {
       rows.map(_.getDouble(3)) shouldBe Array(1.0, 2.5, 4.25)
     } finally q.stop()
   }
+
+  it should "clamp in-watermark late rows instead of amplifying state" in {
+    implicit val sqlCtx = spark.sqlContext
+    val day = 86400L * S
+    val mem = MemoryStream[(Long, String, Double)]
+    val sdf = mem.toDF().toDF("time", "k", "v")
+    // generous watermark so the late row reaches the operator at all
+    val ewma = StreamingOps.ewmaStateful(sdf, "v", "k",
+      alpha = 0.5, durationPerPeriod = "1d", convention = "legacy",
+      watermarkDelay = "10 days")
+    val q = ewma.writeStream.format("memory").queryName("ewma_late_test")
+      .outputMode("append").start()
+    try {
+      mem.addData((1 * day, "a", 1.0), (3 * day, "a", 3.0))
+      q.processAllAvailable()
+      // t=2d is OLDER than the stored lastT=3d: gap clamps to 0 (decay 1,
+      // never > 1), and lastT must NOT rewind to 2d
+      mem.addData((2 * day, "a", 2.0))
+      q.processAllAvailable()
+      mem.addData((4 * day, "a", 0.0)) // one period after lastT=3d
+      q.processAllAvailable()
+      val rows = spark.table("ewma_late_test").orderBy("time").collect()
+      // 1.0; 0.25*1+3 = 3.25; clamped late row 3.25+2 = 5.25; 0.5*5.25 = 2.625
+      rows.map(r => (r.getLong(0) / day, r.getDouble(3))) shouldBe
+        Array((1L, 1.0), (2L, 5.25), (3L, 3.25), (4L, 2.625))
+    } finally q.stop()
+  }
 }

@@ -185,6 +185,21 @@ class AsOfJoinSpec extends SparkTestBase {
     miss shouldBe Row(10L, "a", null, null)
   }
 
+  it should "emit UnsafeRows usable by collect and sort on the raw builder" in {
+    // Regression: the physical operator must apply a result projection —
+    // a raw JoinedRow(GenericInternalRow null side) ClassCastExceptions in
+    // executeCollect (casts to UnsafeRow) and in SortExec's row sorter.
+    import org.apache.spark.sql.graft.AsOfMergeJoin
+    val l = Seq((10L, "a"), (20L, "b")).toDF("time", "k")
+    val r = Seq((8L, "a", 1)).toDF("time", "k", "v")
+    val direct = AsOfMergeJoin.leftJoinMerge(l, r, 5L, Seq("k"), "time")
+    direct.collect().map(_.toSeq).toSet shouldBe
+      Set(Seq(10L, "a", 8L, "a", 1), Seq(20L, "b", null, null, null))
+    // sort on the right-side value ("time" is ambiguous on the raw output:
+    // both sides keep their column) — SortExec consumes the rows directly
+    direct.orderBy($"v".desc_nulls_last).collect().head.getLong(0) shouldBe 10L
+  }
+
   behavior of "symmetricJoin (full-outer as-of)"
 
   private def sym(l: Seq[(Long, String, Int)], r: Seq[(Long, String, Int)],

@@ -200,18 +200,21 @@ class SummarizersSpec extends SparkTestBase {
     approx(ols.getDouble(2) / ols.getDouble(6), ols.getDouble(7), 1e-9)
   }
 
-  it should "exclude zero-weight rows from OLS without poisoning diagnostics" in {
+  it should "include zero-weight rows in OLS samples (reference parity)" in {
+    // w = 0 contributes nothing to any weighted sum, so the fit is
+    // unchanged — but the row still counts as a sample, and the ln(w)
+    // diagnostics degrade to -Inf honestly (OLSRegressionSummarizer:307).
     val base = Seq.tabulate(6)(i =>
       (i.toLong, (i + 1).toDouble, 2.0 * (i + 1) + 0.1 * i * i, 1.0))
-    val withZero = base :+ (99L, 1000.0, -1000.0, 0.0) // excluded outlier
+    val withZero = base :+ (99L, 1000.0, -1000.0, 0.0)
     def fit(rows: Seq[(Long, Double, Double, Double)]) =
       Summarize.summarize(rows.toDF("time", "x1", "y", "w"),
         Summarizers.OLSRegression("y", Seq("x1"), weight = Some("w")))
         .collect().head.getStruct(1)
     val a = fit(base); val b = fit(withZero)
-    b.getLong(0) shouldBe a.getLong(0) // samples excludes the w=0 row
+    b.getLong(0) shouldBe (a.getLong(0) + 1) // samples counts the w=0 row
     approx(b.getSeq[Double](1).head, a.getSeq[Double](1).head, 1e-12)
-    assert(!b.getDouble(8).isNaN && !b.getDouble(8).isInfinite) // logL finite
+    assert(b.getDouble(8).isNegInfinity) // logL degrades, fit stays valid
   }
 
   it should "flag constant regressors via constantsCoordinates" in {
