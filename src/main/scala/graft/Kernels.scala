@@ -122,6 +122,65 @@ object Kernels {
     sk
   }
 
+  /** 32-bit avalanche finisher (xorshift-multiply): the same bounded
+    * arithmetic the portable SQL oracle evaluates, so cross-engine results
+    * are bit-identical without wrap-around semantics. */
+  private def mix32(v0: Long): Long = {
+    var x = v0 & 0xFFFFFFFFL
+    x = ((x ^ (x >>> 16)) * 0x45d9f3bL) & 0xFFFFFFFFL
+    x = ((x ^ (x >>> 16)) * 0x45d9f3bL) & 0xFFFFFFFFL
+    x ^ (x >>> 16)
+  }
+
+  /**
+   * Portable two-lane SimHash: like [[simHash64]], but the per-token hash
+   * is two decorrelated 32-bit lanes — a codepoint polynomial fold
+   * (mod 2^32) through the [[mix32]] avalanche finisher — instead of
+   * xxhash64. Every intermediate stays below 2^53, so the identical
+   * expression is computable in plain SQL integer arithmetic (the DuckDB
+   * oracle recomputes it exactly); xxhash64's 64-bit wrapping arithmetic is
+   * not. Result: top 32 bits = lane-1 majority votes (bit j of the half =
+   * vote of bit j), low 32 bits = lane-2 votes. Prefer [[simHash64]] when
+   * cross-engine reproducibility is not needed.
+   */
+  def simHashPortable(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val c1 = new Array[Int](32)
+    val c2 = new Array[Int](32)
+    var i = 0
+    while (i < n) {
+      val s = tokens.getUTF8String(i)
+      val str = if (s == null) "" else s.toString
+      var h1 = 2166136261L
+      var h2 = 40503L
+      var ci = 0
+      while (ci < str.length) {
+        val cp = str.codePointAt(ci)
+        h1 = (h1 * 1000003L + cp) & 0xFFFFFFFFL
+        h2 = (h2 * 69069L + cp) & 0xFFFFFFFFL
+        ci += Character.charCount(cp)
+      }
+      val f1 = mix32(h1)
+      val f2 = mix32(h2)
+      var b = 0
+      while (b < 32) {
+        c1(b) += ((f1 >>> b) & 1L).toInt
+        c2(b) += ((f2 >>> b) & 1L).toInt
+        b += 1
+      }
+      i += 1
+    }
+    var hi = 0L
+    var lo = 0L
+    var b = 0
+    while (b < 32) {
+      if (c1(b) * 2 > n) hi |= (1L << b)
+      if (c2(b) * 2 > n) lo |= (1L << b)
+      b += 1
+    }
+    (hi << 32) | lo
+  }
+
   /** Σ aᵢ·bᵢ in double precision, sequential accumulation — bit-identical
     * to the `zip_with`+`aggregate` fold it replaces. Null on length
     * mismatch or any null element (the fold propagated null there too). */

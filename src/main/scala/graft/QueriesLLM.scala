@@ -8,8 +8,10 @@ import graft.llm._
  * LLM-data-pipeline correctness/bench queries over documents.parquet and
  * embeddings.parquet. Oracle notes: token/set arithmetic is exact-integer
  * on both engines; cosine similarities are kept out of hashed output (ids
- * and ranks only) except where rounded; hash-based ops (minhash, simhash)
- * have no DuckDB equivalent and are registered rows-only.
+ * and ranks only) except where rounded. Hash-based ops are oracled by
+ * construction: minhash-LSH against the exact shingle-Jaccard pair list
+ * (recall ~1 on this corpus), simhash via the portable two-lane sketch
+ * whose bounded integer arithmetic DuckDB recomputes bit-for-bit.
  */
 object QueriesLLM {
 
@@ -66,8 +68,13 @@ object QueriesLLM {
       Dedup.minHashDedupPairs(docs(s, dir), "doc_id", "text",
         numHashes = 128, bands = 16, shingleSize = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
+    // Portable two-lane sketch (SQL-mirrorable hash) so the full pipeline —
+    // token hash, majority vote, 16-bit banding, hamming filter — is
+    // verified against the DuckDB oracle; uncapped buckets so the oracle's
+    // exact banded self-join is the same candidate set (no silent cap).
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simHashPairs(docs(s, dir), "doc_id", "text", maxHamming = 8)
+      Dedup.simHashPairs(docs(s, dir), "doc_id", "text", maxHamming = 4,
+        maxBucketSize = Int.MaxValue, sketch = Dedup.simHashPortable)
         .orderBy("id_a", "id_b")),
     "near_dup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairsWithin(docs(s, dir), "doc_id", "text", "source", 0.5)
@@ -184,6 +191,53 @@ object QueriesLLM {
          WHERE $j >= 0.5
          ORDER BY id_a, id_b"""
     },
+    // Recomputes the ENTIRE portable-simhash pipeline in SQL: per-token
+    // two-lane polynomial hash + 32-bit avalanche finisher (bounded BIGINT
+    // arithmetic, bit-identical to Kernels.simHashPortable), per-doc
+    // majority-vote sketch halves, 4x16-bit band self-join, hamming filter.
+    "dedup_simhash" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         hh AS (
+           SELECT doc_id,
+             list_reduce(list_prepend(2166136261::BIGINT,
+                 list_transform(range(1, length(t)+1), i -> unicode(t[i])::BIGINT)),
+               (h, c) -> (h * 1000003 + c) % 4294967296) AS p1,
+             xor(p1, p1 >> 16) * 73244475 % 4294967296 AS q1,
+             xor(q1, q1 >> 16) * 73244475 % 4294967296 AS r1,
+             xor(r1, r1 >> 16) AS h1,
+             list_reduce(list_prepend(40503::BIGINT,
+                 list_transform(range(1, length(t)+1), i -> unicode(t[i])::BIGINT)),
+               (h, c) -> (h * 69069 + c) % 4294967296) AS p2,
+             xor(p2, p2 >> 16) * 73244475 % 4294967296 AS q2,
+             xor(q2, q2 >> 16) * 73244475 % 4294967296 AS r2,
+             xor(r2, r2 >> 16) AS h2
+           FROM tok),
+         sk AS (SELECT doc_id, list(h1) AS hs1, list(h2) AS hs2, count(*) AS n
+                FROM hh GROUP BY doc_id),
+         bits AS (
+           SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 32), j ->
+               CASE WHEN 2 * len(list_filter(hs1, h -> ((h >> j) & 1) = 1)) > n
+                    THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS hi,
+             CAST(list_sum(list_transform(range(0, 32), j ->
+               CASE WHEN 2 * len(list_filter(hs2, h -> ((h >> j) & 1) = 1)) > n
+                    THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS lo
+           FROM sk),
+         bands AS (
+           SELECT doc_id,
+             ((CASE WHEN band < 2 THEN lo ELSE hi END) >> ((band % 2) * 16)) & 65535 AS bucket,
+             band
+           FROM bits, range(0, 4) r(band)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, hamming FROM (
+           SELECT c.id_a, c.id_b,
+             CAST(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) AS INTEGER) AS hamming
+           FROM cand c JOIN bits x ON x.doc_id = c.id_a JOIN bits y ON y.doc_id = c.id_b)
+         WHERE hamming <= 4 ORDER BY id_a, id_b""",
     "ann_ivf_topk" -> {
       def cos(x: String, y: String) =
         s"list_dot_product($x, $y) / (sqrt(list_dot_product($x, $x)) * sqrt(list_dot_product($y, $y)))"

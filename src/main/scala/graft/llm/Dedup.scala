@@ -137,12 +137,23 @@ object Dedup {
   def simHash(text: Column): Column =
     GraftColumns.simHash64(F.split(text, " "))
 
+  /** Portable two-lane SimHash sketch (`Kernels.simHashPortable`): same
+    * majority-vote construction, but the token hash is bounded integer
+    * arithmetic a SQL engine can recompute bit-for-bit — which is what
+    * makes the `dedup_simhash` query independently verifiable against a
+    * DuckDB oracle. Sketches are NOT comparable with [[simHash]] sketches. */
+  def simHashPortable(text: Column): Column =
+    GraftColumns.simHashPortable(F.split(text, " "))
+
   /** SimHash near-dup candidates: split the 64-bit sketch into 4 16-bit
     * bands; docs sharing any band are candidates (covers Hamming distance
-    * <= 3 by pigeonhole). Returns (id_a, id_b, hamming <= maxHamming). */
+    * <= 3 by pigeonhole). Returns (id_a, id_b, hamming <= maxHamming).
+    * `sketch` selects the hash family ([[simHash]] by default;
+    * [[simHashPortable]] for cross-engine-verifiable sketches). */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, maxBucketSize: Int = 64): DataFrame = {
-    val withSketch = df.select(F.col(idCol).as("id"), simHash(F.col(textCol)).as("sk"))
+                   maxHamming: Int = 3, maxBucketSize: Int = 64,
+                   sketch: Column => Column = simHash): DataFrame = {
+    val withSketch = df.select(F.col(idCol).as("id"), sketch(F.col(textCol)).as("sk"))
     val bandStructs = (0 until 4).map(b =>
       F.struct(F.lit(b).as("band"),
         F.shiftright(F.col("sk"), b * 16).bitwiseAND(F.lit(0xFFFFL)).as("bucket")))

@@ -39,6 +39,9 @@ object GraftColumns {
   /** 64-bit SimHash sketch of a token array. */
   def simHash64(tokens: Column): Column = col(SimHash64(ex(tokens)))
 
+  /** Portable (SQL-mirrorable) two-lane SimHash sketch of a token array. */
+  def simHashPortable(tokens: Column): Column = col(SimHashPortable(ex(tokens)))
+
   /** Interval bucket stamp for a long time column; null when outside the clock. */
   def intervalBucket(time: Column, clock: Broadcast[Array[Long]],
                      beginInclusive: Boolean, stampBegin: Boolean): Column =
@@ -129,6 +132,19 @@ case class SimHash64(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.Kernels.simHash64($c);")
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+case class SimHashPortable(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    graft.Kernels.simHashPortable(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.Kernels.simHashPortable($c);")
+  override protected def withNewChildInternal(newChild: Expression): SimHashPortable =
     copy(child = newChild)
 }
 

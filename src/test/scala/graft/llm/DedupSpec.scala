@@ -91,6 +91,29 @@ class DedupSpec extends SparkTestBase {
       Array((1L, 2L, 0))
   }
 
+  behavior of "simHashPortable"
+
+  it should "match the independently computed reference sketches" in {
+    // goldens computed by an independent implementation of the documented
+    // bounded-arithmetic hash (the same math the DuckDB oracle evaluates)
+    val out = Seq((1L, "hello world"), (2L, "hello"), (3L, ""))
+      .toDF("doc_id", "text")
+      .select(F.col("doc_id"), Dedup.simHashPortable(F.col("text")).as("sk"))
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    out shouldBe Array(329332872068735233L, 7850643600410720559L,
+      1853183507068214291L)
+  }
+
+  it should "find identical docs with the portable sketch family too" in {
+    val a = (1 to 30).map(i => s"w$i").mkString(" ")
+    val b = (100 to 130).map(i => s"q$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, a), (3L, b)).toDF("doc_id", "text")
+    val out = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 0,
+      sketch = Dedup.simHashPortable).collect()
+    out.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))) shouldBe
+      Array((1L, 2L, 0))
+  }
+
   behavior of "TextStats"
 
   it should "count tokens and compute mean token length" in {
