@@ -104,7 +104,23 @@ object QueriesWindows {
           rows.map(r => r.getAs[Long]("value100") - mn)
         }))
         .select("time", "event_id", "event_type", "v_rel")
-        .orderBy("time", "event_id"))
+        .orderBy("time", "event_id")),
+    // arrow summarizer: every cycle's rows serialized to a real Arrow IPC
+    // batch, then decoded back and exploded — the oracle checks the decoded
+    // rows are the identity, proving the wire bytes round-trip losslessly.
+    "arrow_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val batched = Summarize.summarizeCycles(evHour(s, dir),
+        S.arrow(Seq("event_id", "value100")), Seq("event_type"))
+      val rowSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("value100", LongType)))
+      batched.select(F.col("time"), F.col("event_type"),
+          F.explode(org.apache.spark.sql.graft.ArrowColumns
+            .fromArrowBatch(F.col("arrow_bytes"), rowSchema)).as("r"))
+        .select(F.col("time"), F.col("event_type"),
+          F.col("r.event_id").as("event_id"), F.col("r.value100").as("value100"))
+        .orderBy("time", "event_id")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -159,6 +175,10 @@ object QueriesWindows {
       s"""WITH e AS ($evHourSql)
           SELECT time, event_id, event_type,
           value100 - min(value100) OVER (PARTITION BY time, event_type) AS v_rel
+          FROM e ORDER BY time, event_id""",
+    "arrow_roundtrip" ->
+      s"""WITH e AS ($evHourSql)
+          SELECT time, event_type, event_id, value100
           FROM e ORDER BY time, event_id"""
   )
 }

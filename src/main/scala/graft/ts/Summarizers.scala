@@ -381,4 +381,16 @@ object Summarizers {
   def rows(cols: Seq[String]): Summarizer =
     Summarizer(c => Seq("rows" -> F.array_sort(
       c.agg(F.collect_list(c.in(F.struct(cols.map(F.col): _*)))))))
+
+  /** The group's rows serialized as ONE Arrow IPC record batch (binary
+    * column `arrow_bytes`), deterministically sorted (≙ Summarizers.arrow,
+    * reference Summarizers.scala:184-205 / ArrowSummarizer — its batched
+    * hand-off format for Python consumers). The bytes are a standard Arrow
+    * stream: `pyarrow.ipc.open_stream(bytes).read_all()` yields the rows;
+    * [[org.apache.spark.sql.graft.ArrowColumns.fromArrowBatch]] is the
+    * JVM-side inverse. */
+  def arrow(cols: Seq[String]): Summarizer =
+    Summarizer(c => Seq("arrow_bytes" ->
+      org.apache.spark.sql.graft.ArrowColumns.toArrowBatch(
+        F.array_sort(c.agg(F.collect_list(c.in(F.struct(cols.map(F.col): _*))))))))
 }

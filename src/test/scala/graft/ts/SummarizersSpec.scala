@@ -226,6 +226,32 @@ class SummarizersSpec extends SparkTestBase {
     ols.getSeq[Int](12) shouldBe Seq(1)
   }
 
+  it should "serialize group rows to an Arrow batch that round-trips" in {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    import org.apache.spark.sql.graft.ArrowColumns
+    val df = Seq((0L, "a", 1L, 1.5), (0L, "a", 2L, java.lang.Double.NaN),
+      (0L, "b", 3L, 2.5), (1L, "a", 4L, 3.5))
+      .toDF("time", "k", "id", "v")
+      .withColumn("v", F.when(F.isnan($"v"), F.lit(null)).otherwise($"v"))
+    val batched = Summarize.summarizeCycles(df,
+      Summarizers.arrow(Seq("id", "v")), Seq("k"))
+    batched.columns should contain("arrow_bytes")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType)))
+    val back = batched
+      .select($"time", $"k", F.explode(
+        ArrowColumns.fromArrowBatch($"arrow_bytes", schema)).as("r"))
+      .select($"time", $"k", $"r.id", $"r.v")
+      .orderBy("id").collect()
+    back.map(_.toSeq) shouldBe Array(
+      Seq(0L, "a", 1L, 1.5), Seq(0L, "a", 2L, null),
+      Seq(0L, "b", 3L, 2.5), Seq(1L, "a", 4L, 3.5))
+    // the bytes are a REAL Arrow IPC stream: magic-free stream format
+    // starts with a 4-byte continuation marker 0xFFFFFFFF + metadata size
+    val bytes = batched.orderBy("time", "k").collect().head.getAs[Array[Byte]]("arrow_bytes")
+    bytes.take(4).map(_ & 0xFF) shouldBe Array(0xFF, 0xFF, 0xFF, 0xFF)
+  }
+
   it should "apply where predicates before aggregating" in {
     val r = one(Summarizers.sum("x").where(F.col("x") > 2))
     approx(r.getDouble(1), 7.0)
