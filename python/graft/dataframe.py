@@ -209,8 +209,15 @@ class TimeSeriesDataFrame(DataFrame):
             threshold, max_bucket_size))
 
     def simhash_pairs(self, id_col, text_col, max_hamming=3,
-                      max_bucket_size=64):
-        return self._with(_api(self).simHashPairs(
+                      max_bucket_size=64, portable=False):
+        """SimHash near-dup pairs. ``portable=True`` selects the
+        SQL-recomputable sketch family (cross-engine-verifiable sketches;
+        xxhash-based otherwise)."""
+        api = _api(self)
+        if portable:
+            return self._with(api.simHashPairsPortable(
+                self._jdf, id_col, text_col, max_hamming, max_bucket_size))
+        return self._with(api.simHashPairs(
             self._jdf, id_col, text_col, max_hamming, max_bucket_size))
 
     def jaccard_pairs_within(self, id_col, text_col, block_col, threshold,

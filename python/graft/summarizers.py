@@ -95,6 +95,15 @@ def rows(cols):
         _jstrings(s, list(cols))))
 
 
+def arrow(cols):
+    """Group rows as one Arrow IPC stream (column ``arrow_bytes``).
+
+    Decode with ``pyarrow.ipc.open_stream(row.arrow_bytes).read_all()``.
+    """
+    return Summarizer(lambda s: s._jvm.graft.python.PyApi.arrow(
+        _jstrings(s, list(cols))))
+
+
 def compose(*summarizers):
     def build(session):
         jl = session._jvm.java.util.ArrayList()

@@ -162,6 +162,25 @@ frames = multimodal.sample_frames(mm, every_n_bytes=128).collect()
 check("multimodal frame sampling explodes frames",
       sorted(r["frame_idx"] for r in frames if r["doc_id"] == 1) == [0, 1, 2])
 
+# ------------------------------------------------------ arrow summarizer
+try:
+    import pyarrow.ipc as _ipc
+    arr = ts.summarize_cycles(summarizers.arrow(["v"]), key=["k"])
+    first = arr.orderBy("time", "k").collect()[0]
+    tbl = _ipc.open_stream(bytes(first["arrow_bytes"])).read_all()
+    check("arrow summarizer bytes readable by pyarrow",
+          tbl.schema.names == ["v"] and tbl.num_rows >= 1)
+except ImportError:
+    print("SKIP arrow summarizer (pyarrow not installed)")
+
+# ------------------------------------------------- portable simhash pairs
+sh_docs = TimeSeriesDataFrame.from_df(spark.createDataFrame(
+    [(0, 1, "a b c d e f"), (0, 2, "a b c d e f"), (0, 3, "q r s t u v")],
+    "time long, doc_id long, text string"))
+sh = sh_docs.simhash_pairs("doc_id", "text", max_hamming=0, portable=True)
+check("portable simhash pairs identical docs",
+      [(r["id_a"], r["id_b"]) for r in sh.collect()] == [(1, 2)])
+
 spark.stop()
 if failures:
     print(f"\n{len(failures)} FAILURES: {failures}")

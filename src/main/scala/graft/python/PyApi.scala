@@ -127,6 +127,8 @@ object PyApi {
     Summarizers.OLSRegression(y, seq(xs), opt(weight))
   def momentsState(x: String): Summarizer = Summarizers.momentsState(x)
   def rows(cols: JList[String]): Summarizer = Summarizers.rows(seq(cols))
+  /** Group rows as one Arrow IPC stream (read with pyarrow.ipc.open_stream). */
+  def arrow(cols: JList[String]): Summarizer = Summarizers.arrow(seq(cols))
 
   def compose(ss: JList[Summarizer]): Summarizer =
     Summarizers.compose(ss.asScala.toSeq: _*)
@@ -222,6 +224,16 @@ object PyApi {
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int, maxBucketSize: Int): DataFrame =
     graft.llm.Dedup.simHashPairs(df, idCol, textCol, maxHamming, maxBucketSize)
+
+  /** SimHash pairs with the portable (SQL-recomputable) sketch family. */
+  def simHashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+                           maxHamming: Int, maxBucketSize: Int): DataFrame =
+    graft.llm.Dedup.simHashPairs(df, idCol, textCol, maxHamming, maxBucketSize,
+      sketch = graft.llm.Dedup.simHashPortable)
+
+  def fromDF(df: DataFrame, isSorted: Boolean, timeCol: String,
+             unitToNanos: Long, numPartitions: Int): DataFrame =
+    TimeSeriesOps.fromDF(df, isSorted, timeCol, unitToNanos, numPartitions)
 
   def jaccardPairsWithin(df: DataFrame, idCol: String, textCol: String,
                          blockCol: String, threshold: Double,

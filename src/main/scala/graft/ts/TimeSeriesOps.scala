@@ -77,6 +77,21 @@ object TimeSeriesOps {
     re.sortWithinPartitions(TimeColumn)
   }
 
+  /**
+   * Ingest facade (≙ TimeSeriesRDD.fromDF(df)(isSorted, timeUnit),
+   * reference TimeSeriesRDD.scala:230-262): canonize the time column, then
+   * either range-sort (`isSorted = false`, one shuffle) or TRUST the
+   * caller's ordering (`isSorted = true`, zero shuffle — the reference's
+   * fromSortedDF fast path; combine with [[validate]] to assert the claim
+   * cheaply instead of paying a sort to re-establish it).
+   */
+  def fromDF(df: DataFrame, isSorted: Boolean = false,
+             timeCol: String = TimeColumn, unitToNanos: Long = 1L,
+             numPartitions: Int = 0): DataFrame = {
+    val canon = canonize(df, timeCol, unitToNanos)
+    if (isSorted) canon else orderByTime(canon, numPartitions)
+  }
+
   // ---------------------------------------------------------------- columns
 
   /** Project, always retaining `time` (≙ keepColumns). */

@@ -150,6 +150,20 @@ class TimeSeriesOpsSpec extends SparkTestBase {
       TimeSeriesOps.uniformClock(spark, 10L, 0L, "1ns")
   }
 
+  behavior of "fromDF"
+
+  it should "sort unsorted input and trust sorted input without a shuffle" in {
+    val raw = Seq((5L, "c"), (1L, "a"), (3L, "b")).toDF("t", "v")
+    val sorted = TimeSeriesOps.fromDF(raw, isSorted = false, timeCol = "t")
+    sorted.columns.head shouldBe "time"
+    sorted.select("time").collect().map(_.getLong(0)) shouldBe Array(1L, 3L, 5L)
+    // trust path: no Exchange in the plan (the reference's fromSortedDF)
+    val pre = Seq((1L, "a"), (3L, "b"), (5L, "c")).toDF("t", "v")
+    val trusted = TimeSeriesOps.fromDF(pre, isSorted = true, timeCol = "t")
+    trusted.queryExecution.executedPlan.toString should not include "Exchange"
+    noException should be thrownBy TimeSeriesOps.validate(trusted.coalesce(1))
+  }
+
   behavior of "validate"
 
   it should "pass on a range-partitioned sorted frame" in {
