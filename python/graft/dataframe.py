@@ -225,6 +225,16 @@ class TimeSeriesDataFrame(DataFrame):
         return self._with(_api(self).jaccardPairsWithin(
             self._jdf, id_col, text_col, block_col, threshold, max_block_size))
 
+    def dup_clusters(self, pairs, id_col, a_col="id_a", b_col="id_b"):
+        """Connected components over a near-dup pair frame: every id of
+        self gets (id, cluster_id = min id of its component)."""
+        return self._with(_api(self).dupClusters(
+            self._jdf, pairs._jdf, id_col, a_col, b_col))
+
+    def top_k_tokens(self, text_col, k):
+        """Exact corpus top-k token frequencies (count desc, token asc)."""
+        return self._with(_api(self).topKTokens(self._jdf, text_col, k))
+
     def _jcentroids(self, centroids):
         jl = self.sparkSession._jvm.java.util.ArrayList()
         for c in centroids:

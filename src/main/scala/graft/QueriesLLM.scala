@@ -79,6 +79,19 @@ object QueriesLLM {
     "near_dup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairsWithin(docs(s, dir), "doc_id", "text", "source", 0.5)
         .orderBy("id_a", "id_b")),
+    // Connected components over the LSH near-dup pair graph: every doc gets
+    // its cluster representative (min id). On this corpus the verified LSH
+    // pair set equals the exact Jaccard pair set (see dedup_minhash_lsh),
+    // so the oracle's recursive-CTE components over exact pairs match.
+    "dedup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minHashDedupPairs(d, "doc_id", "text",
+        numHashes = 128, bands = 16, shingleSize = 3, threshold = 0.5)
+      Dedup.dupClusters(d.select("doc_id"), pairs, "doc_id")
+        .orderBy("doc_id")
+    }),
+    "doc_top_tokens" -> ((s, dir) =>
+      TextStats.topKTokens(docs(s, dir), "text", 20)),
     "ann_cosine_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.bruteForceTopK(e.filter(F.col("vec_id") < 10), e, "vec_id", "embedding", 5)
@@ -262,6 +275,29 @@ object QueriesLLM {
              FROM cand)
          SELECT q_id, n_id, rank FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
     },
+    "dedup_clusters" ->
+      """WITH RECURSIVE
+         d AS (
+           SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+               for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         e0 AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM d a JOIN d b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.5),
+         und AS (SELECT id_a AS src, id_b AS dst FROM e0
+                 UNION ALL SELECT id_b, id_a FROM e0),
+         comp(id, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT u.dst, c.lbl FROM comp c JOIN und u ON u.src = c.id)
+         SELECT id AS doc_id, min(lbl) AS cluster_id FROM comp
+         GROUP BY id ORDER BY doc_id""",
+    "doc_top_tokens" ->
+      """SELECT token, count(*) AS cnt FROM (
+           SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
     "near_dup_jaccard" ->
       """WITH d AS (SELECT source, doc_id,
             list_sort(list_distinct(string_split(text, ' '))) AS ws FROM documents)

@@ -176,6 +176,49 @@ object Dedup {
       F.transform(F.slice(xs, i + 2, F.size(xs)), b =>
         F.struct(a.as("a"), b.as("b")))))
 
+  /**
+   * Duplicate-cluster assignment: connected components over an undirected
+   * near-dup pair graph, labels = the component's minimum id (the kept
+   * representative). Returns one row per node of `ids`: (id, cluster_id);
+   * singletons get cluster_id = id, so an anti-join `id != cluster_id`
+   * yields the drop set — the step that turns a pair list into actual
+   * dedup decisions.
+   *
+   * Execution: iterative min-label propagation — per round, each node
+   * takes the min of its own label and its neighbors' labels (two hash
+   * joins + one aggregation, all key-partitioned). Rounds needed =
+   * graph diameter; near-dup components are small and dense (cliques
+   * from LSH buckets), so this converges in 2-3 rounds; the loop stops as
+   * soon as a round changes nothing. Label propagation is the standard
+   * 100 TB-scale shape (no driver-side union-find, no adjacency
+   * materialization beyond the pair list).
+   */
+  def dupClusters(ids: DataFrame, pairs: DataFrame, idCol: String,
+                  aCol: String = "id_a", bCol: String = "id_b",
+                  maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(F.col(aCol).as("src"), F.col(bCol).as("dst"))
+      .union(pairs.select(F.col(bCol).as("src"), F.col(aCol).as("dst")))
+    var labels = ids.select(F.col(idCol).as("id"), F.col(idCol).as("lbl"))
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      // neighbor messages: the label of each node, delivered to each peer
+      val msgs = edges.join(labels, edges("src") === labels("id"))
+        .select(F.col("dst").as("id"), F.col("lbl"))
+      val next = labels.select(F.col("id"), F.col("lbl"))
+        .union(msgs)
+        .groupBy("id").agg(F.min("lbl").as("lbl"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(F.col("lbl") < F.col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    labels.select(F.col("id").as(idCol), F.col("lbl").as("cluster_id"))
+  }
+
   /** Exact n-gram (word-set) Jaccard similarity pairs within a blocking key
     * (e.g. source): a grouped self-join, the exact blocked-comparison
     * baseline. Exact semantics by default: every row of every block

@@ -85,4 +85,19 @@ object TextStats {
    */
   def rollingHash(text: Column): Column =
     F.aggregate(tokens(text), F.lit(0L), (acc, t) => F.xxhash64(acc, t))
+
+  /**
+   * Corpus-level token frequencies, top `k` by (count desc, token asc) —
+   * the vocabulary profile a pipeline inspects before filtering. Exact (no
+   * sketch): explode + two-level hash aggregation (map-side partial
+   * counts), then `TakeOrderedAndProject` — per-partition top-k merged on
+   * the driver, never a full global sort. Ties broken by token for
+   * cross-engine determinism.
+   */
+  def topKTokens(df: org.apache.spark.sql.DataFrame, textCol: String,
+                 k: Int): org.apache.spark.sql.DataFrame =
+    df.select(F.explode(tokens(F.col(textCol))).as("token"))
+      .groupBy("token").agg(F.count(F.lit(1)).as("cnt"))
+      .orderBy(F.col("cnt").desc, F.col("token"))
+      .limit(k)
 }

@@ -241,6 +241,13 @@ object PyApi {
     graft.llm.Dedup.jaccardPairsWithin(df, idCol, textCol, blockCol,
       threshold, maxBlockSize)
 
+  def dupClusters(ids: DataFrame, pairs: DataFrame, idCol: String,
+                  aCol: String, bCol: String): DataFrame =
+    graft.llm.Dedup.dupClusters(ids, pairs, idCol, aCol, bCol)
+
+  def topKTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
+    graft.llm.TextStats.topKTokens(df, textCol, k)
+
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame =
     graft.llm.Similarity.bruteForceTopK(queries, corpus, idCol, vecCol, k)

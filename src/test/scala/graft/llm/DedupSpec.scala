@@ -114,6 +114,36 @@ class DedupSpec extends SparkTestBase {
       Array((1L, 2L, 0))
   }
 
+  behavior of "dupClusters"
+
+  it should "label connected components with the min id, singletons with self" in {
+    // chain 1-2-3 (diameter 2: needs >1 propagation round), pair 10-11,
+    // singleton 20
+    val ids = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(ids, pairs, "doc_id")
+      .orderBy("doc_id").collect()
+    out.map(r => (r.getLong(0), r.getLong(1))) shouldBe Array(
+      (1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L), (20L, 20L))
+  }
+
+  it should "converge on a long chain (label must travel the diameter)" in {
+    val n = 8
+    val ids = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(ids, pairs, "doc_id").collect()
+    out.map(_.getLong(1)).distinct shouldBe Array(1L)
+  }
+
+  behavior of "topKTokens"
+
+  it should "rank by count desc with token asc tie-break" in {
+    val docs = Seq((1L, "b a b c"), (2L, "a c c")).toDF("doc_id", "text")
+    val out = TextStats.topKTokens(docs, "text", 2).collect()
+    out.map(r => (r.getString(0), r.getLong(1))) shouldBe
+      Array(("c", 3L), ("a", 2L)) // a ties b at 2, a wins alphabetically
+  }
+
   behavior of "TextStats"
 
   it should "count tokens and compute mean token length" in {
