@@ -235,6 +235,17 @@ class TimeSeriesDataFrame(DataFrame):
         """Exact corpus top-k token frequencies (count desc, token asc)."""
         return self._with(_api(self).topKTokens(self._jdf, text_col, k))
 
+    def kmeans_assign(self, id_col, vec_col, k, iters):
+        """Deterministic quantized k-means: (id, cell) assignments."""
+        return self._with(_api(self).kmeansAssign(
+            self._jdf, id_col, vec_col, k, iters))
+
+    def kmeans_centroids(self, id_col, vec_col, k, iters):
+        """Deterministic quantized k-means: trained centroids as a list of
+        lists, ready to pass to ivf_topk / cosine_dup_pairs."""
+        jcs = _api(self).kmeansCentroids(self._jdf, id_col, vec_col, k, iters)
+        return [[float(v) for v in c] for c in jcs]
+
     def _jcentroids(self, centroids):
         jl = self.sparkSession._jvm.java.util.ArrayList()
         for c in centroids:

@@ -117,6 +117,12 @@ object QueriesLLM {
         threshold = 0.45, nprobe = 2)
         .orderBy("id_a", "id_b")
     }),
+    // Deterministic quantized k-means (2 Lloyd iterations, k = 8): the
+    // oracle unrolls both iterations in SQL — integer-quantized sums make
+    // every engine and partition order produce identical centroids.
+    "ivf_train_assign" -> ((s, dir) =>
+      Similarity.kmeansCells(embs(s, dir), "vec_id", "embedding",
+        k = 8, iters = 2)._1.orderBy("vec_id")),
     "emb_norm_stats" -> ((s, dir) =>
       embs(s, dir)
         .select(F.col("label"),
@@ -338,6 +344,34 @@ object QueriesLLM {
            FROM nc a JOIN nc b ON a.cell = b.cell AND a.n_id < b.n_id)
          SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.45
          ORDER BY id_a, id_b"""
+    },
+    "ivf_train_assign" -> {
+      def cosq(x: String, y: String) = {
+        def d(v: String) = s"list_transform($v, t -> t::DOUBLE)"
+        s"list_dot_product(${d(x)}, ${d(y)}) / (sqrt(list_dot_product(${d(x)}, ${d(x)})) * sqrt(list_dot_product(${d(y)}, ${d(y)})))"
+      }
+      def assignStep(out: String, cents: String) =
+        s"""$out AS (SELECT vec_id, cell FROM (
+            SELECT e.vec_id, $cents.cell, row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${cosq("e.q", s"$cents.c")} DESC, $cents.cell ASC) AS rk
+            FROM e, $cents) WHERE rk = 1)"""
+      def updateStep(u: String, a: String, cm: String, cPrev: String, cNext: String) =
+        s"""$u AS (SELECT $a.cell, i AS pos,
+              CAST(floor((2*sum(e.q[i+1]) + count(*)) / (2.0*count(*))) AS BIGINT) AS cv
+            FROM $a JOIN e USING (vec_id), range(0, 64) r(i) GROUP BY $a.cell, i),
+         $cm AS (SELECT cell, list(cv ORDER BY pos) AS c FROM $u GROUP BY cell),
+         $cNext AS (SELECT $cPrev.cell, COALESCE($cm.c, $cPrev.c) AS c
+                    FROM $cPrev LEFT JOIN $cm USING (cell))"""
+      s"""WITH e AS (SELECT vec_id,
+             list_transform(embedding::DOUBLE[], x -> CAST(round(x*10000000.0) AS BIGINT)) AS q
+           FROM embeddings),
+         c0 AS (SELECT vec_id AS cell, q AS c FROM e WHERE vec_id < 8),
+         ${assignStep("a1", "c0")},
+         ${updateStep("u1", "a1", "c1m", "c0", "c1")},
+         ${assignStep("a2", "c1")},
+         ${updateStep("u2", "a2", "c2m", "c1", "c2")},
+         ${assignStep("a3", "c2")}
+         SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM a3 ORDER BY vec_id"""
     },
     "emb_norm_stats" ->
       """WITH e AS (SELECT label,

@@ -100,6 +100,67 @@ object Similarity {
   }
 
   /**
+   * Deterministic quantized Lloyd k-means — trains the centroids [[ivfTopK]]
+   * consumes, with bit-reproducible results on any engine and any partition
+   * order. Two design choices buy the determinism:
+   *
+   *  - vectors are quantized ONCE to integers (`round(x * quantScale)` as
+   *    long), so every per-cell sum is exact integer arithmetic — immune to
+   *    the float-summation-order nondeterminism that makes ordinary
+   *    distributed k-means unreproducible run to run;
+   *  - centroid updates are integer round-half-up means,
+   *    `floorDiv(2·Σq + n, 2n)` — exact, and mirrorable in SQL as
+   *    `floor((2·Σq + n) / (2n))` (quotient magnitudes stay far below
+   *    2^53, where IEEE division is exact enough that floor cannot flip).
+   *
+   * Init = the `k` vectors with the smallest ids (deterministic seeding).
+   * Assignment = cosine argmax (ties → lowest cell), the same compiled
+   * kernel the IVF query path uses. Per iteration: one narrow assignment
+   * scan + one (cell, dim)-keyed aggregation; k·dim partial sums collect to
+   * the driver (model parameters, same broadcast design as the reference's
+   * clock/centroid handling). Empty cells keep their previous centroid.
+   *
+   * Returns (assignments (id, cell) under the FINAL centroids, centroids in
+   * original embedding scale).
+   */
+  def kmeansCells(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+                  iters: Int, quantScale: Double = 1e7): (DataFrame, Seq[Seq[Float]]) = {
+    require(k >= 1 && iters >= 0, "k and iters must be positive")
+    val q = corpus.select(F.col(idCol).as("id"),
+      F.transform(F.col(vecCol), x =>
+        F.round(x.cast("double") * quantScale).cast("long")).as("q"))
+      .persist()
+    val init = q.orderBy("id").limit(k).collect()
+      .map(_.getSeq[Long](1).toArray)
+    require(init.length == k, s"corpus has fewer than $k vectors")
+    val dim = init.head.length
+    var cents: Array[Array[Long]] = init
+
+    def assigned = {
+      val flatD = cents.flatten.map(_.toDouble)
+      q.withColumn("cell", org.apache.spark.sql.graft.GraftColumns.centroidCell(
+        F.transform(F.col("q"), _.cast("double")), flatD, dim))
+    }
+
+    for (_ <- 1 to iters) {
+      val sums = assigned
+        .select(F.col("cell"), F.posexplode(F.col("q")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(F.sum("v").as("s"), F.count(F.lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        val (cell, pos) = (r.getInt(0), r.getInt(1))
+        val (s, n) = (r.getLong(2), r.getLong(3))
+        next(cell)(pos) = Math.floorDiv(2 * s + n, 2 * n)
+      }
+      cents = next
+    }
+    val out = assigned.select(F.col("id").as(idCol), F.col("cell"))
+    (out, cents.toSeq.map(_.toSeq.map(v => (v / quantScale).toFloat)))
+  }
+
+  /**
    * IVF-style ANN: corpus assigned to cells once; each query probes its
    * `nprobe` best cells and ranks only those candidates.
    * Output: (q_id, n_id, rank, cosine).

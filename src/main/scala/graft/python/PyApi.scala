@@ -267,6 +267,18 @@ object PyApi {
     graft.llm.Similarity.cosineDupPairs(df, idCol, vecCol, cents(centroids),
       threshold, nprobe)
 
+  /** Deterministic quantized k-means; returns the (id, cell) assignments. */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int): DataFrame =
+    graft.llm.Similarity.kmeansCells(df, idCol, vecCol, k, iters)._1
+
+  /** Deterministic quantized k-means; returns the trained centroids. */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int): JList[JList[java.lang.Double]] = {
+    val cs = graft.llm.Similarity.kmeansCells(df, idCol, vecCol, k, iters)._2
+    cs.map(c => c.map(v => java.lang.Double.valueOf(v.toDouble)).asJava).asJava
+  }
+
   // ----------------------------------------------------------- streaming
 
   def summarizeTumbling(df: DataFrame, s: Summarizer, windowDuration: String,

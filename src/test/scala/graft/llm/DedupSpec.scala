@@ -135,6 +135,30 @@ class DedupSpec extends SparkTestBase {
     out.map(_.getLong(1)).distinct shouldBe Array(1L)
   }
 
+  behavior of "kmeansCells"
+
+  it should "separate well-clustered vectors and be partition-invariant" in {
+    // two tight direction clusters; ids 0 and 1 (the seeds) sit in
+    // different clusters so Lloyd converges immediately
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.01f)), (1L, Seq(0.02f, 1.0f)),
+      (2L, Seq(0.9f, 0.05f)), (3L, Seq(0.03f, 0.8f)), (4L, Seq(1.1f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val (assign, cents) = Similarity.kmeansCells(vecs, "vec_id", "embedding",
+      k = 2, iters = 3)
+    val m = assign.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    m(0L) shouldBe m(2L)
+    m(0L) shouldBe m(4L)
+    m(1L) shouldBe m(3L)
+    m(0L) should not be m(1L)
+    cents should have size 2
+    // identical labels regardless of input partitioning (integer sums are
+    // order-independent — the determinism claim)
+    val (assign8, _) = Similarity.kmeansCells(vecs.repartition(8), "vec_id",
+      "embedding", k = 2, iters = 3)
+    assign8.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap shouldBe m
+  }
+
   behavior of "topKTokens"
 
   it should "rank by count desc with token asc tie-break" in {
