@@ -297,6 +297,12 @@ object PyApi {
     graft.streaming.StreamingOps.summarizeSessions(df, s, gapDuration,
       watermarkDelay, seq(key))
 
+  def leftJoinStream(left: DataFrame, right: DataFrame, tolerance: String,
+                     key: String, watermarkDelay: String,
+                     stateTimeout: String): DataFrame =
+    graft.streaming.StreamingOps.leftJoinStream(left, right, tolerance, key,
+      watermarkDelay, stateTimeout)
+
   def ewmaStateful(df: DataFrame, xCol: String, key: String, alpha: Double,
                    durationPerPeriod: String, convention: String,
                    watermarkDelay: String, stateTimeout: String): DataFrame =

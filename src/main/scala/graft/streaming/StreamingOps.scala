@@ -25,6 +25,11 @@ import graft.ts.{Summarizer, TimeSeriesOps}
  * operators need a TimestampType column, derived here as `event_ts`
  * (micro truncation — Spark watermarks are microsecond-grained).
  */
+/** Kryo-serialized per-key state of [[StreamingOps.leftJoinStream]]:
+  * pending (un-finalized) lefts and the live right-row window, both as
+  * (nanos, packed value struct), time-ascending. */
+case class AsOfStreamState(lefts: List[(Long, Row)], rights: List[(Long, Row)])
+
 object StreamingOps {
   import TimeSeriesOps.TimeColumn
 
@@ -66,6 +71,115 @@ object StreamingOps {
       .select((F.unix_micros(F.col("__w.start")) * 1000L).as("window_start") +:
         (F.unix_micros(F.col("__w.end")) * 1000L).as("window_end") +:
         (key.map(F.col) ++ s.names.map(n => F.col(s"`$n`"))): _*)
+  }
+
+  /**
+   * Streaming as-of LEFT join (the batch [[graft.ts.AsOfJoin.leftJoin]]
+   * semantics under event-time watermarks): for every left row, the most
+   * recent right row of the same key with `rt <= t && rt >= t - tolerance`;
+   * unmatched lefts null-pad. SURVEY §2.8 mapped this to "stream-stream
+   * join with range condition" — but the built-in range join emits EVERY
+   * right row in the window, not the latest, so as-of semantics need
+   * custom state: `flatMapGroupsWithState` over the tagged union of both
+   * streams.
+   *
+   * Correctness contract: a left row at time t is FINALIZED (emitted) only
+   * once the watermark passes t — at that point Spark has dropped every
+   * right row at or before t that could still arrive, so the match is
+   * final; the operator is exactly batch-equivalent over in-watermark data.
+   * Pending lefts are flushed by event-time timeouts as the watermark
+   * advances (no new data needed on that key). State per key = pending
+   * lefts (not yet past watermark) + the right-row window
+   * `[minPendingLeft - tolerance, now]` — bounded by tolerance, pruned
+   * every trigger; idle keys are garbage-collected after `stateTimeout`.
+   *
+   * Output: (time, key (string), left cols..., right cols... nullable),
+   * lefts in per-key time order. Ties among equal right times resolve to
+   * the last in (time, arrival) order.
+   */
+  def leftJoinStream(left: DataFrame, right: DataFrame, tolerance: String,
+                     key: String, watermarkDelay: String,
+                     stateTimeout: String = "30 days"): DataFrame = {
+    val tol = TimeSeriesOps.parseDuration(tolerance)
+    val timeoutNs = TimeSeriesOps.parseDuration(stateTimeout)
+    val lCols = left.columns.filter(c => c != TimeColumn && c != key).toSeq
+    val rCols = right.columns.filter(c => c != TimeColumn && c != key).toSeq
+    require(lCols.nonEmpty && rCols.nonEmpty,
+      "both sides need at least one value column")
+    require(lCols.intersect(rCols).isEmpty,
+      s"overlapping value columns ${lCols.intersect(rCols).mkString(",")}: rename one side")
+    val lStruct = StructType(lCols.map(c => left.schema(left.schema.fieldIndex(c))))
+    val rStruct = StructType(rCols.map(c => right.schema(right.schema.fieldIndex(c))))
+
+    def tagged(df: DataFrame, isLeft: Boolean): DataFrame = {
+      val self = if (isLeft)
+        F.struct(lCols.map(F.col): _*).as("__lv")
+      else F.lit(null).cast(lStruct).as("__lv")
+      val other = if (isLeft)
+        F.lit(null).cast(rStruct).as("__rv")
+      else F.struct(rCols.map(F.col): _*).as("__rv")
+      withEventTime(df).select(F.col(TimeColumn), F.col(key).cast("string").as("__k"),
+        F.lit(isLeft).as("__isL"), self, other, F.col(EventTs))
+    }
+
+    val in = tagged(left, isLeft = true).unionByName(tagged(right, isLeft = false))
+      .withWatermark(EventTs, watermarkDelay)
+
+    val outSchema = StructType(
+      StructField(TimeColumn, LongType) +: StructField(key, StringType) +:
+        (lStruct.fields.toSeq ++ rStruct.fields.map(_.copy(nullable = true))))
+    implicit val outEnc = RowEncoder.encoderFor(outSchema)
+    implicit val stateEnc = org.apache.spark.sql.Encoders.kryo[AsOfStreamState]
+
+    val spark = left.sparkSession
+    import spark.implicits._
+
+    in.groupByKey(_.getString(1))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (k: String, rows: Iterator[Row], state: GroupState[AsOfStreamState]) => {
+          val st = state.getOption.getOrElse(AsOfStreamState(Nil, Nil))
+          var lefts = st.lefts
+          var rights = st.rights
+          rows.foreach { r =>
+            val t = r.getLong(0)
+            if (r.getBoolean(2)) lefts = (t, r.getStruct(3)) :: lefts
+            else rights = (t, r.getStruct(4)) :: rights
+          }
+          // stable time sort; equal right times keep arrival order, so the
+          // as-of "last <= t" pick is deterministic
+          val ls = lefts.reverse.sortBy(_._1)
+          val rs = rights.reverse.sortBy(_._1).toIndexedSeq
+          val wmNs = state.getCurrentWatermarkMs() * 1000000L
+          val (ready, pending) = ls.partition(_._1 <= wmNs)
+          val out = ready.map { case (t, lv) =>
+            // last right with rt <= t (binary search upper bound)
+            var lo = 0; var hi = rs.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (rs(mid)._1 <= t) lo = mid + 1 else hi = mid
+            }
+            val m = if (lo > 0 && rs(lo - 1)._1 >= t - tol) rs(lo - 1)._2 else null
+            Row.fromSeq(t +: k +: (lv.toSeq ++
+              (if (m != null) m.toSeq else Seq.fill(rCols.length)(null))))
+          }
+          // rights below wm - tolerance are dead: every unfinalized or
+          // future left has t > wm, so it only needs rights >= t - tol
+          val keptRights = rs.dropWhile(_._1 < wmNs - tol).toList
+          if (pending.isEmpty && keptRights.isEmpty && state.getCurrentWatermarkMs() > 0) {
+            state.remove()
+          } else {
+            state.update(AsOfStreamState(pending, keptRights))
+            if (pending.nonEmpty) {
+              // fire when the watermark passes the earliest pending left
+              // (+1ms so the timestamp is strictly beyond the watermark)
+              state.setTimeoutTimestamp(pending.head._1 / 1000000L + 1)
+            } else if (state.getCurrentWatermarkMs() > 0) {
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() +
+                timeoutNs / 1000000L)
+            }
+          }
+          out.iterator
+        }).toDF(outSchema.fieldNames.toIndexedSeq: _*)
   }
 
   /**

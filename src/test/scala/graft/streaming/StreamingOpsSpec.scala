@@ -86,6 +86,66 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  behavior of "leftJoinStream (streaming as-of join)"
+
+  it should "emit watermark-final as-of matches with null-padding" in {
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[(Long, String, Int)]
+    val rMem = MemoryStream[(Long, String, Int)]
+    val l = lMem.toDF().toDF("time", "k", "lv")
+    val r = rMem.toDF().toDF("time", "k", "rv")
+    val j = StreamingOps.leftJoinStream(l, r, tolerance = "15s", key = "k",
+      watermarkDelay = "0 seconds")
+    j.columns.toSeq shouldBe Seq("time", "k", "lv", "rv")
+    val q = j.writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: rights and lefts interleaved, out of order
+      lMem.addData((12 * S, "a", 1), (5 * S, "a", 2))
+      rMem.addData((10 * S, "a", 100))
+      q.processAllAvailable()
+      // batch 2: watermark is now 12s -> lefts 5 and 12 finalize;
+      // left 25 stays pending, right 30 buffers
+      lMem.addData((25 * S, "a", 3))
+      rMem.addData((30 * S, "a", 200))
+      q.processAllAvailable()
+      // advance the watermark past 25s (sentinel on an unrelated key);
+      // the pending left flushes via event-time timeout, not new "a" data
+      rMem.addData((100 * S, "z", 999))
+      q.processAllAvailable()
+      val rows = spark.table("asof_stream").orderBy("time").collect()
+      rows.map(r => (r.getLong(0) / S, r.getInt(2),
+        if (r.isNullAt(3)) null else r.getInt(3))) shouldBe Array(
+        (5L, 2, null),    // no right at or before t=5
+        (12L, 1, 100),    // right@10 within 15s
+        (25L, 3, 100))    // right@10 at exactly tolerance; right@30 is future
+    } finally q.stop()
+  }
+
+  it should "pick the latest right and respect the tolerance lower bound" in {
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[(Long, String, Int)]
+    val rMem = MemoryStream[(Long, String, Int)]
+    val l = lMem.toDF().toDF("time", "k", "lv")
+    val r = rMem.toDF().toDF("time", "k", "rv")
+    val j = StreamingOps.leftJoinStream(l, r, tolerance = "5s", key = "k",
+      watermarkDelay = "0 seconds")
+    val q = j.writeStream.format("memory").queryName("asof_stream2")
+      .outputMode("append").start()
+    try {
+      rMem.addData((10 * S, "a", 100), (20 * S, "a", 250))
+      lMem.addData((22 * S, "a", 1), (40 * S, "a", 2))
+      q.processAllAvailable()
+      rMem.addData((100 * S, "z", 0)) // advance watermark past both lefts
+      q.processAllAvailable()
+      val rows = spark.table("asof_stream2").orderBy("time").collect()
+      rows.map(r => (r.getLong(0) / S,
+        if (r.isNullAt(3)) null else r.getInt(3))) shouldBe Array(
+        (22L, 250),  // latest right (20) wins over the earlier (10)
+        (40L, null)) // right@20 is older than 40 - 5s -> outside tolerance
+    } finally q.stop()
+  }
+
   it should "clamp in-watermark late rows instead of amplifying state" in {
     implicit val sqlCtx = spark.sqlContext
     val day = 86400L * S
