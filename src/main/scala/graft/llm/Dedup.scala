@@ -196,8 +196,12 @@ object Dedup {
   def dupClusters(ids: DataFrame, pairs: DataFrame, idCol: String,
                   aCol: String = "id_a", bCol: String = "id_b",
                   maxRounds: Int = 20): DataFrame = {
+    // cache the edge list: its lineage is typically a whole candidate
+    // pipeline (e.g. MinHash-LSH), which every propagation round would
+    // otherwise recompute from scratch
     val edges = pairs.select(F.col(aCol).as("src"), F.col(bCol).as("dst"))
       .union(pairs.select(F.col(bCol).as("src"), F.col(aCol).as("dst")))
+      .persist()
     var labels = ids.select(F.col(idCol).as("id"), F.col(idCol).as("lbl"))
     var round = 0
     var converged = false
@@ -216,6 +220,9 @@ object Dedup {
       converged = changed == 0
       round += 1
     }
+    // final labels are materialized (the convergence count ran on them);
+    // the edge cache is no longer needed
+    edges.unpersist(blocking = false)
     labels.select(F.col("id").as(idCol), F.col("lbl").as("cluster_id"))
   }
 
