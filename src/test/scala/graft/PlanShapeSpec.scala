@@ -117,6 +117,29 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  it should "plan topKTokens as a driver-merged top-k, not a global sort" in {
+    val docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("id", "text")
+    val t = graft.llm.TextStats.topKTokens(docs, "text", 2)
+    // per-partition top-k merged on the driver (TakeOrderedAndProject);
+    // never a full Exchange(rangepartitioning) + global Sort
+    plan(t).toString should include("TakeOrderedAndProject")
+    globalSorts(t) shouldBe 0
+  }
+
+  it should "plan dup clustering rounds without cartesians" in {
+    val ids = Seq(1L, 2L, 3L).toDF("doc_id")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val c = graft.llm.Dedup.dupClusters(ids, pairs, "doc_id")
+    cartesians(c) shouldBe 0
+  }
+
+  it should "plan the arrow summarizer as one aggregation exchange" in {
+    val df = Seq((1L, "a", 1.0), (1L, "a", 2.0)).toDF("time", "k", "v")
+    val a = Summarize.summarizeCycles(df, Summarizers.arrow(Seq("v")), Seq("k"))
+    exchanges(a) shouldBe 1
+    cartesians(a) shouldBe 0
+  }
+
   it should "keep orderByTime idempotent at one exchange" in {
     val df = TimeSeriesOps.orderByTime(Seq(3L, 1L, 2L).toDF("time"))
     exchanges(df) shouldBe 1
