@@ -297,6 +297,10 @@ object PyApi {
     graft.streaming.StreamingOps.summarizeSessions(df, s, gapDuration,
       watermarkDelay, seq(key))
 
+  def dedupExactStream(df: DataFrame, keyCols: JList[String],
+                       watermarkDelay: String): DataFrame =
+    graft.streaming.StreamingOps.dedupExactStream(df, seq(keyCols), watermarkDelay)
+
   def leftJoinStream(left: DataFrame, right: DataFrame, tolerance: String,
                      key: String, watermarkDelay: String,
                      stateTimeout: String): DataFrame =

@@ -74,6 +74,20 @@ object StreamingOps {
   }
 
   /**
+   * Streaming exact dedup: drops rows whose `keyCols` were already seen,
+   * with state bounded by the watermark (`dropDuplicatesWithinWatermark` —
+   * two duplicates are guaranteed deduped when they arrive within the
+   * watermark delay of each other; state for older keys is evicted). The
+   * streaming face of [[graft.llm.Dedup.exactDedup]] for ingest-time
+   * filtering; run the batch dedup for exactness over unbounded history.
+   */
+  def dedupExactStream(df: DataFrame, keyCols: Seq[String],
+                       watermarkDelay: String): DataFrame =
+    withEventTime(df).withWatermark(EventTs, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+      .drop(EventTs)
+
+  /**
    * Streaming as-of LEFT join (the batch [[graft.ts.AsOfJoin.leftJoin]]
    * semantics under event-time watermarks): for every left row, the most
    * recent right row of the same key with `rt <= t && rt >= t - tolerance`;

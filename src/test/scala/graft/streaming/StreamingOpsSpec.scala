@@ -86,6 +86,26 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  behavior of "dedupExactStream"
+
+  it should "drop duplicate keys across micro-batches within the watermark" in {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    val sdf = mem.toDF().toDF("time", "k", "v")
+    val out = StreamingOps.dedupExactStream(sdf, Seq("k"), "1 hour")
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((10 * S, "a", 1.0), (20 * S, "a", 2.0), (30 * S, "b", 3.0))
+      q.processAllAvailable()
+      mem.addData((40 * S, "a", 4.0), (50 * S, "c", 5.0)) // a is a dup
+      q.processAllAvailable()
+      val rows = spark.table("dedup_stream").orderBy("time").collect()
+      rows.map(_.getString(1)) shouldBe Array("a", "b", "c")
+      rows.map(_.getDouble(2)) shouldBe Array(1.0, 3.0, 5.0)
+    } finally q.stop()
+  }
+
   behavior of "leftJoinStream (streaming as-of join)"
 
   it should "emit watermark-final as-of matches with null-padding" in {
