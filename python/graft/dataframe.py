@@ -44,10 +44,20 @@ class TimeSeriesDataFrame(DataFrame):
     # ------------------------------------------------------------ factory
 
     @classmethod
-    def from_df(cls, df, time_column="time", unit_to_nanos=1):
+    def from_df(cls, df, time_column="time", unit_to_nanos=1, is_sorted=None,
+                num_partitions=0):
         """Canonize ``time_column`` (rename to ``time``, convert to long
-        nanos, move first) - the ingest path (≙ fromDF)."""
-        jdf = _api(df).canonize(df._jdf, time_column, unit_to_nanos)
+        nanos, move first) - the ingest path (≙ fromDF).
+
+        ``is_sorted=None`` (default) only canonizes. ``is_sorted=False``
+        additionally range-sorts by time (one shuffle); ``is_sorted=True``
+        trusts the caller's ordering (zero shuffle — the fromSortedDF fast
+        path; pair with ``validate()``)."""
+        if is_sorted is None:
+            jdf = _api(df).canonize(df._jdf, time_column, unit_to_nanos)
+        else:
+            jdf = _api(df).fromDF(df._jdf, bool(is_sorted), time_column,
+                                  unit_to_nanos, num_partitions)
         return _wrap(jdf, df.sparkSession)
 
     def _with(self, jdf):
@@ -296,3 +306,17 @@ class TimeSeriesDataFrame(DataFrame):
         return self._with(_api(self).ewmaStateful(
             self._jdf, col, key, alpha, duration_per_period, convention,
             watermark_delay, state_timeout))
+
+    def dedup_exact_stream(self, key_cols, watermark_delay):
+        """Streaming exact dedup with watermark-bounded state."""
+        return self._with(_api(self).dedupExactStream(
+            self._jdf, _jlist(self.sparkSession, list(key_cols)),
+            watermark_delay))
+
+    def left_join_stream(self, right, tolerance, key,
+                         watermark_delay="0 seconds",
+                         state_timeout="30 days"):
+        """Streaming as-of left join with watermark-final semantics."""
+        return self._with(_api(self).leftJoinStream(
+            self._jdf, right._jdf, tolerance, key, watermark_delay,
+            state_timeout))

@@ -54,6 +54,14 @@ check("keep_columns retains time",
       ts.keep_columns("v").columns == ["time", "v"])
 check("shift moves time",
       ts.shift("5ns").select("time").rdd.map(lambda r: r[0]).min() == 15)
+sorted_ts = TimeSeriesDataFrame.from_df(df, time_column="t", is_sorted=False)
+check("from_df is_sorted=False range-sorts",
+      [r[0] for r in sorted_ts.select("time").collect()] == [10, 20, 30])
+trusted = TimeSeriesDataFrame.from_df(
+    spark.createDataFrame([(1, 1.0), (2, 2.0)], "t long, v double"),
+    time_column="t", is_sorted=True)
+check("from_df is_sorted=True trusts order (no shuffle)",
+      "Exchange" not in trusted._jdf.queryExecution().executedPlan().toString())
 
 # ------------------------------------------------------------------ joins
 left = TimeSeriesDataFrame.from_df(spark.createDataFrame(

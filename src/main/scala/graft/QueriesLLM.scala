@@ -71,9 +71,11 @@ object QueriesLLM {
     // Portable two-lane sketch (SQL-mirrorable hash) so the full pipeline —
     // token hash, majority vote, 16-bit banding, hamming filter — is
     // verified against the DuckDB oracle; uncapped buckets so the oracle's
-    // exact banded self-join is the same candidate set (no silent cap).
+    // exact banded self-join is the same candidate set (no silent cap), and
+    // maxHamming = 3 = bands - 1, inside the pigeonhole completeness bound,
+    // so the emitted pair set is provably the full hamming<=3 set.
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simHashPairs(docs(s, dir), "doc_id", "text", maxHamming = 4,
+      Dedup.simHashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3,
         maxBucketSize = Int.MaxValue, sketch = Dedup.simHashPortable)
         .orderBy("id_a", "id_b")),
     "near_dup_jaccard" -> ((s, dir) =>
@@ -256,7 +258,7 @@ object QueriesLLM {
            SELECT c.id_a, c.id_b,
              CAST(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) AS INTEGER) AS hamming
            FROM cand c JOIN bits x ON x.doc_id = c.id_a JOIN bits y ON y.doc_id = c.id_b)
-         WHERE hamming <= 4 ORDER BY id_a, id_b""",
+         WHERE hamming <= 3 ORDER BY id_a, id_b""",
     "ann_ivf_topk" -> {
       def cos(x: String, y: String) =
         s"list_dot_product($x, $y) / (sqrt(list_dot_product($x, $x)) * sqrt(list_dot_product($y, $y)))"

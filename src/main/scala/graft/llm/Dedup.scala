@@ -146,10 +146,13 @@ object Dedup {
     GraftColumns.simHashPortable(F.split(text, " "))
 
   /** SimHash near-dup candidates: split the 64-bit sketch into 4 16-bit
-    * bands; docs sharing any band are candidates (covers Hamming distance
-    * <= 3 by pigeonhole). Returns (id_a, id_b, hamming <= maxHamming).
-    * `sketch` selects the hash family ([[simHash]] by default;
-    * [[simHashPortable]] for cross-engine-verifiable sketches). */
+    * bands; docs sharing any band are candidates. By pigeonhole the
+    * candidate set is COMPLETE only for Hamming distance <= 3 (bands - 1):
+    * with `maxHamming` above that, pairs whose differing bits straddle all
+    * four bands are best-effort and can be missed. Returns
+    * (id_a, id_b, hamming <= maxHamming). `sketch` selects the hash family
+    * ([[simHash]] by default; [[simHashPortable]] for
+    * cross-engine-verifiable sketches). */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucketSize: Int = 64,
                    sketch: Column => Column = simHash): DataFrame = {
@@ -195,7 +198,7 @@ object Dedup {
    */
   def dupClusters(ids: DataFrame, pairs: DataFrame, idCol: String,
                   aCol: String = "id_a", bCol: String = "id_b",
-                  maxRounds: Int = 20): DataFrame = {
+                  maxRounds: Int = 50): DataFrame = {
     // cache the edge list: its lineage is typically a whole candidate
     // pipeline (e.g. MinHash-LSH), which every propagation round would
     // otherwise recompute from scratch
@@ -223,7 +226,15 @@ object Dedup {
     // final labels are materialized (the convergence count ran on them);
     // the edge cache is no longer needed
     edges.unpersist(blocking = false)
-    labels.select(F.col("id").as(idCol), F.col("lbl").as("cluster_id"))
+    // never return silently-wrong components (round-3 lesson: no silent
+    // caps): a diameter above maxRounds must fail, not truncate
+    if (!converged) throw new IllegalStateException(
+      s"dupClusters did not converge in $maxRounds rounds — the pair graph " +
+        s"has a component of diameter > $maxRounds; raise maxRounds")
+    // propagation may have labeled conduit nodes that appear only in
+    // `pairs`; the contract is one row per node of `ids`, nothing more
+    labels.join(ids.select(F.col(idCol).as("id")), Seq("id"), "left_semi")
+      .select(F.col("id").as(idCol), F.col("lbl").as("cluster_id"))
   }
 
   /** Exact n-gram (word-set) Jaccard similarity pairs within a blocking key

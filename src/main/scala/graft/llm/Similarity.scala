@@ -156,6 +156,10 @@ object Similarity {
       }
       cents = next
     }
+    // release the iteration cache: the returned frame re-derives `q` with
+    // one narrow scan if executed after eviction — cheap, and no cached
+    // blocks leak when callers only keep the centroids
+    q.unpersist(blocking = false)
     val out = assigned.select(F.col("id").as(idCol), F.col("cell"))
     (out, cents.toSeq.map(_.toSeq.map(v => (v / quantScale).toFloat)))
   }

@@ -118,8 +118,9 @@ object StreamingOps {
     val timeoutNs = TimeSeriesOps.parseDuration(stateTimeout)
     val lCols = left.columns.filter(c => c != TimeColumn && c != key).toSeq
     val rCols = right.columns.filter(c => c != TimeColumn && c != key).toSeq
-    require(lCols.nonEmpty && rCols.nonEmpty,
-      "both sides need at least one value column")
+    // a bare (time, key) LEFT is the classic clock-sampling use case and is
+    // supported (empty left struct); the RIGHT must carry something to join
+    require(rCols.nonEmpty, "the right side needs at least one value column")
     require(lCols.intersect(rCols).isEmpty,
       s"overlapping value columns ${lCols.intersect(rCols).mkString(",")}: rename one side")
     val lStruct = StructType(lCols.map(c => left.schema(left.schema.fieldIndex(c))))
@@ -152,17 +153,20 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (k: String, rows: Iterator[Row], state: GroupState[AsOfStreamState]) => {
           val st = state.getOption.getOrElse(AsOfStreamState(Nil, Nil))
-          var lefts = st.lefts
-          var rights = st.rights
+          val newLefts = scala.collection.mutable.ListBuffer.empty[(Long, Row)]
+          val newRights = scala.collection.mutable.ListBuffer.empty[(Long, Row)]
           rows.foreach { r =>
             val t = r.getLong(0)
-            if (r.getBoolean(2)) lefts = (t, r.getStruct(3)) :: lefts
-            else rights = (t, r.getStruct(4)) :: rights
+            if (r.getBoolean(2)) newLefts += ((t, r.getStruct(3)))
+            else newRights += ((t, r.getStruct(4)))
           }
-          // stable time sort; equal right times keep arrival order, so the
-          // as-of "last <= t" pick is deterministic
-          val ls = lefts.reverse.sortBy(_._1)
-          val rs = rights.reverse.sortBy(_._1).toIndexedSeq
+          // stable time sort with stored (already time-ascending) state
+          // FIRST and this batch's arrivals after, so equal-time ties keep
+          // their original arrival order across micro-batch boundaries —
+          // the "last in (time, arrival) order" pick never depends on how
+          // the stream was sliced into batches
+          val ls = (st.lefts ++ newLefts).sortBy(_._1)
+          val rs = (st.rights ++ newRights).sortBy(_._1).toIndexedSeq
           val wmNs = state.getCurrentWatermarkMs() * 1000000L
           val (ready, pending) = ls.partition(_._1 <= wmNs)
           val out = ready.map { case (t, lv) =>

@@ -33,8 +33,12 @@ final case class OLSBuf(xtx: Array[Double], xty: Array[Double],
  * regressors with ~zero weighted variance (reported, not dropped).
  *
  * Weight semantics: rows with null fields are skipped; rows with w <= 0 are
- * included in all sums and in `samples` (reference parity) — for such inputs
- * logLikelihood/AIC/BIC degrade to -Inf/NaN while the fit stays valid.
+ * included in all sums and in `samples` (reference parity). For w = 0 the
+ * fit is unchanged and only the ln(w) diagnostics (logLikelihood/AIC/BIC)
+ * degrade to -Inf/NaN. NEGATIVE weights are passed through to the normal
+ * equations exactly as the reference does — they subtract from X'WX and can
+ * make it indefinite/singular (NaN or sign-flipped coefficients); supplying
+ * a meaningful non-negative weight column is the caller's contract.
  */
 object OLSAggregate {
 

@@ -166,6 +166,31 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  it should "support a bare (time, key) left side and keep tie order across batches" in {
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[(Long, String)]
+    val rMem = MemoryStream[(Long, String, Int)]
+    val l = lMem.toDF().toDF("time", "k") // clock-sampling shape: no values
+    val r = rMem.toDF().toDF("time", "k", "rv")
+    val j = StreamingOps.leftJoinStream(l, r, tolerance = "15s", key = "k",
+      watermarkDelay = "0 seconds")
+    j.columns.toSeq shouldBe Seq("time", "k", "rv")
+    val q = j.writeStream.format("memory").queryName("asof_stream3")
+      .outputMode("append").start()
+    try {
+      // two rights at the SAME timestamp in one batch; the left row
+      // finalizes in a LATER batch — the tie must still resolve to the
+      // last-arrived right (250), as if everything ran in one batch
+      rMem.addData((10 * S, "a", 100), (10 * S, "a", 250))
+      lMem.addData((12 * S, "a"))
+      q.processAllAvailable()
+      rMem.addData((100 * S, "z", 0))
+      q.processAllAvailable()
+      val rows = spark.table("asof_stream3").collect()
+      rows.map(r => (r.getLong(0) / S, r.getInt(2))) shouldBe Array((12L, 250))
+    } finally q.stop()
+  }
+
   it should "clamp in-watermark late rows instead of amplifying state" in {
     implicit val sqlCtx = spark.sqlContext
     val day = 86400L * S
