@@ -241,6 +241,11 @@ class TimeSeriesDataFrame(DataFrame):
         return self._with(_api(self).dupClusters(
             self._jdf, pairs._jdf, id_col, a_col, b_col))
 
+    def dedup_by_clusters(self, pairs, id_col, a_col="id_a", b_col="id_b"):
+        """Keep one representative (min id) per pair-graph component."""
+        return self._with(_api(self).dedupByClusters(
+            self._jdf, id_col, pairs._jdf, a_col, b_col))
+
     def top_k_tokens(self, text_col, k):
         """Exact corpus top-k token frequencies (count desc, token asc)."""
         return self._with(_api(self).topKTokens(self._jdf, text_col, k))

@@ -92,6 +92,15 @@ object QueriesLLM {
       Dedup.dupClusters(d.select("doc_id"), pairs, "doc_id")
         .orderBy("doc_id")
     }),
+    // The full dedup decision: corpus minus non-representative cluster
+    // members (what a training pipeline actually feeds downstream).
+    "dedup_keep_docs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minHashDedupPairs(d, "doc_id", "text",
+        numHashes = 128, bands = 16, shingleSize = 3, threshold = 0.5)
+      Dedup.dedupByClusters(d, "doc_id", pairs)
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
     "doc_top_tokens" -> ((s, dir) =>
       TextStats.topKTokens(docs(s, dir), "text", 20)),
     "ann_cosine_topk" -> ((s, dir) => {
@@ -302,6 +311,26 @@ object QueriesLLM {
            SELECT u.dst, c.lbl FROM comp c JOIN und u ON u.src = c.id)
          SELECT id AS doc_id, min(lbl) AS cluster_id FROM comp
          GROUP BY id ORDER BY doc_id""",
+    "dedup_keep_docs" ->
+      """WITH RECURSIVE
+         d AS (
+           SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+               for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         e0 AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM d a JOIN d b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.5),
+         und AS (SELECT id_a AS src, id_b AS dst FROM e0
+                 UNION ALL SELECT id_b, id_a FROM e0),
+         comp(id, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT u.dst, c.lbl FROM comp c JOIN und u ON u.src = c.id),
+         keep AS (SELECT id FROM comp GROUP BY id HAVING id = min(lbl))
+         SELECT doc_id, source FROM documents JOIN keep ON doc_id = keep.id
+         ORDER BY doc_id""",
     "doc_top_tokens" ->
       """SELECT token, count(*) AS cnt FROM (
            SELECT unnest(string_split(text, ' ')) AS token FROM documents)

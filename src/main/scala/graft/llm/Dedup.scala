@@ -237,6 +237,18 @@ object Dedup {
       .select(F.col("id").as(idCol), F.col("lbl").as("cluster_id"))
   }
 
+  /** End-to-end near-dup dedup: keep exactly one representative (the
+    * min-id member) per connected component of `pairs`; rows outside any
+    * pair survive untouched. One [[dupClusters]] pass + a left-semi join —
+    * the full corpus never rides through the cluster computation. */
+  def dedupByClusters(df: DataFrame, idCol: String, pairs: DataFrame,
+                      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val keep = dupClusters(df.select(idCol), pairs, idCol, aCol, bCol)
+      .filter(F.col(idCol) === F.col("cluster_id"))
+      .select(idCol)
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** Exact n-gram (word-set) Jaccard similarity pairs within a blocking key
     * (e.g. source): a grouped self-join, the exact blocked-comparison
     * baseline. Exact semantics by default: every row of every block

@@ -245,6 +245,10 @@ object PyApi {
                   aCol: String, bCol: String): DataFrame =
     graft.llm.Dedup.dupClusters(ids, pairs, idCol, aCol, bCol)
 
+  def dedupByClusters(df: DataFrame, idCol: String, pairs: DataFrame,
+                      aCol: String, bCol: String): DataFrame =
+    graft.llm.Dedup.dedupByClusters(df, idCol, pairs, aCol, bCol)
+
   def topKTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
     graft.llm.TextStats.topKTokens(df, textCol, k)
 

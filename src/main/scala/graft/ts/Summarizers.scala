@@ -384,7 +384,7 @@ object Summarizers {
 
   /** The group's rows serialized as ONE Arrow IPC record batch (binary
     * column `arrow_bytes`), deterministically sorted (≙ Summarizers.arrow,
-    * reference Summarizers.scala:184-205 / ArrowSummarizer — its batched
+    * reference Summarizers.scala:37-46 / ArrowSummarizer.scala:38-81 — its batched
     * hand-off format for Python consumers). The bytes are a standard Arrow
     * stream: `pyarrow.ipc.open_stream(bytes).read_all()` yields the rows;
     * [[org.apache.spark.sql.graft.ArrowColumns.fromArrowBatch]] is the

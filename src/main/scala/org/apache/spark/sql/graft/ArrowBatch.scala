@@ -18,9 +18,10 @@ import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnarBatch}
 
 /**
  * Arrow interchange for grouped rows (≙ Summarizers.arrow,
- * /root/reference/src/main/scala/com/twosigma/flint/timeseries/Summarizers.scala:184-205,
- * whose ArrowSummarizer collects each window's rows into one Arrow record
- * batch for zero-copy hand-off to Python).
+ * /root/reference/src/main/scala/com/twosigma/flint/timeseries/Summarizers.scala:37-46,
+ * whose ArrowSummarizer — timeseries/summarize/summarizer/
+ * ArrowSummarizer.scala:38-81 — collects each window's rows into one Arrow
+ * record batch for zero-copy hand-off to Python).
  *
  * Spark-native mapping: the group's rows are first gathered with the same
  * `collect_list(struct(...))` shape every other aggregation-mode summarizer

@@ -135,6 +135,15 @@ class DedupSpec extends SparkTestBase {
     out.map(_.getLong(1)).distinct shouldBe Array(1L)
   }
 
+  it should "keep one representative per component via dedupByClusters" in {
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (10L, "y"), (20L, "z"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupByClusters(docs, "doc_id", pairs)
+      .orderBy("doc_id").collect().map(_.getLong(0))
+    kept shouldBe Array(1L, 10L, 20L)
+  }
+
   behavior of "kmeansCells"
 
   it should "separate well-clustered vectors and be partition-invariant" in {
