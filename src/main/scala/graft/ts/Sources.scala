@@ -76,11 +76,23 @@ object Sources {
     private var timeCol: String = TimeColumn
     private var unitToNanos: Long = 1L
 
+    private var expandBegin: Long = 0L
+    private var expandEnd: Long = 0L
+
     def option(k: String, v: String): ReadBuilder = { opts += (k -> v); this }
     def options(kvs: Map[String, String]): ReadBuilder = { opts ++= kvs; this }
     /** [begin, end) time range in nanos; either side optional via null-free overloads. */
     def range(beginNanos: Long, endNanos: Long): ReadBuilder = {
       begin = Some(beginNanos); end = Some(endNanos); this
+    }
+    /** Widen the configured range by durations (≙ ReadBuilder.expand,
+      * reference ReadBuilder.scala:134-147): lookback/lookahead slack so an
+      * as-of join near the range edges still finds its matches. Applied at
+      * read time to whichever bounds are set. */
+    def expand(beginDur: String = null, endDur: String = null): ReadBuilder = {
+      if (beginDur != null) expandBegin = TimeSeriesOps.parseDuration(beginDur)
+      if (endDur != null) expandEnd = TimeSeriesOps.parseDuration(endDur)
+      this
     }
     def beginNanos(b: Long): ReadBuilder = { begin = Some(b); this }
     def endNanos(e: Long): ReadBuilder = { end = Some(e); this }
