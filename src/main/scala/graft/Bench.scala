@@ -56,12 +56,16 @@ object Bench {
       val (a, b) = (pass1(name), pass2(name))
       name -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Timings are rounded to 4 decimals (0.1 ms — far below host noise) so
+    // the one-line JSON stays short enough that the driver's captured tail
+    // always contains the complete line, totals included.
+    def r4(v: Double): String = if (v < 0) "-1" else f"$v%.4f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"passes":2,"agg":"min","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","passes":2,"agg":"min","sf":"$sfDir","errors":$errors,"queries":$qs}""")
     spark.stop()
   }
 }

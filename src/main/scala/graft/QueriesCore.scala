@@ -139,9 +139,13 @@ object QueriesCore {
     "read_builder" -> ((s, dir) => {
       try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       catch { case _: Throwable => }
+      // Narrow range + expand slack = the oracle's [T0+10d, T0+20d): the
+      // expand path is load-bearing — if expand() were a no-op this query
+      // would return only [T0+11d, T0+19d) and hash-mismatch.
       Sources.read(s)
         .columns("event_id", "user_id")
-        .range(T0 + 10 * DAY, T0 + 20 * DAY)
+        .range(T0 + 11 * DAY, T0 + 19 * DAY)
+        .expand("1d", "1d")
         .time("ts")
         .parquet(s"$dir/events.parquet")
         .withColumn(TimeSeriesOps.TimeColumn, F.expr("time div 1000 * 1000"))

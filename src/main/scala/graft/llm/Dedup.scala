@@ -145,21 +145,31 @@ object Dedup {
   def simHashPortable(text: Column): Column =
     GraftColumns.simHashPortable(F.split(text, " "))
 
-  /** SimHash near-dup candidates: split the 64-bit sketch into 4 16-bit
-    * bands; docs sharing any band are candidates. By pigeonhole the
-    * candidate set is COMPLETE only for Hamming distance <= 3 (bands - 1):
-    * with `maxHamming` above that, pairs whose differing bits straddle all
-    * four bands are best-effort and can be missed. Returns
-    * (id_a, id_b, hamming <= maxHamming). `sketch` selects the hash family
-    * ([[simHash]] by default; [[simHashPortable]] for
-    * cross-engine-verifiable sketches). */
+  /** SimHash near-dup candidates: split the 64-bit sketch into `bands`
+    * equal-width bands; docs sharing any band are candidates. By pigeonhole
+    * the candidate set is COMPLETE only for Hamming distance <= bands - 1;
+    * the builder ENFORCES that bound (`require`) rather than silently
+    * returning an incomplete pair set — callers wanting a larger
+    * `maxHamming` must widen `bands` (any divisor of 64 works: 4 bands of
+    * 16 bits, 8 of 8, ...). Returns (id_a, id_b, hamming <= maxHamming).
+    * `sketch` selects the hash family ([[simHash]] by default;
+    * [[simHashPortable]] for cross-engine-verifiable sketches). */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucketSize: Int = 64,
-                   sketch: Column => Column = simHash): DataFrame = {
+                   sketch: Column => Column = simHash,
+                   bands: Int = 4): DataFrame = {
+    require(bands > 0 && 64 % bands == 0,
+      s"bands must divide 64, got $bands")
+    require(maxHamming <= bands - 1,
+      s"maxHamming=$maxHamming exceeds the pigeonhole completeness bound " +
+        s"bands-1=${bands - 1}; widen bands (e.g. bands=${maxHamming + 1}) " +
+        "instead of accepting a silently-incomplete pair set")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
     val withSketch = df.select(F.col(idCol).as("id"), sketch(F.col(textCol)).as("sk"))
-    val bandStructs = (0 until 4).map(b =>
+    val bandStructs = (0 until bands).map(b =>
       F.struct(F.lit(b).as("band"),
-        F.shiftright(F.col("sk"), b * 16).bitwiseAND(F.lit(0xFFFFL)).as("bucket")))
+        F.shiftright(F.col("sk"), b * width).bitwiseAND(F.lit(mask)).as("bucket")))
     val banded = withSketch.select(F.col("id"), F.col("sk"),
       F.explode(F.array(bandStructs: _*)).as("bk"))
       .select(F.col("id"), F.col("sk"), F.col("bk.band"), F.col("bk.bucket"))

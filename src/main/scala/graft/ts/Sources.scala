@@ -101,15 +101,22 @@ object Sources {
       timeCol = col; unitToNanos = toNanos; this
     }
 
+    /** The configured [begin, end) widened by the expand slack — the range
+      * the terminal read methods actually apply (≙ reference
+      * ReadBuilder.scala:134-147, where expand mutates the stored range). */
+    private def expandedBegin: Option[Long] = begin.map(_ - expandBegin)
+    private def expandedEnd: Option[Long] = end.map(_ + expandEnd)
+
     def parquet(path: String): org.apache.spark.sql.DataFrame =
-      fromParquet(spark, path, cols, begin, end, timeCol, unitToNanos, opts)
+      fromParquet(spark, path, cols, expandedBegin, expandedEnd, timeCol,
+        unitToNanos, opts)
 
     def csv(path: String): org.apache.spark.sql.DataFrame = {
       val header = opts.getOrElse("header", "true").toBoolean
       val delim = opts.getOrElse("delimiter", ",")
       val df = fromCSV(spark, path, header, delim, None, timeCol, unitToNanos,
         sorted = false, options = opts -- Seq("header", "delimiter"))
-      val ranged = (begin, end) match {
+      val ranged = (expandedBegin, expandedEnd) match {
         case (Some(b), Some(e)) => TimeSeriesOps.between(df, b, e)
         case (Some(b), None) => df.filter(F.col(TimeColumn) >= b)
         case (None, Some(e)) => df.filter(F.col(TimeColumn) < e)

@@ -91,6 +91,21 @@ class DedupSpec extends SparkTestBase {
       Array((1L, 2L, 0))
   }
 
+  it should "reject maxHamming above the pigeonhole bound, accept it with widened bands" in {
+    val docs = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 4)
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 4, bands = 5)
+    // 8 bands of 8 bits: bound becomes 7, and identical docs still pair.
+    val a = (1 to 30).map(i => s"w$i").mkString(" ")
+    val wide = Dedup.simHashPairs(
+      Seq((1L, a), (2L, a)).toDF("doc_id", "text"),
+      "doc_id", "text", maxHamming = 7, bands = 8).collect()
+    wide.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))) shouldBe
+      Array((1L, 2L, 0))
+  }
+
   behavior of "simHashPortable"
 
   it should "match the independently computed reference sketches" in {

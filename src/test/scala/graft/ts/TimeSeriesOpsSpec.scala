@@ -201,4 +201,33 @@ class TimeSeriesOpsSpec extends SparkTestBase {
     TimeSeriesOps.parseDuration("2s") shouldBe 2000000000L
     TimeSeriesOps.parseDuration("1d") shouldBe 86400000000000L
   }
+
+  behavior of "ReadBuilder.expand"
+
+  it should "widen the read range on both parquet and csv paths" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft_expand").toString
+    try {
+      val rows = Seq(5L, 10L, 15L, 20L, 25L).map(t => (t, t * 2))
+      rows.toDF("time", "v").write.mode("overwrite").parquet(s"$dir/p")
+      rows.toDF("time", "v").write.mode("overwrite")
+        .option("header", "true").csv(s"$dir/c")
+
+      // Unexpanded [10, 20) keeps {10, 15}; expand(5ns, 5ns) → [5, 25)
+      // keeps {5, 10, 15, 20}.
+      def times(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+        df.select("time").as[Long].collect().toSeq.sorted
+
+      times(Sources.read(spark).range(10L, 20L).parquet(s"$dir/p")) shouldBe
+        Seq(10L, 15L)
+      times(Sources.read(spark).range(10L, 20L).expand("5ns", "5ns")
+        .parquet(s"$dir/p")) shouldBe Seq(5L, 10L, 15L, 20L)
+      // One-sided expand widens only that side.
+      times(Sources.read(spark).range(10L, 20L).expand(endDur = "5ns")
+        .parquet(s"$dir/p")) shouldBe Seq(10L, 15L, 20L)
+      times(Sources.read(spark).range(10L, 20L).expand("5ns", "5ns")
+        .csv(s"$dir/c")) shouldBe Seq(5L, 10L, 15L, 20L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
