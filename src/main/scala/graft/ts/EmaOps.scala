@@ -218,10 +218,35 @@ object EmaOps {
         .agg(aggs.head, aggs.tail: _*), key)
   }
 
+  /** Serializable snapshot of a running-EMA state: the per-partition
+    * summary collected in pass 1 of the two-pass prefix scan and the primed
+    * carry applied in pass 2. One shape serves both state families (EWMA
+    * ignores the first/prev x fields it doesn't track). */
+  private[ts] case class ScanSummary(has: Boolean, primary: Double,
+                                     auxiliary: Double, firstT: Long,
+                                     firstX: Double, prevT: Long,
+                                     prevX: Double, n: Long)
+
+  private object ScanSummary {
+    val empty: ScanSummary = ScanSummary(has = false, 0.0, 0.0, 0L, 0.0, 0L, 0.0, 0L)
+  }
+
   private trait RunningState {
     def update(t: Long, x: Double): Unit
     /** Current rendered value; NaN when no non-null input seen yet. */
     def value: Double
+    /** Snapshot of the current accumulated state (pass-1 summary). */
+    def summary: ScanSummary
+    /** Restore a snapshot as this state's starting point (pass-2 priming). */
+    def prime(s: ScanSummary): Unit
+    /** Pure composition of two time-adjacent segment summaries: the state
+      * after scanning segment `a`'s rows then segment `b`'s rows equals
+      * `compose(a, b)` — the telescoped recursion makes every segment's
+      * contribution a closed-form decay of its standalone summary, which is
+      * what lets the driver stitch per-partition summaries in O(#partitions)
+      * (≙ the reference's two-pass Summarizations prefix scan,
+      * /root/reference/src/main/scala/com/twosigma/flint/rdd/function/summarize/Summarizations.scala:25-50). */
+    def compose(a: ScanSummary, b: ScanSummary): ScanSummary
   }
 
   /** ES recursion + render (identical math to the reference's state machine,
@@ -271,6 +296,30 @@ object EmaOps {
         val au = decayed(interp(0.0, 1.0, actualPriming), span) + auxiliary
         if (convention == "core") pr / au else pr
       }
+
+    def summary: ScanSummary =
+      ScanSummary(has, primary, auxiliary, firstT, firstX, prevT, prevX, 0L)
+
+    def prime(s: ScanSummary): Unit = {
+      has = s.has; primary = s.primary; auxiliary = s.auxiliary
+      firstT = s.firstT; firstX = s.firstX; prevT = s.prevT; prevX = s.prevX
+    }
+
+    def compose(a: ScanSummary, b: ScanSummary): ScanSummary =
+      if (!a.has) b
+      else if (!b.has) a
+      else {
+        // Boundary transition (a's last row -> b's first row), then decay
+        // the result through b's span; b's own transitions are already
+        // decayed to b.prevT in its standalone summary.
+        val pb = (b.firstT - a.prevT) / p
+        val bp = decayed(a.primary, pb) + interp(a.prevX, b.firstX, pb)
+        val ba = decayed(a.auxiliary, pb) + interp(1.0, 1.0, pb)
+        val span = (b.prevT - b.firstT) / p
+        ScanSummary(has = true,
+          b.primary + decayed(bp, span), b.auxiliary + decayed(ba, span),
+          a.firstT, a.firstX, b.prevT, b.prevX, 0L)
+      }
   }
 
   private final class EwmaState(logDecay: Double, constant: Boolean,
@@ -294,6 +343,26 @@ object EmaOps {
       if (n == 0L) Double.NaN
       else if (convention == "core") primary / auxiliary
       else primary
+
+    def summary: ScanSummary =
+      ScanSummary(n > 0L, primary, auxiliary, 0L, 0.0, lastT, 0.0, n)
+
+    def prime(s: ScanSummary): Unit = {
+      primary = s.primary; auxiliary = s.auxiliary; lastT = s.prevT; n = s.n
+    }
+
+    def compose(a: ScanSummary, b: ScanSummary): ScanSummary =
+      if (a.n == 0L) b
+      else if (b.n == 0L) a
+      else {
+        // a's carry decays through all of b's rows: by one period per row
+        // in constant mode, by the total elapsed time otherwise.
+        val periods = if (constant) b.n.toDouble else (b.prevT - a.prevT) / perPeriod
+        val decay = math.exp(periods * logDecay)
+        ScanSummary(has = true,
+          b.primary + decay * a.primary, b.auxiliary + decay * a.auxiliary,
+          0L, 0.0, b.prevT, 0.0, a.n + b.n)
+      }
   }
 
   /** One ordered scan per key group emitting one value per GROUP (constant-
@@ -340,33 +409,109 @@ object EmaOps {
     }(enc)
   }
 
-  /** One ordered scan per key group emitting EVERY input row plus the
-    * running value: repartition(key) + sortWithinPartitions(key, time) +
-    * mapPartitions with O(1) per-key state — the reference's execution
-    * shape for running summarizers. */
+  /** Per-partition pass-1 report: the boundary key-runs of one partition.
+    * Only the first and last runs can interact with neighbor partitions;
+    * interior runs start and finish inside it. */
+  private case class PartReport(idx: Int, isEmpty: Boolean,
+                                firstKey: Seq[Any], lastKey: Seq[Any],
+                                lastSummary: ScanSummary, singleRun: Boolean)
+
+  /** Ordered scan emitting EVERY input row plus the running value, at full
+    * partition parallelism regardless of key cardinality — keyless and
+    * hot-key inputs no longer serialize into one task (the r5 weakness).
+    *
+    * Execution — a two-pass prefix scan (≙ the reference's Blelloch-style
+    * Summarizations, Summarizations.scala:25-50), on top of ONE range
+    * shuffle on (key..., time) so every partition holds a contiguous slice
+    * of the global scan order:
+    *
+    *   1. pass 1 scans each partition and reports only its boundary
+    *      key-runs (O(1) per partition, collected to the driver);
+    *   2. the driver stitches runs that straddle partition borders by
+    *      composing their summaries in partition order (the EMA recursion
+    *      telescopes, so a segment's contribution is a closed-form decay of
+    *      its standalone summary) — O(#partitions) driver work;
+    *   3. pass 2 re-scans each partition with its first run primed by the
+    *      composed carry and renders every row.
+    *
+    * Both passes run over the same shuffled RDD instance, so pass 2 reuses
+    * pass 1's shuffle files (skipped stage) rather than re-shuffling. */
   private def runningScan(df: DataFrame, xCol: String, key: Seq[String],
                           outName: String)(mk: () => RunningState): DataFrame = {
-    val parted =
-      if (key.isEmpty) df.repartition(1)
-      else df.repartition(key.map(F.col): _*)
-    val sorted = parted.sortWithinPartitions((key :+ TimeColumn).map(F.col): _*)
+    val spark = df.sparkSession
+    val sortCols = (key :+ TimeColumn).map(F.col)
+    val sorted = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
     val tIdx = df.schema.fieldIndex(TimeColumn)
     val xIdx = df.schema.fieldIndex(xCol)
     val kIdx = key.map(df.schema.fieldIndex)
     val outSchema = df.schema.add(outName, DoubleType, nullable = true)
-    val enc = org.apache.spark.sql.Encoders.row(outSchema)
 
-    sorted.mapPartitions { it =>
+    // One RDD instance shared by both jobs -> the range shuffle runs once.
+    val rdd = sorted.rdd
+
+    def keyOf(r: Row): Seq[Any] = kIdx.map(r.get)
+    def feed(st: RunningState, r: Row): Unit =
+      if (!r.isNullAt(xIdx))
+        st.update(r.getLong(tIdx), r.get(xIdx).asInstanceOf[Number].doubleValue())
+
+    // Pass 1: boundary-run summaries per partition.
+    val reports = rdd.mapPartitionsWithIndex { (idx, it) =>
+      if (!it.hasNext) Iterator.single(
+        PartReport(idx, isEmpty = true, Nil, Nil, ScanSummary.empty, singleRun = true))
+      else {
+        var st = mk()
+        val first = it.next()
+        val firstKey = keyOf(first)
+        var curKey = firstKey
+        var runs = 1
+        feed(st, first)
+        it.foreach { r =>
+          val kv = keyOf(r)
+          if (kv != curKey) { st = mk(); curKey = kv; runs += 1 }
+          feed(st, r)
+        }
+        Iterator.single(PartReport(idx, isEmpty = false, firstKey, curKey,
+          st.summary, singleRun = runs == 1))
+      }
+    }.collect().sortBy(_.idx)
+
+    // Driver stitch: carry = composed state of the key-run ending at each
+    // partition border; incoming(i) primes partition i's first run.
+    val helper = mk()
+    val incoming = scala.collection.mutable.Map.empty[Int, ScanSummary]
+    var carryKey: Seq[Any] = null
+    var carry: ScanSummary = ScanSummary.empty
+    var carryValid = false
+    reports.foreach { p =>
+      if (!p.isEmpty) {
+        val continues = carryValid && p.firstKey == carryKey
+        if (continues) incoming(p.idx) = carry
+        if (p.singleRun && continues) carry = helper.compose(carry, p.lastSummary)
+        else { carryKey = p.lastKey; carry = p.lastSummary }
+        carryValid = true
+      }
+    }
+    val incomingB = spark.sparkContext.broadcast(incoming.toMap)
+
+    // Pass 2: primed re-scan rendering every row (shuffle reused).
+    val outRdd = rdd.mapPartitionsWithIndex { (idx, it) =>
+      val primed = incomingB.value.get(idx)
       var curKey: Seq[Any] = null
       var st: RunningState = null
+      var firstRun = true
       it.map { r =>
-        val kv = kIdx.map(r.get)
-        if (st == null || kv != curKey) { st = mk(); curKey = kv }
-        if (!r.isNullAt(xIdx))
-          st.update(r.getLong(tIdx), r.get(xIdx).asInstanceOf[Number].doubleValue())
+        val kv = keyOf(r)
+        if (st == null || kv != curKey) {
+          if (st != null) firstRun = false
+          st = mk(); curKey = kv
+          if (firstRun) primed.foreach(st.prime)
+        }
+        feed(st, r)
         val v = st.value
         Row.fromSeq(r.toSeq :+ (if (v.isNaN) null else v))
       }
-    }(enc)
+    }
+    spark.createDataFrame(outRdd, outSchema)
   }
 }

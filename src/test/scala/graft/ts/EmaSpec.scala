@@ -140,6 +140,64 @@ class EmaSpec extends SparkTestBase {
     out shouldBe Array(1.0, 2.5, 10.0, 25.0)
   }
 
+  it should "stay parallel on keyless input and match the sequential recursion" in {
+    // 64 rows, deliberately scrambled across 8 input partitions; the
+    // two-pass prefix scan must (a) use > 1 output partition — the r5
+    // implementation collapsed keyless input to repartition(1) — and
+    // (b) still produce exactly the sequential running ewma.
+    val n = 64
+    val ts = (0 until n).map(i => i * day / 4)
+    val xs = (0 until n).map(i => math.sin(i * 0.7) * 10 + i % 5)
+    val df = ts.zip(xs).toDF("time", "v").repartition(8)
+    val out = EmaOps.ewmaRows(df, "v", Seq.empty,
+      alpha = 0.23, durationPerPeriod = "1d", convention = "core")
+    val nonEmpty = out.rdd
+      .mapPartitions(it => Iterator.single(if (it.hasNext) 1 else 0)).collect().sum
+    nonEmpty should be > 1
+    val got = out.orderBy("time").collect().map(_.getDouble(2))
+    // sequential reference recursion
+    val k = math.log(1.0 - 0.23)
+    var (p, a, lastT) = (0.0, 0.0, 0L); var m = 0
+    val want = ts.zip(xs).map { case (t, x) =>
+      if (m == 0) { p = x; a = 1.0 }
+      else {
+        val d = math.exp(k * (t - lastT) / day.toDouble)
+        p = d * p + x; a = d * a + 1.0
+      }
+      lastT = t; m += 1
+      p / a
+    }
+    got.zip(want).foreach { case (g, w) => approx(g, w, 1e-9) }
+  }
+
+  it should "stitch a hot key spanning partitions identically to one partition" in {
+    // One mega-key (plus a minor key) with enough rows that the range
+    // partitioner splits the hot key across partitions; the stitched
+    // result must equal the same computation forced through 1 partition.
+    val n = 48
+    val rows = (0 until n).map(i => (i * day / 2, "hot", i * 1.5 - 7)) ++
+      Seq((3 * day, "cold", 2.0), (5 * day, "cold", 4.0))
+    val df = rows.toDF("time", "k", "v").repartition(7)
+    // serial baseline: 1 shuffle partition -> the whole scan is one task
+    // with no stitching; parallel run uses the session default (4).
+    def run(interp: String, conv: String): Array[Option[Double]] =
+      EmaOps.exponentialSmoothingRows(df, "v", Seq("k"),
+        alpha = 0.4, interpolation = interp, convention = conv)
+        .orderBy("k", "time").collect()
+        .map(r => if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    for (interp <- Seq("previous", "linear", "current");
+         conv <- Seq("convolution", "core", "legacy")) {
+      val par = run(interp, conv)
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      val ser = try run(interp, conv)
+      finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+      par.zip(ser).foreach {
+        case (Some(g), Some(w)) => approx(g, w, 1e-9)
+        case (g, w) => g shouldBe w
+      }
+    }
+  }
+
   it should "emit no rows for empty or all-null keyless input" in {
     val empty = Seq.empty[(Long, Double)].toDF("time", "v")
     EmaOps.ewma(empty, "v", alpha = 0.5).count() shouldBe 0
