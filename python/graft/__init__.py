@@ -17,6 +17,8 @@ Scala classes must be on the driver classpath, e.g.::
 """
 
 from .dataframe import TimeSeriesDataFrame
-from . import summarizers, clocks, multimodal
+from .functions import udf
+from . import summarizers, clocks, multimodal, functions
 
-__all__ = ["TimeSeriesDataFrame", "summarizers", "clocks", "multimodal"]
+__all__ = ["TimeSeriesDataFrame", "udf", "summarizers", "clocks",
+           "multimodal", "functions"]

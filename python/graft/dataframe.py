@@ -143,9 +143,26 @@ class TimeSeriesDataFrame(DataFrame):
             _jlist(self.sparkSession, key)))
 
     def summarize_cycles(self, summarizer, key=None):
+        """One row per (time, key...) cycle. ``summarizer`` is either a
+        Scala summarizer from :mod:`graft.summarizers`, or a dict of
+        ``{out_name: bound @graft.udf call}`` evaluated via Spark's native
+        Arrow exchange (applyInPandas) — the pandas/numpy columnar-UDF
+        path (≙ the reference's summarizeCycles udf form)."""
+        if isinstance(summarizer, dict):
+            return self._summarize_cycles_udf(summarizer, key)
         return self._with(_api(self).summarizeCycles(
             self._jdf, summarizer._jsum(self.sparkSession),
             _jlist(self.sparkSession, key)))
+
+    def _summarize_cycles_udf(self, columns, key, frame=None):
+        from . import functions as _fx
+        frame = frame if frame is not None else self
+        keyc = list(key or [])
+        entries = _fx.normalize_entries(columns)
+        schema = _fx.summarize_schema(frame.schema, keyc, entries)
+        fn = _fx.cycle_summarize_fn(keyc, entries)
+        grouped = frame.groupBy(*(["time"] + keyc))
+        return TimeSeriesDataFrame(grouped.applyInPandas(fn, schema))
 
     def group_by_cycle(self, key=None):
         return self._with(_api(self).groupByCycle(
@@ -153,6 +170,14 @@ class TimeSeriesDataFrame(DataFrame):
 
     def summarize_intervals(self, clock, summarizer, key=None,
                             inclusion="begin", rounding="end"):
+        """Interval-bucketed summarize. Dict summarizers follow the
+        pandas-UDF path: the Scala engine assigns interval stamps
+        (identical inclusion/rounding semantics), then the UDFs run over
+        the bucketed cycles via applyInPandas."""
+        if isinstance(summarizer, dict):
+            bucketed = self._with(_api(self).intervalize(
+                self._jdf, clock._jdf, inclusion, rounding))
+            return self._summarize_cycles_udf(summarizer, key, frame=bucketed)
         return self._with(_api(self).summarizeIntervals(
             self._jdf, clock._jdf, summarizer._jsum(self.sparkSession),
             _jlist(self.sparkSession, key), inclusion, rounding))
@@ -164,21 +189,60 @@ class TimeSeriesDataFrame(DataFrame):
             inclusion, rounding))
 
     def summarize_windows(self, summarizer, past=None, future=None, key=None):
+        """Per-row absolute-time window summaries. Dict summarizers follow
+        the pandas-UDF path: one applyInPandas over each key group, window
+        slices located by searchsorted — every input row comes back with
+        one column per udf output. Keyless input collapses to a single
+        group on this path (use the Scala summarizers for keyless scale)."""
+        if isinstance(summarizer, dict):
+            return self._summarize_windows_udf(summarizer, past, future, key)
         return self._with(_api(self).summarizeWindows(
             self._jdf, summarizer._jsum(self.sparkSession),
             past or "", future or "", _jlist(self.sparkSession, key)))
+
+    def _summarize_windows_udf(self, columns, past, future, key):
+        from pyspark.sql import functions as F
+        from . import functions as _fx
+        if (past is None) == (future is None):
+            raise ValueError("exactly one of past/future is required")
+        keyc = list(key or [])
+        entries = _fx.normalize_entries(columns)
+        schema = _fx.appended_schema(self.schema, entries)
+        fn = _fx.window_append_fn(
+            entries,
+            past_nanos=_fx.parse_nanos(past) if past else None,
+            future_nanos=_fx.parse_nanos(future) if future else None)
+        grouped = (self.groupBy(*keyc) if keyc
+                   else self.groupBy(F.lit(0)))
+        return TimeSeriesDataFrame(grouped.applyInPandas(fn, schema))
 
     def add_windows(self, past=None, future=None, key=None):
         return self._with(_api(self).addWindows(
             self._jdf, past or "", future or "",
             _jlist(self.sparkSession, key)))
 
-    def add_columns_for_cycle(self, func, schema, key=None):
-        """Apply a pandas function to every (time, key...) cycle — the
+    def add_columns_for_cycle(self, func, schema=None, key=None):
+        """Apply per-cycle columns over every (time, key...) cycle — the
         GROUPED_MAP path of the reference's addColumnsForCycle python
-        surface (func(pdf) -> pdf, executed via applyInPandas over Arrow
-        batches; schema is the full output schema DDL)."""
-        grouped = self.groupBy(*(["time"] + list(key or [])))
+        surface, on Spark's native Arrow exchange (applyInPandas).
+
+        Two forms:
+
+        - ``func`` a dict ``{out_name: bound @graft.udf call}`` where each
+          udf returns a Series (or array) aligned with the cycle — the
+          output schema is derived automatically (input columns + one
+          field per udf output);
+        - ``func`` a raw callable ``pdf -> pdf`` with an explicit output
+          ``schema`` DDL (the escape hatch for whole-frame rewrites)."""
+        keyc = list(key or [])
+        grouped = self.groupBy(*(["time"] + keyc))
+        if isinstance(func, dict):
+            from . import functions as _fx
+            entries = _fx.normalize_entries(func)
+            schema = _fx.appended_schema(self.schema, entries)
+            func = _fx.cycle_append_fn(entries)
+        elif schema is None:
+            raise ValueError("schema is required for the raw-callable form")
         return TimeSeriesDataFrame(grouped.applyInPandas(func, schema))
 
     def add_summary_columns(self, summarizer, key=None, tie_break=None):

@@ -160,6 +160,13 @@ object PyApi {
     Intervals.groupByInterval(df, Intervals.clockTicks(clock), seq(key),
       inclusion, rounding)
 
+  /** Interval bucket assignment only (time replaced by the interval stamp)
+    * — the Python pandas-UDF summarize_intervals path buckets here, then
+    * group-applies the UDFs over the bucketed cycles via applyInPandas. */
+  def intervalize(df: DataFrame, clock: DataFrame, inclusion: String,
+                  rounding: String): DataFrame =
+    Intervals.intervalize(df, Intervals.clockTicks(clock), inclusion, rounding)
+
   def summarizeWindows(df: DataFrame, s: Summarizer, past: String,
                        future: String, key: JList[String]): DataFrame = {
     val w = window(past, future)
