@@ -371,10 +371,11 @@ class TimeSeriesDataFrame(DataFrame):
     def ewma_stateful(self, col, key, alpha=0.05, duration_per_period="1d",
                       convention="legacy", watermark_delay="0 seconds",
                       state_timeout="30 days"):
-        """Cross-batch running EWMA via flatMapGroupsWithState."""
+        """Cross-batch running EWMA via flatMapGroupsWithState.
+        ``key`` is a list of column names (same as the batch ops)."""
         return self._with(_api(self).ewmaStateful(
-            self._jdf, col, key, alpha, duration_per_period, convention,
-            watermark_delay, state_timeout))
+            self._jdf, col, _jlist(self.sparkSession, list(key)), alpha,
+            duration_per_period, convention, watermark_delay, state_timeout))
 
     def dedup_exact_stream(self, key_cols, watermark_delay):
         """Streaming exact dedup with watermark-bounded state."""
@@ -385,7 +386,21 @@ class TimeSeriesDataFrame(DataFrame):
     def left_join_stream(self, right, tolerance, key,
                          watermark_delay="0 seconds",
                          state_timeout="30 days"):
-        """Streaming as-of left join with watermark-final semantics."""
+        """Streaming as-of left join with watermark-final semantics.
+        ``key`` is a list of column names (same as the batch ops)."""
         return self._with(_api(self).leftJoinStream(
-            self._jdf, right._jdf, tolerance, key, watermark_delay,
+            self._jdf, right._jdf, tolerance,
+            _jlist(self.sparkSession, list(key)), watermark_delay,
             state_timeout))
+
+    def future_left_join_stream(self, right, tolerance, key,
+                                watermark_delay="0 seconds",
+                                state_timeout="30 days",
+                                strict_lookahead=False):
+        """Streaming FORWARD as-of join: earliest right row in
+        [t, t+tolerance] ((t, t+tolerance] with ``strict_lookahead``),
+        finalized once the watermark passes t + tolerance."""
+        return self._with(_api(self).futureLeftJoinStream(
+            self._jdf, right._jdf, tolerance,
+            _jlist(self.sparkSession, list(key)), watermark_delay,
+            state_timeout, strict_lookahead))

@@ -1,0 +1,220 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.{functions => F}
+
+import graft.streaming.StreamingOps
+import graft.ts.{AsOfJoin, EmaOps, Summarizers, TimeSeriesOps}
+
+/**
+ * Streaming-equivalence harness (VERDICT r5 #4): replays the sf events
+ * table through a `MemoryStream` in time-ordered chunks with controlled
+ * watermark advances, and diffs each streaming operator's finalized output
+ * against the batch operator over the same rows. This is the registered,
+ * driver-visible correctness evidence for the streaming surface — the ops
+ * whose semantics DuckDB cannot oracle (watermarks, incremental state).
+ *
+ * Covers all seven streaming operators: summarizeTumbling /
+ * summarizeSliding / summarizeSessions, ewmaStateful, dedupExactStream,
+ * leftJoinStream, futureLeftJoinStream.
+ *
+ * Usage: `runMain graft.StreamCheck [sfDir] [outJson]` — writes one JSON
+ * object per op: {"match": bool, "stream_rows": n, "batch_rows": n,
+ * "err": ...}; process exits non-zero on any mismatch.
+ */
+object StreamCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outPath = if (args.length > 1) args(1) else "STREAMCHECK.json"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // (time, event_type, value): time-sorted, µs-truncated like the oracle
+    // queries; value100 keeps double math integral where it matters.
+    val ev = QueriesCore.events(spark, sfDir)
+      .select(F.col("time"), F.col("event_type"),
+        F.round(F.col("value") * 100).as("v"))
+      .orderBy("time")
+      .as[(Long, String, Double)].collect().toSeq
+    require(ev.nonEmpty, s"no events at $sfDir")
+    val sentinelT = ev.last._1 + 365L * 86400L * 1000000000L
+    val sentinel = (sentinelT, "__wm_sentinel__", 0.0)
+
+    /** Feed `rows` through a MemoryStream in `chunks` time-ordered slices
+      * (+ a far-future sentinel that finalizes every window/pending left),
+      * run `build` over the stream, return the collected sink rows minus
+      * any sentinel-key output. */
+    def runStream(name: String, rows: Seq[(Long, String, Double)], chunks: Int)
+                 (build: DataFrame => DataFrame): Seq[Row] = {
+      val mem = MemoryStream[(Long, String, Double)]
+      val sdf = mem.toDF().toDF("time", "event_type", "v")
+      val out = build(sdf)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        val size = math.max(1, (rows.length + chunks - 1) / chunks)
+        rows.grouped(size).foreach { c => mem.addData(c); q.processAllAvailable() }
+        mem.addData(sentinel)
+        q.processAllAvailable()
+        spark.table(name).collect().toSeq
+          .filterNot(r => r.toSeq.contains("__wm_sentinel__"))
+      } finally q.stop()
+    }
+
+    /** Two-sided feed for the as-of joins: left/right streams chunked on
+      * the same time boundaries so arrival order tracks event order. */
+    def runJoinStream(name: String, lRows: Seq[(Long, String, Double)],
+                      rRows: Seq[(Long, String, Double)], chunks: Int)
+                     (build: (DataFrame, DataFrame) => DataFrame): Seq[Row] = {
+      val lMem = MemoryStream[(Long, String, Double)]
+      val rMem = MemoryStream[(Long, String, Double)]
+      val l = lMem.toDF().toDF("time", "event_type", "lv")
+      val r = rMem.toDF().toDF("time", "event_type", "rv")
+      val out = build(l, r)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        val tMax = math.max(lRows.last._1, rRows.last._1)
+        val tMin = math.min(lRows.head._1, rRows.head._1)
+        val step = math.max(1L, (tMax - tMin) / chunks + 1)
+        for (i <- 0 until chunks) {
+          val (lo, hi) = (tMin + i * step, tMin + (i + 1) * step)
+          val lc = lRows.filter(x => x._1 >= lo && x._1 < hi)
+          val rc = rRows.filter(x => x._1 >= lo && x._1 < hi)
+          if (lc.nonEmpty) lMem.addData(lc)
+          if (rc.nonEmpty) rMem.addData(rc)
+          q.processAllAvailable()
+        }
+        lMem.addData(sentinel); rMem.addData(sentinel)
+        q.processAllAvailable()
+        spark.table(name).collect().toSeq
+          .filterNot(r => r.toSeq.contains("__wm_sentinel__"))
+      } finally q.stop()
+    }
+
+    /** Order-insensitive row-multiset diff with double tolerance. */
+    def diff(stream: Seq[Row], batch: Seq[Row]): Option[String] = {
+      def norm(r: Row): Seq[Any] = r.toSeq.map {
+        case d: Double => math.round(d * 1e6) / 1e6
+        case x => x
+      }
+      val a = stream.map(norm).sortBy(_.mkString("|"))
+      val b = batch.map(norm).sortBy(_.mkString("|"))
+      if (a == b) None
+      else if (a.length != b.length)
+        Some(s"row count ${a.length} vs ${b.length}")
+      else a.zip(b).collectFirst {
+        case (x, y) if x != y => s"first mismatch: $x vs $y"
+      }
+    }
+
+    val evDF = ev.toDF("time", "event_type", "v")
+    var results = scala.collection.immutable.ListMap.empty[String, (Option[String], Int, Int)]
+
+    def record(op: String)(f: => (Seq[Row], Seq[Row])): Unit = {
+      val entry = try {
+        val (s, b) = f
+        (diff(s, b), s.length, b.length)
+      } catch { case e: Throwable => (Some(s"err: ${e.getMessage}"), -1, -1) }
+      results += op -> entry
+      println(s"[streamcheck] $op -> ${entry._1.getOrElse("OK")}")
+    }
+
+    record("summarize_tumbling") {
+      val build = (df: DataFrame) => StreamingOps.summarizeTumbling(
+        df, Summarizers.sum("v"), "6 hours", "0 seconds", Seq("event_type"))
+      (runStream("sc_tumbling", ev, 4)(build), build(evDF).collect().toSeq)
+    }
+
+    record("summarize_sliding") {
+      val build = (df: DataFrame) => StreamingOps.summarizeSliding(
+        df, Summarizers.mean("v"), "12 hours", "6 hours", "0 seconds",
+        Seq("event_type"))
+      (runStream("sc_sliding", ev, 4)(build), build(evDF).collect().toSeq)
+    }
+
+    record("summarize_sessions") {
+      val build = (df: DataFrame) => StreamingOps.summarizeSessions(
+        df, Summarizers.count(), "2 hours", "0 seconds", Seq("event_type"))
+      (runStream("sc_sessions", ev, 4)(build), build(evDF).collect().toSeq)
+    }
+
+    record("ewma_stateful") {
+      val stream = runStream("sc_ewma", ev, 4)(df =>
+        StreamingOps.ewmaStateful(df, "v", Seq("event_type"), alpha = 0.1,
+          durationPerPeriod = "1d", convention = "legacy",
+          watermarkDelay = "0 seconds"))
+      val batch = EmaOps.ewmaRows(evDF, "v", Seq("event_type"), alpha = 0.1,
+        durationPerPeriod = "1d", convention = "legacy")
+        .select("time", "event_type", "v", "v_ewma").collect().toSeq
+      (stream, batch)
+    }
+
+    record("dedup_exact_stream") {
+      // first-arrival (= earliest-time) row per event_type. The guarantee
+      // is dedup WITHIN the watermark delay (state outside it is evicted),
+      // so batch equivalence needs a delay covering the whole event span.
+      val stream = runStream("sc_dedup", ev, 4)(df =>
+        StreamingOps.dedupExactStream(df, Seq("event_type"), "60 days"))
+      val batch = evDF.withColumn("__rn",
+          F.row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("event_type").orderBy("time")))
+        .filter(F.col("__rn") === 1).drop("__rn").collect().toSeq
+      (stream, batch)
+    }
+
+    // as-of joins: clicks against purchases, keyed on event_type buckets —
+    // project to one key by mapping both sides onto a shared key column
+    val clicks = ev.filter(_._2 == "click")
+    val purchases = ev.filter(_._2 == "purchase")
+      .map(x => (x._1, "click", x._3)) // same key domain as the left
+      .sortBy(_._1)
+    // drop equal-time right ties: batch tie-break (greatest value tuple)
+    // and stream tie-break (last arrival) legitimately differ there
+    val purchasesDeduped = purchases.groupBy(_._1).map(_._2.head).toSeq.sortBy(_._1)
+
+    record("left_join_stream") {
+      val stream = runJoinStream("sc_asof", clicks, purchasesDeduped, 4)(
+        (l, r) => StreamingOps.leftJoinStream(l, r, tolerance = "6h",
+          key = Seq("event_type"), watermarkDelay = "0 seconds"))
+      val batch = AsOfJoin.leftJoin(
+        clicks.toDF("time", "event_type", "lv"),
+        purchasesDeduped.toDF("time", "event_type", "rv"),
+        tolerance = "6h", key = Seq("event_type")).collect().toSeq
+      (stream, batch)
+    }
+
+    record("future_left_join_stream") {
+      val stream = runJoinStream("sc_future_asof", clicks, purchasesDeduped, 4)(
+        (l, r) => StreamingOps.futureLeftJoinStream(l, r, tolerance = "6h",
+          key = Seq("event_type"), watermarkDelay = "0 seconds"))
+      val batch = AsOfJoin.futureLeftJoin(
+        clicks.toDF("time", "event_type", "lv"),
+        purchasesDeduped.toDF("time", "event_type", "rv"),
+        tolerance = "6h", key = Seq("event_type")).collect().toSeq
+      (stream, batch)
+    }
+
+    val json = results.map { case (op, (err, sr, br)) =>
+      val e = err.map(m => "\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+        .getOrElse("null")
+      s""""$op":{"match":${err.isEmpty},"stream_rows":$sr,"batch_rows":$br,"err":$e}"""
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      json.getBytes("UTF-8"))
+    val failed = results.count(_._2._1.nonEmpty)
+    println(s"[streamcheck] ${results.size - failed}/${results.size} ops batch-equivalent -> $outPath")
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+}

@@ -313,14 +313,22 @@ object PyApi {
     graft.streaming.StreamingOps.dedupExactStream(df, seq(keyCols), watermarkDelay)
 
   def leftJoinStream(left: DataFrame, right: DataFrame, tolerance: String,
-                     key: String, watermarkDelay: String,
+                     key: JList[String], watermarkDelay: String,
                      stateTimeout: String): DataFrame =
-    graft.streaming.StreamingOps.leftJoinStream(left, right, tolerance, key,
-      watermarkDelay, stateTimeout)
+    graft.streaming.StreamingOps.leftJoinStream(left, right, tolerance,
+      seq(key), watermarkDelay, stateTimeout)
 
-  def ewmaStateful(df: DataFrame, xCol: String, key: String, alpha: Double,
-                   durationPerPeriod: String, convention: String,
-                   watermarkDelay: String, stateTimeout: String): DataFrame =
-    graft.streaming.StreamingOps.ewmaStateful(df, xCol, key, alpha,
+  def futureLeftJoinStream(left: DataFrame, right: DataFrame,
+                           tolerance: String, key: JList[String],
+                           watermarkDelay: String, stateTimeout: String,
+                           strictLookahead: Boolean): DataFrame =
+    graft.streaming.StreamingOps.futureLeftJoinStream(left, right, tolerance,
+      seq(key), watermarkDelay, stateTimeout, strictLookahead)
+
+  def ewmaStateful(df: DataFrame, xCol: String, key: JList[String],
+                   alpha: Double, durationPerPeriod: String,
+                   convention: String, watermarkDelay: String,
+                   stateTimeout: String): DataFrame =
+    graft.streaming.StreamingOps.ewmaStateful(df, xCol, seq(key), alpha,
       durationPerPeriod, convention, watermarkDelay, stateTimeout)
 }

@@ -87,6 +87,13 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark(keyCols)
       .drop(EventTs)
 
+  /** Null-safe composite grouping string over the key columns (streaming
+    * groupByKey needs one value; original key values ride in the packed
+    * structs so output columns keep their types). */
+  private def compositeKey(key: Seq[String]): org.apache.spark.sql.Column =
+    F.concat_ws("\u0001",
+      key.map(c => F.coalesce(F.col(c).cast("string"), F.lit("\u0002"))): _*)
+
   /**
    * Streaming as-of LEFT join (the batch [[graft.ts.AsOfJoin.leftJoin]]
    * semantics under event-time watermarks): for every left row, the most
@@ -107,33 +114,56 @@ object StreamingOps {
    * `[minPendingLeft - tolerance, now]` — bounded by tolerance, pruned
    * every trigger; idle keys are garbage-collected after `stateTimeout`.
    *
-   * Output: (time, key (string), left cols..., right cols... nullable),
-   * lefts in per-key time order. Ties among equal right times resolve to
-   * the last in (time, arrival) order.
+   * Output: (time, key cols (original types), left cols..., right cols...
+   * nullable), lefts in per-key time order. Ties among equal right times
+   * resolve to the last in (time, arrival) order.
    */
   def leftJoinStream(left: DataFrame, right: DataFrame, tolerance: String,
-                     key: String, watermarkDelay: String,
-                     stateTimeout: String = "30 days"): DataFrame = {
+                     key: Seq[String], watermarkDelay: String,
+                     stateTimeout: String = "30 days"): DataFrame =
+    asOfStream(left, right, tolerance, key, watermarkDelay, stateTimeout,
+      future = false, strict = false)
+
+  /** Forward streaming as-of join (≙ batch
+    * [[graft.ts.AsOfJoin.futureLeftJoin]]): for every left row the EARLIEST
+    * right row with `rt` in `[t, t+tolerance]` (`(t, t+tolerance]` with
+    * `strictLookahead`). A left at t finalizes once the watermark passes
+    * `t + tolerance` — only then is every candidate right final. Same
+    * state/timeout discipline as [[leftJoinStream]]; ties among equal
+    * right times resolve to the last in (time, arrival) order. */
+  def futureLeftJoinStream(left: DataFrame, right: DataFrame, tolerance: String,
+                           key: Seq[String], watermarkDelay: String,
+                           stateTimeout: String = "30 days",
+                           strictLookahead: Boolean = false): DataFrame =
+    asOfStream(left, right, tolerance, key, watermarkDelay, stateTimeout,
+      future = true, strict = strictLookahead)
+
+  private def asOfStream(left: DataFrame, right: DataFrame, tolerance: String,
+                         key: Seq[String], watermarkDelay: String,
+                         stateTimeout: String, future: Boolean,
+                         strict: Boolean): DataFrame = {
     val tol = TimeSeriesOps.parseDuration(tolerance)
     val timeoutNs = TimeSeriesOps.parseDuration(stateTimeout)
-    val lCols = left.columns.filter(c => c != TimeColumn && c != key).toSeq
-    val rCols = right.columns.filter(c => c != TimeColumn && c != key).toSeq
+    val lCols = left.columns.filter(c => c != TimeColumn && !key.contains(c)).toSeq
+    val rCols = right.columns.filter(c => c != TimeColumn && !key.contains(c)).toSeq
     // a bare (time, key) LEFT is the classic clock-sampling use case and is
-    // supported (empty left struct); the RIGHT must carry something to join
+    // supported (key-only left struct); the RIGHT must carry something to join
     require(rCols.nonEmpty, "the right side needs at least one value column")
     require(lCols.intersect(rCols).isEmpty,
       s"overlapping value columns ${lCols.intersect(rCols).mkString(",")}: rename one side")
-    val lStruct = StructType(lCols.map(c => left.schema(left.schema.fieldIndex(c))))
+    // left struct carries the key values too, so output keys keep their types
+    val lPack = key ++ lCols
+    val lStruct = StructType(lPack.map(c => left.schema(left.schema.fieldIndex(c))))
     val rStruct = StructType(rCols.map(c => right.schema(right.schema.fieldIndex(c))))
 
     def tagged(df: DataFrame, isLeft: Boolean): DataFrame = {
       val self = if (isLeft)
-        F.struct(lCols.map(F.col): _*).as("__lv")
+        F.struct(lPack.map(F.col): _*).as("__lv")
       else F.lit(null).cast(lStruct).as("__lv")
       val other = if (isLeft)
         F.lit(null).cast(rStruct).as("__rv")
       else F.struct(rCols.map(F.col): _*).as("__rv")
-      withEventTime(df).select(F.col(TimeColumn), F.col(key).cast("string").as("__k"),
+      withEventTime(df).select(F.col(TimeColumn), compositeKey(key).as("__k"),
         F.lit(isLeft).as("__isL"), self, other, F.col(EventTs))
     }
 
@@ -141,7 +171,7 @@ object StreamingOps {
       .withWatermark(EventTs, watermarkDelay)
 
     val outSchema = StructType(
-      StructField(TimeColumn, LongType) +: StructField(key, StringType) +:
+      StructField(TimeColumn, LongType) +:
         (lStruct.fields.toSeq ++ rStruct.fields.map(_.copy(nullable = true))))
     implicit val outEnc = RowEncoder.encoderFor(outSchema)
     implicit val stateEnc = org.apache.spark.sql.Encoders.kryo[AsOfStreamState]
@@ -151,7 +181,7 @@ object StreamingOps {
 
     in.groupByKey(_.getString(1))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (k: String, rows: Iterator[Row], state: GroupState[AsOfStreamState]) => {
+        (_: String, rows: Iterator[Row], state: GroupState[AsOfStreamState]) => {
           val st = state.getOption.getOrElse(AsOfStreamState(Nil, Nil))
           val newLefts = scala.collection.mutable.ListBuffer.empty[(Long, Row)]
           val newRights = scala.collection.mutable.ListBuffer.empty[(Long, Row)]
@@ -168,29 +198,54 @@ object StreamingOps {
           val ls = (st.lefts ++ newLefts).sortBy(_._1)
           val rs = (st.rights ++ newRights).sortBy(_._1).toIndexedSeq
           val wmNs = state.getCurrentWatermarkMs() * 1000000L
-          val (ready, pending) = ls.partition(_._1 <= wmNs)
+          // backward: final once every right <= t is final (wm >= t);
+          // forward: final once every right <= t + tol is final
+          val (ready, pending) = ls.partition(l =>
+            (if (future) l._1 + tol else l._1) <= wmNs)
           val out = ready.map { case (t, lv) =>
-            // last right with rt <= t (binary search upper bound)
-            var lo = 0; var hi = rs.length
-            while (lo < hi) {
-              val mid = (lo + hi) >>> 1
-              if (rs(mid)._1 <= t) lo = mid + 1 else hi = mid
-            }
-            val m = if (lo > 0 && rs(lo - 1)._1 >= t - tol) rs(lo - 1)._2 else null
-            Row.fromSeq(t +: k +: (lv.toSeq ++
+            val m: Row =
+              if (!future) {
+                // last right with rt <= t (binary search upper bound)
+                var lo = 0; var hi = rs.length
+                while (lo < hi) {
+                  val mid = (lo + hi) >>> 1
+                  if (rs(mid)._1 <= t) lo = mid + 1 else hi = mid
+                }
+                if (lo > 0 && rs(lo - 1)._1 >= t - tol) rs(lo - 1)._2 else null
+              } else {
+                // first right with rt >= t (rt > t when strict): lower bound
+                val bound = if (strict) t + 1 else t
+                var lo = 0; var hi = rs.length
+                while (lo < hi) {
+                  val mid = (lo + hi) >>> 1
+                  if (rs(mid)._1 < bound) lo = mid + 1 else hi = mid
+                }
+                if (lo < rs.length && rs(lo)._1 <= t + tol) {
+                  // equal-time run resolves to the last arrival
+                  var j = lo
+                  while (j + 1 < rs.length && rs(j + 1)._1 == rs(lo)._1) j += 1
+                  rs(j)._2
+                } else null
+              }
+            Row.fromSeq(t +: (lv.toSeq ++
               (if (m != null) m.toSeq else Seq.fill(rCols.length)(null))))
           }
-          // rights below wm - tolerance are dead: every unfinalized or
-          // future left has t > wm, so it only needs rights >= t - tol
-          val keptRights = rs.dropWhile(_._1 < wmNs - tol).toList
+          // prune dead rights: backward — below wm - tol (any remaining
+          // left has t > wm); forward — below the earliest pending left
+          // (a future-arriving left has t > wm and needs rt >= t)
+          val cutoff =
+            if (!future) wmNs - tol
+            else pending.headOption.map(p => math.min(p._1, wmNs)).getOrElse(wmNs)
+          val keptRights = rs.dropWhile(_._1 < cutoff).toList
           if (pending.isEmpty && keptRights.isEmpty && state.getCurrentWatermarkMs() > 0) {
             state.remove()
           } else {
             state.update(AsOfStreamState(pending, keptRights))
             if (pending.nonEmpty) {
-              // fire when the watermark passes the earliest pending left
-              // (+1ms so the timestamp is strictly beyond the watermark)
-              state.setTimeoutTimestamp(pending.head._1 / 1000000L + 1)
+              // fire when the watermark passes the finalization point of
+              // the earliest pending left (+1ms: strictly beyond the wm)
+              val fireNs = if (future) pending.head._1 + tol else pending.head._1
+              state.setTimeoutTimestamp(fireNs / 1000000L + 1)
             } else if (state.getCurrentWatermarkMs() > 0) {
               state.setTimeoutTimestamp(state.getCurrentWatermarkMs() +
                 timeoutNs / 1000000L)
@@ -221,42 +276,44 @@ object StreamingOps {
    * replay. Use the batch [[graft.ts.EmaOps.ewmaRows]] when exact
    * order-sensitive values over late data matter.
    */
-  def ewmaStateful(df: DataFrame, xCol: String, key: String,
+  def ewmaStateful(df: DataFrame, xCol: String, key: Seq[String],
                    alpha: Double = 0.05, durationPerPeriod: String = "1d",
                    convention: String = "legacy",
                    watermarkDelay: String = "0 seconds",
                    stateTimeout: String = "30 days"): DataFrame = {
     require(Seq("core", "legacy").contains(convention))
+    require(key.nonEmpty, "ewmaStateful needs at least one key column")
     val logDecay = math.log(1.0 - alpha)
     val perPeriod = TimeSeriesOps.parseDuration(durationPerPeriod).toDouble
     val spark = df.sparkSession
     import spark.implicits._
 
+    val nKey = key.length
     val in = withEventTime(df).withWatermark(EventTs, watermarkDelay)
-      .select(F.col(TimeColumn), F.col(key).cast("string").as("__k"),
-        F.col(xCol).cast("double").as("__x"), F.col(EventTs))
-      // FilterNullInput parity with batch ewma — and the tuple encoder
-      // below decodes __x into a primitive, which a null would crash
+      .select((F.col(TimeColumn) +: compositeKey(key).as("__k") +:
+        key.map(F.col)) :+ F.col(xCol).cast("double").as("__x") :+
+        F.col(EventTs): _*)
+      // FilterNullInput parity with batch ewma
       .filter(F.col("__x").isNotNull && F.col(TimeColumn).isNotNull)
 
-    val outSchema = StructType(Seq(
-      StructField(TimeColumn, LongType),
-      StructField(key, StringType),
-      StructField(xCol, DoubleType),
-      StructField(s"${xCol}_ewma", DoubleType)))
+    val outSchema = StructType(
+      StructField(TimeColumn, LongType) +:
+        key.map(c => df.schema(df.schema.fieldIndex(c))) :+
+        StructField(xCol, DoubleType) :+
+        StructField(s"${xCol}_ewma", DoubleType))
     implicit val enc = RowEncoder.encoderFor(outSchema)
 
-    in.as[(Long, String, Double, java.sql.Timestamp)]
-      .groupByKey(_._2)
+    in.groupByKey(_.getString(1))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (k: String, rows: Iterator[(Long, String, Double, java.sql.Timestamp)],
-         state: GroupState[(Long, Double, Double)]) => {
+        (_: String, rows: Iterator[Row], state: GroupState[(Long, Double, Double)]) => {
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
             var (lastT, primary, aux) = state.getOption.getOrElse((Long.MinValue, 0.0, 0.0))
-            val out = rows.toSeq.sortBy(_._1).map { case (t, _, x, _) =>
+            val out = rows.toSeq.sortBy(_.getLong(0)).map { r =>
+              val t = r.getLong(0)
+              val x = r.getDouble(2 + nKey)
               if (lastT == Long.MinValue) { primary = x; aux = 1.0 }
               else {
                 // Rows are ordered within a batch, but an in-watermark late
@@ -272,7 +329,8 @@ object StreamingOps {
               // max, not assignment: a clamped late row must not rewind the
               // clock, or the next in-order row would pay its decay twice.
               lastT = math.max(lastT, t)
-              Row(t, k, x, if (convention == "core") primary / aux else primary)
+              Row.fromSeq(t +: (0 until nKey).map(i => r.get(2 + i)) :+ x :+
+                (if (convention == "core") primary / aux else primary))
             }
             state.update((lastT, primary, aux))
             if (state.getCurrentWatermarkMs() > 0) {
@@ -281,6 +339,6 @@ object StreamingOps {
             }
             out.iterator
           }
-        }).toDF(TimeColumn, key, xCol, s"${xCol}_ewma")
+        }).toDF(outSchema.fieldNames.toIndexedSeq: _*)
   }
 }

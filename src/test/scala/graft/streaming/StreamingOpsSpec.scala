@@ -72,7 +72,7 @@ class StreamingOpsSpec extends SparkTestBase {
     val day = 86400L * S
     val mem = MemoryStream[(Long, String, Double)]
     val sdf = mem.toDF().toDF("time", "k", "v")
-    val ewma = StreamingOps.ewmaStateful(sdf, "v", "k",
+    val ewma = StreamingOps.ewmaStateful(sdf, "v", Seq("k"),
       alpha = 0.5, durationPerPeriod = "1d", convention = "legacy")
     val q = ewma.writeStream.format("memory").queryName("ewma_test")
       .outputMode("append").start()
@@ -114,7 +114,7 @@ class StreamingOpsSpec extends SparkTestBase {
     val rMem = MemoryStream[(Long, String, Int)]
     val l = lMem.toDF().toDF("time", "k", "lv")
     val r = rMem.toDF().toDF("time", "k", "rv")
-    val j = StreamingOps.leftJoinStream(l, r, tolerance = "15s", key = "k",
+    val j = StreamingOps.leftJoinStream(l, r, tolerance = "15s", key = Seq("k"),
       watermarkDelay = "0 seconds")
     j.columns.toSeq shouldBe Seq("time", "k", "lv", "rv")
     val q = j.writeStream.format("memory").queryName("asof_stream")
@@ -148,7 +148,7 @@ class StreamingOpsSpec extends SparkTestBase {
     val rMem = MemoryStream[(Long, String, Int)]
     val l = lMem.toDF().toDF("time", "k", "lv")
     val r = rMem.toDF().toDF("time", "k", "rv")
-    val j = StreamingOps.leftJoinStream(l, r, tolerance = "5s", key = "k",
+    val j = StreamingOps.leftJoinStream(l, r, tolerance = "5s", key = Seq("k"),
       watermarkDelay = "0 seconds")
     val q = j.writeStream.format("memory").queryName("asof_stream2")
       .outputMode("append").start()
@@ -172,7 +172,7 @@ class StreamingOpsSpec extends SparkTestBase {
     val rMem = MemoryStream[(Long, String, Int)]
     val l = lMem.toDF().toDF("time", "k") // clock-sampling shape: no values
     val r = rMem.toDF().toDF("time", "k", "rv")
-    val j = StreamingOps.leftJoinStream(l, r, tolerance = "15s", key = "k",
+    val j = StreamingOps.leftJoinStream(l, r, tolerance = "15s", key = Seq("k"),
       watermarkDelay = "0 seconds")
     j.columns.toSeq shouldBe Seq("time", "k", "rv")
     val q = j.writeStream.format("memory").queryName("asof_stream3")
@@ -191,13 +191,134 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  behavior of "futureLeftJoinStream (streaming forward as-of join)"
+
+  it should "match the earliest future right within tolerance, null-padding misses" in {
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[(Long, String, Int)]
+    val rMem = MemoryStream[(Long, String, Int)]
+    val l = lMem.toDF().toDF("time", "k", "lv")
+    val r = rMem.toDF().toDF("time", "k", "rv")
+    val j = StreamingOps.futureLeftJoinStream(l, r, tolerance = "10s",
+      key = Seq("k"), watermarkDelay = "0 seconds")
+    j.columns.toSeq shouldBe Seq("time", "k", "lv", "rv")
+    val q = j.writeStream.format("memory").queryName("future_stream")
+      .outputMode("append").start()
+    try {
+      lMem.addData((5 * S, "a", 1), (20 * S, "a", 2))
+      rMem.addData((8 * S, "a", 100), (12 * S, "a", 150))
+      q.processAllAvailable()
+      // watermark must pass t + tol before a left finalizes
+      rMem.addData((100 * S, "z", 0))
+      q.processAllAvailable()
+      val rows = spark.table("future_stream").orderBy("time").collect()
+      rows.map(r => (r.getLong(0) / S, r.getInt(2),
+        if (r.isNullAt(3)) null else r.getInt(3))) shouldBe Array(
+        (5L, 1, 100),   // earliest right >= 5 (8 beats 12)
+        (20L, 2, null)) // no right in [20, 30]
+    } finally q.stop()
+  }
+
+  it should "exclude the exact-time right under strict lookahead" in {
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[(Long, String, Int)]
+    val rMem = MemoryStream[(Long, String, Int)]
+    val l = lMem.toDF().toDF("time", "k", "lv")
+    val r = rMem.toDF().toDF("time", "k", "rv")
+    val j = StreamingOps.futureLeftJoinStream(l, r, tolerance = "10s",
+      key = Seq("k"), watermarkDelay = "0 seconds", strictLookahead = true)
+    val q = j.writeStream.format("memory").queryName("future_strict_stream")
+      .outputMode("append").start()
+    try {
+      lMem.addData((10 * S, "a", 1))
+      rMem.addData((10 * S, "a", 100), (15 * S, "a", 150))
+      q.processAllAvailable()
+      rMem.addData((100 * S, "z", 0))
+      q.processAllAvailable()
+      val rows = spark.table("future_strict_stream").collect()
+      // the right at exactly t=10 is excluded; 15 wins
+      rows.map(r => (r.getLong(0) / S, r.getInt(3))) shouldBe Array((10L, 150))
+    } finally q.stop()
+  }
+
+  it should "finalize a left only after the watermark passes t + tolerance" in {
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[(Long, String, Int)]
+    val rMem = MemoryStream[(Long, String, Int)]
+    val l = lMem.toDF().toDF("time", "k", "lv")
+    val r = rMem.toDF().toDF("time", "k", "rv")
+    val j = StreamingOps.futureLeftJoinStream(l, r, tolerance = "20s",
+      key = Seq("k"), watermarkDelay = "0 seconds")
+    val q = j.writeStream.format("memory").queryName("future_finalize_stream")
+      .outputMode("append").start()
+    try {
+      lMem.addData((10 * S, "a", 1))
+      rMem.addData((12 * S, "z", 0)) // wm -> 12s: 10+20 > 12, left must wait
+      q.processAllAvailable()
+      spark.table("future_finalize_stream").count() shouldBe 0
+      // the matching right arrives LATER than the left, before wm
+      // passes t + tol — it must still win
+      rMem.addData((25 * S, "a", 500))
+      q.processAllAvailable()
+      rMem.addData((100 * S, "z", 0))
+      q.processAllAvailable()
+      val rows = spark.table("future_finalize_stream").collect()
+      rows.map(r => (r.getLong(0) / S, r.getInt(3))) shouldBe Array((10L, 500))
+    } finally q.stop()
+  }
+
+  behavior of "multi-column keys (batch/stream API parity)"
+
+  it should "join and aggregate on a two-column key with original types" in {
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[(Long, String, Long, Int)]
+    val rMem = MemoryStream[(Long, String, Long, Int)]
+    val l = lMem.toDF().toDF("time", "k1", "k2", "lv")
+    val r = rMem.toDF().toDF("time", "k1", "k2", "rv")
+    val j = StreamingOps.leftJoinStream(l, r, tolerance = "15s",
+      key = Seq("k1", "k2"), watermarkDelay = "0 seconds")
+    j.columns.toSeq shouldBe Seq("time", "k1", "k2", "lv", "rv")
+    j.schema("k2").dataType shouldBe org.apache.spark.sql.types.LongType
+    val q = j.writeStream.format("memory").queryName("multikey_stream")
+      .outputMode("append").start()
+    try {
+      rMem.addData((10 * S, "a", 1L, 100), (10 * S, "a", 2L, 200))
+      lMem.addData((12 * S, "a", 1L, 1), (12 * S, "a", 2L, 2))
+      q.processAllAvailable()
+      rMem.addData((100 * S, "z", 0L, 0))
+      q.processAllAvailable()
+      val rows = spark.table("multikey_stream").orderBy("k2").collect()
+      rows.map(r => (r.getString(1), r.getLong(2), r.getInt(4))) shouldBe
+        Array(("a", 1L, 100), ("a", 2L, 200))
+    } finally q.stop()
+  }
+
+  it should "carry EWMA state per composite key" in {
+    implicit val sqlCtx = spark.sqlContext
+    val day = 86400L * S
+    val mem = MemoryStream[(Long, String, Long, Double)]
+    val sdf = mem.toDF().toDF("time", "k1", "k2", "v")
+    val ewma = StreamingOps.ewmaStateful(sdf, "v", Seq("k1", "k2"),
+      alpha = 0.5, durationPerPeriod = "1d", convention = "legacy")
+    ewma.columns.toSeq shouldBe Seq("time", "k1", "k2", "v", "v_ewma")
+    val q = ewma.writeStream.format("memory").queryName("multikey_ewma")
+      .outputMode("append").start()
+    try {
+      mem.addData((day, "a", 1L, 1.0), (day, "a", 2L, 10.0),
+        (2 * day, "a", 1L, 2.0), (2 * day, "a", 2L, 20.0))
+      q.processAllAvailable()
+      val rows = spark.table("multikey_ewma").orderBy("k2", "time").collect()
+      rows.map(_.getDouble(4)) shouldBe Array(1.0, 2.5, 10.0, 25.0)
+    } finally q.stop()
+  }
+
   it should "clamp in-watermark late rows instead of amplifying state" in {
     implicit val sqlCtx = spark.sqlContext
     val day = 86400L * S
     val mem = MemoryStream[(Long, String, Double)]
     val sdf = mem.toDF().toDF("time", "k", "v")
     // generous watermark so the late row reaches the operator at all
-    val ewma = StreamingOps.ewmaStateful(sdf, "v", "k",
+    val ewma = StreamingOps.ewmaStateful(sdf, "v", Seq("k"),
       alpha = 0.5, durationPerPeriod = "1d", convention = "legacy",
       watermarkDelay = "10 days")
     val q = ewma.writeStream.format("memory").queryName("ewma_late_test")
