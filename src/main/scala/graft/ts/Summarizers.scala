@@ -130,10 +130,21 @@ object Summarizers {
   def stddev(x: String): Summarizer =
     Summarizer(c => Seq(s"${x}_stddev" -> F.sqrt(varExpr(c.in(x).cast("double"), c))))
 
+  /** Division with JVM-double edge semantics under ANSI SQL: a zero
+    * denominator renders null instead of raising DIVIDE_BY_ZERO (Spark 4
+    * default ANSI mode errors even for doubles). The reference computes
+    * these statistics in Scala doubles, where 0/0 quietly yields NaN —
+    * singleton-group variance, constant-series correlation and zero weight
+    * sums are ordinary inputs at scale, not errors. For every non-zero
+    * denominator the emitted division is unchanged (bit-identical results,
+    * which the DuckDB oracles rely on). */
+  private def sdiv(num: Column, den: Column): Column =
+    F.when(den =!= F.lit(0.0), num / den)
+
   private def varExpr(v: Column, c: SummarizerCtx): Column = {
     val n = c.agg(F.count(v)).cast("double")
-    val mu = c.agg(F.sum(v)) / n
-    (c.agg(F.sum(v * v)) / n - mu * mu) * (n / (n - F.lit(1.0)))
+    val mu = sdiv(c.agg(F.sum(v)), n)
+    (sdiv(c.agg(F.sum(v * v)), n) - mu * mu) * sdiv(n, n - F.lit(1.0))
   }
 
   /** Sample covariance from power sums: (Σxy/n − μxμy) · n/(n−1);
@@ -147,8 +158,9 @@ object Summarizers {
     val vx = c.in(F.when(ok, F.col(x)).cast("double"))
     val vy = c.in(F.when(ok, F.col(y)).cast("double"))
     val n = c.agg(F.count(vx)).cast("double")
-    (c.agg(F.sum(vx * vy)) / n - (c.agg(F.sum(vx)) / n) * (c.agg(F.sum(vy)) / n)) *
-      (n / (n - F.lit(1.0)))
+    (sdiv(c.agg(F.sum(vx * vy)), n) -
+      sdiv(c.agg(F.sum(vx)), n) * sdiv(c.agg(F.sum(vy)), n)) *
+      sdiv(n, n - F.lit(1.0))
   }
 
   /** Pearson correlation + t-stat from power sums; `<x>_<y>_correlation`,
@@ -161,9 +173,10 @@ object Summarizers {
     val sx = c.agg(F.sum(vx)); val sy = c.agg(F.sum(vy))
     val sxx = c.agg(F.sum(vx * vx)); val syy = c.agg(F.sum(vy * vy))
     val sxy = c.agg(F.sum(vx * vy))
-    val r = (sxy / n - (sx / n) * (sy / n)) /
-      (F.sqrt(sxx / n - (sx / n) * (sx / n)) * F.sqrt(syy / n - (sy / n) * (sy / n)))
-    val t = r * F.sqrt((n - F.lit(2.0)) / (F.lit(1.0) - r * r))
+    val r = sdiv(sdiv(sxy, n) - sdiv(sx, n) * sdiv(sy, n),
+      F.sqrt(sdiv(sxx, n) - sdiv(sx, n) * sdiv(sx, n)) *
+        F.sqrt(sdiv(syy, n) - sdiv(sy, n) * sdiv(sy, n)))
+    val t = r * F.sqrt(sdiv(n - F.lit(2.0), F.lit(1.0) - r * r))
     Seq(s"${x}_${y}_correlation" -> r, s"${x}_${y}_correlationTStat" -> t)
   }
 
@@ -209,11 +222,12 @@ object Summarizers {
     val ok = F.col(x).isNotNull && F.col(y).isNotNull && F.col(w).isNotNull
     val ww = c.in(F.when(ok, F.col(w)).cast("double"))
     val sw = c.agg(F.sum(ww))
-    val mx = c.agg(F.sum(F.col(x) * ww)) / sw
-    val my = c.agg(F.sum(F.col(y) * ww)) / sw
+    val mx = sdiv(c.agg(F.sum(F.col(x) * ww)), sw)
+    val my = sdiv(c.agg(F.sum(F.col(y) * ww)), sw)
     val sxy = c.agg(F.sum(F.col(x) * F.col(y) * ww))
     val n = c.agg(F.count(ww))
-    (sxy / sw - mx * my) * (n.cast("double") / (n - F.lit(1)).cast("double"))
+    (sdiv(sxy, sw) - mx * my) *
+      sdiv(n.cast("double"), (n - F.lit(1)).cast("double"))
   }
 
   /** Weighted Pearson correlation (≙ WeightedCorrelationSummarizer).
@@ -228,13 +242,13 @@ object Summarizers {
     val vy = F.col(y).cast("double")
     val sw = c.agg(F.sum(ww))
     val n = c.agg(F.count(ww)).cast("double")
-    val corr = n / (n - F.lit(1.0))
-    val mx = c.agg(F.sum(vx * ww)) / sw
-    val my = c.agg(F.sum(vy * ww)) / sw
-    val cxy = (c.agg(F.sum(vx * vy * ww)) / sw - mx * my) * corr
-    val cxx = (c.agg(F.sum(vx * vx * ww)) / sw - mx * mx) * corr
-    val cyy = (c.agg(F.sum(vy * vy * ww)) / sw - my * my) * corr
-    Seq(s"${x}_${y}_${w}_weightedCorrelation" -> cxy / F.sqrt(cxx * cyy))
+    val corr = sdiv(n, n - F.lit(1.0))
+    val mx = sdiv(c.agg(F.sum(vx * ww)), sw)
+    val my = sdiv(c.agg(F.sum(vy * ww)), sw)
+    val cxy = (sdiv(c.agg(F.sum(vx * vy * ww)), sw) - mx * my) * corr
+    val cxx = (sdiv(c.agg(F.sum(vx * vx * ww)), sw) - mx * mx) * corr
+    val cyy = (sdiv(c.agg(F.sum(vy * vy * ww)), sw) - my * my) * corr
+    Seq(s"${x}_${y}_${w}_weightedCorrelation" -> sdiv(cxy, F.sqrt(cxx * cyy)))
   }
 
   /** Weighted mean / stddev / t-stat / count (≙ WeightedMeanTestSummarizer,
@@ -246,10 +260,11 @@ object Summarizers {
     val n = c.agg(F.count(ww))
     val nd = n.cast("double")
     val sw = c.agg(F.sum(ww))
-    val wm = c.agg(F.sum(x * ww)) / sw
-    val wvar = (c.agg(F.sum(x * x * ww)) / sw - wm * wm) * (nd / (nd - F.lit(1.0)))
+    val wm = sdiv(c.agg(F.sum(x * ww)), sw)
+    val wvar = (sdiv(c.agg(F.sum(x * x * ww)), sw) - wm * wm) *
+      sdiv(nd, nd - F.lit(1.0))
     val wsd = F.sqrt(wvar)
-    val t = wm / (wsd / F.sqrt(nd))
+    val t = sdiv(wm, sdiv(wsd, F.sqrt(nd)))
     Seq(
       s"${v}_${w}_weightedMean" -> wm,
       s"${v}_${w}_weightedStandardDeviation" -> wsd,
@@ -264,15 +279,16 @@ object Summarizers {
     val lastVal = c.agg(F.max_by(v, F.when(v.isNotNull, F.col(TimeSeriesOps.TimeColumn))))
     val z = if (includeCurrent) {
       val n = c.agg(F.count(v)).cast("double")
-      (lastVal - c.agg(F.sum(v)) / n) / F.sqrt(varExpr(v, c))
+      sdiv(lastVal - sdiv(c.agg(F.sum(v)), n), F.sqrt(varExpr(v, c)))
     } else {
       val n = c.agg(F.count(v)).cast("double")
       val s1 = c.agg(F.sum(v))
       val s2 = c.agg(F.sum(v * v))
-      val meanPrev = (s1 - lastVal) / (n - F.lit(1.0))
-      val varPrev = (s2 - lastVal * lastVal - (n - F.lit(1.0)) * meanPrev * meanPrev) /
-        (n - F.lit(2.0))
-      (lastVal - meanPrev) / F.sqrt(varPrev)
+      val meanPrev = sdiv(s1 - lastVal, n - F.lit(1.0))
+      val varPrev = sdiv(
+        s2 - lastVal * lastVal - (n - F.lit(1.0)) * meanPrev * meanPrev,
+        n - F.lit(2.0))
+      sdiv(lastVal - meanPrev, F.sqrt(varPrev))
     }
     Seq(s"${x}_zScore" -> z)
   }
@@ -294,14 +310,15 @@ object Summarizers {
   def skewness(x: String): Summarizer = Summarizer { c =>
     val v = c.in(x).cast("double")
     val m2 = centralMoment(v, 2, c)
-    Seq(s"${x}_skewness" -> centralMoment(v, 3, c) / (m2 * F.sqrt(m2)))
+    Seq(s"${x}_skewness" -> sdiv(centralMoment(v, 3, c), m2 * F.sqrt(m2)))
   }
 
   /** Excess kurtosis m4/m2^2 - 3 (population). */
   def kurtosis(x: String): Summarizer = Summarizer { c =>
     val v = c.in(x).cast("double")
     Seq(s"${x}_kurtosis" ->
-      (centralMoment(v, 4, c) / (centralMoment(v, 2, c) * centralMoment(v, 2, c)) - F.lit(3.0)))
+      (sdiv(centralMoment(v, 4, c),
+        centralMoment(v, 2, c) * centralMoment(v, 2, c)) - F.lit(3.0)))
   }
 
   private def intPow(x: Column, n: Int): Column =
@@ -311,8 +328,8 @@ object Summarizers {
     * combinable — no two-pass mean subtraction). */
   private def centralMoment(x: Column, k: Int, c: SummarizerCtx): Column = {
     val n = c.agg(F.count(x)).cast("double")
-    val mu = c.agg(F.sum(x)) / n
-    def m(j: Int): Column = c.agg(F.sum(intPow(x, j))) / n
+    val mu = sdiv(c.agg(F.sum(x)), n)
+    def m(j: Int): Column = sdiv(c.agg(F.sum(intPow(x, j))), n)
     k match {
       case 2 => m(2) - mu * mu
       case 3 => m(3) - F.lit(3.0) * mu * m(2) + F.lit(2.0) * intPow(mu, 3)

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.ts.{AsOfJoin, EmaOps, Summarize, Summarizers, WindowOps}
+
+/**
+ * Partition-layout re-runs (≙ the reference's MultiPartitionSuite,
+ * /root/reference/src/test/scala/com/twosigma/flint/timeseries/MultiPartitionSuite.scala):
+ * every operator whose execution carries state across rows is re-executed
+ * under shuffle-partition counts {1, 2, 7} and (for the as-of join) all
+ * three physical paths — results must be identical bit-for-bit. This is
+ * the test class that catches partition-boundary bugs: a summary stitched
+ * wrong in the two-pass EMA scan, a merge-join losing the last row of a
+ * partition, a window frame leaking across key groups.
+ */
+class PartitionLayoutSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val day = 86400000000000L
+  private val layouts = Seq(1, 2, 7)
+
+  /** Deterministic irregular multi-key series with ties and gaps. */
+  private def data: DataFrame = {
+    val rows = for (i <- 0 until 120) yield {
+      val k = "k" + (i % 3)
+      val t = (i / 3) * day / 2 + (i % 7) * day / 16
+      val v = math.sin(i * 0.37) * 10 + (i % 5)
+      (t, k, v)
+    }
+    rows.toDF("time", "k", "v").repartition(5)
+  }
+
+  private def right: DataFrame = {
+    val rows = for (i <- 0 until 60) yield
+      ((i / 2) * day + (i % 2) * day / 3, "k" + (i % 3), i * 1.5)
+    rows.toDF("time", "k", "rv").repartition(4)
+  }
+
+  /** Run `build` under each layout; every layout must reproduce the first
+    * layout's rows — exactly for non-floating fields, within 1e-9 relative
+    * for doubles (the two-pass EMA stitch reassociates float additions, so
+    * layouts can differ in the last ulp; anything beyond that is a
+    * partition-boundary bug). */
+  private def invariant(label: String)(build: () => DataFrame): Unit = {
+    def fmt(a: Any): String = a match {
+      case d: Double => f"$d%.6g"
+      case x => String.valueOf(x)
+    }
+    val results = layouts.map { p =>
+      spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+      try build().collect().map(_.toSeq)
+        .sortBy(_.map(fmt).mkString("|")).toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+    for ((r, p) <- results.zip(layouts).tail) {
+      withClue(s"$label: layout $p vs ${layouts.head}: ") {
+        r.length shouldBe results.head.length
+        r.zip(results.head).foreach { case (a, b) =>
+          a.length shouldBe b.length
+          a.zip(b).foreach {
+            case (x: Double, y: Double) =>
+              assert((x.isNaN && y.isNaN) ||
+                math.abs(x - y) <= 1e-9 * math.max(1.0, math.max(math.abs(x), math.abs(y))),
+                s"$label: $x vs $y in row $a vs $b")
+            case (x, y) => assert(x == y, s"$label: $x vs $y in row $a vs $b")
+          }
+        }
+      }
+    }
+  }
+
+  behavior of "operators across shuffle-partition layouts {1, 2, 7}"
+
+  it should "produce identical as-of joins on all three physical paths" in {
+    val (l, r) = (data, right)
+    invariant("leftJoin/union")(() => AsOfJoin.leftJoin(l, r, "12h", Seq("k")))
+    invariant("leftJoin/binned")(() =>
+      AsOfJoin.leftJoin(l, r, "12h", Seq("k"), binned = true))
+    invariant("leftJoin/merge")(() => AsOfJoin.leftJoinMerge(l, r, "12h", Seq("k")))
+    invariant("futureLeftJoin")(() =>
+      AsOfJoin.futureLeftJoin(l, r, "12h", Seq("k"), strictLookahead = true))
+    invariant("symmetricJoin")(() => AsOfJoin.symmetricJoin(l, r, "12h", Seq("k")))
+  }
+
+  it should "produce identical per-row EMA values (two-pass stitch)" in {
+    val d = data
+    invariant("ewmaRows/keyed")(() =>
+      EmaOps.ewmaRows(d, "v", Seq("k"), alpha = 0.2, durationPerPeriod = "1d"))
+    invariant("ewmaRows/keyless")(() =>
+      EmaOps.ewmaRows(d.drop("k"), "v", Seq.empty, alpha = 0.2,
+        durationPerPeriod = "1d"))
+    invariant("esRows/linear-core")(() =>
+      EmaOps.exponentialSmoothingRows(d, "v", Seq("k"), alpha = 0.35,
+        interpolation = "linear", convention = "core"))
+    invariant("ewma/summarize")(() =>
+      EmaOps.ewma(d, "v", Seq("k"), alpha = 0.2, durationPerPeriod = "constant"))
+  }
+
+  it should "produce identical summarize / cycles / windows results" in {
+    val d = data
+    val s = Summarizers.compose(Summarizers.sum("v"), Summarizers.count(),
+      Summarizers.variance("v"))
+    invariant("summarize")(() => Summarize.summarize(d, s, Seq("k")))
+    invariant("summarizeCycles")(() => Summarize.summarizeCycles(d, s, Seq("k")))
+    invariant("summarizeWindows/past")(() =>
+      WindowOps.summarizeWindows(d, WindowOps.pastAbsoluteTime("1d"),
+        Summarizers.mean("v"), Seq("k")))
+    invariant("addSummaryColumns")(() =>
+      WindowOps.addSummaryColumns(d, Summarizers.max("v"), Seq("k")))
+  }
+}
