@@ -68,6 +68,20 @@ def kurtosis(col): return _factory("kurtosis", col)
 def moments_state(col): return _factory("momentsState", col)
 
 
+def state_of(summarizer):
+    """Raw algebraic state of ANY summarizer recipe, as state_0..state_k
+    (the distinct base aggregates the recipe registers)."""
+    return Summarizer(lambda s: s._jvm.graft.python.PyApi.stateOf(
+        summarizer._jsum(s)))
+
+
+def ols_state(y, xs, weight=None):
+    """OLS normal-equation buffer (Gram upper triangle + moment vector) as
+    plain distributable sums."""
+    return Summarizer(lambda s: s._jvm.graft.python.PyApi.olsState(
+        y, _jstrings(s, list(xs)), weight or ""))
+
+
 def correlation(*cols):
     """correlation(x, y) or correlation(c1, c2, c3, ...) for all pairs."""
     if len(cols) == 2:

@@ -155,6 +155,19 @@ object QueriesAgg {
     "summarize_state" -> ((s, dir) =>
       Summarize.summarize(lineitem(s, dir), S.momentsState("l_quantity"),
         Seq("l_returnflag"))
+        .orderBy("l_returnflag")),
+    // generic state capture: weightedCorrelation's 7 shared base sums
+    "summarize_state_weighted" -> ((s, dir) =>
+      Summarize.summarizeState(evw(s, dir),
+        S.weightedCorrelation("value100", "user_id", "w"),
+        Seq("event_type"))
+        .orderBy("event_type")),
+    // OLS normal-equation buffer as plain sums (unweighted: integral
+    // inputs keep every sum exact for the oracle)
+    "summarize_state_ols" -> ((s, dir) =>
+      Summarize.summarize(lineitem(s, dir),
+        S.olsState("l_quantity", Seq("l_orderkey", "l_linenumber")),
+        Seq("l_returnflag"))
         .orderBy("l_returnflag"))
   )
 
@@ -348,6 +361,42 @@ object QueriesAgg {
           sum(CAST($q AS DOUBLE) * CAST($q AS DOUBLE)) AS l_quantity_state_s2,
           sum((CAST($q AS DOUBLE) * CAST($q AS DOUBLE)) * CAST($q AS DOUBLE)) AS l_quantity_state_s3,
           sum(((CAST($q AS DOUBLE) * CAST($q AS DOUBLE)) * CAST($q AS DOUBLE)) * CAST($q AS DOUBLE)) AS l_quantity_state_s4
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // stateOf(weightedCorrelation) base sums, in the recipe's first-use
+    // order: Σw, n, Σxw, Σyw, Σxyw, Σx²w, Σy²w (integral inputs -> exact)
+    "summarize_state_weighted" -> {
+      val x = "CAST(value100 AS DOUBLE)"; val y = "CAST(user_id AS DOUBLE)"
+      s"""WITH e AS ($evwSql)
+          SELECT CAST(0 AS BIGINT) AS time, event_type,
+          sum(w) AS state_0,
+          count(w) AS state_1,
+          sum($x * w) AS state_2,
+          sum($y * w) AS state_3,
+          sum($x * $y * w) AS state_4,
+          sum($x * $x * w) AS state_5,
+          sum($y * $y * w) AS state_6
+          FROM e GROUP BY event_type ORDER BY event_type"""
+    },
+    // olsState(l_quantity ~ 1 + l_orderkey + l_linenumber, w = 1): Gram
+    // upper triangle + moment vector, all integral-valued -> exact sums
+    "summarize_state_ols" -> {
+      val yv = s"CAST($q AS DOUBLE)"
+      val x1 = "CAST(l_orderkey AS DOUBLE)"
+      val x2 = "CAST(l_linenumber AS DOUBLE)"
+      s"""SELECT CAST(0 AS BIGINT) AS time, l_returnflag,
+          count(*) AS ols_state_n,
+          sum(ln(1.0)) AS ols_state_sum_ln_w,
+          sum(1.0 * 1.0 * 1.0) AS ols_state_g_0_0,
+          sum(1.0 * 1.0 * $x1) AS ols_state_g_0_1,
+          sum(1.0 * 1.0 * $x2) AS ols_state_g_0_2,
+          sum(1.0 * $x1 * $x1) AS ols_state_g_1_1,
+          sum(1.0 * $x1 * $x2) AS ols_state_g_1_2,
+          sum(1.0 * $x2 * $x2) AS ols_state_g_2_2,
+          sum(1.0 * 1.0 * $yv) AS ols_state_b_0,
+          sum(1.0 * $x1 * $yv) AS ols_state_b_1,
+          sum(1.0 * $x2 * $yv) AS ols_state_b_2,
+          sum(1.0 * $yv * $yv) AS ols_state_syy
           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+    }
   )
 }

@@ -126,6 +126,9 @@ object PyApi {
   def olsRegression(y: String, xs: JList[String], weight: String): Summarizer =
     Summarizers.OLSRegression(y, seq(xs), opt(weight))
   def momentsState(x: String): Summarizer = Summarizers.momentsState(x)
+  def stateOf(s: Summarizer): Summarizer = Summarizers.stateOf(s)
+  def olsState(y: String, xs: JList[String], weight: String): Summarizer =
+    Summarizers.olsState(y, seq(xs), opt(weight))
   def rows(cols: JList[String]): Summarizer = Summarizers.rows(seq(cols))
   /** Group rows as one Arrow IPC stream (read with pyarrow.ipc.open_stream). */
   def arrow(cols: JList[String]): Summarizer = Summarizers.arrow(seq(cols))

@@ -27,6 +27,14 @@ object Summarize {
       s.names.map(n => F.col(s"`$n`")): _*)
   }
 
+  /** Expose a summarizer's raw algebraic state instead of its rendered
+    * outputs (≙ TimeSeriesRDD.summarizeState, reference
+    * TimeSeriesRDD.scala:1196): the distinct base aggregates the recipe
+    * registers, as `state_0..state_k`. See [[Summarizers.stateOf]]. */
+  def summarizeState(df: DataFrame, s: Summarizer,
+                     key: Seq[String] = Seq.empty): DataFrame =
+    summarize(df, Summarizers.stateOf(s), key)
+
   /** Aggregate rows sharing an identical timestamp ("cycle"), per key
     * (≙ summarizeCycles). Output: (time, key..., aggs...). */
   def summarizeCycles(df: DataFrame, s: Summarizer, key: Seq[String] = Seq.empty): DataFrame = {

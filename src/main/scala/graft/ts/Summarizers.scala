@@ -12,9 +12,16 @@ import org.apache.spark.sql.{functions => F}
  * window function (`agg.over(w)`) — which is how the five aggregation modes
  * of the reference all share one summarizer library.
  */
-final case class SummarizerCtx(pred: Option[Column], win: Option[WindowSpec]) {
-  /** Apply the window spec (if any) to an aggregate expression. */
-  def agg(c: Column): Column = win.map(c.over).getOrElse(c)
+final case class SummarizerCtx(
+    pred: Option[Column], win: Option[WindowSpec],
+    rec: Option[scala.collection.mutable.LinkedHashMap[String, Column]] = None) {
+  /** Apply the window spec (if any) to an aggregate expression; when a
+    * recorder is attached (summarizeState), also collect the distinct base
+    * aggregates the recipe is built from. */
+  def agg(c: Column): Column = {
+    rec.foreach(_.getOrElseUpdate(c.toString, c))
+    win.map(c.over).getOrElse(c)
+  }
   /** Filtered input: aggregates skip nulls, so `when(pred, x)` ≡ FILTER (WHERE pred). */
   def in(c: Column): Column = pred.map(p => F.when(p, c)).getOrElse(c)
   def in(name: String): Column = in(F.col(name))
@@ -73,7 +80,7 @@ final case class Summarizer(
         case (Some(a), Some(b)) => Some(a && b)
         case (a, b) => a.orElse(b)
       },
-      ctx.win)
+      ctx.win, ctx.rec)
     build(merged).map { case (n, c) => (pfx.map(p => s"${p}_$n").getOrElse(n), c) }
   }
 }
@@ -202,6 +209,52 @@ object Summarizers {
     * (≙ summarizeState's expose-the-buffer debugging role,
     * TimeSeriesRDD.scala:1196; our expression recipes have no hidden
     * buffer, so the power sums ARE the state). */
+  /**
+   * Raw algebraic state of ANY summarizer recipe (≙ summarizeState for
+   * arbitrary summarizers, reference TimeSeriesRDD.scala:1196): re-builds
+   * the recipe with a recording context that captures every distinct base
+   * aggregate it registers (the partial-aggregation buffer Catalyst
+   * actually carries), and emits those as `state_0..state_k` in first-use
+   * order. Works for every expression recipe — variance exposes its power
+   * sums, weighted correlation its seven shared weighted sums; a recipe
+   * built on a single opaque Aggregator (OLSRegression, quantile) exposes
+   * that aggregate's rendered output as one state column — use
+   * [[olsState]] for the OLS normal-equation buffer as plain sums.
+   */
+  def stateOf(s: Summarizer): Summarizer = Summarizer { ctx =>
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, Column]
+    s.withCtx(SummarizerCtx(ctx.pred, None, Some(m)))
+    m.values.toSeq.zipWithIndex.map { case (c, i) => s"state_$i" -> ctx.agg(c) }
+  }
+
+  /**
+   * OLS normal-equation state as plain distributable sums (the Gram
+   * buffer of [[OLSRegression]], ≙ the reference OLS summarizer's
+   * (count, Σln w, X'WX, X'Wy, y'Wy) state): design vector
+   * g = [1, xs...], entries `ols_state_g_<i>_<j>` = Σ w·gᵢgⱼ (upper
+   * triangle), `ols_state_b_<i>` = Σ w·gᵢy, plus n, Σln w and Σ w·y².
+   * Rows with any null input or w <= 0 are excluded — the same row filter
+   * OLSRegression applies. */
+  def olsState(y: String, xs: Seq[String], weight: Option[String] = None): Summarizer =
+    Summarizer { c =>
+      val d = xs.length + 1
+      val w0 = weight.map(F.col(_).cast("double")).getOrElse(F.lit(1.0))
+      val ok = (F.col(y).isNotNull +: xs.map(F.col(_).isNotNull))
+        .reduce(_ && _) && w0.isNotNull && (w0 > 0.0)
+      def g(i: Int): Column =
+        if (i == 0) F.lit(1.0) else F.col(xs(i - 1)).cast("double")
+      def term(col: Column): Column = c.in(F.when(ok, col))
+      val yv = F.col(y).cast("double")
+      Seq(
+        "ols_state_n" -> c.agg(F.count(term(w0))),
+        "ols_state_sum_ln_w" -> c.agg(F.sum(term(F.log(w0))))) ++
+        (for (i <- 0 until d; j <- i until d) yield
+          s"ols_state_g_${i}_$j" -> c.agg(F.sum(term(w0 * g(i) * g(j))))) ++
+        (for (i <- 0 until d) yield
+          s"ols_state_b_$i" -> c.agg(F.sum(term(w0 * g(i) * yv)))) :+
+        ("ols_state_syy" -> c.agg(F.sum(term(w0 * yv * yv))))
+    }
+
   def momentsState(x: String): Summarizer = Summarizer { c =>
     val v = c.in(x).cast("double")
     Seq(

@@ -275,4 +275,69 @@ class SummarizersSpec extends SparkTestBase {
     r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(1)) shouldBe
       Seq("a", "b", "c")
   }
+
+  behavior of "summarizeState / stateOf"
+
+  it should "expose variance's base sums and let the statistic be recomputed" in {
+    val df = Seq((1L, 2.0), (2L, 4.0), (3L, 9.0)).toDF("time", "x")
+    val st = Summarize.summarizeState(df, Summarizers.variance("x"))
+      .collect().head
+    // first-use order: count, sum, sum of squares
+    st.getLong(1) shouldBe 3L                 // state_0 = n
+    st.getDouble(2) shouldBe 15.0             // state_1 = Σx
+    st.getDouble(3) shouldBe 101.0            // state_2 = Σx²
+    val (n, s1, s2) = (3.0, 15.0, 101.0)
+    val recomputed = (s2 / n - (s1 / n) * (s1 / n)) * (n / (n - 1))
+    val rendered = Summarize.summarize(df, Summarizers.variance("x"))
+      .collect().head.getDouble(1)
+    approx(recomputed, rendered, 1e-12)
+  }
+
+  it should "capture the seven shared sums of weightedCorrelation exactly once" in {
+    val df = Seq((1L, 1.0, 2.0, 1.0), (2L, 3.0, 5.0, 2.0))
+      .toDF("time", "x", "y", "w")
+    val s = Summarizers.stateOf(Summarizers.weightedCorrelation("x", "y", "w"))
+    s.names shouldBe (0 to 6).map(i => s"state_$i")
+    val st = Summarize.summarize(df, s).collect().head
+    st.getDouble(1) shouldBe 3.0   // Σw
+    st.getLong(2) shouldBe 2L      // n
+    st.getDouble(3) shouldBe 7.0   // Σxw = 1 + 6
+  }
+
+  it should "respect where() in captured state" in {
+    val df = Seq((1L, 1.0), (2L, 100.0)).toDF("time", "x")
+    val st = Summarize.summarizeState(df,
+      Summarizers.sum("x").where(F.col("x") < 10)).collect().head
+    st.getDouble(1) shouldBe 1.0
+  }
+
+  it should "solve the normal equations from olsState's Gram buffer" in {
+    // y = 1 + 2*x exactly; beta recovered from the exposed sums must be
+    // [intercept, slope] = [1, 2]
+    val rows = Seq.tabulate(5)(i => (i.toLong, i.toDouble, 1.0 + 2.0 * i))
+    val df = rows.toDF("time", "x", "y")
+    val st = Summarize.summarize(df,
+      Summarizers.olsState("y", Seq("x"))).collect().head
+    val n = st.getLong(1).toDouble
+    n shouldBe 5.0
+    st.getDouble(2) shouldBe 0.0 // Σ ln 1
+    val (g00, g01, g11) = (st.getDouble(3), st.getDouble(4), st.getDouble(5))
+    val (b0, b1) = (st.getDouble(6), st.getDouble(7))
+    // 2x2 solve: [g00 g01; g01 g11] beta = [b0; b1]
+    val det = g00 * g11 - g01 * g01
+    approx((g11 * b0 - g01 * b1) / det, 1.0, 1e-9)
+    approx((g00 * b1 - g01 * b0) / det, 2.0, 1e-9)
+  }
+
+  it should "exclude null inputs and non-positive weights from olsState" in {
+    val df = Seq(
+      (1L, Some(1.0), Some(2.0), Some(1.0)),
+      (2L, Some(2.0), None, Some(1.0)),    // null x
+      (3L, Some(3.0), Some(4.0), Some(0.0)), // w <= 0
+      (4L, Some(4.0), Some(5.0), Some(2.0)))
+      .toDF("time", "y", "x", "w")
+    val st = Summarize.summarize(df,
+      Summarizers.olsState("y", Seq("x"), Some("w"))).collect().head
+    st.getLong(1) shouldBe 2L // only rows 1 and 4 qualify
+  }
 }
