@@ -197,14 +197,17 @@ object Dedup {
    * yields the drop set — the step that turns a pair list into actual
    * dedup decisions.
    *
-   * Execution: iterative min-label propagation — per round, each node
-   * takes the min of its own label and its neighbors' labels (two hash
-   * joins + one aggregation, all key-partitioned). Rounds needed =
-   * graph diameter; near-dup components are small and dense (cliques
-   * from LSH buckets), so this converges in 2-3 rounds; the loop stops as
-   * soon as a round changes nothing. Label propagation is the standard
-   * 100 TB-scale shape (no driver-side union-find, no adjacency
-   * materialization beyond the pair list).
+   * Execution: iterative min-label propagation with POINTER JUMPING —
+   * per round, each node takes the min of its own label and its
+   * neighbors' labels (two hash joins + one aggregation, all
+   * key-partitioned), then shortcuts through its label's own label
+   * (`lbl := label(lbl)`, one more hash join). The jump step halves the
+   * distance to each component's minimum every round, so convergence is
+   * O(log diameter) instead of O(diameter) — dense LSH cliques still
+   * finish in 2-3 rounds, and a 10^6-node chain needs ~20 rounds rather
+   * than 10^6. The loop stops as soon as a round changes nothing. Label
+   * propagation is the standard 100 TB-scale shape (no driver-side
+   * union-find, no adjacency materialization beyond the pair list).
    */
   def dupClusters(ids: DataFrame, pairs: DataFrame, idCol: String,
                   aCol: String = "id_a", bCol: String = "id_b",
@@ -222,19 +225,31 @@ object Dedup {
       // neighbor messages: the label of each node, delivered to each peer
       val msgs = edges.join(labels, edges("src") === labels("id"))
         .select(F.col("dst").as("id"), F.col("lbl"))
-      val next = labels.select(F.col("id"), F.col("lbl"))
+      val propagated = labels.select(F.col("id"), F.col("lbl"))
         .union(msgs)
         .groupBy("id").agg(F.min("lbl").as("lbl"))
-        .persist()
+      // pointer jump: shortcut through the label's own label. Every label
+      // value is itself a node id present in the table (labels start as
+      // own-ids and only propagate), so the join hits unless the node
+      // dropped out of `ids` — coalesce keeps the label then.
+      val parents = propagated
+        .select(F.col("id").as("p_id"), F.col("lbl").as("p_lbl"))
+      // localCheckpoint (not persist): the jump self-join doubles the
+      // logical plan, so without lineage truncation analysis cost grows
+      // 2^round — the standard iterative-graph discipline (GraphX does
+      // the same). Eager: materializes now, so `changed` below is cheap.
+      val next = propagated
+        .join(parents, propagated("lbl") === parents("p_id"), "left")
+        .select(propagated("id"),
+          F.least(propagated("lbl"),
+            F.coalesce(F.col("p_lbl"), propagated("lbl"))).as("lbl"))
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
         .filter(F.col("lbl") < F.col("old")).limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       round += 1
     }
-    // final labels are materialized (the convergence count ran on them);
-    // the edge cache is no longer needed
     edges.unpersist(blocking = false)
     // never return silently-wrong components (round-3 lesson: no silent
     // caps): a diameter above maxRounds must fail, not truncate

@@ -142,6 +142,18 @@ class DedupSpec extends SparkTestBase {
       (1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L), (20L, 20L))
   }
 
+  it should "converge on a long chain in O(log n) rounds via pointer jumping" in {
+    // a 64-node chain has diameter 63: plain min-label propagation needs
+    // 63 rounds, pointer jumping must finish well within 10
+    val n = 64
+    val ids = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(ids, pairs, "doc_id", maxRounds = 10)
+      .collect()
+    out.length shouldBe n
+    all(out.map(_.getLong(1))) shouldBe 1L
+  }
+
   it should "converge on a long chain (label must travel the diameter)" in {
     val n = 8
     val ids = (1L to n).toDF("doc_id")
