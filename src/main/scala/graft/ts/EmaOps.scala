@@ -130,13 +130,10 @@ object EmaOps {
     require(Seq("core", "legacy").contains(convention))
     val k = math.log(1.0 - alpha)
     if (durationPerPeriod.equalsIgnoreCase("constant")) {
-      // index-based decay needs a per-row rank: stays on the ordered scan
-      val out = s"${xCol}_ewma"
-      return scanGroups(df, xCol, key, out) { rows =>
-        val st = new EwmaState(k, constant = true, 1.0, convention)
-        rows.foreach { case (t, x) => st.update(t, x) }
-        st.value
-      }
+      // index-based decay needs an ordered scan; runs at full partition
+      // parallelism via the composable two-phase scan
+      return scanGroups(df, xCol, key, s"${xCol}_ewma")(() =>
+        new EwmaState(k, constant = true, 1.0, convention))
     }
     // Duration mode telescopes to Σ x_i·e^{k(tmax-t_i)/p}: no window, no
     // ordered scan — per-key tmax broadcast-joined, then one aggregation.
@@ -365,48 +362,99 @@ object EmaOps {
       }
   }
 
-  /** One ordered scan per key group emitting one value per GROUP (constant-
-    * period ewma only; everything else uses the closed form). Null x rows
-    * are skipped (FilterNullInput). */
+  /** One value per key group from an ordered scan, at full partition
+    * parallelism (constant-period ewma only; everything else uses the
+    * closed form). Same two-phase shape as [[runningScan]], except the
+    * per-partition key-run summaries flow as DATA through a metadata-sized
+    * shuffle instead of a driver collect: phase 1 scans each range
+    * partition and emits one summary row per key-run it contains; phase 2
+    * repartitions the summaries by key (one row per (key, partition) —
+    * tiny) and composes each key's time-ordered segments into the final
+    * value. Keyless input has #partitions summary rows total, so its
+    * compose step coalesces to one task over metadata, not over data.
+    * Null/NaN x rows are skipped (FilterNullInput). */
   private def scanGroups(df: DataFrame, xCol: String, key: Seq[String],
-                         outName: String)(render: Iterator[(Long, Double)] => Double): DataFrame = {
+                         outName: String)(mk: () => RunningState): DataFrame = {
+    val nKey = key.length
+    val sortCols = (key :+ TimeColumn).map(F.col)
     val projected = df.select(
       (key.map(F.col) :+ F.col(TimeColumn) :+ F.col(xCol).cast("double")): _*)
-    val parted =
-      if (key.isEmpty) projected.repartition(1)
-      else projected.repartition(key.map(F.col): _*)
-    val sorted = parted.sortWithinPartitions((key :+ TimeColumn).map(F.col): _*)
+    val sorted = projected.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
 
     val keyFields = key.map(k => df.schema(df.schema.fieldIndex(k)))
-    val outSchema = StructType(
-      StructField(TimeColumn, LongType, nullable = false) +:
-        keyFields :+ StructField(outName, DoubleType, nullable = true))
-    val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    val nKey = key.length
+    val sumSchema = StructType(keyFields ++ Seq(
+      StructField("__runMinT", LongType, nullable = false),
+      StructField("__has", BooleanType, nullable = false),
+      StructField("__p", DoubleType, nullable = false),
+      StructField("__a", DoubleType, nullable = false),
+      StructField("__ft", LongType, nullable = false),
+      StructField("__fx", DoubleType, nullable = false),
+      StructField("__pt", LongType, nullable = false),
+      StructField("__px", DoubleType, nullable = false),
+      StructField("__n", LongType, nullable = false)))
+    val sumEnc = org.apache.spark.sql.Encoders.row(sumSchema)
 
-    sorted.mapPartitions { it =>
+    // Phase 1: one summary row per key-run per partition.
+    val summaries = sorted.mapPartitions { it =>
       val buf = it.buffered
       new Iterator[Row] {
         def hasNext: Boolean = buf.hasNext
         def next(): Row = {
           val head = buf.head
           val keyVals = (0 until nKey).map(head.get)
-          def sameGroup: Boolean = buf.hasNext &&
+          val runMinT = head.getLong(nKey)
+          val st = mk()
+          def same: Boolean = buf.hasNext &&
             (0 until nKey).forall(i => buf.head.get(i) == keyVals(i))
-          val groupRows = new Iterator[(Long, Double)] {
-            def hasNext: Boolean = sameGroup
-            def next(): (Long, Double) = {
-              val r = buf.next()
-              (r.getLong(nKey), if (r.isNullAt(nKey + 1)) Double.NaN else r.getDouble(nKey + 1))
-            }
-          }.filter(!_._2.isNaN)
-          val es = render(groupRows)
-          // drain any remaining rows of this group (render may stop early)
-          while (sameGroup) buf.next()
-          Row.fromSeq(0L +: keyVals :+ (if (es.isNaN) null else es))
+          while (same) {
+            val r = buf.next()
+            if (!r.isNullAt(nKey + 1) && !r.getDouble(nKey + 1).isNaN)
+              st.update(r.getLong(nKey), r.getDouble(nKey + 1))
+          }
+          val s = st.summary
+          Row.fromSeq(keyVals ++ Seq(runMinT, s.has, s.primary, s.auxiliary,
+            s.firstT, s.firstX, s.prevT, s.prevX, s.n))
         }
       }
-    }(enc)
+    }(sumEnc)
+
+    // Phase 2: compose each key's time-ordered segments (tiny input).
+    val parted =
+      if (key.isEmpty) summaries.coalesce(1)
+      else summaries.repartition(key.map(F.col): _*)
+    val ordered = parted.sortWithinPartitions(
+      (key.map(F.col) :+ F.col("__runMinT")): _*)
+    val outSchema = StructType(
+      StructField(TimeColumn, LongType, nullable = false) +:
+        keyFields :+ StructField(outName, DoubleType, nullable = true))
+    val outEnc = org.apache.spark.sql.Encoders.row(outSchema)
+
+    ordered.mapPartitions { it =>
+      val buf = it.buffered
+      new Iterator[Row] {
+        def hasNext: Boolean = buf.hasNext
+        def next(): Row = {
+          val head = buf.head
+          val keyVals = (0 until nKey).map(head.get)
+          val helper = mk()
+          var acc = ScanSummary.empty
+          def same: Boolean = buf.hasNext &&
+            (0 until nKey).forall(i => buf.head.get(i) == keyVals(i))
+          while (same) {
+            val r = buf.next()
+            acc = helper.compose(acc, ScanSummary(
+              r.getBoolean(nKey + 1), r.getDouble(nKey + 2), r.getDouble(nKey + 3),
+              r.getLong(nKey + 4), r.getDouble(nKey + 5), r.getLong(nKey + 6),
+              r.getDouble(nKey + 7), r.getLong(nKey + 8)))
+          }
+          val st = mk()
+          st.prime(acc)
+          val v = st.value
+          Row.fromSeq(0L +: keyVals :+ (if (v.isNaN) null else v))
+        }
+      }
+    }(outEnc)
   }
 
   /** Per-partition pass-1 report: the boundary key-runs of one partition.

@@ -198,6 +198,25 @@ class EmaSpec extends SparkTestBase {
     }
   }
 
+  it should "compose constant-period summarize ewma across partitions (keyless)" in {
+    // keyless constant-mode ewma previously serialized via repartition(1);
+    // the two-phase scan must give the same sequential value on scrambled
+    // multi-partition input
+    val n = 40
+    val xs = (0 until n).map(i => math.cos(i * 0.9) * 5 + i % 3)
+    val df = xs.zipWithIndex.map { case (x, i) => (i * day, x) }
+      .toDF("time", "v").repartition(8)
+    val out = EmaOps.ewma(df, "v", Seq.empty, alpha = 0.3,
+      durationPerPeriod = "constant", convention = "core")
+      .collect().head.getDouble(1)
+    var (p, a) = (0.0, 0.0); var m = 0
+    xs.foreach { x =>
+      if (m == 0) { p = x; a = 1.0 } else { p = 0.7 * p + x; a = 0.7 * a + 1.0 }
+      m += 1
+    }
+    approx(out, p / a, 1e-9)
+  }
+
   it should "emit no rows for empty or all-null keyless input" in {
     val empty = Seq.empty[(Long, Double)].toDF("time", "v")
     EmaOps.ewma(empty, "v", alpha = 0.5).count() shouldBe 0
