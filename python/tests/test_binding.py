@@ -168,6 +168,26 @@ def test_cosine_dup_pairs_and_ivf_topk(spark):
     assert [r["n_id"] for r in ivf] == [1, 2]
 
 
+# ----------------------------------------------------- summarizer state
+
+def test_state_of_exposes_base_sums(ts):
+    st = ts.summarize(summarizers.state_of(summarizers.variance("v"))).collect()[0]
+    # first-use order: n, Σv, Σv²
+    assert st["state_0"] == 3 and st["state_1"] == 6.0 and st["state_2"] == 14.0
+
+
+def test_ols_state_gram_buffer(spark):
+    df = TimeSeriesDataFrame.from_df(spark.createDataFrame(
+        [(i, float(i), 1.0 + 2.0 * i) for i in range(5)],
+        "time long, x double, y double"))
+    st = df.summarize(summarizers.ols_state("y", ["x"])).collect()[0]
+    g00, g01, g11 = st["ols_state_g_0_0"], st["ols_state_g_0_1"], st["ols_state_g_1_1"]
+    b0, b1 = st["ols_state_b_0"], st["ols_state_b_1"]
+    det = g00 * g11 - g01 * g01
+    assert abs((g11 * b0 - g01 * b1) / det - 1.0) < 1e-9   # intercept
+    assert abs((g00 * b1 - g01 * b0) / det - 2.0) < 1e-9   # slope
+
+
 # ---------------------------------------------------------- streaming API
 
 def test_summarize_tumbling_on_batch_frame(ts):
