@@ -216,6 +216,16 @@ class TimeSeriesDataFrame(DataFrame):
                    else self.groupBy(F.lit(0)))
         return TimeSeriesDataFrame(grouped.applyInPandas(fn, schema))
 
+    def summarize_windows_rows(self, summarizer, past=0, future=0, key=None,
+                               tie_break=None):
+        """Row-count window frame: the current row plus `past` preceding or
+        `future` following rows (pass exactly one). ``tie_break`` columns
+        make the frame deterministic under equal times."""
+        return self._with(_api(self).summarizeWindowsRows(
+            self._jdf, summarizer._jsum(self.sparkSession), past, future,
+            _jlist(self.sparkSession, key),
+            _jlist(self.sparkSession, tie_break)))
+
     def add_windows(self, past=None, future=None, key=None):
         return self._with(_api(self).addWindows(
             self._jdf, past or "", future or "",

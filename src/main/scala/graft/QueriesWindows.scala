@@ -92,6 +92,14 @@ object QueriesWindows {
         .select(F.col("time"), F.col("event_id"),
           F.size(F.col("window_past_12h")).as("n_window"))
         .orderBy("time", "event_id")),
+    // row-count frame (the reference's internal CountWindow, exposed):
+    // tie-break on event_id makes the frame deterministic under equal times
+    "summarize_windows_rows" -> ((s, dir) =>
+      WindowOps.summarizeWindows(evV(s, dir), WindowOps.pastRows(3),
+        S.count() ++ S.sum("value100"), Seq("user_id"),
+        tieBreak = Seq("event_id"))
+        .select("time", "event_id", "user_id", "count", "value100_sum")
+        .orderBy("time", "event_id")),
     "add_summary_columns" -> ((s, dir) =>
       WindowOps.addSummaryColumns(evV(s, dir), S.count() ++ S.sum("value100"),
         Seq("user_id"), tieBreak = Seq("event_id"))
@@ -164,6 +172,13 @@ object QueriesWindows {
           CAST(count(*) OVER (PARTITION BY user_id ORDER BY time
             RANGE BETWEEN ${12 * HOUR} PRECEDING AND CURRENT ROW) AS INTEGER) AS n_window
           FROM e ORDER BY time, event_id""",
+    "summarize_windows_rows" ->
+      s"""WITH e AS ($evVSql)
+          SELECT time, event_id, user_id,
+          count(*) OVER w AS count, CAST(sum(value100) OVER w AS BIGINT) AS value100_sum
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY time, event_id
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+          ORDER BY time, event_id""",
     "add_summary_columns" ->
       s"""WITH e AS ($evVSql)
           SELECT time, event_id, user_id,

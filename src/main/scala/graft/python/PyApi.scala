@@ -180,6 +180,16 @@ object PyApi {
                  key: JList[String]): DataFrame =
     WindowOps.addWindows(df, window(past, future), seq(key))
 
+  /** Row-count window frame (pastRows/futureRows). `past` xor `future`. */
+  def summarizeWindowsRows(df: DataFrame, s: Summarizer, past: Int,
+                           future: Int, key: JList[String],
+                           tieBreak: JList[String]): DataFrame = {
+    val w =
+      if (future <= 0) WindowOps.pastRows(past)
+      else WindowOps.futureRows(future)
+    WindowOps.summarizeWindows(df, w, s, seq(key), seq(tieBreak))
+  }
+
   def addSummaryColumns(df: DataFrame, s: Summarizer, key: JList[String],
                         tieBreak: JList[String]): DataFrame =
     WindowOps.addSummaryColumns(df, s, seq(key), seq(tieBreak))

@@ -19,8 +19,12 @@ import org.apache.spark.sql.{functions => F}
 object WindowOps {
   import TimeSeriesOps.TimeColumn
 
-  /** A closed time window [t + fromNs, t + toNs] around each row's time. */
-  final case class TimeWindow(fromNs: Long, toNs: Long, name: String)
+  /** A closed window around each row: a time range [t + fromNs, t + toNs]
+    * (`byRows = false`) or a row-count frame [row + from, row + to]
+    * (`byRows = true` — the reference's internal CountWindow,
+    * window/Window.scala:73, which flint defines but never exposes). */
+  final case class TimeWindow(fromNs: Long, toNs: Long, name: String,
+                              byRows: Boolean = false)
 
   /** [t - d, t] (≙ Windows.pastAbsoluteTime). */
   def pastAbsoluteTime(duration: String): TimeWindow = {
@@ -34,24 +38,46 @@ object WindowOps {
     TimeWindow(0L, ns, s"future_$duration")
   }
 
-  private def spec(w: TimeWindow, key: Seq[String]): WindowSpec =
-    Window.partitionBy(key.map(F.col): _*).orderBy(F.col(TimeColumn))
-      .rangeBetween(w.fromNs, w.toNs)
+  /** The current row and the `n` preceding rows (row-count frame). With
+    * equal times, pass `tieBreak` columns to the window operator for a
+    * deterministic frame. */
+  def pastRows(n: Int): TimeWindow = {
+    require(n >= 0, "row window size must be >= 0")
+    TimeWindow(-n.toLong, 0L, s"past_${n}_rows", byRows = true)
+  }
+
+  /** The current row and the `n` following rows (row-count frame). */
+  def futureRows(n: Int): TimeWindow = {
+    require(n >= 0, "row window size must be >= 0")
+    TimeWindow(0L, n.toLong, s"future_${n}_rows", byRows = true)
+  }
+
+  private def spec(w: TimeWindow, key: Seq[String],
+                   tieBreak: Seq[String] = Seq.empty): WindowSpec = {
+    val base = Window.partitionBy(key.map(F.col): _*)
+      .orderBy((TimeColumn +: tieBreak).map(F.col): _*)
+    if (w.byRows) base.rowsBetween(w.fromNs, w.toNs)
+    else base.rangeBetween(w.fromNs, w.toNs)
+  }
 
   /** For each row, append aggregates over all rows (same key) within its
-    * window (≙ summarizeWindows). */
+    * window (≙ summarizeWindows). `tieBreak` orders rows with equal times
+    * — only meaningful for row-count windows (a range frame is defined by
+    * the time value alone, so Spark rejects extra order columns there). */
   def summarizeWindows(df: DataFrame, window: TimeWindow, s: Summarizer,
-                       key: Seq[String] = Seq.empty): DataFrame = {
-    val outs = s.namedOutputs(Some(spec(window, key)))
+                       key: Seq[String] = Seq.empty,
+                       tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    val outs = s.namedOutputs(Some(spec(window, key, tieBreak)))
     df.withColumns(outs.toMap)
   }
 
   /** For each row, append the window's rows as array<struct> column
     * `window_<name>` (≙ addWindows; README.md:169-188 naming). */
   def addWindows(df: DataFrame, window: TimeWindow,
-                 key: Seq[String] = Seq.empty): DataFrame = {
+                 key: Seq[String] = Seq.empty,
+                 tieBreak: Seq[String] = Seq.empty): DataFrame = {
     val rowsCol = F.collect_list(F.struct(df.columns.map(F.col).toSeq: _*))
-      .over(spec(window, key))
+      .over(spec(window, key, tieBreak))
     df.withColumn(s"window_${window.name}", rowsCol)
   }
 

@@ -128,6 +128,29 @@ class SummarizeModesSpec extends SparkTestBase {
       WindowOps.TimeWindow(0L, 2000000000L, "future_2s")
   }
 
+  it should "aggregate row-count frames regardless of time gaps" in {
+    // irregular gaps: a rows frame counts rows, not time
+    val gapped = Seq((1L, 1.0), (2L, 2.0), (100L, 3.0), (101L, 4.0))
+      .toDF("time", "v")
+    val past = WindowOps.summarizeWindows(gapped, WindowOps.pastRows(1),
+      Summarizers.sum("v"))
+      .orderBy("time").collect().map(_.getDouble(2))
+    past shouldBe Array(1.0, 3.0, 5.0, 7.0)
+    val future = WindowOps.summarizeWindows(gapped, WindowOps.futureRows(2),
+      Summarizers.sum("v"))
+      .orderBy("time").collect().map(_.getDouble(2))
+    future shouldBe Array(6.0, 9.0, 7.0, 4.0)
+  }
+
+  it should "order row frames deterministically with tieBreak columns" in {
+    val tied = Seq((1L, 10L, 1.0), (1L, 11L, 2.0), (1L, 12L, 4.0))
+      .toDF("time", "id", "v")
+    val out = WindowOps.summarizeWindows(tied, WindowOps.pastRows(1),
+      Summarizers.sum("v"), tieBreak = Seq("id"))
+      .orderBy("id").collect().map(_.getDouble(3))
+    out shouldBe Array(1.0, 3.0, 6.0)
+  }
+
   it should "collect window rows via addWindows" in {
     val out = WindowOps.addWindows(ser, WindowOps.pastAbsoluteTime("2ns"))
       .orderBy("time").collect()
