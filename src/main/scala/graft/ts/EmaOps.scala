@@ -116,7 +116,12 @@ object EmaOps {
     }
     val primary = pp + F.col("__ps")
     val aux = pa + F.col("__as")
-    val out = if (convention == "core") primary / aux else primary
+    // guard the 0/0 edge (single-point previous-interpolation groups):
+    // Spark 4 ANSI raises DIVIDE_BY_ZERO even for doubles, while the
+    // reference's Scala-double state machine quietly yields NaN — render
+    // null, like the per-row path renders its NaN
+    val out = if (convention == "core")
+      F.when(aux =!= 0.0, primary / aux) else primary
     grouped.select((F.lit(0L).as(TimeColumn) +: key.map(F.col)) :+
       out.as(s"${xCol}_ema"): _*)
   }
@@ -145,7 +150,9 @@ object EmaOps {
       // keyless groupBy() emits one global row even for empty input (§ the
       // exponentialSmoothing note); sum over zero rows is null -> drop
       .filter(F.col("__a").isNotNull)
-    val out = if (convention == "core") F.col("__p") / F.col("__a") else F.col("__p")
+    val out = if (convention == "core")
+      F.when(F.col("__a") =!= 0.0, F.col("__p") / F.col("__a"))
+    else F.col("__p")
     grouped.select((F.lit(0L).as(TimeColumn) +: key.map(F.col)) :+
       out.as(s"${xCol}_ewma"): _*)
   }
