@@ -129,11 +129,13 @@ class TimeSeriesDataFrame(DataFrame):
             strict_lookahead, binned))
 
     def symmetric_join(self, right, tolerance="0ns", key=None,
-                       left_alias=None, right_alias=None):
-        """Full-outer as-of join (≙ symmetricJoin)."""
+                       left_alias=None, right_alias=None, binned=False):
+        """Full-outer as-of join (≙ symmetricJoin); ``binned=True`` selects
+        the (key, tolerance-bin) scale path for keyless/skewed input."""
         return self._with(_api(self).symmetricJoin(
             self._jdf, right._jdf, tolerance,
-            _jlist(self.sparkSession, key), left_alias or "", right_alias or ""))
+            _jlist(self.sparkSession, key), left_alias or "",
+            right_alias or "", binned))
 
     # ------------------------------------------------------- aggregations
 

@@ -124,6 +124,17 @@ object QueriesCore {
       AsOfJoin.symmetricJoin(l, r, tolerance = "1d", key = Seq("user_id"))
         .orderBy("time", "side", "user_id")
     }),
+    // binned scale path: two binned as-of passes, identical results
+    "symmetric_join_asof_binned" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val l = ev.filter(F.col("event_type") === "click")
+        .select(F.col("time"), F.col("user_id"), F.col("event_id").as("click_id"))
+      val r = withValue100(ev.filter(F.col("event_type") === "purchase"))
+        .select(F.col("time"), F.col("user_id"), F.col("value100").as("p_value100"))
+      AsOfJoin.symmetricJoin(l, r, tolerance = "1d", key = Seq("user_id"),
+        binned = true)
+        .orderBy("time", "side", "user_id")
+    }),
     // Keyless global as-of join on the binned scale path: parallelism
     // |bins| instead of one partition.
     "left_join_asof_binned" -> ((s, dir) => {
@@ -209,6 +220,22 @@ object QueriesCore {
           FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.time <= l.time
           ORDER BY l.time, l.event_id""",
     "symmetric_join_asof" ->
+      s"""WITH l AS (SELECT epoch_ns(ts) AS time, user_id, event_id AS click_id
+                 FROM events WHERE event_type = 'click'),
+          r AS (SELECT epoch_ns(ts) AS time, user_id,
+                 CAST(round(value * 100, 0) AS BIGINT) AS p_value100
+                FROM events WHERE event_type = 'purchase')
+          SELECT l.time, l.user_id, l.click_id,
+            CASE WHEN r.time >= l.time - ${1 * DAY} THEN r.p_value100 END AS p_value100,
+            'left' AS side
+          FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.time <= l.time
+          UNION ALL
+          SELECT r.time, r.user_id,
+            CASE WHEN l.time >= r.time - ${1 * DAY} THEN l.click_id END AS click_id,
+            r.p_value100, 'right' AS side
+          FROM r ASOF LEFT JOIN l ON r.user_id = l.user_id AND l.time <= r.time
+          ORDER BY time, side, user_id""",
+"symmetric_join_asof_binned" ->
       s"""WITH l AS (SELECT epoch_ns(ts) AS time, user_id, event_id AS click_id
                  FROM events WHERE event_type = 'click'),
           r AS (SELECT epoch_ns(ts) AS time, user_id,

@@ -86,9 +86,9 @@ object PyApi {
 
   def symmetricJoin(left: DataFrame, right: DataFrame, tolerance: String,
                     key: JList[String], leftAlias: String,
-                    rightAlias: String): DataFrame =
+                    rightAlias: String, binned: Boolean): DataFrame =
     AsOfJoin.symmetricJoin(left, right, tolerance, seq(key),
-      opt(leftAlias), opt(rightAlias))
+      opt(leftAlias), opt(rightAlias), binned)
 
   // --------------------------------------------------- summarizer algebra
 

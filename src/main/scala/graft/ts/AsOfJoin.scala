@@ -103,11 +103,17 @@ object AsOfJoin {
    *
    * Same execution shape as [[leftJoin]]: one union, one hash exchange on
    * the key, two running window frames (one per direction's tie order) that
-   * WindowExec evaluates in O(n) per partition.
+   * WindowExec evaluates in O(n) per partition. `binned = true` selects the
+   * scale path for keyless / hot-key input (requires tolerance > 0): two
+   * binned backward as-of passes (one per originating side) whose windows
+   * partition on (key, tolerance-bin) — parallelism |keys| × |bins| at the
+   * cost of a second pass over the union. Identical results and tie
+   * contract (greatest value tuple wins among equal-time candidates).
    */
   def symmetricJoin(left0: DataFrame, right0: DataFrame, tolerance: String = "0ns",
                     key: Seq[String] = Seq.empty, leftAlias: Option[String] = None,
-                    rightAlias: Option[String] = None): DataFrame = {
+                    rightAlias: Option[String] = None,
+                    binned: Boolean = false): DataFrame = {
     val tol = TimeSeriesOps.parseDuration(tolerance)
     require(tol >= 0, "tolerance must be non-negative")
     val left = applyAlias(left0, leftAlias, key)
@@ -117,6 +123,19 @@ object AsOfJoin {
       "symmetricJoin emits a 'side' column; rename or alias the existing one")
     val lVals = left.columns.filter(c => c != TimeColumn && !key.contains(c)).toSeq
     val rVals = right.columns.filter(c => c != TimeColumn && !key.contains(c)).toSeq
+
+    if (binned) {
+      // one output row per input row of either side = two backward as-of
+      // joins with a side tag, schema-aligned to (time, key, lVals, rVals)
+      val outCols = (TimeColumn +: key) ++ lVals ++ rVals
+      val fromLeft = asOf(left, right, tol, key, None, None,
+        future = false, strict = false, binned = true)
+        .select(outCols.map(col) :+ lit("left").as("side"): _*)
+      val fromRight = asOf(right, left, tol, key, None, None,
+        future = false, strict = false, binned = true)
+        .select(outCols.map(col) :+ lit("right").as("side"): _*)
+      return fromLeft.unionByName(fromRight)
+    }
 
     val LCol = "__graft_lstruct"
     val LTimeField = "__ltime"

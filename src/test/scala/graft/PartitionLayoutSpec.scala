@@ -80,6 +80,8 @@ class PartitionLayoutSpec extends SparkTestBase {
     invariant("futureLeftJoin")(() =>
       AsOfJoin.futureLeftJoin(l, r, "12h", Seq("k"), strictLookahead = true))
     invariant("symmetricJoin")(() => AsOfJoin.symmetricJoin(l, r, "12h", Seq("k")))
+    invariant("symmetricJoin/binned")(() =>
+      AsOfJoin.symmetricJoin(l, r, "12h", Seq("k"), binned = true))
   }
 
   it should "produce identical per-row EMA values (two-pass stitch)" in {

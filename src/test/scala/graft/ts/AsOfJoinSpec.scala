@@ -249,6 +249,21 @@ class AsOfJoinSpec extends SparkTestBase {
       AsOfJoin.symmetricJoin(l, r, "1ns", Seq("k"))
   }
 
+  it should "produce identical results on the binned scale path (incl. keyless)" in {
+    val l = (0 until 40).map(i => (i * 7L + 3, "k" + (i % 2), i))
+    val r = (0 until 40).map(i => (i * 11L, "k" + (i % 2), i * 100))
+    def run(key: Seq[String], binned: Boolean) = {
+      val lf = (if (key.isEmpty) l.map(x => (x._1, x._3)).toDF("time", "lv")
+                else l.toDF("time", "k", "lv"))
+      val rf = (if (key.isEmpty) r.map(x => (x._1, x._3)).toDF("time", "rv")
+                else r.toDF("time", "k", "rv"))
+      AsOfJoin.symmetricJoin(lf, rf, "25ns", key, binned = binned)
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    }
+    run(Seq("k"), binned = true) shouldBe run(Seq("k"), binned = false)
+    run(Seq.empty, binned = true) shouldBe run(Seq.empty, binned = false)
+  }
+
   behavior of "aliases and clashes"
 
   it should "prefix right columns with rightAlias" in {
