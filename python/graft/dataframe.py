@@ -322,6 +322,30 @@ class TimeSeriesDataFrame(DataFrame):
         return self._with(_api(self).dedupByClusters(
             self._jdf, id_col, pairs._jdf, a_col, b_col))
 
+    def sample_by_hash(self, id_col, rate, seed=42):
+        """Deterministic seeded Bernoulli sample (portable hash; nested
+        across rates, partition-independent)."""
+        return self._with(_api(self).sampleByHash(
+            self._jdf, id_col, float(rate), seed))
+
+    def sample_by_rates(self, strata_col, id_col, rates, default_rate=0.0,
+                        seed=42):
+        """Per-stratum sampling rates (training-mix construction).
+        ``rates`` is a dict {stratum: rate}."""
+        s = self.sparkSession
+        jr = s._jvm.java.util.ArrayList()
+        for v in rates.values():
+            jr.add(float(v))
+        return self._with(_api(self).sampleByRates(
+            self._jdf, strata_col, id_col,
+            _jlist(s, list(rates.keys())), jr, float(default_rate), seed))
+
+    def quota_per_stratum(self, strata_cols, id_col, n, seed=42):
+        """Deterministic fixed quota per stratum (smallest-hash rows)."""
+        return self._with(_api(self).quotaPerStratum(
+            self._jdf, _jlist(self.sparkSession, list(strata_cols)),
+            id_col, n, seed))
+
     def top_k_tokens(self, text_col, k):
         """Exact corpus top-k token frequencies (count desc, token asc)."""
         return self._with(_api(self).topKTokens(self._jdf, text_col, k))

@@ -188,6 +188,21 @@ def test_ols_state_gram_buffer(spark):
     assert abs((g00 * b1 - g01 * b0) / det - 2.0) < 1e-9   # slope
 
 
+# -------------------------------------------------------------- sampling
+
+def test_deterministic_sampling(spark):
+    docs = TimeSeriesDataFrame.from_df(spark.createDataFrame(
+        [(i, i, "s%d" % (i % 2)) for i in range(200)],
+        "time long, doc_id long, src string"))
+    a = sorted(r["doc_id"] for r in docs.sample_by_hash("doc_id", 0.3).collect())
+    b = sorted(r["doc_id"] for r in docs.sample_by_hash("doc_id", 0.3).collect())
+    assert a == b and 20 < len(a) < 100
+    mix = docs.sample_by_rates("src", "doc_id", {"s0": 1.0}, default_rate=0.0)
+    assert sorted(set(r["src"] for r in mix.collect())) == ["s0"]
+    q = docs.quota_per_stratum(["src"], "doc_id", 5)
+    assert q.count() == 10
+
+
 # ---------------------------------------------------------- streaming API
 
 def test_summarize_tumbling_on_batch_frame(ts):

@@ -149,12 +149,55 @@ object QueriesLLM {
           F.col("meta.width").as("width"), F.col("meta.height").as("height"),
           F.col("meta.format").as("format"),
           F.size(F.col("frames")).as("n_frames"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    // deterministic sampling family (training-mix construction): all
+    // randomness from the portable seeded hash, so DuckDB reproduces the
+    // exact surviving row set
+    "sample_by_hash" -> ((s, dir) =>
+      Sampling.sampleByHash(docs(s, dir), "doc_id", rate = 0.3)
+        .select("doc_id", "source").orderBy("doc_id")),
+    "sample_by_rates" -> ((s, dir) =>
+      Sampling.sampleByRates(docs(s, dir), "source", "doc_id",
+        rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.2),
+        defaultRate = 0.1)
+        .select("doc_id", "source").orderBy("doc_id")),
+    "sample_quota" -> ((s, dir) =>
+      Sampling.quotaPerStratum(docs(s, dir), Seq("source"), "doc_id", n = 5)
+        .select("doc_id", "source").orderBy("doc_id"))
   )
 
   private val stopEn = inList(TextStats.EnStop)
 
+  /** DuckDB mirror of Sampling.hashUnit (same bounded-integer avalanche
+    * arithmetic, seed 42; 2654435803 = 42 + the Knuth constant). */
+  private val hashUnitCte = """WITH h AS (
+           SELECT doc_id, source,
+             (doc_id + 42) % 4294967296 AS a0,
+             xor(a0, a0 >> 16) * 73244475 % 4294967296 AS a1,
+             xor(a1, a1 >> 16) * 73244475 % 4294967296 AS a2,
+             xor(a2, a2 >> 16) AS h1,
+             (doc_id + 2654435803) % 4294967296 AS b0,
+             xor(b0, b0 >> 16) * 73244475 % 4294967296 AS b1,
+             xor(b1, b1 >> 16) * 73244475 % 4294967296 AS b2,
+             xor(b2, b2 >> 16) AS h2,
+             ((h1 % 2147483648) * 4294967296 + h2) / 9.223372036854776e18 AS u
+           FROM documents)"""
+
   val oracleSql: Map[String, String] = Map(
+    "sample_by_hash" ->
+      s"""$hashUnitCte
+          SELECT doc_id, source FROM h WHERE u < 0.3 ORDER BY doc_id""",
+    "sample_by_rates" ->
+      s"""$hashUnitCte
+          SELECT doc_id, source FROM h
+          WHERE u < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                     WHEN 'src2' THEN 0.2 ELSE 0.1 END)
+          ORDER BY doc_id""",
+    "sample_quota" ->
+      s"""$hashUnitCte
+          SELECT doc_id, source FROM h
+          QUALIFY row_number() OVER (PARTITION BY source ORDER BY u, doc_id) <= 5
+          ORDER BY doc_id""",
     "doc_token_stats" ->
       """SELECT doc_id,
          CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,

@@ -1,0 +1,87 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+
+/**
+ * Deterministic sampling for training-data mixes. Every operator keys its
+ * randomness off a seeded avalanche hash of a stable id column instead of
+ * `F.rand` — so samples are (a) reproducible run-to-run and engine-to-
+ * engine (the hash is bounded integer arithmetic any SQL engine evaluates
+ * identically — same family as `Sources.randomClock`), (b) stable under
+ * repartitioning (no dependence on row order or partition count), and
+ * (c) nested across rates: the 40% sample of a corpus contains its 20%
+ * sample, which makes scaling laws / data-ablation curves comparable.
+ *
+ * All three shapes are single-scan (the quota variant adds one window
+ * over the stratum key) — no global sort, no collect.
+ */
+object Sampling {
+
+  private val HashMult = 2654435761L
+  private val M32 = 4294967296L
+  private val M31 = 2147483648L
+  private val MixC = 0x45d9f3bL
+
+  /** 32-bit avalanche mix with bounded operands (every intermediate stays
+    * below 2^59 — portable to engines that raise on 64-bit overflow). */
+  private def mix32(v: Column): Column = {
+    val x0 = F.pmod(v, F.lit(M32))
+    val x1 = F.pmod(x0.bitwiseXOR(F.shiftright(x0, 16)) * MixC, F.lit(M32))
+    val x2 = F.pmod(x1.bitwiseXOR(F.shiftright(x1, 16)) * MixC, F.lit(M32))
+    x2.bitwiseXOR(F.shiftright(x2, 16))
+  }
+
+  /** Deterministic uniform draw in [0, 1) from (id, seed): two decorrelated
+    * 32-bit mixes concatenated to 63 bits, scaled. Exposed so callers can
+    * build custom acceptance rules on the same randomness. */
+  def hashUnit(id: Column, seed: Long): Column = {
+    val h1 = mix32(id + seed)
+    val h2 = mix32(id + seed + HashMult)
+    (F.pmod(h1, F.lit(M31)) * M32 + h2) / 9.223372036854776e18 // 2^63
+  }
+
+  /** Seeded Bernoulli sample: keep rows with `hashUnit(id) < rate`.
+    * Deterministic, order-independent, and monotone in `rate` (nested
+    * samples). One scan, filter fully pushable. */
+  def sampleByHash(df: DataFrame, idCol: String, rate: Double,
+                   seed: Long = 42L): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    df.filter(hashUnit(F.col(idCol), seed) < rate)
+  }
+
+  /** Per-stratum rates (a training mix): rows in stratum s survive with
+    * probability `rates(s)` (else `defaultRate`). The rates ride in as a
+    * broadcast-joined two-column frame, so the mix scales to any number of
+    * strata without a when-chain. */
+  def sampleByRates(df: DataFrame, strataCol: String, idCol: String,
+                    rates: Map[String, Double], defaultRate: Double = 0.0,
+                    seed: Long = 42L): DataFrame = {
+    require((defaultRate +: rates.values.toSeq).forall(r => r >= 0.0 && r <= 1.0),
+      "all rates must be in [0,1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ratesDF = rates.toSeq.toDF(strataCol, "__rate")
+    df.join(F.broadcast(ratesDF), Seq(strataCol), "left")
+      .withColumn("__rate", F.coalesce(F.col("__rate"), F.lit(defaultRate)))
+      .filter(hashUnit(F.col(idCol), seed) < F.col("__rate"))
+      .drop("__rate")
+  }
+
+  /** Deterministic fixed quota per stratum: the `n` rows of each stratum
+    * with the smallest hash values (hash order = a stable pseudo-random
+    * order; ties broken by id). One hash-partitioned window — parallelism
+    * = |strata|; for quota sampling of a keyless corpus use
+    * [[sampleByHash]] with `rate = n / count`. */
+  def quotaPerStratum(df: DataFrame, strataCols: Seq[String], idCol: String,
+                      n: Int, seed: Long = 42L): DataFrame = {
+    require(n >= 0, s"quota must be >= 0, got $n")
+    require(strataCols.nonEmpty, "quotaPerStratum needs at least one stratum column")
+    val w = Window.partitionBy(strataCols.map(F.col): _*)
+      .orderBy(hashUnit(F.col(idCol), seed).asc, F.col(idCol).asc)
+    df.withColumn("__rn", F.row_number().over(w))
+      .filter(F.col("__rn") <= n)
+      .drop("__rn")
+  }
+}

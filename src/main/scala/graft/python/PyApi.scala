@@ -269,6 +269,23 @@ object PyApi {
                       aCol: String, bCol: String): DataFrame =
     graft.llm.Dedup.dedupByClusters(df, idCol, pairs, aCol, bCol)
 
+  // ------------------------------------------------------------ sampling
+
+  def sampleByHash(df: DataFrame, idCol: String, rate: Double,
+                   seed: Long): DataFrame =
+    graft.llm.Sampling.sampleByHash(df, idCol, rate, seed)
+
+  def sampleByRates(df: DataFrame, strataCol: String, idCol: String,
+                    strata: JList[String], rates: JList[java.lang.Double],
+                    defaultRate: Double, seed: Long): DataFrame =
+    graft.llm.Sampling.sampleByRates(df, strataCol, idCol,
+      strata.asScala.zip(rates.asScala.map(_.doubleValue())).toMap,
+      defaultRate, seed)
+
+  def quotaPerStratum(df: DataFrame, strataCols: JList[String], idCol: String,
+                      n: Int, seed: Long): DataFrame =
+    graft.llm.Sampling.quotaPerStratum(df, seq(strataCols), idCol, n, seed)
+
   def topKTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
     graft.llm.TextStats.topKTokens(df, textCol, k)
 

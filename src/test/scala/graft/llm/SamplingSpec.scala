@@ -1,0 +1,84 @@
+package graft.llm
+
+import graft.SparkTestBase
+import org.apache.spark.sql.{functions => F}
+
+/** Deterministic sampling: reproducibility, partition-independence,
+  * nesting across rates, per-stratum mixes and quotas. */
+class SamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val corpus = (0L until 1000L)
+    .map(i => (i, "s" + (i % 4))).toDF("id", "src")
+
+  behavior of "sampleByHash"
+
+  it should "be reproducible and independent of partitioning" in {
+    val a = Sampling.sampleByHash(corpus, "id", 0.25)
+      .select("id").as[Long].collect().sorted
+    val b = Sampling.sampleByHash(corpus.repartition(7), "id", 0.25)
+      .select("id").as[Long].collect().sorted
+    a shouldBe b
+    // rate is approximately honored on a uniform hash
+    a.length.toDouble shouldBe (250.0 +- 50.0)
+  }
+
+  it should "nest samples across rates (monotone threshold)" in {
+    val small = Sampling.sampleByHash(corpus, "id", 0.1)
+      .select("id").as[Long].collect().toSet
+    val large = Sampling.sampleByHash(corpus, "id", 0.4)
+      .select("id").as[Long].collect().toSet
+    small.subsetOf(large) shouldBe true
+  }
+
+  it should "change the sample with the seed" in {
+    val s1 = Sampling.sampleByHash(corpus, "id", 0.3, seed = 1)
+      .select("id").as[Long].collect().toSet
+    val s2 = Sampling.sampleByHash(corpus, "id", 0.3, seed = 2)
+      .select("id").as[Long].collect().toSet
+    s1 should not be s2
+  }
+
+  it should "reject rates outside [0, 1]" in {
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.sampleByHash(corpus, "id", 1.5)
+  }
+
+  behavior of "sampleByRates"
+
+  it should "apply per-stratum rates with a default" in {
+    val out = Sampling.sampleByRates(corpus, "src", "id",
+      rates = Map("s0" -> 1.0, "s1" -> 0.0), defaultRate = 0.5)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out("s0") shouldBe 250L          // rate 1.0 keeps everything
+    out.get("s1") shouldBe None      // rate 0.0 keeps nothing
+    out("s2").toDouble shouldBe (125.0 +- 40.0)
+    out("s3").toDouble shouldBe (125.0 +- 40.0)
+  }
+
+  it should "keep the same rows as sampleByHash at an equal rate" in {
+    val mixed = Sampling.sampleByRates(corpus, "src", "id",
+      rates = Map("s0" -> 0.3), defaultRate = 0.3)
+      .select("id").as[Long].collect().sorted
+    val flat = Sampling.sampleByHash(corpus, "id", 0.3)
+      .select("id").as[Long].collect().sorted
+    mixed shouldBe flat
+  }
+
+  behavior of "quotaPerStratum"
+
+  it should "keep exactly n rows per stratum, deterministically" in {
+    val a = Sampling.quotaPerStratum(corpus, Seq("src"), "id", 7)
+    a.groupBy("src").count().collect().map(_.getLong(1)) shouldBe
+      Array.fill(4)(7L)
+    val b = Sampling.quotaPerStratum(corpus.repartition(5), Seq("src"), "id", 7)
+    a.select("id").as[Long].collect().sorted shouldBe
+      b.select("id").as[Long].collect().sorted
+  }
+
+  it should "keep whole strata smaller than the quota" in {
+    val tiny = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "src")
+    Sampling.quotaPerStratum(tiny, Seq("src"), "id", 5).count() shouldBe 3
+  }
+}
