@@ -163,7 +163,14 @@ object QueriesLLM {
         .select("doc_id", "source").orderBy("doc_id")),
     "sample_quota" -> ((s, dir) =>
       Sampling.quotaPerStratum(docs(s, dir), Seq("source"), "doc_id", n = 5)
-        .select("doc_id", "source").orderBy("doc_id"))
+        .select("doc_id", "source").orderBy("doc_id")),
+    // exact greedy sequence packing; the oracle replays the same greedy
+    // fill with a recursive CTE over the same hash order
+    "pack_sequences" -> ((s, dir) =>
+      Sampling.packSequences(docs(s, dir), "doc_id", "n_chars",
+        budget = 1000L, numBuckets = 8)
+        .select("doc_id", "pack_bucket", "pack_id", "pack_offset")
+        .orderBy("doc_id"))
   )
 
   private val stopEn = inList(TextStats.EnStop)
@@ -198,6 +205,45 @@ object QueriesLLM {
           SELECT doc_id, source FROM h
           QUALIFY row_number() OVER (PARTITION BY source ORDER BY u, doc_id) <= 5
           ORDER BY doc_id""",
+    "pack_sequences" ->
+      """WITH RECURSIVE hashed AS (
+           SELECT doc_id, n_chars,
+             (doc_id + 42) % 4294967296 AS c0,
+             xor(c0, c0 >> 16) * 73244475 % 4294967296 AS c1,
+             xor(c1, c1 >> 16) * 73244475 % 4294967296 AS c2,
+             xor(c2, c2 >> 16) AS ch,
+             ch % 8 AS pack_bucket,
+             (doc_id + 2654435803) % 4294967296 AS a0,
+             xor(a0, a0 >> 16) * 73244475 % 4294967296 AS a1,
+             xor(a1, a1 >> 16) * 73244475 % 4294967296 AS a2,
+             xor(a2, a2 >> 16) AS ah,
+             (doc_id + 5308871564) % 4294967296 AS b0,
+             xor(b0, b0 >> 16) * 73244475 % 4294967296 AS b1,
+             xor(b1, b1 >> 16) * 73244475 % 4294967296 AS b2,
+             xor(b2, b2 >> 16) AS bh,
+             ((ah % 2147483648) * 4294967296 + bh) / 9.223372036854776e18 AS u
+           FROM documents),
+          ranked AS (
+           SELECT doc_id, n_chars, pack_bucket,
+             row_number() OVER (PARTITION BY pack_bucket ORDER BY u, doc_id) AS rn
+           FROM hashed),
+          packs AS (
+           SELECT pack_bucket, rn, doc_id,
+             CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_offset,
+             CAST(n_chars AS BIGINT) AS fill
+           FROM ranked WHERE rn = 1
+           UNION ALL
+           SELECT r.pack_bucket, r.rn, r.doc_id,
+             CASE WHEN p.fill + r.n_chars > 1000 THEN p.pack_id + 1
+                  ELSE p.pack_id END,
+             CASE WHEN p.fill + r.n_chars > 1000 THEN CAST(0 AS BIGINT)
+                  ELSE p.fill END,
+             CASE WHEN p.fill + r.n_chars > 1000 THEN CAST(r.n_chars AS BIGINT)
+                  ELSE p.fill + r.n_chars END
+           FROM ranked r JOIN packs p
+             ON r.pack_bucket = p.pack_bucket AND r.rn = p.rn + 1)
+          SELECT doc_id, pack_bucket, pack_id, pack_offset
+          FROM packs ORDER BY doc_id""",
     "doc_token_stats" ->
       """SELECT doc_id,
          CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,

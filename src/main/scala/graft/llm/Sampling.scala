@@ -84,4 +84,60 @@ object Sampling {
       .filter(F.col("__rn") <= n)
       .drop("__rn")
   }
+
+  /**
+   * Sequence packing: assign each document to a fixed-token-budget pack
+   * (the step that turns a filtered corpus into training sequences).
+   * Documents are spread across `numBuckets` independent streams by a
+   * seeded hash of the id, then each stream is greedily filled in hash
+   * order: a running token total, cut whenever the budget would overflow.
+   * Appends `pack_bucket`, `pack_id` (unique with bucket), and
+   * `pack_offset` (the document's token start inside its pack).
+   *
+   * Scale shape: packing needs SOME serial order, but training packs don't
+   * need a global one — bucketing caps each sequential stream at |corpus| /
+   * numBuckets rows and keeps everything deterministic (same inputs ->
+   * same packs, any input partitioning). The greedy fill is EXACT (running
+   * remainder, not the cumsum/floor approximation, which mis-assigns any
+   * document that straddles a budget boundary): one hash shuffle on the
+   * bucket, then an O(1)-state scan per bucket — the same execution shape
+   * as the per-row EMA. Documents longer than `budget` get a pack of their
+   * own (never silently dropped — callers chunk or filter first).
+   */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+                    budget: Long, numBuckets: Int = 1024,
+                    seed: Long = 42L): DataFrame = {
+    require(budget > 0, s"budget must be > 0, got $budget")
+    require(numBuckets > 0, s"numBuckets must be > 0, got $numBuckets")
+    val bucket = F.pmod(mix32(F.col(idCol) + seed), F.lit(numBuckets.toLong))
+    val withB = df.withColumn("pack_bucket", bucket)
+    // greedy fill = one O(1)-state sequential pass per bucket, over
+    // bucket-hash-partitioned, (bucket, hash, id)-sorted rows
+    val parted = withB.repartition(F.col("pack_bucket"))
+      .sortWithinPartitions(F.col("pack_bucket"),
+        hashUnit(F.col(idCol), seed + HashMult).asc, F.col(idCol).asc)
+    val tIdx = withB.schema.fieldIndex(tokensCol)
+    val bIdx = withB.schema.fieldIndex("pack_bucket")
+    val outSchema = org.apache.spark.sql.types.StructType(
+      withB.schema.fields :+
+        org.apache.spark.sql.types.StructField("pack_id",
+          org.apache.spark.sql.types.LongType, nullable = false) :+
+        org.apache.spark.sql.types.StructField("pack_offset",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    parted.mapPartitions { it =>
+      var curBucket = Long.MinValue
+      var packId = 0L
+      var fill = 0L
+      it.map { r =>
+        val b = r.getLong(bIdx)
+        if (b != curBucket) { curBucket = b; packId = 0L; fill = 0L }
+        val t = r.get(tIdx).asInstanceOf[Number].longValue()
+        if (fill > 0L && fill + t > budget) { packId += 1; fill = 0L }
+        val offset = fill
+        fill += t
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ packId :+ offset)
+      }
+    }(enc)
+  }
 }

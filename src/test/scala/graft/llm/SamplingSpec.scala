@@ -81,4 +81,51 @@ class SamplingSpec extends SparkTestBase {
     val tiny = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "src")
     Sampling.quotaPerStratum(tiny, Seq("src"), "id", 5).count() shouldBe 3
   }
+
+  behavior of "packSequences"
+
+  private lazy val tokDocs = (0L until 300L)
+    .map(i => (i, 30L + (i * 37) % 140)).toDF("id", "toks")
+
+  it should "never overflow the budget except for oversized single docs" in {
+    val packed = Sampling.packSequences(tokDocs, "id", "toks",
+      budget = 256L, numBuckets = 4)
+    val packTotals = packed.groupBy("pack_bucket", "pack_id")
+      .agg(F.sum("toks").as("total"), F.count(F.lit(1)).as("n"))
+      .collect()
+    packTotals.foreach { r =>
+      assert(r.getLong(2) <= 256L || r.getLong(3) == 1L,
+        s"pack ${r.getLong(0)}/${r.getLong(1)} overflows with ${r.getLong(3)} docs")
+    }
+    // offsets within a pack are the exclusive prefix sums of its tokens
+    val rows = packed.select("pack_bucket", "pack_id", "pack_offset", "toks")
+      .collect().groupBy(r => (r.getLong(0), r.getLong(1)))
+    rows.values.foreach { pack =>
+      val sorted = pack.sortBy(_.getLong(2))
+      var acc = 0L
+      sorted.foreach { r =>
+        r.getLong(2) shouldBe acc
+        acc += r.getLong(3)
+      }
+    }
+  }
+
+  it should "give an oversized doc its own pack without dropping it" in {
+    val docs = Seq((1L, 100L), (2L, 999L), (3L, 100L)).toDF("id", "toks")
+    val packed = Sampling.packSequences(docs, "id", "toks",
+      budget = 300L, numBuckets = 1)
+    packed.count() shouldBe 3
+    // the oversized doc is alone in its pack
+    val big = packed.filter(F.col("toks") === 999L).collect().head
+    packed.filter(F.col("pack_id") === big.getAs[Long]("pack_id"))
+      .count() shouldBe 1
+  }
+
+  it should "be deterministic across input partitionings" in {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.packSequences(df, "id", "toks", budget = 256L, numBuckets = 4)
+        .select("id", "pack_bucket", "pack_id", "pack_offset")
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    run(tokDocs) shouldBe run(tokDocs.repartition(7))
+  }
 }
