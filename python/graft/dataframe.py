@@ -346,6 +346,14 @@ class TimeSeriesDataFrame(DataFrame):
             self._jdf, _jlist(self.sparkSession, list(strata_cols)),
             id_col, n, seed))
 
+    def pack_sequences(self, id_col, tokens_col, budget, num_buckets=1024,
+                       seed=42):
+        """Exact greedy sequence packing into fixed token budgets: appends
+        pack_bucket / pack_id / pack_offset. Deterministic, parallel per
+        hash bucket."""
+        return self._with(_api(self).packSequences(
+            self._jdf, id_col, tokens_col, budget, num_buckets, seed))
+
     def top_k_tokens(self, text_col, k):
         """Exact corpus top-k token frequencies (count desc, token asc)."""
         return self._with(_api(self).topKTokens(self._jdf, text_col, k))

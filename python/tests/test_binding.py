@@ -201,6 +201,9 @@ def test_deterministic_sampling(spark):
     assert sorted(set(r["src"] for r in mix.collect())) == ["s0"]
     q = docs.quota_per_stratum(["src"], "doc_id", 5)
     assert q.count() == 10
+    packed = docs.pack_sequences("doc_id", "doc_id", budget=50, num_buckets=2)
+    assert set(packed.columns) >= {"pack_bucket", "pack_id", "pack_offset"}
+    assert packed.count() == 200
 
 
 # ---------------------------------------------------------- streaming API

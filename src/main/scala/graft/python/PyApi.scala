@@ -286,6 +286,11 @@ object PyApi {
                       n: Int, seed: Long): DataFrame =
     graft.llm.Sampling.quotaPerStratum(df, seq(strataCols), idCol, n, seed)
 
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+                    budget: Long, numBuckets: Int, seed: Long): DataFrame =
+    graft.llm.Sampling.packSequences(df, idCol, tokensCol, budget,
+      numBuckets, seed)
+
   def topKTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
     graft.llm.TextStats.topKTokens(df, textCol, k)
 
