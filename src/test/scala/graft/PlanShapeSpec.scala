@@ -146,4 +146,25 @@ class PlanShapeSpec extends SparkTestBase {
     // A second orderByTime must not stack a second sort-free exchange pair
     exchanges(TimeSeriesOps.orderByTime(df)) should be <= 2
   }
+
+  it should "plan the binned symmetric join as two windowed passes, no cartesian" in {
+    val j = AsOfJoin.symmetricJoin(left, right, "5ns", Seq("k"), binned = true)
+    exchanges(j) shouldBe 2 // one per directional as-of pass
+    cartesians(j) shouldBe 0
+    globalSorts(j) shouldBe 0
+  }
+
+  it should "plan hash sampling as a pure scan filter (zero exchanges)" in {
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("id", "src")
+    val s = graft.llm.Sampling.sampleByHash(docs, "id", 0.5)
+    exchanges(s) shouldBe 0
+    cartesians(s) shouldBe 0
+  }
+
+  it should "plan sequence packing as one bucket exchange" in {
+    val docs = Seq((1L, 10L), (2L, 20L)).toDF("id", "toks")
+    val p = graft.llm.Sampling.packSequences(docs, "id", "toks", 64L, 4)
+    exchanges(p) shouldBe 1
+    globalSorts(p) shouldBe 0
+  }
 }
