@@ -166,6 +166,12 @@ object QueriesLLM {
         .select("doc_id", "source").orderBy("doc_id")),
     // exact greedy sequence packing; the oracle replays the same greedy
     // fill with a recursive CTE over the same hash order
+    "doc_token_bpe" -> ((s, dir) =>
+      docs(s, dir).select(
+        F.col("doc_id"),
+        TextStats.tokenCount(F.col("text")).as("n_ws_tokens"),
+        TextStats.bpeTokenCount(F.col("text")).as("n_bpe_tokens"))
+        .orderBy("doc_id")),
     "pack_sequences" -> ((s, dir) =>
       Sampling.packSequences(docs(s, dir), "doc_id", "n_chars",
         budget = 1000L, numBuckets = 8)
@@ -205,6 +211,11 @@ object QueriesLLM {
           SELECT doc_id, source FROM h
           QUALIFY row_number() OVER (PARTITION BY source ORDER BY u, doc_id) <= 5
           ORDER BY doc_id""",
+    "doc_token_bpe" ->
+      """SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens
+         FROM documents ORDER BY doc_id""",
     "pack_sequences" ->
       """WITH RECURSIVE hashed AS (
            SELECT doc_id, n_chars,

@@ -20,6 +20,19 @@ object TextStats {
 
   def uniqueTokenCount(text: Column): Column = F.size(F.array_distinct(tokens(text)))
 
+  /** BPE-style pre-tokenizer segment pattern: letter runs, digit runs, and
+    * individual punctuation marks — the GPT-2 pre-tokenizer's split points
+    * minus contractions/unicode categories, kept to classes that RE2
+    * (DuckDB) and java.util.regex (Spark) interpret identically. Counting
+    * these segments approximates a BPE token budget far better than
+    * whitespace words (punctuation and numbers cost tokens). */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Approximate BPE token count: pre-tokenizer segments of
+    * [[BpeTokenPattern]]. Codegen'd regexp_count — one scan, no UDF. */
+  def bpeTokenCount(text: Column): Column =
+    F.regexp_count(text, F.lit(BpeTokenPattern))
+
   /** Mean token length for single-space-joined text:
     * (chars - (n-1)) / n, deterministic double. */
   def meanTokenLength(text: Column): Column = {

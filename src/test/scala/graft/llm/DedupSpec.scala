@@ -217,6 +217,13 @@ class DedupSpec extends SparkTestBase {
     approx(r.getDouble(2), 2.0) // (8 - 2) / 3
   }
 
+  it should "count BPE-style pre-tokenizer segments" in {
+    // "don't stop, v2.0!" -> don | ' | t | stop | , | v | 2 | . | 0 | ! = 10
+    val r = Seq((1L, "don't stop, v2.0!")).toDF("id", "text")
+      .select(TextStats.bpeTokenCount($"text")).collect().head
+    r.getInt(0) shouldBe 10
+  }
+
   it should "compute punctuation ratio and langid" in {
     val r = Seq((1L, "the cat is on the mat.")).toDF("id", "text")
       .select(TextStats.punctRatio($"text"), TextStats.langId($"text"))
