@@ -14,8 +14,9 @@ import org.apache.spark.sql.{functions => F}
  * (c) nested across rates: the 40% sample of a corpus contains its 20%
  * sample, which makes scaling laws / data-ablation curves comparable.
  *
- * All three shapes are single-scan (the quota variant adds one window
- * over the stratum key) — no global sort, no collect.
+ * The sampling shapes are single-scan (the quota variant adds one window
+ * over the stratum key); [[packSequences]] adds one bucket-hash shuffle.
+ * No global sorts, no collects anywhere.
  */
 object Sampling {
 
