@@ -59,7 +59,8 @@ object Bench {
     // Timings are rounded to 4 decimals (0.1 ms — far below host noise) so
     // the one-line JSON stays short enough that the driver's captured tail
     // always contains the complete line, totals included.
-    def r4(v: Double): String = if (v < 0) "-1" else f"$v%.4f"
+    def r4(v: Double): String = if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }

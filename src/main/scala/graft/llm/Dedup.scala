@@ -219,6 +219,7 @@ object Dedup {
       .union(pairs.select(F.col(bCol).as("src"), F.col(aCol).as("dst")))
       .persist()
     var labels = ids.select(F.col(idCol).as("id"), F.col(idCol).as("lbl"))
+    var prevRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
@@ -234,18 +235,23 @@ object Dedup {
       // dropped out of `ids` — coalesce keeps the label then.
       val parents = propagated
         .select(F.col("id").as("p_id"), F.col("lbl").as("p_lbl"))
-      // localCheckpoint (not persist): the jump self-join doubles the
-      // logical plan, so without lineage truncation analysis cost grows
-      // 2^round — the standard iterative-graph discipline (GraphX does
-      // the same). Eager: materializes now, so `changed` below is cheap.
-      val next = propagated
+      // Lineage truncation per round is mandatory: the jump self-join
+      // doubles the logical plan, so analysis cost would grow 2^round.
+      // Materialize through a persisted RDD and re-wrap as a short-plan
+      // DataFrame (keeps fault-tolerant lineage, unlike localCheckpoint),
+      // then explicitly free the previous round's blocks.
+      val jumped = propagated
         .join(parents, propagated("lbl") === parents("p_id"), "left")
         .select(propagated("id"),
           F.least(propagated("lbl"),
             F.coalesce(F.col("p_lbl"), propagated("lbl"))).as("lbl"))
-        .localCheckpoint()
+      val matRdd = jumped.rdd.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val next = ids.sparkSession.createDataFrame(matRdd, jumped.schema)
       val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
         .filter(F.col("lbl") < F.col("old")).limit(1).count()
+      prevRdd.foreach(_.unpersist(blocking = false))
+      prevRdd = Some(matRdd)
       labels = next
       converged = changed == 0
       round += 1

@@ -19,29 +19,13 @@ import org.apache.spark.sql.{functions => F}
  * No global sorts, no collects anywhere.
  */
 object Sampling {
+  import graft.PortableHash.{mix32, HashMult}
 
-  private val HashMult = 2654435761L
-  private val M32 = 4294967296L
-  private val M31 = 2147483648L
-  private val MixC = 0x45d9f3bL
-
-  /** 32-bit avalanche mix with bounded operands (every intermediate stays
-    * below 2^59 — portable to engines that raise on 64-bit overflow). */
-  private def mix32(v: Column): Column = {
-    val x0 = F.pmod(v, F.lit(M32))
-    val x1 = F.pmod(x0.bitwiseXOR(F.shiftright(x0, 16)) * MixC, F.lit(M32))
-    val x2 = F.pmod(x1.bitwiseXOR(F.shiftright(x1, 16)) * MixC, F.lit(M32))
-    x2.bitwiseXOR(F.shiftright(x2, 16))
-  }
-
-  /** Deterministic uniform draw in [0, 1) from (id, seed): two decorrelated
-    * 32-bit mixes concatenated to 63 bits, scaled. Exposed so callers can
+  /** Deterministic uniform draw in [0, 1) from (id, seed) — the engine's
+    * shared portable hash ([[graft.PortableHash]]). Exposed so callers can
     * build custom acceptance rules on the same randomness. */
-  def hashUnit(id: Column, seed: Long): Column = {
-    val h1 = mix32(id + seed)
-    val h2 = mix32(id + seed + HashMult)
-    (F.pmod(h1, F.lit(M31)) * M32 + h2) / 9.223372036854776e18 // 2^63
-  }
+  def hashUnit(id: Column, seed: Long): Column =
+    graft.PortableHash.hashUnit(id, seed)
 
   /** Seeded Bernoulli sample: keep rows with `hashUnit(id) < rate`.
     * Deterministic, order-independent, and monotone in `rate` (nested
@@ -133,6 +117,8 @@ object Sampling {
       it.map { r =>
         val b = r.getLong(bIdx)
         if (b != curBucket) { curBucket = b; packId = 0L; fill = 0L }
+        if (r.isNullAt(tIdx)) throw new IllegalArgumentException(
+          s"packSequences: null $tokensCol (filter or impute token counts first)")
         val t = r.get(tIdx).asInstanceOf[Number].longValue()
         if (fill > 0L && fill + t > budget) { packId += 1; fill = 0L }
         val offset = fill

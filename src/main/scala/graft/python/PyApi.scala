@@ -180,13 +180,14 @@ object PyApi {
                  key: JList[String]): DataFrame =
     WindowOps.addWindows(df, window(past, future), seq(key))
 
-  /** Row-count window frame (pastRows/futureRows). `past` xor `future`. */
+  /** Row-count window frame (pastRows/futureRows). Exactly one of
+    * `past`/`future` must be positive — enforced, not silently resolved. */
   def summarizeWindowsRows(df: DataFrame, s: Summarizer, past: Int,
                            future: Int, key: JList[String],
                            tieBreak: JList[String]): DataFrame = {
-    val w =
-      if (future <= 0) WindowOps.pastRows(past)
-      else WindowOps.futureRows(future)
+    require((past > 0) != (future > 0),
+      s"pass exactly one positive row count, got past=$past future=$future")
+    val w = if (past > 0) WindowOps.pastRows(past) else WindowOps.futureRows(future)
     WindowOps.summarizeWindows(df, w, s, seq(key), seq(tieBreak))
   }
 

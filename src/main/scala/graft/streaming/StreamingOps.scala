@@ -87,12 +87,19 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark(keyCols)
       .drop(EventTs)
 
-  /** Null-safe composite grouping string over the key columns (streaming
+  /** Injective composite grouping string over the key columns (streaming
     * groupByKey needs one value; original key values ride in the packed
-    * structs so output columns keep their types). */
+    * structs so output columns keep their types). Each value is
+    * length-prefixed (`V<len>:<value>`, `N;` for null), so no choice of
+    * separator-looking characters inside values can make two distinct key
+    * tuples collide into one state group.  */
   private def compositeKey(key: Seq[String]): org.apache.spark.sql.Column =
-    F.concat_ws("\u0001",
-      key.map(c => F.coalesce(F.col(c).cast("string"), F.lit("\u0002"))): _*)
+    F.concat(key.map { c =>
+      val sc = F.col(c).cast("string")
+      F.when(sc.isNull, F.lit("N;"))
+        .otherwise(F.concat(F.lit("V"), F.length(sc).cast("string"),
+          F.lit(":"), sc))
+    }: _*)
 
   /**
    * Streaming as-of LEFT join (the batch [[graft.ts.AsOfJoin.leftJoin]]

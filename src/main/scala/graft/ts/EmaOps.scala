@@ -385,9 +385,13 @@ object EmaOps {
     val nKey = key.length
     val sortCols = (key :+ TimeColumn).map(F.col)
     val projected = df.select(
-      (key.map(F.col) :+ F.col(TimeColumn) :+ F.col(xCol).cast("double")): _*)
+      (key.map(F.col) :+ F.col(TimeColumn) :+
+        F.col(xCol).cast("double").as("__x")): _*)
+    // x joins the sort keys so equal-(key, time) ties order identically in
+    // every job/run: the scanned (t, x) sequence — and therefore the state
+    // — becomes a pure function of the data, not of shuffle fetch order
     val sorted = projected.repartitionByRange(sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
+      .sortWithinPartitions((sortCols :+ F.col("__x")): _*)
 
     val keyFields = key.map(k => df.schema(df.schema.fieldIndex(k)))
     val sumSchema = StructType(keyFields ++ Seq(
@@ -427,8 +431,12 @@ object EmaOps {
     }(sumEnc)
 
     // Phase 2: compose each key's time-ordered segments (tiny input).
+    // repartition, NOT coalesce: coalesce(1) is a narrow dependency that
+    // would collapse the whole phase-1 scan into the same single task; the
+    // shuffle barrier keeps phase 1 parallel and moves only the
+    // metadata-sized summary rows.
     val parted =
-      if (key.isEmpty) summaries.coalesce(1)
+      if (key.isEmpty) summaries.repartition(1)
       else summaries.repartition(key.map(F.col): _*)
     val ordered = parted.sortWithinPartitions(
       (key.map(F.col) :+ F.col("__runMinT")): _*)
@@ -495,8 +503,12 @@ object EmaOps {
                           outName: String)(mk: () => RunningState): DataFrame = {
     val spark = df.sparkSession
     val sortCols = (key :+ TimeColumn).map(F.col)
+    // x as the final within-partition sort key: equal-(key, time) ties then
+    // scan in a deterministic order in BOTH passes (each job re-sorts its
+    // shuffle blocks independently; without a total order the pass-1 carry
+    // could reflect a different tie winner than pass-2's rendered rows)
     val sorted = df.repartitionByRange(sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
+      .sortWithinPartitions((sortCols :+ F.col(xCol)): _*)
     val tIdx = df.schema.fieldIndex(TimeColumn)
     val xIdx = df.schema.fieldIndex(xCol)
     val kIdx = key.map(df.schema.fieldIndex)

@@ -126,25 +126,8 @@ object Sources {
     }
   }
 
-  /** Knuth multiplicative constant for the portable jitter/value hash. */
-  private val HashMult = 2654435761L
-
-  /** 2^32 / 2^31 and the xorshift-multiply constant of the 32-bit finisher. */
-  private val M32 = 4294967296L
-  private val M31 = 2147483648L
-  private val MixC = 0x45d9f3bL
-
-  /** 32-bit avalanche mix (xorshift-multiply finisher), written with
-    * bounded operands only — every intermediate stays below 2^59, so the
-    * identical expression evaluates the same in any engine with 64-bit
-    * integer arithmetic (DuckDB raises on BIGINT overflow rather than
-    * wrapping, so portability requires boundedness, not wrap semantics). */
-  private def mix32Col(v: Column): Column = {
-    val x0 = F.pmod(v, F.lit(M32))
-    val x1 = F.pmod(x0.bitwiseXOR(F.shiftright(x0, 16)) * MixC, F.lit(M32))
-    val x2 = F.pmod(x1.bitwiseXOR(F.shiftright(x1, 16)) * MixC, F.lit(M32))
-    x2.bitwiseXOR(F.shiftright(x2, 16))
-  }
+  /** Knuth multiplicative constant (shared with [[graft.PortableHash]]). */
+  private val HashMult = graft.PortableHash.HashMult
 
   /** Randomly spaced clock (≙ Clocks.random): uniform ticks jittered by up
     * to one period. The jitter is a seeded hash rather than `F.rand(seed)`:
@@ -158,11 +141,9 @@ object Sources {
     val step = TimeSeriesOps.parseDuration(frequency)
     require(step > 0 && endNanos >= beginNanos, "invalid clock range")
     val n = (endNanos - beginNanos) / step + 1
-    val h1 = mix32Col(F.col("id") + seed)
-    val h2 = mix32Col(F.col("id") + seed + HashMult)
-    // (h1 mod 2^31)*2^32 + h2 < 2^63: a full-width jitter so `mod step`
-    // is near-uniform for any realistic step (up to ~many days in nanos).
-    val jitter = F.pmod(F.pmod(h1, F.lit(M31)) * M32 + h2, F.lit(step))
+    // full-width 63-bit jitter (graft.PortableHash) so `mod step` is
+    // near-uniform for any realistic step (up to ~many days in nanos)
+    val jitter = F.pmod(graft.PortableHash.hash63(F.col("id"), seed), F.lit(step))
     spark.range(n)
       .select((F.lit(beginNanos) + F.col("id") * step + jitter).as(TimeColumn))
       .filter(F.col(TimeColumn) <= endNanos)
