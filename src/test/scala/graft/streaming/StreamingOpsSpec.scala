@@ -293,6 +293,27 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  it should "not collide composite keys whose values contain separator-like content" in {
+    implicit val sqlCtx = spark.sqlContext
+    val day = 86400L * S
+    val mem = MemoryStream[(Long, String, String, Double)]
+    val sdf = mem.toDF().toDF("time", "k1", "k2", "v")
+    val ewma = StreamingOps.ewmaStateful(sdf, "v", Seq("k1", "k2"),
+      alpha = 0.5, durationPerPeriod = "1d", convention = "legacy")
+    val q = ewma.writeStream.format("memory").queryName("inj_key_ewma")
+      .outputMode("append").start()
+    try {
+      // ("a:b", "c") and ("a", "b:c") must be DIFFERENT state groups; a
+      // naive delimiter concat would merge them (and their EWMA decay)
+      mem.addData((day, "a:b", "c", 1.0), (day, "a", "b:c", 10.0),
+        (2 * day, "a:b", "c", 2.0), (2 * day, "a", "b:c", 20.0))
+      q.processAllAvailable()
+      val rows = spark.table("inj_key_ewma").orderBy("k1", "time").collect()
+      rows.map(r => (r.getString(1), r.getDouble(4))) shouldBe Array(
+        ("a", 10.0), ("a", 25.0), ("a:b", 1.0), ("a:b", 2.5))
+    } finally q.stop()
+  }
+
   it should "carry EWMA state per composite key" in {
     implicit val sqlCtx = spark.sqlContext
     val day = 86400L * S
