@@ -47,10 +47,13 @@ object TextStats {
   private def hits(text: Column, words: Seq[String]): Column =
     F.size(F.filter(tokens(text), t => t.isin(words.map(F.lit(_)): _*)))
 
-  /** Punctuation character ratio. */
+  /** Punctuation character ratio; null for empty text (0/0 raises
+    * DIVIDE_BY_ZERO under Spark 4's default ANSI mode — empty documents
+    * are ordinary corpus rows, not errors). */
   def punctRatio(text: Column): Column =
-    (F.length(text) - F.length(F.regexp_replace(text, "[.,!?;:]", "")))
-      .cast("double") / F.length(text).cast("double")
+    F.when(F.length(text) > 0,
+      (F.length(text) - F.length(F.regexp_replace(text, "[.,!?;:]", "")))
+        .cast("double") / F.length(text).cast("double"))
 
   val EnStop = Seq("the", "a", "is", "of", "to", "and", "in", "that", "it", "on")
   val EsStop = Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no")

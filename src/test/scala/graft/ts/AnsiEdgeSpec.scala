@@ -1,6 +1,7 @@
 package graft.ts
 
 import graft.SparkTestBase
+import org.apache.spark.sql.{functions => F}
 
 /** ANSI-mode edge inputs that must render null (the reference's Scala
   * doubles yield NaN there), never raise DIVIDE_BY_ZERO. */
@@ -50,5 +51,13 @@ class AnsiEdgeSpec extends SparkTestBase {
       Summarizers.skewness("v") ++ Summarizers.kurtosis("v")).collect().head
     r.isNullAt(1) shouldBe true
     r.isNullAt(2) shouldBe true
+  }
+
+  it should "render null punctuation ratio for empty text" in {
+    val df = Seq((1L, ""), (2L, "a.")).toDF("id", "text")
+    val r = df.select(graft.llm.TextStats.punctRatio(F.col("text")))
+      .collect()
+    r(0).isNullAt(0) shouldBe true
+    approx(r(1).getDouble(0), 0.5, 1e-12)
   }
 }
