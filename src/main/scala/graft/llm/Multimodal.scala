@@ -41,6 +41,7 @@ object Multimodal {
     * with a real codec this is timestamp-based frame extraction; the
     * partition/batch geometry is identical. */
   def sampleFrames(bin: Column, frameBytes: Int, maxFrames: Int): Column = {
+    require(frameBytes > 0, s"frameBytes must be > 0, got $frameBytes")
     val n = F.octet_length(bin)
     // integer ceil-div; Column./ is double division, so floor+cast back
     val count = F.least(F.floor((n + frameBytes - 1) / frameBytes).cast("int"),
