@@ -94,6 +94,10 @@ object Dedup {
                         numHashes: Int = 128, bands: Int = 16,
                         shingleSize: Int = 3, threshold: Double = 0.7,
                         maxBucketSize: Int = 64): DataFrame = {
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands must divide numHashes (got numHashes=$numHashes bands=$bands): " +
+        "a remainder would silently weaken the LSH family, and " +
+        "bands > numHashes would collapse every document into one bucket")
     val rowsPerBand = numHashes / bands
     val hashed = df.select(F.col(idCol).as("id"),
       hashedShingles(F.col(textCol), shingleSize).as("hs"))
@@ -248,8 +252,15 @@ object Dedup {
       val matRdd = jumped.rdd.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val next = ids.sparkSession.createDataFrame(matRdd, jumped.schema)
-      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-        .filter(F.col("lbl") < F.col("old")).limit(1).count()
+      // LEFT join: a node that first appears this round (a conduit present
+      // only in `pairs`, labeled by a neighbor) has no old label — it MUST
+      // count as a change, or the loop can converge one round before the
+      // conduit relays its label onward (wrong components on paths through
+      // non-ids nodes).
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"),
+          Seq("id"), "left")
+        .filter(F.col("old").isNull || F.col("lbl") < F.col("old"))
+        .limit(1).count()
       prevRdd.foreach(_.unpersist(blocking = false))
       prevRdd = Some(matRdd)
       labels = next

@@ -67,13 +67,16 @@ object EmaOps {
     // windowless path needs.
     val base = project(df, xCol, key)
     val wp = Window.partitionBy(key.map(F.col): _*)
-    val wo = wp.orderBy(F.col("__t"))
+    // x joins the order so equal-time ties are deterministic — the same
+    // total order the per-row scan uses, so both modes agree on tied data
+    val wo = wp.orderBy(F.col("__t"), F.col("__x"))
     val lagged = base
       .withColumn("__tp", F.lag("__t", 1).over(wo))
       .withColumn("__xp", F.lag("__x", 1).over(wo))
       .withColumn("__tmax", F.max("__t").over(wp))
       .withColumn("__tmin", F.min("__t").over(wp))
-      .withColumn("__x0", F.min_by(F.col("__x"), F.col("__t")).over(wp))
+      .withColumn("__x0",
+        F.min_by(F.col("__x"), F.struct(F.col("__t"), F.col("__x"))).over(wp))
 
     val dt = (F.col("__t") - F.col("__tp")) / p
     val d = F.exp(F.lit(k) * dt)
@@ -120,8 +123,10 @@ object EmaOps {
     // Spark 4 ANSI raises DIVIDE_BY_ZERO even for doubles, while the
     // reference's Scala-double state machine quietly yields NaN — render
     // null, like the per-row path renders its NaN
-    val out = if (convention == "core")
+    val out0 = if (convention == "core")
       F.when(aux =!= 0.0, primary / aux) else primary
+    // NaN inputs poison the sums; render null like the per-row scan does
+    val out = F.when(!F.isnan(out0), out0)
     grouped.select((F.lit(0L).as(TimeColumn) +: key.map(F.col)) :+
       out.as(s"${xCol}_ema"): _*)
   }
@@ -150,9 +155,10 @@ object EmaOps {
       // keyless groupBy() emits one global row even for empty input (§ the
       // exponentialSmoothing note); sum over zero rows is null -> drop
       .filter(F.col("__a").isNotNull)
-    val out = if (convention == "core")
+    val out0 = if (convention == "core")
       F.when(F.col("__a") =!= 0.0, F.col("__p") / F.col("__a"))
     else F.col("__p")
+    val out = F.when(!F.isnan(out0), out0)
     grouped.select((F.lit(0L).as(TimeColumn) +: key.map(F.col)) :+
       out.as(s"${xCol}_ewma"): _*)
   }
@@ -420,7 +426,9 @@ object EmaOps {
             (0 until nKey).forall(i => buf.head.get(i) == keyVals(i))
           while (same) {
             val r = buf.next()
-            if (!r.isNullAt(nKey + 1) && !r.getDouble(nKey + 1).isNaN)
+            // null = absent (FilterNullInput); NaN is a VALUE and poisons
+            // state, exactly like the per-row scan and the closed forms
+            if (!r.isNullAt(nKey + 1))
               st.update(r.getLong(nKey), r.getDouble(nKey + 1))
           }
           val s = st.summary

@@ -48,14 +48,62 @@ object Sources {
       val keep = (timeCol +: columns.filter(_ != timeCol)).distinct
       df = df.select(keep.map(F.col): _*)
     }
-    // Filter on the raw column *before* canonizing so the predicate lands on
-    // the parquet scan (row-group min/max pruning), then canonize.
+    // Two-layer range filter: a COARSE predicate on the raw column first —
+    // a plain comparison Catalyst can push into the parquet scan for
+    // row-group min/max pruning (an arithmetic predicate over the
+    // canonized expression never reaches PushedFilters) — then the exact
+    // filter on canonized nanos. Coarse bounds are safely widened by one
+    // raw unit, so no qualifying row is lost to truncation.
+    df = coarseTimeFilter(df, timeCol, unitToNanos, beginNanos, endNanos)
     val canon = TimeSeriesOps.canonize(df, timeCol, unitToNanos)
     (beginNanos, endNanos) match {
       case (Some(b), Some(e)) => TimeSeriesOps.between(canon, b, e)
       case (Some(b), None) => canon.filter(F.col(TimeColumn) >= b)
       case (None, Some(e)) => canon.filter(F.col(TimeColumn) < e)
       case _ => canon
+    }
+  }
+
+  /** Pushdown-friendly widened range predicate on the RAW time column:
+    * `raw >= floor(begin/unit) - 1` / `raw <= ceil(end/unit)` in the
+    * column's own unit (micros for timestamps, days for dates, the caller's
+    * `unitToNanos` for integrals). Conservative — the exact canonized
+    * filter trims the slack — so unit-conversion rounding can never drop a
+    * qualifying row, while row-group pruning still engages on the scan. */
+  private def coarseTimeFilter(df: DataFrame, timeCol: String,
+                               unitToNanos: Long,
+                               beginNanos: Option[Long],
+                               endNanos: Option[Long]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(df.schema.fieldIndex(timeCol)).dataType
+    // raw-unit size in nanos; None = unknown type, skip the coarse layer
+    val unitNs: Option[Long] = dt match {
+      case LongType | IntegerType => Some(math.max(1L, unitToNanos))
+      case TimestampType | TimestampNTZType => Some(1000L)
+      case DateType => Some(86400L * 1000000000L)
+      case _ => None
+    }
+    unitNs match {
+      case None => df
+      case Some(u) =>
+        def clampInt(v: Long): Int =
+          math.max(Int.MinValue.toLong, math.min(Int.MaxValue.toLong, v)).toInt
+        def lit(v: Long): Column = dt match {
+          case TimestampType | TimestampNTZType => F.timestamp_micros(F.lit(v))
+          case DateType => F.date_from_unix_date(F.lit(clampInt(v)))
+          // int literal for int columns: a long literal would wrap the
+          // column in a cast and block parquet filter pushdown
+          case IntegerType => F.lit(clampInt(v))
+          case _ => F.lit(v)
+        }
+        var out = df
+        beginNanos.foreach { b =>
+          out = out.filter(F.col(timeCol) >= lit(b / u - 1))
+        }
+        endNanos.foreach { e =>
+          out = out.filter(F.col(timeCol) <= lit(e / u + 1))
+        }
+        out
     }
   }
 

@@ -413,9 +413,12 @@ object Summarizers {
     val zeros = c.agg(F.count(F.when(v === 0.0, F.lit(1))))
     val negs = c.agg(F.count(F.when(v < 0.0, F.lit(1))))
     val mag = F.exp(c.agg(F.avg(F.log(F.abs(F.nullif(v, F.lit(0.0)))))))
-    val sign = F.when(zeros > 0, F.lit(0.0))
-      .otherwise(F.when(F.pmod(negs, F.lit(2)) === 1, F.lit(-1.0)).otherwise(F.lit(1.0)))
-    Seq(s"${x}_geometricMean" -> sign * mag)
+    val sign = F.when(F.pmod(negs, F.lit(2)) === 1, F.lit(-1.0)).otherwise(F.lit(1.0))
+    // zeros short-circuit BEFORE touching mag: an all-zero group has a
+    // null magnitude (avg over zero rows), and 0.0 * null would render
+    // null instead of the documented 0.0
+    Seq(s"${x}_geometricMean" ->
+      F.when(zeros > 0, F.lit(0.0)).otherwise(sign * mag))
   }
 
   /** Exact quantiles, R-7 linear interpolation (≙ QuantileSummarizer,

@@ -109,9 +109,32 @@ class PlanShapeSpec extends SparkTestBase {
         beginNanos = Some(15L), endNanos = Some(25L))
       val scan = plan(df).toString
       scan should include("PushedFilters")
-      scan should include("GreaterThanOrEqual(time,15)")
+      // the widened coarse bound (15-1) reaches the scan; the exact
+      // [15, 25) filter trims after canonization
+      scan should include("GreaterThanOrEqual(time,14)")
       scan should not include ("s#") // pruned column never read
       df.collect().map(_.getLong(0)) shouldBe Array(20L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  it should "push a coarse raw-column range filter for timestamp time columns" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ts_push").toString
+    try {
+      spark.sql(
+        """SELECT timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*60) AS ts,
+           CAST(id AS DOUBLE) AS v FROM range(10)""")
+        .write.mode("overwrite").parquet(dir)
+      val b = 1704067200000000000L + 120L * 1000000000L // 2024-01-01T00:02
+      val e = 1704067200000000000L + 300L * 1000000000L // 2024-01-01T00:05
+      val df = Sources.fromParquet(spark, dir, beginNanos = Some(b),
+        endNanos = Some(e), timeCol = "ts")
+      // the widened raw-timestamp predicate must reach the scan
+      plan(df).toString should include("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,")
+      // and the exact canonized filter still trims to [b, e)
+      df.select("time").collect().map(_.getLong(0)).sorted shouldBe
+        Array(b, b + 60L * 1000000000L, b + 120L * 1000000000L)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }

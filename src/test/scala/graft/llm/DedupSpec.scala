@@ -79,6 +79,14 @@ class DedupSpec extends SparkTestBase {
     out.map(_.getDouble(2)).foreach(j => j should be >= 0.9)
   }
 
+  it should "reject band counts that do not divide numHashes" in {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.minHashDedupPairs(docs, "doc_id", "text", numHashes = 8, bands = 16)
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.minHashDedupPairs(docs, "doc_id", "text", numHashes = 100, bands = 16)
+  }
+
   behavior of "simHashPairs"
 
   it should "pair identical docs at hamming 0 and keep distinct docs apart" in {
@@ -140,6 +148,18 @@ class DedupSpec extends SparkTestBase {
       .orderBy("doc_id").collect()
     out.map(r => (r.getLong(0), r.getLong(1))) shouldBe Array(
       (1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L), (20L, 20L))
+  }
+
+  it should "propagate labels through conduit nodes absent from ids" in {
+    // 5 - 7 - 9 where 7 is only in `pairs`: round 1 labels the conduit but
+    // changes no ids-node, so a convergence check that ignores new nodes
+    // would stop early and leave 9 in its own cluster
+    val ids = Seq(5L, 9L).toDF("doc_id")
+    val pairs = Seq((5L, 7L), (7L, 9L)).toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(ids, pairs, "doc_id")
+      .orderBy("doc_id").collect()
+    out.map(r => (r.getLong(0), r.getLong(1))) shouldBe Array(
+      (5L, 5L), (9L, 5L))
   }
 
   it should "converge on a long chain in O(log n) rounds via pointer jumping" in {

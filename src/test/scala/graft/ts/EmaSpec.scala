@@ -217,6 +217,22 @@ class EmaSpec extends SparkTestBase {
     approx(out, p / a, 1e-9)
   }
 
+  it should "agree between summarize and rows modes on equal-time ties" in {
+    // duplicate timestamps: both modes must order ties by x (deterministic)
+    // and therefore produce the same final value
+    val df = Seq((0L, "k", 4.0), (day, "k", 2.0), (day, "k", 6.0),
+      (2 * day, "k", 1.0)).toDF("time", "k", "v").repartition(3)
+    for (interp <- Seq("previous", "linear", "current")) {
+      val whole = EmaOps.exponentialSmoothing(df, "v", Seq("k"),
+        alpha = 0.3, interpolation = interp, convention = "core")
+        .collect().head.getDouble(2)
+      val lastRow = EmaOps.exponentialSmoothingRows(df, "v", Seq("k"),
+        alpha = 0.3, interpolation = interp, convention = "core")
+        .orderBy("time", "v").collect().last.getDouble(3)
+      approx(lastRow, whole, 1e-9)
+    }
+  }
+
   it should "emit no rows for empty or all-null keyless input" in {
     val empty = Seq.empty[(Long, Double)].toDF("time", "v")
     EmaOps.ewma(empty, "v", alpha = 0.5).count() shouldBe 0

@@ -276,6 +276,12 @@ class SummarizersSpec extends SparkTestBase {
       Seq("a", "b", "c")
   }
 
+  it should "return 0.0 geometric mean for all-zero groups" in {
+    val df = Seq((1L, 0.0), (2L, 0.0)).toDF("time", "x")
+    val r = Summarize.summarize(df, Summarizers.geometricMean("x")).collect().head
+    r.getDouble(1) shouldBe 0.0
+  }
+
   behavior of "summarizeState / stateOf"
 
   it should "expose variance's base sums and let the statistic be recomputed" in {
