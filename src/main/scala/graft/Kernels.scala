@@ -100,6 +100,44 @@ object Kernels {
   }
 
   /**
+   * 64-bit fingerprints of ALL word n-grams of a token array, as a
+   * hash-chain over the token hashes — no n-gram strings are ever built
+   * (the string form costs one sub-array + string allocation per position;
+   * this is one `hashLong` chain). No partial n-grams: rows with fewer
+   * than `n` tokens yield an empty array (unlike [[hashedShingles]], which
+   * keeps one covering shingle for Dedup parity). `distinct = true` sorts
+   * and dedups — the set form for overlap joins; `false` preserves
+   * occurrence multiplicity — the multiset form for repetition counts.
+   */
+  def ngramHashes(tokens: ArrayData, n: Int, distinct: Boolean): ArrayData = {
+    val cnt = tokens.numElements()
+    val m = cnt - n + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) { th(i) = tokenHash(tokens.getUTF8String(i)); i += 1 }
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var h = 42L
+      var j = i
+      val e = i + n
+      while (j < e) { h = XXH64.hashLong(th(j), h); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    if (!distinct) return new GenericArrayData(out)
+    java.util.Arrays.sort(out)
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
+  /**
    * 64-bit SimHash of a token array: bit b of the sketch is the majority
    * vote of bit b across the tokens' xxhash64 values. Token hashing matches
    * `F.xxhash64(token)` bit-for-bit, and the bit packing matches the

@@ -176,7 +176,33 @@ object QueriesLLM {
       Sampling.packSequences(docs(s, dir), "doc_id", "n_chars",
         budget = 1000L, numBuckets = 8)
         .select("doc_id", "pack_bucket", "pack_id", "pack_offset")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    // Gopher-style repetition filter signals: top-bigram occupancy +
+    // duplicate-trigram fraction. Exact integer ratios on both engines.
+    "doc_repetition" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bi = TextStats.ngramRepetition(d, "doc_id", "text", 2)
+        .select(F.col("doc_id"), F.col("n_grams").as("n_bigrams"),
+          F.col("top_frac").as("top_bigram_frac"))
+      val tri = TextStats.ngramRepetition(d, "doc_id", "text", 3)
+        .select(F.col("doc_id"), F.col("dup_frac").as("dup_trigram_frac"))
+      bi.join(tri, "doc_id").orderBy("doc_id")
+    }),
+    // Benchmark decontamination: distinct 3-gram overlap of every
+    // non-src2 doc against the src2 "benchmark" slice.
+    "doc_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Contamination.ngramOverlap(
+        d.filter(F.col("source") =!= "src2"),
+        d.filter(F.col("source") === "src2"),
+        "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+    // Context-window chunking: 32-token windows, stride 24 (overlapping).
+    "doc_chunks" -> ((s, dir) =>
+      TextStats.chunkTokens(docs(s, dir), "doc_id", "text",
+        chunkSize = 32, stride = 24)
+        .orderBy("doc_id", "chunk_id"))
   )
 
   private val stopEn = inList(TextStats.EnStop)
@@ -511,6 +537,51 @@ object QueriesLLM {
          SELECT label, count(*) AS n,
            round(min(norm), 6) AS min_norm, round(max(norm), 6) AS max_norm
          FROM e GROUP BY label ORDER BY label""",
+    "doc_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         b AS (SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ')
+                 for i in range(1, len(toks))]) AS g FROM t),
+         bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY doc_id, g),
+         ba AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                  max(c)::DOUBLE / sum(c)::DOUBLE AS top_bigram_frac
+                FROM bc GROUP BY doc_id),
+         tr AS (SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ')
+                 for i in range(1, len(toks) - 1)]) AS g FROM t),
+         tc AS (SELECT doc_id, g, count(*) AS c FROM tr GROUP BY doc_id, g),
+         ta AS (SELECT doc_id,
+                  (sum(c) - count(*))::DOUBLE / sum(c)::DOUBLE AS dup_trigram_frac
+                FROM tc GROUP BY doc_id)
+         SELECT ba.doc_id, n_bigrams, top_bigram_frac, dup_trigram_frac
+         FROM ba JOIN ta USING (doc_id) ORDER BY ba.doc_id""",
+    "doc_contamination" ->
+      """WITH tr AS (SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+               for i in range(1, len(toks) - 1)]) AS gs
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents WHERE source <> 'src2')),
+         be AS (SELECT DISTINCT g FROM (
+             SELECT unnest([array_to_string(toks[i:i+2], ' ')
+               for i in range(1, len(toks) - 1)]) AS g
+             FROM (SELECT string_split(text, ' ') AS toks
+                   FROM documents WHERE source = 'src2'))),
+         m AS (SELECT doc_id, count(*) AS n_matched
+           FROM (SELECT doc_id, unnest(gs) AS g FROM tr) t JOIN be USING (g)
+           GROUP BY doc_id)
+         SELECT tr.doc_id, CAST(len(gs) AS INTEGER) AS n_grams,
+           CAST(COALESCE(n_matched, 0) AS BIGINT) AS n_matched,
+           CASE WHEN len(gs) > 0
+                THEN COALESCE(n_matched, 0)::DOUBLE / len(gs)::DOUBLE
+                ELSE 0.0 END AS contamination
+         FROM tr LEFT JOIN m USING (doc_id) ORDER BY tr.doc_id""",
+    "doc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         s AS (SELECT doc_id, toks,
+                 unnest(range(0, greatest(len(toks), 1), 24)) AS st FROM t)
+         SELECT doc_id, CAST(st // 24 AS INTEGER) AS chunk_id,
+           CAST(st AS INTEGER) AS start,
+           CAST(least(32, len(toks) - st) AS INTEGER) AS n_tokens,
+           array_to_string(toks[st+1 : st+32], ' ') AS chunk_text
+         FROM s ORDER BY doc_id, chunk_id""",
     "mm_meta" ->
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

@@ -90,6 +90,81 @@ object TextStats {
       (uniqRatio * F.lit(0.25)) + (stopRatio * F.lit(0.25))
   }
 
+  /** Word n-grams as space-joined strings; empty array when the document
+    * has fewer than `n` tokens (no partial n-grams). Pure higher-order
+    * expression — stays in whole-stage codegen. */
+  def ngrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val ts = tokens(text)
+    F.when(F.size(ts) >= n,
+      F.transform(F.sequence(F.lit(0), F.size(ts) - n), i =>
+        F.array_join(F.slice(ts, i + F.lit(1), F.lit(n)), " ")))
+      .otherwise(F.array().cast("array<string>"))
+  }
+
+  /** 64-bit fingerprints of the word n-grams — the scale form of [[ngrams]]
+    * (equality-only semantics; no gram strings are ever materialized). One
+    * codegen'd kernel call per row; `distinct = true` returns the
+    * sorted-deduped set form. Same no-partial-grams convention. */
+  def ngramHashes(text: Column, n: Int, distinct: Boolean): Column =
+    org.apache.spark.sql.graft.GraftColumns.ngramHashes(tokens(text), n, distinct)
+
+  /**
+   * Gopher-style repetition signals per document: for word n-grams of size
+   * `n`, the fraction of occurrences claimed by the single most frequent
+   * n-gram (`top_frac`) and the fraction that are repeats of an already-seen
+   * n-gram (`dup_frac` = 1 − distinct/total). High values flag boilerplate
+   * and degenerate generations — the standard pre-training repetition
+   * filter (Rae et al., Gopher §A.2).
+   *
+   * Shape at 100 TB: one codegen'd fingerprint kernel per row (n-grams are
+   * 64-bit hashes — no gram strings), then explode → two-level hash
+   * aggregation. The first aggregate (id, gram) combines map-side, so the
+   * shuffle carries one long pair per distinct (doc, gram), not per
+   * occurrence; the second reduces to one row per doc. Documents with fewer
+   * than `n` tokens produce no n-grams and are absent from the output.
+   */
+  def ngramRepetition(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    val counts = df
+      .select(F.col(idCol),
+        F.explode(ngramHashes(F.col(textCol), n, distinct = false)).as("gram"))
+      .groupBy(F.col(idCol), F.col("gram"))
+      .agg(F.count(F.lit(1)).as("c"))
+    counts.groupBy(F.col(idCol)).agg(
+      F.sum("c").as("n_grams"),
+      (F.max("c").cast("double") / F.sum("c").cast("double")).as("top_frac"),
+      ((F.sum("c") - F.count(F.lit(1))).cast("double")
+        / F.sum("c").cast("double")).as("dup_frac"))
+  }
+
+  /**
+   * Split documents into fixed-size token windows with stride (overlapping
+   * when stride < chunkSize) — the standard context-window chunking step
+   * before tokenized training batches. Chunk starts are 0, stride, 2·stride,
+   * … while start < n_tokens, so every token lands in at least one chunk and
+   * the final chunk may be short.
+   *
+   * Shape at 100 TB: a single projection + generator — per-row compute with
+   * no shuffle; output partitioning follows the input.
+   */
+  def chunkTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, chunkSize: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val ts = tokens(F.col(textCol))
+    val chunks = F.transform(
+      F.sequence(F.lit(0), F.greatest(F.size(ts) - 1, F.lit(0)), F.lit(stride)),
+      s => F.struct(
+        s.as("start"),
+        F.least(F.lit(chunkSize), F.size(ts) - s).as("n_tokens"),
+        F.array_join(F.slice(ts, s + F.lit(1), F.lit(chunkSize)), " ").as("chunk_text")))
+    df.select(F.col(idCol), F.posexplode(chunks).as(Seq("chunk_id", "ch")))
+      .select(F.col(idCol), F.col("chunk_id"),
+        F.col("ch.start").as("start"), F.col("ch.n_tokens").as("n_tokens"),
+        F.col("ch.chunk_text").as("chunk_text"))
+  }
+
   /** MD5 fingerprint (content-exact). */
   def md5Fingerprint(text: Column): Column = F.md5(text)
 

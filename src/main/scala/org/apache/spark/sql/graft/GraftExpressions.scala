@@ -28,6 +28,10 @@ object GraftColumns {
   /** Sorted distinct xxhash64 fingerprints of word k-shingles of a token array. */
   def hashedShingles(tokens: Column, k: Int): Column = col(HashedShingles(ex(tokens), k))
 
+  /** All (or distinct-sorted) 64-bit n-gram fingerprints; see Kernels.ngramHashes. */
+  def ngramHashes(tokens: Column, n: Int, distinct: Boolean): Column =
+    col(NGramHashes(ex(tokens), n, distinct))
+
   /** MinHash signature (array of `numHashes` longs) of a hashed-shingle array. */
   def minHashSig(hashedShingles: Column, numHashes: Int): Column =
     col(MinHashSignature(ex(hashedShingles), numHashes))
@@ -89,6 +93,20 @@ case class HashedShingles(child: Expression, k: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.Kernels.hashedShingles($c, $k);")
   override protected def withNewChildInternal(newChild: Expression): HashedShingles =
+    copy(child = newChild)
+}
+
+case class NGramHashes(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"n-gram size must be >= 1, got $n")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    graft.Kernels.ngramHashes(input.asInstanceOf[ArrayData], n, distinct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.Kernels.ngramHashes($c, $n, $distinct);")
+  override protected def withNewChildInternal(newChild: Expression): NGramHashes =
     copy(child = newChild)
 }
 

@@ -1,0 +1,96 @@
+package graft.llm
+
+import graft.SparkTestBase
+import org.apache.spark.sql.{functions => F}
+
+/** N-gram text operators: repetition signals, benchmark contamination,
+  * context-window chunking. */
+class TextOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  behavior of "ngrams"
+
+  it should "emit word n-grams and no partials for short docs" in {
+    val d = Seq((1L, "a b c d")).toDF("id", "text")
+    d.select(TextStats.ngrams(F.col("text"), 2)).as[Seq[String]].head() shouldBe
+      Seq("a b", "b c", "c d")
+    d.select(TextStats.ngrams(F.col("text"), 4)).as[Seq[String]].head() shouldBe
+      Seq("a b c d")
+    d.select(TextStats.ngrams(F.col("text"), 5)).as[Seq[String]].head() shouldBe
+      Seq.empty[String]
+  }
+
+  behavior of "ngramRepetition"
+
+  it should "compute top and duplicate n-gram fractions" in {
+    // bigrams of "a b a b a": [a b, b a, a b, b a] -> 4 total, 2 distinct
+    val d = Seq((1L, "a b a b a"), (2L, "x y z")).toDF("id", "text")
+    val r = TextStats.ngramRepetition(d, "id", "text", 2)
+      .orderBy("id").collect()
+    r(0).getLong(1) shouldBe 4L
+    approx(r(0).getDouble(2), 0.5) // top bigram claims 2 of 4
+    approx(r(0).getDouble(3), 0.5) // (4 - 2 distinct) / 4
+    r(1).getLong(1) shouldBe 2L
+    approx(r(1).getDouble(2), 0.5)
+    approx(r(1).getDouble(3), 0.0)
+  }
+
+  it should "omit docs shorter than n" in {
+    val d = Seq((1L, "only"), (2L, "a b")).toDF("id", "text")
+    val r = TextStats.ngramRepetition(d, "id", "text", 2)
+    r.select("id").as[Long].collect().toSeq shouldBe Seq(2L)
+  }
+
+  behavior of "chunkTokens"
+
+  it should "produce strided windows covering every token" in {
+    val d = Seq((7L, "t1 t2 t3 t4 t5")).toDF("id", "text")
+    val r = TextStats.chunkTokens(d, "id", "text", chunkSize = 3, stride = 2)
+      .orderBy("chunk_id")
+      .select("chunk_id", "start", "n_tokens", "chunk_text").collect()
+    r.map(_.getInt(0)).toSeq shouldBe Seq(0, 1, 2)
+    r.map(_.getInt(1)).toSeq shouldBe Seq(0, 2, 4)
+    r.map(_.getInt(2)).toSeq shouldBe Seq(3, 3, 1)
+    r.map(_.getString(3)).toSeq shouldBe Seq("t1 t2 t3", "t3 t4 t5", "t5")
+  }
+
+  it should "emit one full chunk for docs at or under chunkSize" in {
+    val d = Seq((1L, "a b")).toDF("id", "text")
+    val r = TextStats.chunkTokens(d, "id", "text", chunkSize = 8, stride = 8).collect()
+    r.length shouldBe 1
+    r(0).getAs[String]("chunk_text") shouldBe "a b"
+    r(0).getAs[Int]("n_tokens") shouldBe 2
+  }
+
+  behavior of "Contamination.ngramOverlap"
+
+  it should "count distinct n-gram overlap against the benchmark set" in {
+    val train = Seq(
+      (1L, "the quick brown fox jumps"), // shares "the quick brown"+"quick brown fox"
+      (2L, "totally clean document here okay"),
+      (3L, "a b")                        // shorter than n: zero n-grams
+    ).toDF("id", "text")
+    val bench = Seq((10L, "the quick brown fox ran")).toDF("id", "text")
+    val r = Contamination.ngramOverlap(train, bench, "id", "text", n = 3)
+      .orderBy("id").collect()
+    r(0).getAs[Int]("n_grams") shouldBe 3
+    r(0).getAs[Long]("n_matched") shouldBe 2L
+    approx(r(0).getAs[Double]("contamination"), 2.0 / 3.0)
+    r(1).getAs[Long]("n_matched") shouldBe 0L
+    approx(r(1).getAs[Double]("contamination"), 0.0)
+    r(2).getAs[Int]("n_grams") shouldBe 0
+    approx(r(2).getAs[Double]("contamination"), 0.0)
+  }
+
+  it should "be independent of input partitioning" in {
+    val docs = (0L until 200L)
+      .map(i => (i, s"w${i % 7} w${i % 5} w${i % 3} w${i % 11} w${i % 2}"))
+      .toDF("id", "text")
+    val bench = Seq((0L, "w0 w0 w0 w1 w2")).toDF("id", "text")
+    val a = Contamination.ngramOverlap(docs, bench, "id", "text", 3)
+      .orderBy("id").collect().toSeq
+    val b = Contamination.ngramOverlap(docs.repartition(13), bench, "id", "text", 3)
+      .orderBy("id").collect().toSeq
+    a shouldBe b
+  }
+}
