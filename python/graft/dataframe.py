@@ -354,9 +354,30 @@ class TimeSeriesDataFrame(DataFrame):
         return self._with(_api(self).packSequences(
             self._jdf, id_col, tokens_col, budget, num_buckets, seed))
 
+    def shuffle_positions(self, id_col, seed=42):
+        """Deterministic global corpus shuffle: appends shuffle_pos
+        (0-based position in seeded-hash order). Distributed range sort +
+        zipWithIndex — never a one-task window."""
+        return self._with(_api(self).shufflePositions(self._jdf, id_col, seed))
+
     def top_k_tokens(self, text_col, k):
         """Exact corpus top-k token frequencies (count desc, token asc)."""
         return self._with(_api(self).topKTokens(self._jdf, text_col, k))
+
+    def hard_filter(self, text_col, min_words=50, max_words=100000):
+        """Gopher/C4 hard-filter audit flags (words_ok / mwl_ok / stop_ok /
+        no_braces / no_lorem) plus their conjunction ``keep``."""
+        return self._with(_api(self).hardFilter(
+            self._jdf, text_col, min_words, max_words))
+
+    def pii_redact(self, text_col):
+        """Replace emails / IPv4s / phone numbers in ``text_col`` with
+        <EMAIL> / <IP> / <PHONE> tokens (portable regexes, one scan)."""
+        return self._with(_api(self).piiRedact(self._jdf, text_col))
+
+    def pii_counts(self, text_col):
+        """Append n_emails / n_ips / n_phones match counts."""
+        return self._with(_api(self).piiCounts(self._jdf, text_col))
 
     def kmeans_assign(self, id_col, vec_col, k, iters):
         """Deterministic quantized k-means: (id, cell) assignments."""

@@ -104,6 +104,18 @@ def ols_regression(y, xs, weight=None):
         y, _jstrings(s, list(xs)), weight or ""))
 
 
+def distinct_count(col):
+    """Exact distinct-value count (two-stage distinct aggregate)."""
+    return _factory("distinctCount", col)
+
+
+def approx_distinct_count(col, rsd=0.05):
+    """HyperLogLog++ approximate distinct count — the constant-state
+    100 TB path for unbounded-cardinality columns."""
+    return Summarizer(lambda s: s._jvm.graft.python.PyApi.approxDistinctCount(
+        col, float(rsd)))
+
+
 def rows(cols):
     return Summarizer(lambda s: s._jvm.graft.python.PyApi.rows(
         _jstrings(s, list(cols))))

@@ -249,3 +249,35 @@ def test_portable_simhash_pairs(spark):
         "time long, doc_id long, text string"))
     sh = sh_docs.simhash_pairs("doc_id", "text", max_hamming=0, portable=True)
     assert [(r["id_a"], r["id_b"]) for r in sh.collect()] == [(1, 2)]
+
+
+# ------------------------------------------- corpus quality / pii / shuffle
+
+def test_hard_filter_and_pii(spark):
+    docs = TimeSeriesDataFrame.from_df(spark.createDataFrame(
+        [(0, 1, "the quick brown fox and the lazy dog " * 3),
+         (0, 2, "mail me at bob@ex.org from 10.0.0.1 or +1 555 0100 ok")],
+        "time long, doc_id long, text string"))
+    hf = docs.hard_filter("text", min_words=5).orderBy("doc_id").collect()
+    assert hf[0]["keep"] is True and hf[0]["stop_ok"] is True
+    counted = docs.pii_counts("text").orderBy("doc_id").collect()
+    assert (counted[1]["n_emails"], counted[1]["n_ips"],
+            counted[1]["n_phones"]) == (1, 1, 1)
+    red = docs.pii_redact("text").orderBy("doc_id").collect()
+    assert red[1]["text"] == "mail me at <EMAIL> from <IP> or <PHONE> ok"
+
+
+def test_shuffle_positions_permutation(spark):
+    docs = TimeSeriesDataFrame.from_df(spark.createDataFrame(
+        [(0, i) for i in range(100)], "time long, doc_id long"))
+    out = docs.shuffle_positions("doc_id").collect()
+    assert sorted(r["shuffle_pos"] for r in out) == list(range(100))
+    by_pos = [r["doc_id"] for r in sorted(out, key=lambda r: r["shuffle_pos"])]
+    assert by_pos != sorted(by_pos)  # actually permuted
+
+
+def test_distinct_count_summarizers(ts):
+    out = ts.summarize(summarizers.distinct_count("k")
+                       + summarizers.approx_distinct_count("k")).collect()[0]
+    assert out["k_distinctCount"] == 2
+    assert out["k_approxDistinctCount"] >= 1

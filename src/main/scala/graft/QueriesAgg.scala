@@ -56,6 +56,11 @@ object QueriesAgg {
         S.min("l_quantity") ++ S.max("l_quantity") ++ S.min("ship_us") ++ S.max("ship_us"),
         Seq("l_returnflag"))
         .orderBy("l_returnflag")),
+    "summarize_distinct" -> ((s, dir) =>
+      Summarize.summarize(lineitem(s, dir),
+        S.distinctCount("l_suppkey") ++ S.distinctCount("l_linestatus"),
+        Seq("l_returnflag"))
+        .orderBy("l_returnflag")),
     "summarize_variance_stddev" -> ((s, dir) =>
       Summarize.summarize(lineitem(s, dir),
         S.variance("l_quantity") ++ S.stddev("l_quantity"), Seq("l_returnflag"))
@@ -176,6 +181,11 @@ object QueriesAgg {
   val oracleSql: Map[String, String] = Map(
     "summarize_sum" ->
       s"""SELECT CAST(0 AS BIGINT) AS time, l_returnflag, sum($q) AS l_quantity_sum
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "summarize_distinct" ->
+      """SELECT CAST(0 AS BIGINT) AS time, l_returnflag,
+          count(DISTINCT l_suppkey) AS l_suppkey_distinctCount,
+          count(DISTINCT l_linestatus) AS l_linestatus_distinctCount
           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "summarize_count_mean" ->
       s"""SELECT CAST(0 AS BIGINT) AS time, l_returnflag,

@@ -202,7 +202,37 @@ object QueriesLLM {
     "doc_chunks" -> ((s, dir) =>
       TextStats.chunkTokens(docs(s, dir), "doc_id", "text",
         chunkSize = 32, stride = 24)
-        .orderBy("doc_id", "chunk_id"))
+        .orderBy("doc_id", "chunk_id")),
+    // PII scrub: the corpus has no real PII, so each doc gets a
+    // deterministic synthetic email / IPv4 / phone derived from doc_id
+    // (same concat in the oracle) — exercising the regexes for real.
+    "pii_redact" -> ((s, dir) => {
+      val injected = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com ip 10."),
+        F.pmod(F.col("doc_id"), F.lit(250L)).cast("string"),
+        F.lit(".0.1 call +1 555 "),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000L)).cast("string"), 4, "0"),
+        F.lit(" end"))
+      docs(s, dir).select(F.col("doc_id"),
+        Pii.emailCount(injected).as("n_emails"),
+        Pii.ipv4Count(injected).as("n_ips"),
+        Pii.phoneCount(injected).as("n_phones"),
+        Pii.redact(injected).as("redacted"))
+        .orderBy("doc_id")
+    }),
+    // Gopher/C4 hard-filter audit flags (one scan, pure expressions).
+    "doc_hard_filters" -> ((s, dir) =>
+      TextStats.hardFilter(docs(s, dir), "text")
+        .select("doc_id", "words_ok", "mwl_ok", "stop_ok", "no_braces",
+          "no_lorem", "keep")
+        .orderBy("doc_id")),
+    // Deterministic global corpus shuffle: distributed range sort on the
+    // portable hash + zipWithIndex positions (never a one-task window).
+    "shuffle_positions" -> ((s, dir) =>
+      Sampling.shufflePositions(docs(s, dir), "doc_id")
+        .select("doc_id", "shuffle_pos").orderBy("doc_id"))
   )
 
   private val stopEn = inList(TextStats.EnStop)
@@ -592,6 +622,45 @@ object QueriesLLM {
               ELSE 'webp' END AS format,
          CAST(least(CAST(floor((octet_length(encode(text)) + 255) / 256) AS INTEGER), 16)
            AS INTEGER) AS n_frames
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    "pii_redact" ->
+      s"""WITH inj AS (SELECT doc_id,
+           text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+           '@mail.example.com ip 10.' || CAST(doc_id % 250 AS VARCHAR) ||
+           '.0.1 call +1 555 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+           ' end' AS t
+          FROM documents)
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(t, '${Pii.EmailPattern}')) AS INTEGER) AS n_emails,
+            CAST(len(regexp_extract_all(t, '${Pii.Ipv4Pattern}')) AS INTEGER) AS n_ips,
+            CAST(len(regexp_extract_all(t, '${Pii.PhonePattern}')) AS INTEGER) AS n_phones,
+            regexp_replace(regexp_replace(regexp_replace(t,
+              '${Pii.EmailPattern}', '${Pii.EmailToken}', 'g'),
+              '${Pii.PhonePattern}', '${Pii.PhoneToken}', 'g'),
+              '${Pii.Ipv4Pattern}', '${Pii.IpToken}', 'g') AS redacted
+          FROM inj ORDER BY doc_id""",
+    "doc_hard_filters" ->
+      s"""WITH f AS (SELECT doc_id,
+            len(string_split(text, ' ')) AS n,
+            (CAST(length(text) AS DOUBLE) -
+             (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1.0))
+              / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mtl,
+            len(list_filter(string_split(text, ' '), t -> t IN ($stopEn))) AS stop_hits,
+            position('{' IN text) AS brace_pos,
+            position('lorem ipsum' IN lower(text)) AS lorem_pos
+          FROM documents)
+          SELECT doc_id,
+            n >= 50 AND n <= 100000 AS words_ok,
+            mtl >= 3.0 AND mtl <= 10.0 AS mwl_ok,
+            stop_hits >= 2 AS stop_ok,
+            brace_pos = 0 AS no_braces,
+            lorem_pos = 0 AS no_lorem,
+            (n >= 50 AND n <= 100000) AND (mtl >= 3.0 AND mtl <= 10.0)
+              AND stop_hits >= 2 AND brace_pos = 0 AND lorem_pos = 0 AS keep
+          FROM f ORDER BY doc_id""",
+    "shuffle_positions" ->
+      s"""$hashUnitCte
+          SELECT doc_id, row_number() OVER (ORDER BY u, doc_id) - 1 AS shuffle_pos
+          FROM h ORDER BY doc_id"""
   )
 }

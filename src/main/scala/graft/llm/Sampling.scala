@@ -127,4 +127,32 @@ object Sampling {
       }
     }(enc)
   }
+
+  /**
+   * Deterministic global corpus shuffle: order rows by the seeded hash of
+   * the id (ties by id) and append the 0-based position `shuffle_pos` —
+   * the "shuffle the corpus before sharding epochs" step, reproducible
+   * run-to-run and independent of input partitioning.
+   *
+   * Scale shape: one range-partitioned distributed sort (Spark's ordinary
+   * `orderBy` machinery — sampled range boundaries, so the hash keys
+   * spread uniformly across tasks), then `zipWithIndex` for the global
+   * position: a count job over partition sizes plus an O(1)-state local
+   * scan — never a single-partition window (`row_number() OVER (ORDER BY
+   * …)` would serialize the corpus through one task, which is exactly the
+   * shape this avoids).
+   */
+  def shufflePositions(df: DataFrame, idCol: String, seed: Long = 42L): DataFrame = {
+    val sorted = df.withColumn("__u", hashUnit(F.col(idCol), seed))
+      .orderBy(F.col("__u").asc, F.col(idCol).asc)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "shuffle_pos", org.apache.spark.sql.types.LongType, nullable = false))
+    val uIdx = sorted.schema.fieldIndex("__u")
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      val vals = r.toSeq.zipWithIndex.collect { case (v, j) if j != uIdx => v }
+      org.apache.spark.sql.Row.fromSeq(vals :+ i)
+    }
+    sorted.sparkSession.createDataFrame(rdd, outSchema)
+  }
 }

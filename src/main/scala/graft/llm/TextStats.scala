@@ -90,6 +90,35 @@ object TextStats {
       (uniqRatio * F.lit(0.25)) + (stopRatio * F.lit(0.25))
   }
 
+  /**
+   * Gopher/C4-style hard filter flags (Rae et al. §A.1; Raffel et al. C4):
+   * per-document booleans for the standard heuristic reject rules, plus
+   * the conjunction `keep`. Emitted as flags rather than a filter so a
+   * pipeline can audit *why* documents fall out before committing to a
+   * drop — the usual first step when tuning a corpus mix. All pure
+   * codegen'd expressions: one scan, no shuffle.
+   */
+  def hardFilterFlags(text: Column, minWords: Int = 50, maxWords: Int = 100000)
+      : Seq[(String, Column)] = {
+    val n = tokenCount(text)
+    val mtl = meanTokenLength(text)
+    val flags = Seq(
+      "words_ok" -> (n >= minWords && n <= maxWords),
+      "mwl_ok" -> (mtl >= 3.0 && mtl <= 10.0),
+      "stop_ok" -> (hits(text, EnStop) >= 2),
+      "no_braces" -> !text.contains("{"),
+      "no_lorem" -> !F.lower(text).contains("lorem ipsum"))
+    flags :+ ("keep" -> flags.map(_._2).reduce(_ && _))
+  }
+
+  /** [[hardFilterFlags]] applied to a corpus frame: input columns plus one
+    * boolean column per rule and `keep`. */
+  def hardFilter(df: org.apache.spark.sql.DataFrame, textCol: String,
+                 minWords: Int = 50, maxWords: Int = 100000)
+      : org.apache.spark.sql.DataFrame =
+    hardFilterFlags(F.col(textCol), minWords, maxWords)
+      .foldLeft(df) { case (d, (name, c)) => d.withColumn(name, c) }
+
   /** Word n-grams as space-joined strings; empty array when the document
     * has fewer than `n` tokens (no partial n-grams). Pure higher-order
     * expression — stays in whole-stage codegen. */

@@ -129,6 +129,9 @@ object PyApi {
   def stateOf(s: Summarizer): Summarizer = Summarizers.stateOf(s)
   def olsState(y: String, xs: JList[String], weight: String): Summarizer =
     Summarizers.olsState(y, seq(xs), opt(weight))
+  def distinctCount(x: String): Summarizer = Summarizers.distinctCount(x)
+  def approxDistinctCount(x: String, rsd: Double): Summarizer =
+    Summarizers.approxDistinctCount(x, rsd)
   def rows(cols: JList[String]): Summarizer = Summarizers.rows(seq(cols))
   /** Group rows as one Arrow IPC stream (read with pyarrow.ipc.open_stream). */
   def arrow(cols: JList[String]): Summarizer = Summarizers.arrow(seq(cols))
@@ -292,8 +295,23 @@ object PyApi {
     graft.llm.Sampling.packSequences(df, idCol, tokensCol, budget,
       numBuckets, seed)
 
+  def shufflePositions(df: DataFrame, idCol: String, seed: Long): DataFrame =
+    graft.llm.Sampling.shufflePositions(df, idCol, seed)
+
   def topKTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
     graft.llm.TextStats.topKTokens(df, textCol, k)
+
+  def hardFilter(df: DataFrame, textCol: String, minWords: Int,
+                 maxWords: Int): DataFrame =
+    graft.llm.TextStats.hardFilter(df, textCol, minWords, maxWords)
+
+  def piiRedact(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn(textCol, graft.llm.Pii.redact(F.col(textCol)))
+
+  def piiCounts(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails", graft.llm.Pii.emailCount(F.col(textCol)))
+      .withColumn("n_ips", graft.llm.Pii.ipv4Count(F.col(textCol)))
+      .withColumn("n_phones", graft.llm.Pii.phoneCount(F.col(textCol)))
 
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame =

@@ -392,6 +392,31 @@ object Summarizers {
     }
   }
 
+  /** Exact distinct-value count; `<c>_distinctCount`. Grouped evaluation
+    * uses `count_distinct` (Spark plans it as a two-stage distinct
+    * aggregate — map-side dedup before the shuffle, so the exchange
+    * carries distinct values, not rows); windowed evaluation falls back to
+    * `size(collect_set(..))` because DISTINCT aggregates aren't allowed
+    * over window frames. Exact distinct is inherently |distinct|-sized
+    * state: for unbounded-cardinality columns at 100 TB use
+    * [[approxDistinctCount]] (constant-size HLL sketch). */
+  def distinctCount(x: String): Summarizer = Summarizer { c =>
+    val out =
+      if (c.win.isDefined) F.size(c.agg(F.collect_set(c.in(x)))).cast("long")
+      else c.agg(F.count_distinct(c.in(x)))
+    Seq(s"${x}_distinctCount" -> out)
+  }
+
+  /** Approximate distinct-value count (HyperLogLog++, default rsd 5%);
+    * `<c>_approxDistinctCount`. Constant-size sketch state, map-side
+    * combinable — the 100 TB shape for unbounded-cardinality columns.
+    * Deterministic for fixed input (no sampling), but sketch estimates are
+    * engine-specific — verified in-spec against [[distinctCount]] within
+    * rsd tolerance rather than against a SQL oracle. */
+  def approxDistinctCount(x: String, rsd: Double = 0.05): Summarizer = Summarizer { c =>
+    Seq(s"${x}_approxDistinctCount" -> c.agg(F.approx_count_distinct(c.in(x), rsd)))
+  }
+
   /** Extrema; `<c>_min` / `<c>_max` (Summarizers.scala:674,686). */
   def min(x: String): Summarizer =
     Summarizer(c => Seq(s"${x}_min" -> c.agg(F.min(c.in(x)))))

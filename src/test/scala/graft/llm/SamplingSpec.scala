@@ -128,4 +128,31 @@ class SamplingSpec extends SparkTestBase {
         .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
     run(tokDocs) shouldBe run(tokDocs.repartition(7))
   }
+
+  behavior of "shufflePositions"
+
+  it should "assign a permutation of 0..n-1 in hash order" in {
+    val out = Sampling.shufflePositions(corpus, "id")
+    out.columns should contain("shuffle_pos")
+    val rows = out.select("id", "shuffle_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    rows.map(_._2).sorted shouldBe (0L until 1000L).toArray
+    // position order == (hashUnit, id) order
+    val expected = corpus
+      .select(F.col("id"), Sampling.hashUnit(F.col("id"), 42L).as("u"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, u) => (u, id) }.map(_._1)
+    rows.sortBy(_._2).map(_._1) shouldBe expected
+  }
+
+  it should "be deterministic across input partitionings and shuffle the order" in {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.shufflePositions(df, "id")
+        .select("id", "shuffle_pos")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val a = run(corpus)
+    a shouldBe run(corpus.repartition(7))
+    // it actually permutes (not the identity order)
+    a.count { case (id, pos) => id == pos } should be < 100
+  }
 }

@@ -93,4 +93,56 @@ class TextOpsSpec extends SparkTestBase {
       .orderBy("id").collect().toSeq
     a shouldBe b
   }
+
+  behavior of "hardFilter"
+
+  it should "flag the Gopher/C4 reject rules and conjoin them into keep" in {
+    val good = ("the quick brown fox jumps over the lazy dog and then " * 6).trim
+    val d = Seq(
+      (1L, good),                                // passes everything
+      (2L, "short doc of the day"),              // words_ok fails (< 50)
+      (3L, good + " {json}"),                    // brace fails
+      (4L, good + " lorem ipsum dolor"),         // lorem fails
+      (5L, ("zz qq ww " * 20).trim))             // stopword + mwl fail
+      .toDF("doc_id", "text")
+    val out = TextStats.hardFilter(d, "text").orderBy("doc_id").collect()
+    out.map(_.getAs[Boolean]("keep")).toSeq shouldBe
+      Seq(true, false, false, false, false)
+    out(1).getAs[Boolean]("words_ok") shouldBe false
+    out(2).getAs[Boolean]("no_braces") shouldBe false
+    out(3).getAs[Boolean]("no_lorem") shouldBe false
+    out(4).getAs[Boolean]("stop_ok") shouldBe false
+    out(4).getAs[Boolean]("mwl_ok") shouldBe false
+    // every per-rule flag is true for the clean doc
+    Seq("words_ok", "mwl_ok", "stop_ok", "no_braces", "no_lorem")
+      .foreach(f => out(0).getAs[Boolean](f) shouldBe true)
+  }
+
+  behavior of "Pii"
+
+  it should "count and redact emails, IPv4 addresses and phone numbers" in {
+    val d = Seq(
+      (1L, "mail alice.smith+x@sub.example.co.uk and bob@ex.org now"),
+      (2L, "server at 192.168.0.1 and 10.0.0.255 but not 1.2.3.4567"),
+      (3L, "call +1 555 0137 or +44 20 7946 0958 today"),
+      (4L, "no pii here at all"))
+      .toDF("id", "text")
+    val out = d.select(F.col("id"),
+      Pii.emailCount(F.col("text")).as("e"),
+      Pii.ipv4Count(F.col("text")).as("i"),
+      Pii.phoneCount(F.col("text")).as("p"),
+      Pii.redact(F.col("text")).as("r"))
+      .orderBy("id").collect()
+    out.map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).toSeq shouldBe
+      Seq((2, 0, 0), (0, 2, 0), (0, 0, 2), (0, 0, 0))
+    out(0).getString(4) shouldBe "mail <EMAIL> and <EMAIL> now"
+    out(1).getString(4) shouldBe "server at <IP> and <IP> but not 1.2.3.4567"
+    out(2).getString(4) shouldBe "call <PHONE> or <PHONE> today"
+    out(3).getString(4) shouldBe "no pii here at all"
+  }
+
+  it should "redact the email before its digits can look like a phone" in {
+    val d = Seq((1L, "x u12345678@ex.com y")).toDF("id", "text")
+    d.select(Pii.redact(F.col("text"))).head().getString(0) shouldBe "x <EMAIL> y"
+  }
 }

@@ -346,4 +346,41 @@ class SummarizersSpec extends SparkTestBase {
       Summarizers.olsState("y", Seq("x"), Some("w"))).collect().head
     st.getLong(1) shouldBe 2L // only rows 1 and 4 qualify
   }
+
+  behavior of "distinctCount / approxDistinctCount"
+
+  it should "count distinct values exactly per group" in {
+    val df = Seq((1L, "k1", "a"), (2L, "k1", "b"), (3L, "k1", "a"),
+      (4L, "k2", "c"), (5L, "k2", "c")).toDF("time", "k", "v")
+    val out = Summarize.summarize(df, Summarizers.distinctCount("v"), Seq("k"))
+      .orderBy("k").collect()
+    out.map(_.getAs[Long]("v_distinctCount")).toSeq shouldBe Seq(2L, 1L)
+  }
+
+  it should "evaluate over window frames via collect_set" in {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, "c"))
+      .toDF("time", "v")
+    val out = WindowOps.addSummaryColumns(df, Summarizers.distinctCount("v"))
+      .orderBy("time").collect()
+    out.map(_.getAs[Long]("v_distinctCount")).toSeq shouldBe Seq(1L, 2L, 2L, 3L)
+  }
+
+  it should "honor where() and skip nulls" in {
+    val df = Seq((1L, Some("a"), 1), (2L, None, 1), (3L, Some("b"), 0))
+      .toDF("time", "v", "g")
+    Summarize.summarize(df,
+      Summarizers.distinctCount("v").where(F.col("g") === 1))
+      .collect().head.getAs[Long]("v_distinctCount") shouldBe 1L
+  }
+
+  it should "approximate the exact count within rsd on a wide column" in {
+    val df = (1L to 5000L).map(i => (i, i % 937)).toDF("time", "v")
+    val r = Summarize.summarize(df,
+      Summarizers.distinctCount("v") ++ Summarizers.approxDistinctCount("v"))
+      .collect().head
+    val exact = r.getAs[Long]("v_distinctCount").toDouble
+    val est = r.getAs[Long]("v_approxDistinctCount").toDouble
+    exact shouldBe 937.0
+    math.abs(est - exact) / exact should be < 0.15
+  }
 }
