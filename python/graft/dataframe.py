@@ -328,6 +328,12 @@ class TimeSeriesDataFrame(DataFrame):
         return self._with(_api(self).sampleByHash(
             self._jdf, id_col, float(rate), seed))
 
+    def sample_by_weight(self, id_col, weight_col, rate, seed=42):
+        """Weighted (PPS) Poisson sample: row survives with probability
+        ``min(1, rate * weight)``. Deterministic; rejects negative weights."""
+        return self._with(_api(self).sampleByWeight(
+            self._jdf, id_col, weight_col, float(rate), seed))
+
     def sample_by_rates(self, strata_col, id_col, rates, default_rate=0.0,
                         seed=42):
         """Per-stratum sampling rates (training-mix construction).
@@ -363,6 +369,12 @@ class TimeSeriesDataFrame(DataFrame):
     def top_k_tokens(self, text_col, k):
         """Exact corpus top-k token frequencies (count desc, token asc)."""
         return self._with(_api(self).topKTokens(self._jdf, text_col, k))
+
+    def duplicate_spans(self, id_col, text_col, n=50):
+        """ExactSubstr-style duplicated spans: maximal token spans whose
+        every n-token window also appears in another document."""
+        return self._with(_api(self).duplicateSpans(
+            self._jdf, id_col, text_col, n))
 
     def hard_filter(self, text_col, min_words=50, max_words=100000):
         """Gopher/C4 hard-filter audit flags (words_ok / mwl_ok / stop_ok /
@@ -469,3 +481,22 @@ class TimeSeriesDataFrame(DataFrame):
             self._jdf, right._jdf, tolerance,
             _jlist(self.sparkSession, list(key)), watermark_delay,
             state_timeout, strict_lookahead))
+
+    # --------------------------------------------------- partitioned store
+
+    def write_time_partitioned(self, path, granularity="1d", mode="error"):
+        """Write as parquet partitioned into ``time_bucket=N`` directories
+        (N = floor(time / granularity)) so ranged reads prune whole
+        directories. Read back with :meth:`read_time_partitioned`."""
+        _api(self).writeTimePartitioned(self._jdf, path, granularity, mode)
+
+    @classmethod
+    def read_time_partitioned(cls, spark, path, granularity="1d",
+                              columns=None, begin_nanos=None, end_nanos=None):
+        """Read a :meth:`write_time_partitioned` layout with directory-level
+        [begin, end) pruning. ``granularity`` must match the writer's."""
+        api = spark._jvm.graft.python.PyApi
+        jdf = api.fromTimePartitioned(
+            spark._jsparkSession, path, granularity,
+            _jlist(spark, list(columns or [])), begin_nanos, end_nanos)
+        return _wrap(jdf, spark)

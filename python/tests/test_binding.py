@@ -281,3 +281,30 @@ def test_distinct_count_summarizers(ts):
                        + summarizers.approx_distinct_count("k")).collect()[0]
     assert out["k_distinctCount"] == 2
     assert out["k_approxDistinctCount"] >= 1
+
+
+def test_duplicate_spans(spark):
+    docs = TimeSeriesDataFrame.from_df(spark.createDataFrame(
+        [(0, 1, "a b c d e f g h"), (0, 2, "z z a b c d e y")],
+        "time long, doc_id long, text string"))
+    spans = docs.duplicate_spans("doc_id", "text", n=3).orderBy("doc_id")
+    rows = [(r["doc_id"], r["start_pos"], r["end_pos"]) for r in spans.collect()]
+    assert rows == [(1, 0, 5), (2, 2, 7)]
+
+
+def test_time_partitioned_store_and_weighted_sample(spark, tmp_path):
+    docs = TimeSeriesDataFrame.from_df(spark.createDataFrame(
+        [(t, t * 2) for t in range(100)], "time long, v long"))
+    docs.write_time_partitioned(str(tmp_path / "t"), granularity="10ns",
+                                mode="overwrite")
+    back = TimeSeriesDataFrame.read_time_partitioned(
+        spark, str(tmp_path / "t"), granularity="10ns",
+        begin_nanos=35, end_nanos=55)
+    assert sorted(r["time"] for r in back.collect()) == list(range(35, 55))
+    assert "time_bucket" not in back.columns
+
+    weighted = TimeSeriesDataFrame.from_df(spark.createDataFrame(
+        [(0, i, 4.0 if i < 50 else 0.0) for i in range(100)],
+        "time long, id long, w double"))
+    kept = weighted.sample_by_weight("id", "w", rate=0.1).collect()
+    assert kept and all(r["id"] < 50 for r in kept)

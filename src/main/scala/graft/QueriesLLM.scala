@@ -164,6 +164,10 @@ object QueriesLLM {
     "sample_quota" -> ((s, dir) =>
       Sampling.quotaPerStratum(docs(s, dir), Seq("source"), "doc_id", n = 5)
         .select("doc_id", "source").orderBy("doc_id")),
+    // PPS Poisson sample: inclusion probability min(1, rate * n_chars).
+    "sample_by_weight" -> ((s, dir) =>
+      Sampling.sampleByWeight(docs(s, dir), "doc_id", "n_chars", rate = 0.0015)
+        .select("doc_id", "source").orderBy("doc_id")),
     // exact greedy sequence packing; the oracle replays the same greedy
     // fill with a recursive CTE over the same hash order
     "doc_token_bpe" -> ((s, dir) =>
@@ -232,7 +236,13 @@ object QueriesLLM {
     // portable hash + zipWithIndex positions (never a one-task window).
     "shuffle_positions" -> ((s, dir) =>
       Sampling.shufflePositions(docs(s, dir), "doc_id")
-        .select("doc_id", "shuffle_pos").orderBy("doc_id"))
+        .select("doc_id", "shuffle_pos").orderBy("doc_id")),
+    // ExactSubstr-style duplicated spans (4-token windows shared across
+    // docs, merged to maximal spans). Engine works on 64-bit gram
+    // fingerprints; the oracle recomputes with literal gram strings.
+    "dup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(docs(s, dir), "doc_id", "text", n = 4)
+        .orderBy("doc_id", "span_id"))
   )
 
   private val stopEn = inList(TextStats.EnStop)
@@ -240,7 +250,7 @@ object QueriesLLM {
   /** DuckDB mirror of Sampling.hashUnit (same bounded-integer avalanche
     * arithmetic, seed 42; 2654435803 = 42 + the Knuth constant). */
   private val hashUnitCte = """WITH h AS (
-           SELECT doc_id, source,
+           SELECT doc_id, source, n_chars,
              (doc_id + 42) % 4294967296 AS a0,
              xor(a0, a0 >> 16) * 73244475 % 4294967296 AS a1,
              xor(a1, a1 >> 16) * 73244475 % 4294967296 AS a2,
@@ -266,6 +276,11 @@ object QueriesLLM {
       s"""$hashUnitCte
           SELECT doc_id, source FROM h
           QUALIFY row_number() OVER (PARTITION BY source ORDER BY u, doc_id) <= 5
+          ORDER BY doc_id""",
+    "sample_by_weight" ->
+      s"""$hashUnitCte
+          SELECT doc_id, source FROM h
+          WHERE u < least(1.0, 0.0015 * CAST(n_chars AS DOUBLE))
           ORDER BY doc_id""",
     "doc_token_bpe" ->
       """SELECT doc_id,
@@ -661,6 +676,23 @@ object QueriesLLM {
     "shuffle_positions" ->
       s"""$hashUnitCte
           SELECT doc_id, row_number() OVER (ORDER BY u, doc_id) - 1 AS shuffle_pos
-          FROM h ORDER BY doc_id"""
+          FROM h ORDER BY doc_id""",
+    "dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         g AS (SELECT doc_id, unnest(range(1, len(toks) - 2)) AS i, toks FROM t),
+         gr AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+                  array_to_string(toks[i : i + 3], ' ') AS gram FROM g),
+         d AS (SELECT gram FROM gr GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+         h AS (SELECT gr.doc_id, gr.pos FROM gr JOIN d USING (gram)),
+         c AS (SELECT doc_id, pos,
+                 CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 4
+                      THEN 1 ELSE 0 END AS cut FROM h),
+         s AS (SELECT doc_id, pos,
+                 sum(cut) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM c)
+         SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+           CAST(min(pos) AS INTEGER) AS start_pos,
+           CAST(max(pos) + 4 AS INTEGER) AS end_pos,
+           CAST(max(pos) + 4 - min(pos) AS INTEGER) AS n_tokens
+         FROM s GROUP BY doc_id, span_id ORDER BY doc_id, span_id"""
   )
 }

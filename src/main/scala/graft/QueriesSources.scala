@@ -60,6 +60,19 @@ object QueriesSources {
         r => r.getLong(r.fieldIndex("uid_mod")) == 0)
         .orderBy("time", "event_id")
     }),
+    // Time-partitioned store round-trip: write events into time_bucket=N
+    // directories (7d buckets), read back a [5d, 15d) range — the bucket
+    // filter prunes whole directories (asserted in PlanShapeSpec), the
+    // exact row filter trims the edges.
+    "time_partitioned_roundtrip" -> ((s, dir) => {
+      val tmp = s"/tmp/graft_tp_${new java.io.File(dir).getName}"
+      Sources.writeTimePartitioned(
+        events(s, dir).select("time", "event_id", "user_id"),
+        tmp, granularity = "7d", mode = "overwrite")
+      Sources.fromTimePartitioned(s, tmp, granularity = "7d",
+        beginNanos = Some(T0 + 5 * DAY), endNanos = Some(T0 + 15 * DAY))
+        .orderBy("time", "event_id")
+    }),
     // orderByTime(n) (range repartition = the fromDF ingest-sort path),
     // coalesce, then validate() asserts the layout invariants hold.
     "repartition_validate" -> ((s, dir) => {
@@ -111,6 +124,10 @@ object QueriesSources {
          FROM events WHERE user_id % 10 BETWEEN 1 AND 4
          ORDER BY time, event_id""",
     "repartition_validate" ->
-      "SELECT epoch_ns(ts) AS time, event_id FROM events ORDER BY time, event_id"
+      "SELECT epoch_ns(ts) AS time, event_id FROM events ORDER BY time, event_id",
+    "time_partitioned_roundtrip" ->
+      s"""SELECT epoch_ns(ts) AS time, event_id, user_id FROM events
+          WHERE epoch_ns(ts) >= ${T0 + 5 * DAY} AND epoch_ns(ts) < ${T0 + 15 * DAY}
+          ORDER BY time, event_id"""
   )
 }

@@ -345,4 +345,49 @@ object Dedup {
       // same-band pairs meet in two shared bands; keep one copy
       .dropDuplicates("block", "id_a", "id_b")
   }
+
+  /**
+   * ExactSubstr-style duplicated-span detection (the exact-substring dedup
+   * pass of Gopher / RefinedWeb, Lee et al. "Deduplicating Training Data
+   * Makes Language Models Better"): for each document, the maximal token
+   * spans whose every length-`n` token window also appears in at least one
+   * OTHER document. Returns one row per (doc, span): `span_id`,
+   * `start_pos` (0-based token index), `end_pos` (exclusive), `n_tokens`.
+   * Intra-document repetition alone does not create a span (that signal is
+   * [[TextStats.ngramRepetition]]); cross-doc sharing is counted by
+   * distinct doc frequency >= 2.
+   *
+   * Shape at 100 TB (vs the reference suffix-array batch job): n-grams ride
+   * as 64-bit fingerprints, never strings — posexplode (no shuffle) → gram
+   * doc-frequency (one shuffle, map-side partial agg) → hash join back on
+   * the gram → per-doc window + count-based span merge (one shuffle on the
+   * doc id; the final groupBy reuses that partitioning). Equality is
+   * fingerprint equality — a 64-bit collision could merge unrelated grams;
+   * the oracle recomputes with literal gram strings, so collisions would
+   * surface as a mismatch.
+   */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     n: Int): DataFrame = {
+    require(n >= 1, s"span n-gram size must be >= 1, got $n")
+    val grams = df.select(F.col(idCol),
+      F.posexplode(TextStats.ngramHashes(F.col(textCol), n, distinct = false))
+        .as(Seq("pos", "gram")))
+    val dupGrams = grams.groupBy("gram")
+      .agg(F.count_distinct(F.col(idCol)).as("ndocs"))
+      .filter(F.col("ndocs") >= 2)
+      .select("gram")
+    val hits = grams.join(dupGrams, Seq("gram")).select(F.col(idCol), F.col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    // two length-n windows at pos p0 < p1 overlap or abut iff p1 <= p0 + n
+    hits
+      .withColumn("cut",
+        F.when(F.col("pos") > F.lag("pos", 1).over(w) + n, 1).otherwise(0))
+      .withColumn("span_id", F.sum("cut")
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(F.col(idCol), F.col("span_id"))
+      .agg(F.min("pos").as("start_pos"),
+        (F.max("pos") + n).as("end_pos"))
+      .withColumn("n_tokens", F.col("end_pos") - F.col("start_pos"))
+  }
 }

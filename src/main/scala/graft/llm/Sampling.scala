@@ -36,6 +36,26 @@ object Sampling {
     df.filter(hashUnit(F.col(idCol), seed) < rate)
   }
 
+  /** Weighted (probability-proportional-to-weight) Poisson sample: row i
+    * survives with probability `min(1, rate * w_i)` — the standard PPS
+    * upweighting step of a training mix (quality-scored or source-scored
+    * corpora). Same determinism contract as [[sampleByHash]] (seeded hash
+    * of the id; order- and partition-independent; monotone in `rate`, so
+    * samples nest). One scan, filter fully pushable; `rate * w` is a
+    * single IEEE multiply, portable across engines. Negative weights are
+    * rejected; weight 0 means never sampled. */
+  def sampleByWeight(df: DataFrame, idCol: String, weightCol: String,
+                     rate: Double, seed: Long = 42L): DataFrame = {
+    require(rate >= 0.0, s"rate must be >= 0, got $rate")
+    val w = F.col(weightCol).cast("double")
+    val guarded = F.when(w >= 0.0, w)  // null (dropped by <) for w < 0…
+    val p = F.least(F.lit(1.0), F.lit(rate) * guarded)
+    // …but reject loudly rather than silently: assert via ANSI-safe check
+    df.filter(F.when(w < 0.0,
+        F.raise_error(F.lit(s"sampleByWeight: negative weight in $weightCol")))
+      .otherwise(hashUnit(F.col(idCol), seed) < p))
+  }
+
   /** Per-stratum rates (a training mix): rows in stratum s survive with
     * probability `rates(s)` (else `defaultRate`). The rates ride in as a
     * broadcast-joined two-column frame, so the mix scales to any number of

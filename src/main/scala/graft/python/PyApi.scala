@@ -70,6 +70,18 @@ object PyApi {
                   frequency: String, seed: Long): DataFrame =
     Sources.randomClock(spark, beginNanos, endNanos, frequency, seed)
 
+  def writeTimePartitioned(df: DataFrame, path: String, granularity: String,
+                           mode: String): Unit =
+    Sources.writeTimePartitioned(df, path, granularity, mode)
+
+  def fromTimePartitioned(spark: SparkSession, path: String,
+                          granularity: String, columns: JList[String],
+                          beginNanos: java.lang.Long,
+                          endNanos: java.lang.Long): DataFrame =
+    Sources.fromTimePartitioned(spark, path, granularity, seq(columns),
+      Option(beginNanos).map(_.longValue()),
+      Option(endNanos).map(_.longValue()))
+
   // --------------------------------------------------------------- joins
 
   def leftJoin(left: DataFrame, right: DataFrame, tolerance: String,
@@ -279,6 +291,10 @@ object PyApi {
                    seed: Long): DataFrame =
     graft.llm.Sampling.sampleByHash(df, idCol, rate, seed)
 
+  def sampleByWeight(df: DataFrame, idCol: String, weightCol: String,
+                     rate: Double, seed: Long): DataFrame =
+    graft.llm.Sampling.sampleByWeight(df, idCol, weightCol, rate, seed)
+
   def sampleByRates(df: DataFrame, strataCol: String, idCol: String,
                     strata: JList[String], rates: JList[java.lang.Double],
                     defaultRate: Double, seed: Long): DataFrame =
@@ -297,6 +313,10 @@ object PyApi {
 
   def shufflePositions(df: DataFrame, idCol: String, seed: Long): DataFrame =
     graft.llm.Sampling.shufflePositions(df, idCol, seed)
+
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     n: Int): DataFrame =
+    graft.llm.Dedup.duplicateSpans(df, idCol, textCol, n)
 
   def topKTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
     graft.llm.TextStats.topKTokens(df, textCol, k)

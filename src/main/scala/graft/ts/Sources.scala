@@ -174,6 +174,67 @@ object Sources {
     }
   }
 
+  /** Directory-partition column name used by the time-partitioned layout. */
+  val BucketColumn = "time_bucket"
+
+  /**
+   * Sink side of the time-series store: write the canonical frame as
+   * parquet partitioned by a derived time bucket (`time_bucket=N`
+   * directories, N = floor(time / granularity)), the layout that makes a
+   * time-ranged read skip whole directories via Catalyst partition pruning
+   * — at 100 TB the difference between listing a few day-directories and
+   * row-group-filtering the entire corpus. Readers must pass the same
+   * `granularity` to [[fromTimePartitioned]].
+   *
+   * The writer does NOT repartition: each task writes the buckets it
+   * holds, so a hot bucket still gets many files (parallel read), while
+   * time-clustered input produces naturally few files per bucket. Callers
+   * wanting exactly-k files per bucket can `repartition(k, col, rand-salt)`
+   * first.
+   */
+  def writeTimePartitioned(df: DataFrame, path: String,
+                           granularity: String = "1d",
+                           mode: String = "error"): Unit = {
+    val g = TimeSeriesOps.parseDuration(granularity)
+    require(g > 0, s"granularity must be positive, got $granularity")
+    // exact integer floor-div: a double `/` would lose precision on
+    // >2^53 nanos, silently mis-bucketing rows near bucket edges
+    df.withColumn(BucketColumn, floorDivTime(g))
+      .write.mode(mode).partitionBy(BucketColumn).parquet(path)
+  }
+
+  /** floorDiv of the time column as exact long arithmetic (negative-safe:
+    * pmod is >= 0; the SQL `div` integral operator, never a double `/`). */
+  private def floorDivTime(g: Long): Column =
+    F.expr(s"($TimeColumn - pmod($TimeColumn, ${g}L)) div ${g}L")
+
+  /** Read a [[writeTimePartitioned]] layout with [begin, end) pruning at
+    * the DIRECTORY level (bucket comparisons are partition filters, so
+    * non-qualifying buckets are never listed or opened), then the exact
+    * row-level time filter. `granularity` must match the writer's. */
+  def fromTimePartitioned(spark: SparkSession, path: String,
+                          granularity: String = "1d",
+                          columns: Seq[String] = Seq.empty,
+                          beginNanos: Option[Long] = None,
+                          endNanos: Option[Long] = None): DataFrame = {
+    val g = TimeSeriesOps.parseDuration(granularity)
+    require(g > 0, s"granularity must be positive, got $granularity")
+    var df = spark.read.parquet(path)
+    beginNanos.foreach(b => df = df.filter(F.col(BucketColumn) >= Math.floorDiv(b, g)))
+    endNanos.foreach(e => df = df.filter(F.col(BucketColumn) <= Math.floorDiv(e - 1, g)))
+    df = df.drop(BucketColumn)
+    if (columns.nonEmpty) {
+      val keep = (TimeColumn +: columns.filter(_ != TimeColumn)).distinct
+      df = df.select(keep.map(F.col): _*)
+    }
+    (beginNanos, endNanos) match {
+      case (Some(b), Some(e)) => TimeSeriesOps.between(df, b, e)
+      case (Some(b), None) => df.filter(F.col(TimeColumn) >= b)
+      case (None, Some(e)) => df.filter(F.col(TimeColumn) < e)
+      case _ => df
+    }
+  }
+
   /** Knuth multiplicative constant (shared with [[graft.PortableHash]]). */
   private val HashMult = graft.PortableHash.HashMult
 

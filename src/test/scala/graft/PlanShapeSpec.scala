@@ -190,4 +190,52 @@ class PlanShapeSpec extends SparkTestBase {
     exchanges(p) shouldBe 1
     globalSorts(p) shouldBe 0
   }
+
+  it should "prune whole bucket directories on time-partitioned reads" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tp_prune").toString
+    try {
+      val rows = (0L until 100L).map(t => (t, t)).toDF("time", "v")
+      Sources.writeTimePartitioned(rows, s"$dir/t", granularity = "10ns",
+        mode = "overwrite")
+      val df = Sources.fromTimePartitioned(spark, s"$dir/t",
+        granularity = "10ns", beginNanos = Some(35L), endNanos = Some(55L))
+      // bucket bounds are PARTITION filters (directory-level pruning),
+      // not data filters
+      val s = plan(df).toString
+      s should include("PartitionFilters")
+      s should include("time_bucket")
+      df.select("time").as[Long].collect().sorted shouldBe (35L until 55L).toArray
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  it should "plan pii redaction and hard filtering as pure scans (zero exchanges)" in {
+    val docs = Seq((1L, "a b c"), (2L, "d e f")).toDF("id", "text")
+    val red = docs.select(graft.llm.Pii.redact(F.col("text")))
+    exchanges(red) shouldBe 0
+    val hf = graft.llm.TextStats.hardFilter(docs, "text")
+    exchanges(hf) shouldBe 0
+    cartesians(hf) shouldBe 0
+  }
+
+  it should "run shufflePositions with range-sort parallelism (no one-task stage)" in {
+    val docs = spark.range(0, 1000).toDF("id").repartition(4)
+    val out = graft.llm.Sampling.shufflePositions(docs, "id")
+    // physical check: the sorted stage keeps > 1 partition (a window-based
+    // row_number() over a global ORDER BY would collapse to 1)
+    out.rdd.getNumPartitions should be > 1
+    out.select("shuffle_pos").as[Long].collect().sorted shouldBe
+      (0L until 1000L).toArray
+  }
+
+  it should "plan duplicateSpans' final span aggregate on the window's partitioning" in {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("id", "text")
+    val spans = graft.llm.Dedup.duplicateSpans(docs, "id", "text", 3)
+    // 3 exchanges total: gram doc-frequency agg, join-back on gram, and
+    // the per-doc window; the final groupBy(id, span_id) must reuse the
+    // window's hash partitioning on id rather than add a fourth
+    exchanges(spans) shouldBe 3
+    cartesians(spans) shouldBe 0
+  }
 }

@@ -337,4 +337,36 @@ class DedupSpec extends SparkTestBase {
       .collect().head.getSeq[Int](0)
     probes shouldBe Seq(0, 1)
   }
+
+  behavior of "duplicateSpans"
+
+  it should "merge overlapping duplicated windows into maximal spans" in {
+    val d = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "z z a b c d e y"),
+      (3L, "q r s t u v w x")).toDF("id", "text")
+    val spans = Dedup.duplicateSpans(d, "id", "text", n = 3)
+      .orderBy("id", "span_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getInt(4)))
+    // docs 1 and 2 share exactly "a b c d e"; doc 3 shares nothing
+    spans.toSeq shouldBe Seq((1L, 0L, 0, 5, 5), (2L, 0L, 2, 7, 5))
+  }
+
+  it should "split distant duplicated windows into separate spans" in {
+    val d = Seq(
+      (1L, "a b c x y z w a b c"),
+      (2L, "a b c m")).toDF("id", "text")
+    val spans = Dedup.duplicateSpans(d, "id", "text", n = 3)
+      .filter(F.col("id") === 1L).orderBy("span_id")
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getInt(3)))
+    spans.toSeq shouldBe Seq((0L, 0, 3), (1L, 7, 10))
+  }
+
+  it should "not create spans from intra-document repetition alone" in {
+    val d = Seq(
+      (1L, "p q r p q r p q r"),
+      (2L, "m n o t u v")).toDF("id", "text")
+    Dedup.duplicateSpans(d, "id", "text", n = 3).count() shouldBe 0L
+  }
 }

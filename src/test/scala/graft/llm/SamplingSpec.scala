@@ -129,6 +129,32 @@ class SamplingSpec extends SparkTestBase {
     run(tokDocs) shouldBe run(tokDocs.repartition(7))
   }
 
+  behavior of "sampleByWeight"
+
+  it should "sample proportionally to weight, nest across rates, and drop zero weights" in {
+    val weighted = corpus.withColumn("w",
+      F.when(F.col("id") < 500, 4.0).otherwise(
+        F.when(F.col("id") < 900, 1.0).otherwise(0.0)))
+    val small = Sampling.sampleByWeight(weighted, "id", "w", rate = 0.1)
+      .select("id").as[Long].collect().toSet
+    val large = Sampling.sampleByWeight(weighted, "id", "w", rate = 0.2)
+      .select("id").as[Long].collect().toSet
+    small.subsetOf(large) shouldBe true
+    // zero-weight rows never survive
+    large.exists(_ >= 900) shouldBe false
+    // heavy stratum sampled ~4x the light one (p = 0.4 vs 0.1)
+    val heavy = large.count(_ < 500).toDouble / 500.0
+    val light = large.count(id => id >= 500 && id < 900).toDouble / 400.0
+    heavy shouldBe (0.8 +- 0.15)   // p = min(1, 0.2*4) = 0.8
+    light shouldBe (0.2 +- 0.12)   // p = 0.2
+  }
+
+  it should "fail loudly on negative weights" in {
+    val neg = corpus.withColumn("w", F.lit(-1.0))
+    a[Throwable] should be thrownBy
+      Sampling.sampleByWeight(neg, "id", "w", rate = 0.1).count()
+  }
+
   behavior of "shufflePositions"
 
   it should "assign a permutation of 0..n-1 in hash order" in {

@@ -230,4 +230,26 @@ class TimeSeriesOpsSpec extends SparkTestBase {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  behavior of "writeTimePartitioned / fromTimePartitioned"
+
+  it should "round-trip through bucket directories with exact range semantics" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tp").toString
+    try {
+      val rows = Seq(-15L, -5L, 5L, 15L, 25L).map(t => (t, t * 2))
+      Sources.writeTimePartitioned(rows.toDF("time", "v"), s"$dir/t",
+        granularity = "10ns", mode = "overwrite")
+      // floorDiv bucketing is negative-safe: -15 → bucket -2, -5 → -1
+      new java.io.File(s"$dir/t").list().filter(_.startsWith("time_bucket="))
+        .sorted shouldBe Array("time_bucket=-1", "time_bucket=-2",
+        "time_bucket=0", "time_bucket=1", "time_bucket=2")
+      val out = Sources.fromTimePartitioned(spark, s"$dir/t",
+        granularity = "10ns", beginNanos = Some(-10L), endNanos = Some(20L))
+      out.columns should not contain Sources.BucketColumn
+      out.select("time", "v").as[(Long, Long)].collect().sortBy(_._1) shouldBe
+        Array((-5L, -10L), (5L, 10L), (15L, 30L))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
