@@ -110,4 +110,17 @@ class PartitionLayoutSpec extends SparkTestBase {
     invariant("addSummaryColumns")(() =>
       WindowOps.addSummaryColumns(d, Summarizers.max("v"), Seq("k")))
   }
+
+  it should "produce identical packing / shuffle / span results" in {
+    val docs = (0L until 150L)
+      .map(i => (i, (i % 13) + 1, s"w${i % 9} w${i % 5} w${i % 3} w${i % 7} w${i % 2}"))
+      .toDF("id", "toks", "text").repartition(5)
+    invariant("packSequences")(() =>
+      graft.llm.Sampling.packSequences(docs, "id", "toks", budget = 20L,
+        numBuckets = 4).select("id", "pack_bucket", "pack_id", "pack_offset"))
+    invariant("shufflePositions")(() =>
+      graft.llm.Sampling.shufflePositions(docs.select("id"), "id"))
+    invariant("duplicateSpans")(() =>
+      graft.llm.Dedup.duplicateSpans(docs, "id", "text", n = 3))
+  }
 }

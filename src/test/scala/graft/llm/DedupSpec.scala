@@ -369,4 +369,14 @@ class DedupSpec extends SparkTestBase {
       (2L, "m n o t u v")).toDF("id", "text")
     Dedup.duplicateSpans(d, "id", "text", n = 3).count() shouldBe 0L
   }
+
+  it should "be independent of input partitioning" in {
+    val d = (0L until 120L)
+      .map(i => (i, s"w${i % 9} w${i % 5} w${i % 3} w${i % 7} w${i % 2} w${i % 4}"))
+      .toDF("id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.duplicateSpans(df, "id", "text", n = 3)
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    run(d) shouldBe run(d.repartition(13))
+  }
 }
