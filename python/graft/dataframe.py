@@ -376,6 +376,12 @@ class TimeSeriesDataFrame(DataFrame):
         return self._with(_api(self).duplicateSpans(
             self._jdf, id_col, text_col, n))
 
+    def strip_duplicate_spans(self, id_col, text_col, spans):
+        """Remove every duplicated span's tokens from ``text_col`` (the
+        ExactSubstr removal policy — all copies go)."""
+        return self._with(_api(self).stripDuplicateSpans(
+            self._jdf, id_col, text_col, spans._jdf))
+
     def hard_filter(self, text_col, min_words=50, max_words=100000):
         """Gopher/C4 hard-filter audit flags (words_ok / mwl_ok / stop_ok /
         no_braces / no_lorem) plus their conjunction ``keep``."""

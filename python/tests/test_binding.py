@@ -308,3 +308,12 @@ def test_time_partitioned_store_and_weighted_sample(spark, tmp_path):
         "time long, id long, w double"))
     kept = weighted.sample_by_weight("id", "w", rate=0.1).collect()
     assert kept and all(r["id"] < 50 for r in kept)
+
+
+def test_strip_duplicate_spans(spark):
+    docs = TimeSeriesDataFrame.from_df(spark.createDataFrame(
+        [(0, 1, "a b c d e f g h"), (0, 2, "z z a b c d e y")],
+        "time long, doc_id long, text string"))
+    spans = docs.duplicate_spans("doc_id", "text", n=3)
+    out = docs.strip_duplicate_spans("doc_id", "text", spans).orderBy("doc_id")
+    assert [r["text"] for r in out.collect()] == ["f g h", "z z y"]

@@ -242,7 +242,17 @@ object QueriesLLM {
     // fingerprints; the oracle recomputes with literal gram strings.
     "dup_spans" -> ((s, dir) =>
       Dedup.duplicateSpans(docs(s, dir), "doc_id", "text", n = 4)
-        .orderBy("doc_id", "span_id"))
+        .orderBy("doc_id", "span_id")),
+    // ExactSubstr removal: every duplicated span stripped from every doc;
+    // md5 of the rebuilt text keeps the dump small (the oracle rebuilds
+    // token-by-token and hashes the same string).
+    "strip_spans" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val spans = Dedup.duplicateSpans(d, "doc_id", "text", n = 4)
+      Dedup.stripDuplicateSpans(d, "doc_id", "text", spans)
+        .select(F.col("doc_id"), F.md5(F.col("text")).as("stripped_md5"))
+        .orderBy("doc_id")
+    })
   )
 
   private val stopEn = inList(TextStats.EnStop)
@@ -693,6 +703,30 @@ object QueriesLLM {
            CAST(min(pos) AS INTEGER) AS start_pos,
            CAST(max(pos) + 4 AS INTEGER) AS end_pos,
            CAST(max(pos) + 4 - min(pos) AS INTEGER) AS n_tokens
-         FROM s GROUP BY doc_id, span_id ORDER BY doc_id, span_id"""
+         FROM s GROUP BY doc_id, span_id ORDER BY doc_id, span_id""",
+    "strip_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         g AS (SELECT doc_id, unnest(range(1, len(toks) - 2)) AS i, toks FROM t),
+         gr AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+                  array_to_string(toks[i : i + 3], ' ') AS gram FROM g),
+         d AS (SELECT gram FROM gr GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+         h AS (SELECT gr.doc_id, gr.pos FROM gr JOIN d USING (gram)),
+         c AS (SELECT doc_id, pos,
+                 CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 4
+                      THEN 1 ELSE 0 END AS cut FROM h),
+         s AS (SELECT doc_id, pos,
+                 sum(cut) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM c),
+         sp AS (SELECT doc_id, min(pos) AS start_pos, max(pos) + 4 AS end_pos
+                FROM s GROUP BY doc_id, span_id),
+         tk AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS ti, toks FROM t),
+         tok AS (SELECT doc_id, ti, toks[ti] AS tok FROM tk),
+         keep AS (SELECT k.doc_id, k.ti, k.tok FROM tok k
+                  WHERE NOT EXISTS (SELECT 1 FROM sp
+                    WHERE sp.doc_id = k.doc_id
+                      AND k.ti - 1 >= sp.start_pos AND k.ti - 1 < sp.end_pos)),
+         agg AS (SELECT doc_id, array_to_string(list(tok ORDER BY ti), ' ') AS txt
+                 FROM keep GROUP BY doc_id)
+         SELECT t.doc_id, md5(COALESCE(a.txt, '')) AS stripped_md5
+         FROM t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id"""
   )
 }

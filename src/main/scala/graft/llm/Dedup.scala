@@ -390,4 +390,34 @@ object Dedup {
         (F.max("pos") + n).as("end_pos"))
       .withColumn("n_tokens", F.col("end_pos") - F.col("start_pos"))
   }
+
+  /**
+   * Apply [[duplicateSpans]]: rebuild each document's text with every
+   * duplicated span's tokens removed — the ExactSubstr removal policy
+   * (all copies go; "keep one representative" is [[dedupByClusters]]'s
+   * whole-doc policy, not a span policy). Documents without spans pass
+   * through unchanged; a fully-covered document becomes the empty string
+   * (never a dropped row).
+   *
+   * Shape at 100 TB: one hash join of the corpus against the per-doc span
+   * lists (spans are a tiny fraction of the corpus; AQE broadcasts when
+   * small), then a pure codegen'd token filter — spans per doc are few,
+   * so the per-token `exists` probe is O(spans) on a local array.
+   */
+  def stripDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                          spans: DataFrame): DataFrame = {
+    val spanSets = spans.groupBy(idCol)
+      .agg(F.collect_list(
+        F.struct(F.col("start_pos"), F.col("end_pos"))).as("__spans"))
+    df.join(spanSets, Seq(idCol), "left")
+      .withColumn(textCol,
+        F.when(F.col("__spans").isNull, F.col(textCol))
+          .otherwise {
+            val kept = F.filter(TextStats.tokens(F.col(textCol)), (_, i) =>
+              !F.exists(F.col("__spans"), s =>
+                i >= s.getField("start_pos") && i < s.getField("end_pos")))
+            F.array_join(kept, " ")
+          })
+      .drop("__spans")
+  }
 }

@@ -43,7 +43,8 @@ object Sampling {
     * of the id; order- and partition-independent; monotone in `rate`, so
     * samples nest). One scan, filter fully pushable; `rate * w` is a
     * single IEEE multiply, portable across engines. Negative weights are
-    * rejected; weight 0 means never sampled. */
+    * rejected (per-row, loudly); weight 0 means never sampled; null
+    * weights drop the row (the engine-wide null-input convention). */
   def sampleByWeight(df: DataFrame, idCol: String, weightCol: String,
                      rate: Double, seed: Long = 42L): DataFrame = {
     require(rate >= 0.0, s"rate must be >= 0, got $rate")
@@ -163,6 +164,10 @@ object Sampling {
    * shape this avoids).
    */
   def shufflePositions(df: DataFrame, idCol: String, seed: Long = 42L): DataFrame = {
+    require(!df.columns.contains("shuffle_pos"),
+      "shufflePositions: input already has a shuffle_pos column")
+    require(!df.columns.contains("__u"),
+      "shufflePositions: __u is reserved by this operator")
     val sorted = df.withColumn("__u", hashUnit(F.col(idCol), seed))
       .orderBy(F.col("__u").asc, F.col(idCol).asc)
     val outSchema = org.apache.spark.sql.types.StructType(

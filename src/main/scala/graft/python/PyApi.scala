@@ -318,6 +318,10 @@ object PyApi {
                      n: Int): DataFrame =
     graft.llm.Dedup.duplicateSpans(df, idCol, textCol, n)
 
+  def stripDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                          spans: DataFrame): DataFrame =
+    graft.llm.Dedup.stripDuplicateSpans(df, idCol, textCol, spans)
+
   def topKTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
     graft.llm.TextStats.topKTokens(df, textCol, k)
 

@@ -197,6 +197,8 @@ object Sources {
                            mode: String = "error"): Unit = {
     val g = TimeSeriesOps.parseDuration(granularity)
     require(g > 0, s"granularity must be positive, got $granularity")
+    require(!df.columns.contains(BucketColumn),
+      s"writeTimePartitioned: input already has a $BucketColumn column")
     // exact integer floor-div: a double `/` would lose precision on
     // >2^53 nanos, silently mis-bucketing rows near bucket edges
     df.withColumn(BucketColumn, floorDivTime(g))

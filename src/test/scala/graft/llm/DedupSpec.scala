@@ -379,4 +379,25 @@ class DedupSpec extends SparkTestBase {
         .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
     run(d) shouldBe run(d.repartition(13))
   }
+
+  behavior of "stripDuplicateSpans"
+
+  it should "remove span tokens everywhere and pass span-less docs through" in {
+    val d = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "z z a b c d e y"),
+      (3L, "q r s t u v w x")).toDF("id", "text")
+    val spans = Dedup.duplicateSpans(d, "id", "text", n = 3)
+    val out = Dedup.stripDuplicateSpans(d, "id", "text", spans)
+      .orderBy("id").collect().map(_.getString(1))
+    out.toSeq shouldBe Seq("f g h", "z z y", "q r s t u v w x")
+  }
+
+  it should "reduce a fully-covered doc to the empty string, not drop it" in {
+    val d = Seq((1L, "a b c"), (2L, "a b c")).toDF("id", "text")
+    val spans = Dedup.duplicateSpans(d, "id", "text", n = 3)
+    val out = Dedup.stripDuplicateSpans(d, "id", "text", spans)
+      .orderBy("id").collect().map(_.getString(1))
+    out.toSeq shouldBe Seq("", "")
+  }
 }
