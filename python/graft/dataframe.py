@@ -371,8 +371,9 @@ class TimeSeriesDataFrame(DataFrame):
         return self._with(_api(self).topKTokens(self._jdf, text_col, k))
 
     def duplicate_spans(self, id_col, text_col, n=50):
-        """ExactSubstr-style duplicated spans: maximal token spans whose
-        every n-token window also appears in another document."""
+        """ExactSubstr-style duplicated spans: maximal merged token ranges
+        of n-token windows that also appear in another document (adjacent
+        duplicated windows merge, so spans may bridge short gaps)."""
         return self._with(_api(self).duplicateSpans(
             self._jdf, id_col, text_col, n))
 

@@ -317,3 +317,12 @@ def test_strip_duplicate_spans(spark):
     spans = docs.duplicate_spans("doc_id", "text", n=3)
     out = docs.strip_duplicate_spans("doc_id", "text", spans).orderBy("doc_id")
     assert [r["text"] for r in out.collect()] == ["f g h", "z z y"]
+
+
+def test_clock_string_bounds_and_offset(spark):
+    c = clocks.uniform(spark, "1970-01-01", "1970-01-01 00:00:00.000000010",
+                       "2ns")
+    assert c.count() == 6
+    shifted = clocks.uniform(spark, 0, 10, "2ns", offset="1ns")
+    assert sorted(r["time"] for r in shifted.collect()) == [1, 3, 5, 7, 9, 11]
+    assert clocks.random(spark, "19700101", 100, "10ns").count() > 0

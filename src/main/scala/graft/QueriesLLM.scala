@@ -219,11 +219,9 @@ object QueriesLLM {
         F.lit(".0.1 call +1 555 "),
         F.lpad(F.pmod(F.col("doc_id"), F.lit(10000L)).cast("string"), 4, "0"),
         F.lit(" end"))
-      docs(s, dir).select(F.col("doc_id"),
-        Pii.emailCount(injected).as("n_emails"),
-        Pii.ipv4Count(injected).as("n_ips"),
-        Pii.phoneCount(injected).as("n_phones"),
-        Pii.redact(injected).as("redacted"))
+      val cnts = Pii.counts(injected).map { case (n, c) => c.as(n) }
+      docs(s, dir).select(
+        (F.col("doc_id") +: cnts :+ Pii.redact(injected).as("redacted")): _*)
         .orderBy("doc_id")
     }),
     // Gopher/C4 hard-filter audit flags (one scan, pure expressions).
@@ -657,8 +655,14 @@ object QueriesLLM {
           FROM documents)
           SELECT doc_id,
             CAST(len(regexp_extract_all(t, '${Pii.EmailPattern}')) AS INTEGER) AS n_emails,
-            CAST(len(regexp_extract_all(t, '${Pii.Ipv4Pattern}')) AS INTEGER) AS n_ips,
-            CAST(len(regexp_extract_all(t, '${Pii.PhonePattern}')) AS INTEGER) AS n_phones,
+            CAST(len(regexp_extract_all(
+              regexp_replace(t, '${Pii.EmailPattern}', '${Pii.EmailToken}', 'g'),
+              '${Pii.PhonePattern}')) AS INTEGER) AS n_phones,
+            CAST(len(regexp_extract_all(
+              regexp_replace(regexp_replace(t,
+                '${Pii.EmailPattern}', '${Pii.EmailToken}', 'g'),
+                '${Pii.PhonePattern}', '${Pii.PhoneToken}', 'g'),
+              '${Pii.Ipv4Pattern}')) AS INTEGER) AS n_ips,
             regexp_replace(regexp_replace(regexp_replace(t,
               '${Pii.EmailPattern}', '${Pii.EmailToken}', 'g'),
               '${Pii.PhonePattern}', '${Pii.PhoneToken}', 'g'),

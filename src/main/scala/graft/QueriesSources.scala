@@ -14,11 +14,14 @@ import graft.ts._
 object QueriesSources {
   import QueriesCore.{events, withValue100, T0, DAY, HOUR}
 
+  private def pid: Long = ProcessHandle.current().pid()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CSV.from: write the canonized events back out as CSV, read through
     // fromCSV (header + schema inference + canonize + re-sort), and emit.
     "csv_roundtrip" -> ((s, dir) => {
-      val tmp = s"/tmp/graft_csv_${new java.io.File(dir).getName}"
+      // pid-suffixed so concurrent harness runs never clobber each other
+      val tmp = s"/tmp/graft_csv_${new java.io.File(dir).getName}_$pid"
       events(s, dir).select("time", "event_id", "user_id", "value")
         .write.mode("overwrite").option("header", "true").csv(tmp)
       // inference picks the narrowest integer type; cast ids back to long
@@ -65,7 +68,7 @@ object QueriesSources {
     // filter prunes whole directories (asserted in PlanShapeSpec), the
     // exact row filter trims the edges.
     "time_partitioned_roundtrip" -> ((s, dir) => {
-      val tmp = s"/tmp/graft_tp_${new java.io.File(dir).getName}"
+      val tmp = s"/tmp/graft_tp_${new java.io.File(dir).getName}_$pid"
       Sources.writeTimePartitioned(
         events(s, dir).select("time", "event_id", "user_id"),
         tmp, granularity = "7d", mode = "overwrite")

@@ -349,10 +349,14 @@ object Dedup {
   /**
    * ExactSubstr-style duplicated-span detection (the exact-substring dedup
    * pass of Gopher / RefinedWeb, Lee et al. "Deduplicating Training Data
-   * Makes Language Models Better"): for each document, the maximal token
-   * spans whose every length-`n` token window also appears in at least one
-   * OTHER document. Returns one row per (doc, span): `span_id`,
-   * `start_pos` (0-based token index), `end_pos` (exclusive), `n_tokens`.
+   * Makes Language Models Better"): for each document, maximal merged
+   * token ranges built from the length-`n` windows that also appear in at
+   * least one OTHER document — overlapping or abutting duplicated windows
+   * merge, so a span may bridge a short (< `n`-token) non-duplicated gap;
+   * it is the union of duplicated-window coverage, not a guarantee that
+   * every interior window is itself duplicated. Returns one row per
+   * (doc, span): `span_id`, `start_pos` (0-based token index), `end_pos`
+   * (exclusive), `n_tokens`.
    * Intra-document repetition alone does not create a span (that signal is
    * [[TextStats.ngramRepetition]]); cross-doc sharing is counted by
    * distinct doc frequency >= 2.
@@ -406,6 +410,8 @@ object Dedup {
    */
   def stripDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
                           spans: DataFrame): DataFrame = {
+    require(!df.columns.contains("__spans"),
+      "stripDuplicateSpans: __spans is reserved by this operator")
     val spanSets = spans.groupBy(idCol)
       .agg(F.collect_list(
         F.struct(F.col("start_pos"), F.col("end_pos"))).as("__spans"))

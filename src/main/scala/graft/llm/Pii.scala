@@ -38,17 +38,33 @@ object Pii {
   val IpToken = "<IP>"
   val PhoneToken = "<PHONE>"
 
+  /** Single-pattern match counts on the text as given. NOTE: on raw text
+    * these can overlap (a '+digits' run inside an email local part matches
+    * the phone pattern too) — for counts that reconcile exactly with
+    * [[redact]]'s output, use the staged [[counts]]. */
   def emailCount(text: Column): Column = F.regexp_count(text, F.lit(EmailPattern))
   def ipv4Count(text: Column): Column = F.regexp_count(text, F.lit(Ipv4Pattern))
   def phoneCount(text: Column): Column = F.regexp_count(text, F.lit(PhonePattern))
+
+  private def noEmail(text: Column): Column =
+    F.regexp_replace(text, EmailPattern, EmailToken)
+  private def noPhone(text: Column): Column =
+    F.regexp_replace(noEmail(text), PhonePattern, PhoneToken)
 
   /** Replace every match of the three PII classes with its redaction
     * token. Email runs first (its local part may contain digits that the
     * phone pattern would otherwise nibble), then phone, then IPv4 (after
     * phone so a '+'-prefixed number is tagged as phone, not split). */
-  def redact(text: Column): Column = {
-    val noEmail = F.regexp_replace(text, EmailPattern, EmailToken)
-    val noPhone = F.regexp_replace(noEmail, PhonePattern, PhoneToken)
-    F.regexp_replace(noPhone, Ipv4Pattern, IpToken)
-  }
+  def redact(text: Column): Column =
+    F.regexp_replace(noPhone(text), Ipv4Pattern, IpToken)
+
+  /** (n_emails, n_phones, n_ips) counted on the SAME staged text
+    * [[redact]] rewrites — each count is the number of tokens of that
+    * class in the redacted output, so counts and redaction always
+    * reconcile (a phone-looking run inside an email is counted as the
+    * email that swallowed it, not double-counted as a phone). */
+  def counts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> emailCount(text),
+    "n_phones" -> phoneCount(noEmail(text)),
+    "n_ips" -> ipv4Count(noPhone(text)))
 }

@@ -49,9 +49,9 @@ object Sampling {
                      rate: Double, seed: Long = 42L): DataFrame = {
     require(rate >= 0.0, s"rate must be >= 0, got $rate")
     val w = F.col(weightCol).cast("double")
-    val guarded = F.when(w >= 0.0, w)  // null (dropped by <) for w < 0…
-    val p = F.least(F.lit(1.0), F.lit(rate) * guarded)
-    // …but reject loudly rather than silently: assert via ANSI-safe check
+    // p must be null (not 1.0) for null w: least() SKIPS null inputs, so
+    // least(1.0, null) = 1.0 would keep every null-weight row
+    val p = F.when(w.isNotNull, F.least(F.lit(1.0), F.lit(rate) * w))
     df.filter(F.when(w < 0.0,
         F.raise_error(F.lit(s"sampleByWeight: negative weight in $weightCol")))
       .otherwise(hashUnit(F.col(idCol), seed) < p))
@@ -162,6 +162,11 @@ object Sampling {
    * scan — never a single-partition window (`row_number() OVER (ORDER BY
    * …)` would serialize the corpus through one task, which is exactly the
    * shape this avoids).
+   *
+   * NOTE: `zipWithIndex` runs its partition-size job EAGERLY — calling
+   * this method executes the sort stage once at call time. Downstream
+   * actions reuse the sort's shuffle files (the exchange stage is
+   * skipped, not recomputed), so the cost is paid once.
    */
   def shufflePositions(df: DataFrame, idCol: String, seed: Long = 42L): DataFrame = {
     require(!df.columns.contains("shuffle_pos"),

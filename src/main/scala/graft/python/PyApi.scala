@@ -333,9 +333,8 @@ object PyApi {
     df.withColumn(textCol, graft.llm.Pii.redact(F.col(textCol)))
 
   def piiCounts(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("n_emails", graft.llm.Pii.emailCount(F.col(textCol)))
-      .withColumn("n_ips", graft.llm.Pii.ipv4Count(F.col(textCol)))
-      .withColumn("n_phones", graft.llm.Pii.phoneCount(F.col(textCol)))
+    graft.llm.Pii.counts(F.col(textCol))
+      .foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
 
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame =

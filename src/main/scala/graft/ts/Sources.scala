@@ -55,14 +55,21 @@ object Sources {
     // filter on canonized nanos. Coarse bounds are safely widened by one
     // raw unit, so no qualifying row is lost to truncation.
     df = coarseTimeFilter(df, timeCol, unitToNanos, beginNanos, endNanos)
-    val canon = TimeSeriesOps.canonize(df, timeCol, unitToNanos)
-    (beginNanos, endNanos) match {
-      case (Some(b), Some(e)) => TimeSeriesOps.between(canon, b, e)
-      case (Some(b), None) => canon.filter(F.col(TimeColumn) >= b)
-      case (None, Some(e)) => canon.filter(F.col(TimeColumn) < e)
-      case _ => canon
-    }
+    rangeFilter(TimeSeriesOps.canonize(df, timeCol, unitToNanos),
+      beginNanos, endNanos)
   }
+
+  /** Exact [begin, end) filter on the canonical time column — the one
+    * shared definition of read-range semantics (parquet, csv, builder,
+    * and the time-partitioned store all delegate here). */
+  private def rangeFilter(df: DataFrame, beginNanos: Option[Long],
+                          endNanos: Option[Long]): DataFrame =
+    (beginNanos, endNanos) match {
+      case (Some(b), Some(e)) => TimeSeriesOps.between(df, b, e)
+      case (Some(b), None) => df.filter(F.col(TimeColumn) >= b)
+      case (None, Some(e)) => df.filter(F.col(TimeColumn) < e)
+      case _ => df
+    }
 
   /** Pushdown-friendly widened range predicate on the RAW time column:
     * `raw >= floor(begin/unit) - 1` / `raw <= ceil(end/unit)` in the
@@ -164,12 +171,7 @@ object Sources {
       val delim = opts.getOrElse("delimiter", ",")
       val df = fromCSV(spark, path, header, delim, None, timeCol, unitToNanos,
         sorted = false, options = opts -- Seq("header", "delimiter"))
-      val ranged = (expandedBegin, expandedEnd) match {
-        case (Some(b), Some(e)) => TimeSeriesOps.between(df, b, e)
-        case (Some(b), None) => df.filter(F.col(TimeColumn) >= b)
-        case (None, Some(e)) => df.filter(F.col(TimeColumn) < e)
-        case _ => df
-      }
+      val ranged = rangeFilter(df, expandedBegin, expandedEnd)
       if (cols.nonEmpty) TimeSeriesOps.keepColumns(ranged, cols: _*) else ranged
     }
   }
@@ -225,16 +227,9 @@ object Sources {
     beginNanos.foreach(b => df = df.filter(F.col(BucketColumn) >= Math.floorDiv(b, g)))
     endNanos.foreach(e => df = df.filter(F.col(BucketColumn) <= Math.floorDiv(e - 1, g)))
     df = df.drop(BucketColumn)
-    if (columns.nonEmpty) {
-      val keep = (TimeColumn +: columns.filter(_ != TimeColumn)).distinct
-      df = df.select(keep.map(F.col): _*)
-    }
-    (beginNanos, endNanos) match {
-      case (Some(b), Some(e)) => TimeSeriesOps.between(df, b, e)
-      case (Some(b), None) => df.filter(F.col(TimeColumn) >= b)
-      case (None, Some(e)) => df.filter(F.col(TimeColumn) < e)
-      case _ => df
-    }
+    if (columns.nonEmpty)
+      df = TimeSeriesOps.keepColumns(df, columns: _*)
+    rangeFilter(df, beginNanos, endNanos)
   }
 
   /** Knuth multiplicative constant (shared with [[graft.PortableHash]]). */

@@ -149,6 +149,15 @@ class SamplingSpec extends SparkTestBase {
     light shouldBe (0.2 +- 0.12)   // p = 0.2
   }
 
+  it should "drop null-weight rows (least() would otherwise keep them at p=1)" in {
+    val withNull = corpus.withColumn("w",
+      F.when(F.col("id") < 10, F.lit(null).cast("double")).otherwise(F.lit(10.0)))
+    val kept = Sampling.sampleByWeight(withNull, "id", "w", rate = 1.0)
+      .select("id").as[Long].collect().toSet
+    kept.exists(_ < 10) shouldBe false
+    kept.size shouldBe 990
+  }
+
   it should "fail loudly on negative weights" in {
     val neg = corpus.withColumn("w", F.lit(-1.0))
     a[Throwable] should be thrownBy

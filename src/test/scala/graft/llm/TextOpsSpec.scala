@@ -145,4 +145,15 @@ class TextOpsSpec extends SparkTestBase {
     val d = Seq((1L, "x u12345678@ex.com y")).toDF("id", "text")
     d.select(Pii.redact(F.col("text"))).head().getString(0) shouldBe "x <EMAIL> y"
   }
+
+  it should "reconcile staged counts with the redacted output" in {
+    // '+12345678' inside the email local part matches the phone pattern on
+    // raw text; the staged counts must attribute it to the email instead
+    val d = Seq((1L, "contact bob+12345678@ex.com now")).toDF("id", "text")
+    val r = d.select(Pii.counts(F.col("text")).map { case (n, c) => c.as(n) }: _*)
+      .head()
+    (r.getInt(0), r.getInt(1), r.getInt(2)) shouldBe ((1, 0, 0))
+    d.select(Pii.redact(F.col("text"))).head().getString(0) shouldBe
+      "contact <EMAIL> now"
+  }
 }
