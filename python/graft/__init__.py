@@ -18,7 +18,8 @@ Scala classes must be on the driver classpath, e.g.::
 
 from .dataframe import TimeSeriesDataFrame
 from .functions import udf
-from . import summarizers, clocks, multimodal, functions
+from .readwriter import read
+from . import summarizers, clocks, multimodal, functions, readwriter
 
-__all__ = ["TimeSeriesDataFrame", "udf", "summarizers", "clocks",
-           "multimodal", "functions"]
+__all__ = ["TimeSeriesDataFrame", "udf", "read", "summarizers", "clocks",
+           "multimodal", "functions", "readwriter"]

@@ -1,0 +1,138 @@
+"""Fluent reader (≙ /root/reference/python/ts/flint/readwriter.py's
+TSDataFrameReader): ``read(spark).option(...).range(begin, end)
+.expand('1d').columns('x').parquet(path)``.
+
+Bounds accept long nanos or pandas-parseable date-time strings (naive
+strings localized to the ``timezone`` passed to :meth:`range`); ``expand``
+takes duration strings and widens the configured range at read time —
+lookback/lookahead slack so an as-of join near the range edges still finds
+its matches.
+"""
+
+import re
+
+from pyspark.sql import DataFrame
+
+from .clocks import _to_nanos
+from .dataframe import TimeSeriesDataFrame, _jlist
+
+_UNITS = {"ns": 1, "us": 1000, "ms": 10**6, "s": 10**9,
+          "m": 60 * 10**9, "h": 3600 * 10**9, "d": 86400 * 10**9}
+
+
+def _dur_nanos(s):
+    m = re.fullmatch(r"\s*(\d+)\s*(ns|us|ms|s|m|h|d)\s*", s)
+    if not m:
+        raise ValueError("unparseable duration: %r" % (s,))
+    return int(m.group(1)) * _UNITS[m.group(2)]
+
+
+def read(spark):
+    """Entry point: a fresh fluent reader bound to ``spark``."""
+    return TSDataFrameReader(spark)
+
+
+class TSDataFrameReader:
+    def __init__(self, spark):
+        self._spark = spark
+        self._opts = {}
+        self._begin = None
+        self._end = None
+        self._expand_begin = 0
+        self._expand_end = 0
+        self._cols = []
+        self._time = "time"
+        self._unit = 1
+
+    def option(self, key, value):
+        self._opts[key] = str(value)
+        return self
+
+    def options(self, **kw):
+        for k, v in kw.items():
+            self.option(k, v)
+        return self
+
+    def range(self, begin=None, end=None, timezone="UTC"):
+        """[begin, end) in nanos or date-time strings."""
+        if begin is not None:
+            self._begin = _to_nanos(begin, timezone)
+        if end is not None:
+            self._end = _to_nanos(end, timezone)
+        return self
+
+    def expand(self, begin=None, end=None):
+        """Widen the configured range by durations ('100ms', '1d', ...)."""
+        if begin is not None:
+            self._expand_begin = _dur_nanos(begin)
+        if end is not None:
+            self._expand_end = _dur_nanos(end)
+        return self
+
+    def columns(self, *cols):
+        self._cols = list(cols)
+        return self
+
+    def time(self, col, unit_to_nanos=1):
+        """Name and unit of the raw time column (default 'time', nanos)."""
+        self._time = col
+        self._unit = unit_to_nanos
+        return self
+
+    def _bounds(self):
+        b = None if self._begin is None else self._begin - self._expand_begin
+        e = None if self._end is None else self._end + self._expand_end
+        return b, e
+
+    def _api(self):
+        return self._spark._jvm.graft.python.PyApi
+
+    def _okv(self):
+        return (_jlist(self._spark, list(self._opts.keys())),
+                _jlist(self._spark, list(self._opts.values())))
+
+    def parquet(self, path):
+        b, e = self._bounds()
+        ok, ov = self._okv()
+        jdf = self._api().fromParquet(
+            self._spark._jsparkSession, path,
+            _jlist(self._spark, self._cols), b, e, self._time, self._unit,
+            ok, ov)
+        return TimeSeriesDataFrame(DataFrame(jdf, self._spark))
+
+    def csv(self, path, header=True, delimiter=","):
+        b, e = self._bounds()
+        ok, ov = self._okv()
+        jdf = self._api().fromCSV(
+            self._spark._jsparkSession, path, bool(header), delimiter,
+            self._time, self._unit, False, ok, ov)
+        out = TimeSeriesDataFrame(DataFrame(jdf, self._spark))
+        if b is not None or e is not None:
+            out = out.between(b if b is not None else -(2**62),
+                              e if e is not None else 2**62)
+        if self._cols:
+            out = out.keep_columns(*self._cols)
+        return out
+
+    def dataframe(self, df, begin=None, end=None, timezone="UTC"):
+        """Ingest an existing DataFrame (≙ reader.dataframe): canonize the
+        configured time column, then apply the [begin, end) range."""
+        out = TimeSeriesDataFrame.from_df(df, time_column=self._time,
+                                          unit_to_nanos=self._unit)
+        self.range(begin, end, timezone)
+        b, e = self._bounds()
+        if b is not None or e is not None:
+            out = out.between(b if b is not None else -(2**62),
+                              e if e is not None else 2**62)
+        return out
+
+    def clock(self, frequency, begin, end, offset="0ns", seed=None,
+              timezone="UTC"):
+        """Uniform (or, with a seed, jittered) clock over [begin, end]."""
+        from . import clocks
+        if seed is None:
+            return clocks.uniform(self._spark, _to_nanos(begin, timezone),
+                                  _to_nanos(end, timezone), frequency,
+                                  offset=offset)
+        return clocks.random(self._spark, _to_nanos(begin, timezone),
+                             _to_nanos(end, timezone), frequency, seed=seed)

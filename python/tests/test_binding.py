@@ -326,3 +326,28 @@ def test_clock_string_bounds_and_offset(spark):
     shifted = clocks.uniform(spark, 0, 10, "2ns", offset="1ns")
     assert sorted(r["time"] for r in shifted.collect()) == [1, 3, 5, 7, 9, 11]
     assert clocks.random(spark, "19700101", 100, "10ns").count() > 0
+
+
+# --------------------------------------------------------------- readwriter
+
+def test_fluent_reader_parquet_range_expand_columns(spark, tmp_path):
+    import graft
+    p = str(tmp_path / "rw")
+    spark.createDataFrame([(t, t * 2, "s%d" % t) for t in (5, 10, 15, 20, 25)],
+                          "time long, v long, s string") \
+        .write.mode("overwrite").parquet(p)
+    ts = graft.read(spark).range(10, 20).columns("v").parquet(p)
+    assert sorted(r["time"] for r in ts.collect()) == [10, 15]
+    assert ts.columns == ["time", "v"]
+    wide = graft.read(spark).range(10, 20).expand("5ns", "5ns").parquet(p)
+    assert sorted(r["time"] for r in wide.collect()) == [5, 10, 15, 20]
+
+
+def test_fluent_reader_dataframe_and_clock(spark):
+    import graft
+    df = spark.createDataFrame([(1, 1.0), (5, 2.0), (9, 3.0)],
+                               "ts long, v double")
+    ts = graft.read(spark).time("ts").dataframe(df, begin=2, end=9)
+    assert sorted(r["time"] for r in ts.collect()) == [5]
+    clock = graft.read(spark).clock("2ns", 0, 10)
+    assert clock.count() == 6

@@ -70,6 +70,22 @@ object PyApi {
                   frequency: String, seed: Long): DataFrame =
     Sources.randomClock(spark, beginNanos, endNanos, frequency, seed)
 
+  def fromParquet(spark: SparkSession, path: String, columns: JList[String],
+                  beginNanos: java.lang.Long, endNanos: java.lang.Long,
+                  timeCol: String, unitToNanos: Long,
+                  optKeys: JList[String], optVals: JList[String]): DataFrame =
+    Sources.fromParquet(spark, path, seq(columns),
+      Option(beginNanos).map(_.longValue()),
+      Option(endNanos).map(_.longValue()),
+      timeCol, unitToNanos, seq(optKeys).zip(seq(optVals)).toMap)
+
+  def fromCSV(spark: SparkSession, path: String, header: Boolean,
+              delimiter: String, timeCol: String, unitToNanos: Long,
+              sorted: Boolean, optKeys: JList[String],
+              optVals: JList[String]): DataFrame =
+    Sources.fromCSV(spark, path, header, delimiter, None, timeCol,
+      unitToNanos, sorted, seq(optKeys).zip(seq(optVals)).toMap)
+
   def writeTimePartitioned(df: DataFrame, path: String, granularity: String,
                            mode: String): Unit =
     Sources.writeTimePartitioned(df, path, granularity, mode)
