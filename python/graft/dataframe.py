@@ -497,6 +497,13 @@ class TimeSeriesDataFrame(DataFrame):
         directories. Read back with :meth:`read_time_partitioned`."""
         _api(self).writeTimePartitioned(self._jdf, path, granularity, mode)
 
+    def write_time_partitioned_stream(self, path, granularity, checkpoint):
+        """Streaming append into the same bucket layout (this frame must be
+        a ``readStream`` frame). Returns the started StreamingQuery."""
+        from pyspark.sql.streaming import StreamingQuery
+        return StreamingQuery(_api(self).writeTimePartitionedStream(
+            self._jdf, path, granularity, checkpoint))
+
     @classmethod
     def read_time_partitioned(cls, spark, path, granularity="1d",
                               columns=None, begin_nanos=None, end_nanos=None):

@@ -50,10 +50,12 @@ object Sampling {
     require(rate >= 0.0, s"rate must be >= 0, got $rate")
     val w = F.col(weightCol).cast("double")
     // p must be null (not 1.0) for null w: least() SKIPS null inputs, so
-    // least(1.0, null) = 1.0 would keep every null-weight row
+    // least(1.0, null) = 1.0 would keep every null-weight row. NaN is as
+    // poisonous (least treats NaN as the LARGEST double -> p = 1.0), so
+    // NaN weights are rejected with the negatives.
     val p = F.when(w.isNotNull, F.least(F.lit(1.0), F.lit(rate) * w))
-    df.filter(F.when(w < 0.0,
-        F.raise_error(F.lit(s"sampleByWeight: negative weight in $weightCol")))
+    df.filter(F.when(w < 0.0 || F.isnan(w),
+        F.raise_error(F.lit(s"sampleByWeight: negative or NaN weight in $weightCol")))
       .otherwise(hashUnit(F.col(idCol), seed) < p))
   }
 

@@ -418,6 +418,12 @@ object PyApi {
     graft.streaming.StreamingOps.futureLeftJoinStream(left, right, tolerance,
       seq(key), watermarkDelay, stateTimeout, strictLookahead)
 
+  def writeTimePartitionedStream(df: DataFrame, path: String,
+                                 granularity: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.StreamingOps.writeTimePartitionedStream(
+      df, path, granularity, checkpoint)
+
   def ewmaStateful(df: DataFrame, xCol: String, key: JList[String],
                    alpha: Double, durationPerPeriod: String,
                    convention: String, watermarkDelay: String,

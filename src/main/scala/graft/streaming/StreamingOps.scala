@@ -39,6 +39,28 @@ object StreamingOps {
   def withEventTime(df: DataFrame): DataFrame =
     df.withColumn(EventTs, TimeSeriesOps.nanosToTimestamp(F.col(TimeColumn)))
 
+  /** Streaming sink side of the time-partitioned store: append each
+    * micro-batch into the same `time_bucket=N` directory layout
+    * `Sources.writeTimePartitioned` produces, so batch readers
+    * (`Sources.fromTimePartitioned`) prune directories identically.
+    * Exactly-once via the file sink's commit log under `checkpoint`.
+    * Returns the started query (caller manages its lifecycle). */
+  def writeTimePartitionedStream(df: DataFrame, path: String,
+                                 granularity: String,
+                                 checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val g = TimeSeriesOps.parseDuration(granularity)
+    require(g > 0, s"granularity must be positive, got $granularity")
+    require(!df.columns.contains(graft.ts.Sources.BucketColumn),
+      s"writeTimePartitionedStream: input already has a ${graft.ts.Sources.BucketColumn} column")
+    df.withColumn(graft.ts.Sources.BucketColumn, graft.ts.Sources.floorDivTime(g))
+      .writeStream.format("parquet")
+      .partitionBy(graft.ts.Sources.BucketColumn)
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .start()
+  }
+
   /** Event-time tumbling-window summarize with a watermark. Output columns:
     * window_start/window_end (long nanos), key..., aggregates. */
   def summarizeTumbling(df: DataFrame, s: Summarizer, windowDuration: String,

@@ -208,8 +208,9 @@ object Sources {
   }
 
   /** floorDiv of the time column as exact long arithmetic (negative-safe:
-    * pmod is >= 0; the SQL `div` integral operator, never a double `/`). */
-  private def floorDivTime(g: Long): Column =
+    * pmod is >= 0; the SQL `div` integral operator, never a double `/`).
+    * Shared with the streaming sink (`StreamingOps`). */
+  private[graft] def floorDivTime(g: Long): Column =
     F.expr(s"($TimeColumn - pmod($TimeColumn, ${g}L)) div ${g}L")
 
   /** Read a [[writeTimePartitioned]] layout with [begin, end) pruning at

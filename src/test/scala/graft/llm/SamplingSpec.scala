@@ -158,10 +158,13 @@ class SamplingSpec extends SparkTestBase {
     kept.size shouldBe 990
   }
 
-  it should "fail loudly on negative weights" in {
+  it should "fail loudly on negative and NaN weights" in {
     val neg = corpus.withColumn("w", F.lit(-1.0))
     a[Throwable] should be thrownBy
       Sampling.sampleByWeight(neg, "id", "w", rate = 0.1).count()
+    val nan = corpus.withColumn("w", F.lit(Double.NaN))
+    a[Throwable] should be thrownBy
+      Sampling.sampleByWeight(nan, "id", "w", rate = 0.1).count()
   }
 
   behavior of "shufflePositions"

@@ -359,4 +359,31 @@ class StreamingOpsSpec extends SparkTestBase {
         Array((1L, 1.0), (2L, 5.25), (3L, 3.25), (4L, 2.625))
     } finally q.stop()
   }
+
+  behavior of "writeTimePartitionedStream"
+
+  it should "append micro-batches into the batch store's bucket layout" in {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_tps").toString
+    val mem = MemoryStream[(Long, Double)]
+    val sdf = mem.toDF().toDF("time", "v")
+    val q = StreamingOps.writeTimePartitionedStream(sdf, s"$dir/t",
+      granularity = "10ns", checkpoint = s"$dir/ck")
+    try {
+      mem.addData((5L, 1.0), (15L, 2.0))
+      q.processAllAvailable()
+      mem.addData((25L, 3.0), (7L, 4.0)) // second batch revisits bucket 0
+      q.processAllAvailable()
+      new java.io.File(s"$dir/t").list().filter(_.startsWith("time_bucket="))
+        .sorted shouldBe Array("time_bucket=0", "time_bucket=1", "time_bucket=2")
+      // the BATCH reader prunes and reads the streamed layout identically
+      val back = graft.ts.Sources.fromTimePartitioned(spark, s"$dir/t",
+        granularity = "10ns", beginNanos = Some(0L), endNanos = Some(20L))
+      back.select("time", "v").as[(Long, Double)].collect().sortBy(_._1) shouldBe
+        Array((5L, 1.0), (7L, 4.0), (15L, 2.0))
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
