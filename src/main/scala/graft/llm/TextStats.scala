@@ -182,12 +182,14 @@ object TextStats {
     require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
     require(stride >= 1, s"stride must be >= 1, got $stride")
     val ts = tokens(F.col(textCol))
-    val chunks = F.transform(
+    // null-text guard: without it, greatest(null - 1, 0) = 0 (greatest
+    // SKIPS nulls) would fabricate one phantom all-null chunk per null doc
+    val chunks = F.when(F.col(textCol).isNotNull, F.transform(
       F.sequence(F.lit(0), F.greatest(F.size(ts) - 1, F.lit(0)), F.lit(stride)),
       s => F.struct(
         s.as("start"),
         F.least(F.lit(chunkSize), F.size(ts) - s).as("n_tokens"),
-        F.array_join(F.slice(ts, s + F.lit(1), F.lit(chunkSize)), " ").as("chunk_text")))
+        F.array_join(F.slice(ts, s + F.lit(1), F.lit(chunkSize)), " ").as("chunk_text"))))
     df.select(F.col(idCol), F.posexplode(chunks).as(Seq("chunk_id", "ch")))
       .select(F.col(idCol), F.col("chunk_id"),
         F.col("ch.start").as("start"), F.col("ch.n_tokens").as("n_tokens"),

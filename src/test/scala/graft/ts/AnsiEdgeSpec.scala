@@ -60,4 +60,23 @@ class AnsiEdgeSpec extends SparkTestBase {
     r(0).isNullAt(0) shouldBe true
     approx(r(1).getDouble(0), 0.5, 1e-12)
   }
+
+  it should "survive empty and null text through pii / hard-filter / spans / chunks" in {
+    import graft.llm.{Dedup, Pii, TextStats}
+    val df = Seq((1L, ""), (2L, null: String), (3L, "the cat and the hat"))
+      .toDF("id", "text")
+    // PII: empty -> unchanged empty, null -> null, no errors
+    val red = df.select(Pii.redact(F.col("text"))).collect()
+    red(0).getString(0) shouldBe ""
+    red(1).isNullAt(0) shouldBe true
+    // hard filter: flags null out for null text, defined for empty text
+    val hf = TextStats.hardFilter(df, "text", minWords = 2).orderBy("id").collect()
+    hf(0).getAs[Boolean]("words_ok") shouldBe false  // [''] = 1 token
+    hf(1).isNullAt(hf(1).fieldIndex("keep")) shouldBe true
+    // spans / chunks: null and too-short docs simply produce no rows
+    Dedup.duplicateSpans(df, "id", "text", n = 3).count() shouldBe 0L
+    val ch = TextStats.chunkTokens(df, "id", "text", chunkSize = 4, stride = 4)
+    ch.filter(F.col("id") === 2L).count() shouldBe 0L
+    ch.filter(F.col("id") === 3L).count() shouldBe 2L
+  }
 }
