@@ -194,6 +194,28 @@ object StreamCheck {
       (stream, batch)
     }
 
+    record("time_partitioned_sink") {
+      // streamed store vs batch store over the same rows: both layouts,
+      // read back through the same pruned batch reader, must agree.
+      val base = java.nio.file.Files.createTempDirectory("graft_sc_tp").toString
+      val tMid = ev(ev.length / 2)._1
+      def readBack(p: String): Seq[Row] =
+        graft.ts.Sources.fromTimePartitioned(spark, p, granularity = "7d",
+          beginNanos = Some(ev.head._1), endNanos = Some(tMid))
+          .select("time", "event_type", "v").collect().toSeq
+      val mem = MemoryStream[(Long, String, Double)]
+      val q = StreamingOps.writeTimePartitionedStream(
+        mem.toDF().toDF("time", "event_type", "v"), s"$base/stream",
+        granularity = "7d", checkpoint = s"$base/ck")
+      try {
+        val size = math.max(1, ev.length / 4)
+        ev.grouped(size).foreach { c => mem.addData(c); q.processAllAvailable() }
+      } finally q.stop()
+      graft.ts.Sources.writeTimePartitioned(evDF, s"$base/batch",
+        granularity = "7d", mode = "overwrite")
+      (readBack(s"$base/stream"), readBack(s"$base/batch"))
+    }
+
     record("future_left_join_stream") {
       val stream = runJoinStream("sc_future_asof", clicks, purchasesDeduped, 4)(
         (l, r) => StreamingOps.futureLeftJoinStream(l, r, tolerance = "6h",
