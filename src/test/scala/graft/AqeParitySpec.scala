@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.ts.{AsOfJoin, EmaOps, Summarize, Summarizers, WindowOps}
+
+/**
+ * AQE parity: the test session pins adaptive execution OFF so plan-shape
+ * suites can see static Exchange/Sort nodes — but a production 100 TB
+ * cluster runs AQE ON (runtime coalescing, skew-join splitting,
+ * broadcast-join conversion). Every operator whose execution depends on
+ * partitioning/ordering is re-run here under AQE and must reproduce the
+ * non-AQE results bit-for-bit: a physical operator that silently assumes
+ * the static layout (e.g. a custom exec whose required distribution AQE
+ * re-plans, or a two-pass scan whose partition count changes between
+ * passes) fails exactly this suite.
+ */
+class AqeParitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val day = 86400000000000L
+
+  private def data: DataFrame = {
+    val rows = for (i <- 0 until 150) yield
+      ((i / 3) * day / 2 + (i % 7) * day / 16, "k" + (i % 3),
+        math.sin(i * 0.37) * 10 + (i % 5))
+    rows.toDF("time", "k", "v").repartition(5)
+  }
+
+  private def right: DataFrame = {
+    val rows = for (i <- 0 until 60) yield
+      ((i / 2) * day + (i % 2) * day / 3, "k" + (i % 3), i * 1.5)
+    rows.toDF("time", "k", "rv").repartition(4)
+  }
+
+  private def rowsOf(df: DataFrame): Seq[Seq[String]] = {
+    def fmt(a: Any): String = a match {
+      case d: Double => f"$d%.9g"
+      case x => String.valueOf(x)
+    }
+    df.collect().map(_.toSeq.map(fmt)).sortBy(_.mkString("|")).toSeq
+  }
+
+  private def parity(label: String)(build: () => DataFrame): Unit = {
+    val off = rowsOf(build())
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val on = rowsOf(build())
+      withClue(s"$label: AQE on vs off: ") { on shouldBe off }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
+  }
+
+  it should "reproduce results under adaptive execution" in {
+    val (l, r, d) = (data, right, data)
+    parity("leftJoin/union")(() => AsOfJoin.leftJoin(l, r, "12h", Seq("k")))
+    parity("leftJoin/binned")(() =>
+      AsOfJoin.leftJoin(l, r, "12h", Seq("k"), binned = true))
+    parity("leftJoin/merge")(() => AsOfJoin.leftJoinMerge(l, r, "12h", Seq("k")))
+    parity("ewmaRows/keyless")(() =>
+      EmaOps.ewmaRows(d, "v", Seq.empty, alpha = 0.3,
+        durationPerPeriod = "constant", convention = "legacy"))
+    parity("summarize")(() => Summarize.summarize(d,
+      Summarizers.sum("v") ++ Summarizers.variance("v"), Seq("k")))
+    parity("summarizeWindows")(() =>
+      WindowOps.summarizeWindows(d, WindowOps.pastAbsoluteTime("1d"),
+        Summarizers.mean("v"), Seq("k")))
+    parity("packSequences")(() =>
+      graft.llm.Sampling.packSequences(
+        d.select(F2.col("time").as("id"), F2.lit(7L).as("toks")),
+        "id", "toks", budget = 40L, numBuckets = 4))
+    parity("shufflePositions")(() =>
+      graft.llm.Sampling.shufflePositions(d.select("time"), "time"))
+    parity("duplicateSpans")(() => {
+      val docs = (0L until 120L)
+        .map(i => (i, s"w${i % 9} w${i % 5} w${i % 3} w${i % 7} w${i % 2}"))
+        .toDF("id", "text")
+      graft.llm.Dedup.duplicateSpans(docs, "id", "text", n = 3)
+    })
+  }
+
+  private val F2 = org.apache.spark.sql.functions
+}
