@@ -105,6 +105,13 @@ object QueriesWindows {
         Seq("user_id"), tieBreak = Seq("event_id"))
         .select("time", "event_id", "user_id", "count", "value100_sum")
         .orderBy("time", "event_id")),
+    // windowed distinctCount (collect_set path — DISTINCT aggregates are
+    // not allowed over window frames, so the summarizer switches impl)
+    "add_summary_distinct" -> ((s, dir) =>
+      WindowOps.addSummaryColumns(evV(s, dir), S.distinctCount("value100"),
+        Seq("user_id"), tieBreak = Seq("event_id"))
+        .select("time", "event_id", "user_id", "value100_distinctCount")
+        .orderBy("time", "event_id")),
     "add_columns_for_cycle" -> ((s, dir) =>
       Summarize.addColumnsForCycle(evHour(s, dir), Seq("event_type"),
         ("v_rel", org.apache.spark.sql.types.LongType, rows => {
@@ -183,6 +190,14 @@ object QueriesWindows {
       s"""WITH e AS ($evVSql)
           SELECT time, event_id, user_id,
           count(*) OVER w AS count, CAST(sum(value100) OVER w AS BIGINT) AS value100_sum
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY time, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          ORDER BY time, event_id""",
+    "add_summary_distinct" ->
+      s"""WITH e AS ($evVSql)
+          SELECT time, event_id, user_id,
+          CAST(len(list_distinct(list(value100) OVER w)) AS BIGINT)
+            AS value100_distinctCount
           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY time, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
           ORDER BY time, event_id""",
