@@ -6,25 +6,16 @@ Bounds accept long nanos or pandas-parseable date-time strings (naive
 strings localized to the ``timezone`` passed to :meth:`range`); ``expand``
 takes duration strings and widens the configured range at read time —
 lookback/lookahead slack so an as-of join near the range edges still finds
-its matches.
+its matches. Every terminal honors the configured range/expand/columns;
+``csv`` additionally honors ``option('header', ...)`` /
+``option('delimiter', ...)``.
 """
-
-import re
 
 from pyspark.sql import DataFrame
 
 from .clocks import _to_nanos
 from .dataframe import TimeSeriesDataFrame, _jlist
-
-_UNITS = {"ns": 1, "us": 1000, "ms": 10**6, "s": 10**9,
-          "m": 60 * 10**9, "h": 3600 * 10**9, "d": 86400 * 10**9}
-
-
-def _dur_nanos(s):
-    m = re.fullmatch(r"\s*(\d+)\s*(ns|us|ms|s|m|h|d)\s*", s)
-    if not m:
-        raise ValueError("unparseable duration: %r" % (s,))
-    return int(m.group(1)) * _UNITS[m.group(2)]
+from .functions import parse_nanos
 
 
 def read(spark):
@@ -64,9 +55,9 @@ class TSDataFrameReader:
     def expand(self, begin=None, end=None):
         """Widen the configured range by durations ('100ms', '1d', ...)."""
         if begin is not None:
-            self._expand_begin = _dur_nanos(begin)
+            self._expand_begin = parse_nanos(begin)
         if end is not None:
-            self._expand_end = _dur_nanos(end)
+            self._expand_end = parse_nanos(end)
         return self
 
     def columns(self, *cols):
@@ -87,13 +78,20 @@ class TSDataFrameReader:
     def _api(self):
         return self._spark._jvm.graft.python.PyApi
 
-    def _okv(self):
-        return (_jlist(self._spark, list(self._opts.keys())),
-                _jlist(self._spark, list(self._opts.values())))
+    def _okv(self, opts):
+        return (_jlist(self._spark, list(opts.keys())),
+                _jlist(self._spark, list(opts.values())))
+
+    def _ranged(self, ts):
+        b, e = self._bounds()
+        if b is not None or e is not None:
+            ts = ts.between(b if b is not None else -(2**62),
+                            e if e is not None else 2**62)
+        return ts
 
     def parquet(self, path):
         b, e = self._bounds()
-        ok, ov = self._okv()
+        ok, ov = self._okv(self._opts)
         jdf = self._api().fromParquet(
             self._spark._jsparkSession, path,
             _jlist(self._spark, self._cols), b, e, self._time, self._unit,
@@ -101,38 +99,48 @@ class TSDataFrameReader:
         return TimeSeriesDataFrame(DataFrame(jdf, self._spark))
 
     def csv(self, path, header=True, delimiter=","):
-        b, e = self._bounds()
-        ok, ov = self._okv()
+        # option('header'/'delimiter') wins over the kwarg defaults — the
+        # Scala ReadBuilder honors opts the same way
+        h = self._opts.get("header")
+        header = (h.strip().lower() == "true") if h is not None else bool(header)
+        delimiter = self._opts.get("delimiter", delimiter)
+        rest = {k: v for k, v in self._opts.items()
+                if k not in ("header", "delimiter")}
+        ok, ov = self._okv(rest)
         jdf = self._api().fromCSV(
-            self._spark._jsparkSession, path, bool(header), delimiter,
+            self._spark._jsparkSession, path, header, delimiter,
             self._time, self._unit, False, ok, ov)
-        out = TimeSeriesDataFrame(DataFrame(jdf, self._spark))
-        if b is not None or e is not None:
-            out = out.between(b if b is not None else -(2**62),
-                              e if e is not None else 2**62)
+        out = self._ranged(TimeSeriesDataFrame(DataFrame(jdf, self._spark)))
         if self._cols:
             out = out.keep_columns(*self._cols)
         return out
 
     def dataframe(self, df, begin=None, end=None, timezone="UTC"):
         """Ingest an existing DataFrame (≙ reader.dataframe): canonize the
-        configured time column, then apply the [begin, end) range."""
+        configured time column, then apply the configured range/expand and
+        column projection (reader ``option``s don't apply to an in-memory
+        frame and are ignored here)."""
         out = TimeSeriesDataFrame.from_df(df, time_column=self._time,
                                           unit_to_nanos=self._unit)
         self.range(begin, end, timezone)
-        b, e = self._bounds()
-        if b is not None or e is not None:
-            out = out.between(b if b is not None else -(2**62),
-                              e if e is not None else 2**62)
+        out = self._ranged(out)
+        if self._cols:
+            out = out.keep_columns(*self._cols)
         return out
 
-    def clock(self, frequency, begin, end, offset="0ns", seed=None,
+    def clock(self, frequency, begin=None, end=None, offset="0ns", seed=None,
               timezone="UTC"):
-        """Uniform (or, with a seed, jittered) clock over [begin, end]."""
+        """Uniform (or, with a seed, jittered) clock over the configured (or
+        given) [begin, end] bounds; ``offset`` shifts ticks forward."""
         from . import clocks
+        self.range(begin, end, timezone)
+        b, e = self._bounds()
+        if b is None or e is None:
+            raise ValueError("clock() needs bounds: pass begin/end or "
+                             "configure .range() first")
         if seed is None:
-            return clocks.uniform(self._spark, _to_nanos(begin, timezone),
-                                  _to_nanos(end, timezone), frequency,
-                                  offset=offset)
-        return clocks.random(self._spark, _to_nanos(begin, timezone),
-                             _to_nanos(end, timezone), frequency, seed=seed)
+            return clocks.uniform(self._spark, b, e, frequency, offset=offset)
+        out = clocks.random(self._spark, b, e, frequency, seed=seed)
+        if offset not in ("0ns", "0s", None):
+            out = out.shift(offset, forward=True)
+        return out

@@ -203,17 +203,20 @@ object StreamCheck {
         graft.ts.Sources.fromTimePartitioned(spark, p, granularity = "7d",
           beginNanos = Some(ev.head._1), endNanos = Some(tMid))
           .select("time", "event_type", "v").collect().toSeq
-      val mem = MemoryStream[(Long, String, Double)]
-      val q = StreamingOps.writeTimePartitionedStream(
-        mem.toDF().toDF("time", "event_type", "v"), s"$base/stream",
-        granularity = "7d", checkpoint = s"$base/ck")
       try {
-        val size = math.max(1, ev.length / 4)
-        ev.grouped(size).foreach { c => mem.addData(c); q.processAllAvailable() }
-      } finally q.stop()
-      graft.ts.Sources.writeTimePartitioned(evDF, s"$base/batch",
-        granularity = "7d", mode = "overwrite")
-      (readBack(s"$base/stream"), readBack(s"$base/batch"))
+        val mem = MemoryStream[(Long, String, Double)]
+        val q = StreamingOps.writeTimePartitionedStream(
+          mem.toDF().toDF("time", "event_type", "v"), s"$base/stream",
+          granularity = "7d", checkpoint = s"$base/ck")
+        try {
+          val size = math.max(1, ev.length / 4)
+          ev.grouped(size).foreach { c => mem.addData(c); q.processAllAvailable() }
+        } finally q.stop()
+        graft.ts.Sources.writeTimePartitioned(evDF, s"$base/batch",
+          granularity = "7d", mode = "overwrite")
+        (readBack(s"$base/stream"), readBack(s"$base/batch"))
+      } finally
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
     }
 
     record("future_left_join_stream") {

@@ -51,11 +51,13 @@ object Sampling {
     val w = F.col(weightCol).cast("double")
     // p must be null (not 1.0) for null w: least() SKIPS null inputs, so
     // least(1.0, null) = 1.0 would keep every null-weight row. NaN is as
-    // poisonous (least treats NaN as the LARGEST double -> p = 1.0), so
-    // NaN weights are rejected with the negatives.
+    // poisonous (least treats NaN as the LARGEST double -> p = 1.0), and
+    // +Inf regenerates it (rate 0.0 * Inf = NaN), so any non-finite
+    // weight is rejected with the negatives.
     val p = F.when(w.isNotNull, F.least(F.lit(1.0), F.lit(rate) * w))
-    df.filter(F.when(w < 0.0 || F.isnan(w),
-        F.raise_error(F.lit(s"sampleByWeight: negative or NaN weight in $weightCol")))
+    df.filter(F.when(w < 0.0 || F.isnan(w) || w === Double.PositiveInfinity,
+        F.raise_error(F.lit(
+          s"sampleByWeight: negative or non-finite weight in $weightCol")))
       .otherwise(hashUnit(F.col(idCol), seed) < p))
   }
 

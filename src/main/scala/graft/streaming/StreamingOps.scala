@@ -44,7 +44,13 @@ object StreamingOps {
     * `Sources.writeTimePartitioned` produces, so batch readers
     * (`Sources.fromTimePartitioned`) prune directories identically.
     * Exactly-once via the file sink's commit log under `checkpoint`.
-    * Returns the started query (caller manages its lifecycle). */
+    * Returns the started query (caller manages its lifecycle).
+    *
+    * A store is either batch-written or stream-written, never both: once
+    * the sink's `_spark_metadata` log exists, readers treat it as the
+    * source of truth and IGNORE unlogged files — so streaming into an
+    * existing batch store would silently hide the batch rows (refused
+    * here), and `writeTimePartitioned` refuses the reverse. */
   def writeTimePartitionedStream(df: DataFrame, path: String,
                                  granularity: String,
                                  checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
@@ -52,6 +58,12 @@ object StreamingOps {
     require(g > 0, s"granularity must be positive, got $granularity")
     require(!df.columns.contains(graft.ts.Sources.BucketColumn),
       s"writeTimePartitionedStream: input already has a ${graft.ts.Sources.BucketColumn} column")
+    require(
+      graft.ts.Sources.hasStreamMetadata(df.sparkSession, path) ||
+        !graft.ts.Sources.hasDataFiles(df.sparkSession, path),
+      s"writeTimePartitionedStream: $path holds batch-written data — the " +
+        "sink's commit log would hide those rows from every reader; " +
+        "stream to a separate path")
     df.withColumn(graft.ts.Sources.BucketColumn, graft.ts.Sources.floorDivTime(g))
       .writeStream.format("parquet")
       .partitionBy(graft.ts.Sources.BucketColumn)

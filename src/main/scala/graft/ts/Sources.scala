@@ -201,10 +201,35 @@ object Sources {
     require(g > 0, s"granularity must be positive, got $granularity")
     require(!df.columns.contains(BucketColumn),
       s"writeTimePartitioned: input already has a $BucketColumn column")
+    // a streaming-sink store reads through its _spark_metadata commit log:
+    // batch-written files would be INVISIBLE to every reader. Refuse.
+    require(!hasStreamMetadata(df.sparkSession, path),
+      s"writeTimePartitioned: $path is a streaming-sink store " +
+        "(_spark_metadata present) — batch writes would be invisible to " +
+        "readers; write to a separate path")
     // exact integer floor-div: a double `/` would lose precision on
     // >2^53 nanos, silently mis-bucketing rows near bucket edges
     df.withColumn(BucketColumn, floorDivTime(g))
       .write.mode(mode).partitionBy(BucketColumn).parquet(path)
+  }
+
+  /** True iff `path` carries a streaming file-sink commit log — such a
+    * store must only ever be appended by the streaming sink (readers use
+    * the log as the source of truth and ignore unlogged files). */
+  private[graft] def hasStreamMetadata(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, "_spark_metadata")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p)
+  }
+
+  /** True iff `path` already holds data files (any non-hidden entry). */
+  private[graft] def hasDataFiles(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists { s =>
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
   }
 
   /** floorDiv of the time column as exact long arithmetic (negative-safe:

@@ -158,13 +158,12 @@ class SamplingSpec extends SparkTestBase {
     kept.size shouldBe 990
   }
 
-  it should "fail loudly on negative and NaN weights" in {
-    val neg = corpus.withColumn("w", F.lit(-1.0))
-    a[Throwable] should be thrownBy
-      Sampling.sampleByWeight(neg, "id", "w", rate = 0.1).count()
-    val nan = corpus.withColumn("w", F.lit(Double.NaN))
-    a[Throwable] should be thrownBy
-      Sampling.sampleByWeight(nan, "id", "w", rate = 0.1).count()
+  it should "fail loudly on negative, NaN and infinite weights" in {
+    for (bad <- Seq(-1.0, Double.NaN, Double.PositiveInfinity)) {
+      val df = corpus.withColumn("w", F.lit(bad))
+      a[Throwable] should be thrownBy
+        Sampling.sampleByWeight(df, "id", "w", rate = 0.1).count()
+    }
   }
 
   behavior of "shufflePositions"

@@ -386,4 +386,31 @@ class StreamingOpsSpec extends SparkTestBase {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  it should "refuse to mix batch and streaming writes on one store path" in {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_tps_mix").toString
+    try {
+      val batch = Seq((5L, 1.0)).toDF("time", "v")
+      graft.ts.Sources.writeTimePartitioned(batch, s"$dir/store",
+        granularity = "10ns", mode = "overwrite")
+      // streaming into the batch store would hide its rows behind the log
+      val mem = MemoryStream[(Long, Double)]
+      an[IllegalArgumentException] should be thrownBy
+        StreamingOps.writeTimePartitionedStream(
+          mem.toDF().toDF("time", "v"), s"$dir/store",
+          granularity = "10ns", checkpoint = s"$dir/ck")
+      // and batch-writing into a streaming store is refused the same way
+      val mem2 = MemoryStream[(Long, Double)]
+      val q = StreamingOps.writeTimePartitionedStream(
+        mem2.toDF().toDF("time", "v"), s"$dir/stream",
+        granularity = "10ns", checkpoint = s"$dir/ck2")
+      try { mem2.addData((5L, 1.0)); q.processAllAvailable() } finally q.stop()
+      an[IllegalArgumentException] should be thrownBy
+        graft.ts.Sources.writeTimePartitioned(batch, s"$dir/stream",
+          granularity = "10ns", mode = "append")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
