@@ -98,6 +98,15 @@ class TSDataFrameReader:
             ok, ov)
         return TimeSeriesDataFrame(DataFrame(jdf, self._spark))
 
+    def time_partitioned(self, path, granularity="1d"):
+        """Read a write_time_partitioned store with the configured
+        range/expand/columns (directory-level bucket pruning applies)."""
+        b, e = self._bounds()
+        jdf = self._api().fromTimePartitioned(
+            self._spark._jsparkSession, path, granularity,
+            _jlist(self._spark, self._cols), b, e)
+        return TimeSeriesDataFrame(DataFrame(jdf, self._spark))
+
     def csv(self, path, header=True, delimiter=","):
         # option('header'/'delimiter') wins over the kwarg defaults — the
         # Scala ReadBuilder honors opts the same way

@@ -351,3 +351,15 @@ def test_fluent_reader_dataframe_and_clock(spark):
     assert sorted(r["time"] for r in ts.collect()) == [5]
     clock = graft.read(spark).clock("2ns", 0, 10)
     assert clock.count() == 6
+
+
+def test_fluent_reader_time_partitioned(spark, tmp_path):
+    import graft
+    docs = TimeSeriesDataFrame.from_df(spark.createDataFrame(
+        [(t, t * 2) for t in range(50)], "time long, v long"))
+    docs.write_time_partitioned(str(tmp_path / "tp"), granularity="10ns",
+                                mode="overwrite")
+    ts = graft.read(spark).range(15, 35).columns("v") \
+        .time_partitioned(str(tmp_path / "tp"), granularity="10ns")
+    assert sorted(r["time"] for r in ts.collect()) == list(range(15, 35))
+    assert ts.columns == ["time", "v"]

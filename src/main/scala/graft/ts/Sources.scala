@@ -166,6 +166,13 @@ object Sources {
       fromParquet(spark, path, cols, expandedBegin, expandedEnd, timeCol,
         unitToNanos, opts)
 
+    /** Read a [[writeTimePartitioned]] store with the configured
+      * range/expand/columns; directory-level bucket pruning applies. */
+    def timePartitioned(path: String, granularity: String = "1d")
+        : org.apache.spark.sql.DataFrame =
+      fromTimePartitioned(spark, path, granularity, cols,
+        expandedBegin, expandedEnd)
+
     def csv(path: String): org.apache.spark.sql.DataFrame = {
       val header = opts.getOrElse("header", "true").toBoolean
       val delim = opts.getOrElse("delimiter", ",")

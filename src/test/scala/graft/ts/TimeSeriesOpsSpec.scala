@@ -248,6 +248,12 @@ class TimeSeriesOpsSpec extends SparkTestBase {
       out.columns should not contain Sources.BucketColumn
       out.select("time", "v").as[(Long, Long)].collect().sortBy(_._1) shouldBe
         Array((-5L, -10L), (5L, 10L), (15L, 30L))
+      // the fluent builder terminal reaches the same reader: [-5, 15)
+      // expands to [-10, 20), keeping {-5, 5, 15} (15 only via expand)
+      Sources.read(spark).range(-5L, 15L).expand("5ns", "5ns")
+        .timePartitioned(s"$dir/t", "10ns")
+        .select("time").as[Long].collect().sorted shouldBe
+        Array(-5L, 5L, 15L)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
