@@ -19,7 +19,7 @@ Scala classes must be on the driver classpath, e.g.::
 from .dataframe import TimeSeriesDataFrame
 from .functions import udf
 from .readwriter import read
-from . import summarizers, clocks, multimodal, functions, readwriter
+from . import summarizers, clocks, multimodal, functions, readwriter, windows
 
 __all__ = ["TimeSeriesDataFrame", "udf", "read", "summarizers", "clocks",
-           "multimodal", "functions", "readwriter"]
+           "multimodal", "functions", "readwriter", "windows"]

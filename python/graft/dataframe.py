@@ -190,12 +190,17 @@ class TimeSeriesDataFrame(DataFrame):
             self._jdf, clock._jdf, _jlist(self.sparkSession, key),
             inclusion, rounding))
 
-    def summarize_windows(self, summarizer, past=None, future=None, key=None):
-        """Per-row absolute-time window summaries. Dict summarizers follow
+    def summarize_windows(self, summarizer, past=None, future=None, key=None,
+                          window=None):
+        """Per-row absolute-time window summaries. Pass durations via
+        ``past=``/``future=``, or a ``graft.windows`` spec via ``window=``
+        (the reference-style call form). Dict summarizers follow
         the pandas-UDF path: one applyInPandas over each key group, window
         slices located by searchsorted — every input row comes back with
         one column per udf output. Keyless input collapses to a single
         group on this path (use the Scala summarizers for keyless scale)."""
+        if window is not None:
+            past, future = window.past, window.future
         if isinstance(summarizer, dict):
             return self._summarize_windows_udf(summarizer, past, future, key)
         return self._with(_api(self).summarizeWindows(
@@ -228,7 +233,9 @@ class TimeSeriesDataFrame(DataFrame):
             _jlist(self.sparkSession, key),
             _jlist(self.sparkSession, tie_break)))
 
-    def add_windows(self, past=None, future=None, key=None):
+    def add_windows(self, past=None, future=None, key=None, window=None):
+        if window is not None:
+            past, future = window.past, window.future
         return self._with(_api(self).addWindows(
             self._jdf, past or "", future or "",
             _jlist(self.sparkSession, key)))

@@ -363,3 +363,14 @@ def test_fluent_reader_time_partitioned(spark, tmp_path):
         .time_partitioned(str(tmp_path / "tp"), granularity="10ns")
     assert sorted(r["time"] for r in ts.collect()) == list(range(15, 35))
     assert ts.columns == ["time", "v"]
+
+
+def test_reference_style_window_specs(spark, ts):
+    from graft import windows
+    a = ts.summarize_windows(summarizers.sum("v"),
+                             window=windows.past_absolute_time("10ns"),
+                             key=["k"])
+    b = ts.summarize_windows(summarizers.sum("v"), past="10ns", key=["k"])
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    w = ts.add_windows(window=windows.future_absolute_time("10ns"), key=["k"])
+    assert any(c.startswith("window_") for c in w.columns)
