@@ -21,15 +21,28 @@ def _to_nanos(v, time_zone="UTC"):
     return t.value
 
 
+def _offset_nanos(offset, frequency):
+    """Reference offset semantics (flint Clocks.scala: "specifying an offset
+    greater than the frequency is the same as specifying offset %
+    frequency"): the first tick is begin + offset % frequency and ticks stay
+    bounded by end."""
+    if offset in ("0ns", "0s", None):
+        return 0
+    from .functions import parse_nanos
+    return parse_nanos(offset) % parse_nanos(frequency)
+
+
 def uniform(session, begin, end, frequency, offset="0ns", time_zone="UTC"):
-    """Evenly spaced time-only table over [begin, end] step ``frequency``,
-    shifted forward by ``offset`` (≙ flint clocks.uniform's offset)."""
+    """Evenly spaced time-only table with first tick ``begin + offset %
+    frequency``, stepping ``frequency`` while <= ``end`` (end-inclusive, ≙
+    flint clocks.uniform)."""
     api = session._jvm.graft.python.PyApi
-    jdf = api.uniformClock(session._jsparkSession,
-                           _to_nanos(begin, time_zone),
-                           _to_nanos(end, time_zone), frequency)
-    if offset not in ("0ns", "0s", None):
-        jdf = api.shift(jdf, offset, True)
+    b = _to_nanos(begin, time_zone) + _offset_nanos(offset, frequency)
+    e = _to_nanos(end, time_zone)
+    if b > e:  # offset pushed the first tick past end: empty clock
+        return TimeSeriesDataFrame(
+            session.range(0).selectExpr("id AS time"))
+    jdf = api.uniformClock(session._jsparkSession, b, e, frequency)
     return TimeSeriesDataFrame(DataFrame(jdf, session))
 
 

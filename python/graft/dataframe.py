@@ -512,10 +512,11 @@ class TimeSeriesDataFrame(DataFrame):
             self._jdf, path, granularity, checkpoint))
 
     @classmethod
-    def read_time_partitioned(cls, spark, path, granularity="1d",
+    def read_time_partitioned(cls, spark, path, granularity=None,
                               columns=None, begin_nanos=None, end_nanos=None):
         """Read a :meth:`write_time_partitioned` layout with directory-level
-        [begin, end) pruning. ``granularity`` must match the writer's."""
+        [begin, end) pruning. ``granularity`` defaults to the store's
+        persisted metadata; an explicit mismatch fails loudly."""
         api = spark._jvm.graft.python.PyApi
         jdf = api.fromTimePartitioned(
             spark._jsparkSession, path, granularity,

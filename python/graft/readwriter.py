@@ -70,9 +70,16 @@ class TSDataFrameReader:
         self._unit = unit_to_nanos
         return self
 
-    def _bounds(self):
-        b = None if self._begin is None else self._begin - self._expand_begin
-        e = None if self._end is None else self._end + self._expand_end
+    def _bounds(self, begin=None, end=None, timezone="UTC"):
+        """Effective [begin, end) after expand. Per-call ``begin``/``end``
+        override the configured range WITHOUT mutating the reader (builder
+        terminals are side-effect free)."""
+        b = _to_nanos(begin, timezone) if begin is not None else self._begin
+        e = _to_nanos(end, timezone) if end is not None else self._end
+        if b is not None:
+            b -= self._expand_begin
+        if e is not None:
+            e += self._expand_end
         return b, e
 
     def _api(self):
@@ -82,11 +89,16 @@ class TSDataFrameReader:
         return (_jlist(self._spark, list(opts.keys())),
                 _jlist(self._spark, list(opts.values())))
 
-    def _ranged(self, ts):
-        b, e = self._bounds()
-        if b is not None or e is not None:
-            ts = ts.between(b if b is not None else -(2**62),
-                            e if e is not None else 2**62)
+    def _ranged(self, ts, b, e):
+        # mirrors the Scala rangeFilter: true one-sided filters when only
+        # one bound is set (never a +/-2**62 sentinel, which would silently
+        # drop far-future/past rows)
+        if b is not None and e is not None:
+            return ts.between(b, e)
+        if b is not None:
+            return TimeSeriesDataFrame(ts.where(ts["time"] >= b))
+        if e is not None:
+            return TimeSeriesDataFrame(ts.where(ts["time"] < e))
         return ts
 
     def parquet(self, path):
@@ -98,9 +110,11 @@ class TSDataFrameReader:
             ok, ov)
         return TimeSeriesDataFrame(DataFrame(jdf, self._spark))
 
-    def time_partitioned(self, path, granularity="1d"):
+    def time_partitioned(self, path, granularity=None):
         """Read a write_time_partitioned store with the configured
-        range/expand/columns (directory-level bucket pruning applies)."""
+        range/expand/columns (directory-level bucket pruning applies).
+        ``granularity`` defaults to the store's persisted metadata; an
+        explicit mismatch fails loudly."""
         b, e = self._bounds()
         jdf = self._api().fromTimePartitioned(
             self._spark._jsparkSession, path, granularity,
@@ -119,20 +133,23 @@ class TSDataFrameReader:
         jdf = self._api().fromCSV(
             self._spark._jsparkSession, path, header, delimiter,
             self._time, self._unit, False, ok, ov)
-        out = self._ranged(TimeSeriesDataFrame(DataFrame(jdf, self._spark)))
+        b, e = self._bounds()
+        out = self._ranged(TimeSeriesDataFrame(DataFrame(jdf, self._spark)),
+                           b, e)
         if self._cols:
             out = out.keep_columns(*self._cols)
         return out
 
     def dataframe(self, df, begin=None, end=None, timezone="UTC"):
         """Ingest an existing DataFrame (≙ reader.dataframe): canonize the
-        configured time column, then apply the configured range/expand and
-        column projection (reader ``option``s don't apply to an in-memory
-        frame and are ignored here)."""
+        configured time column, then apply the configured (or per-call)
+        range/expand and column projection without mutating the reader
+        (reader ``option``s don't apply to an in-memory frame and are
+        ignored here)."""
         out = TimeSeriesDataFrame.from_df(df, time_column=self._time,
                                           unit_to_nanos=self._unit)
-        self.range(begin, end, timezone)
-        out = self._ranged(out)
+        b, e = self._bounds(begin, end, timezone)
+        out = self._ranged(out, b, e)
         if self._cols:
             out = out.keep_columns(*self._cols)
         return out
@@ -140,16 +157,17 @@ class TSDataFrameReader:
     def clock(self, frequency, begin=None, end=None, offset="0ns", seed=None,
               timezone="UTC"):
         """Uniform (or, with a seed, jittered) clock over the configured (or
-        given) [begin, end] bounds; ``offset`` shifts ticks forward."""
+        per-call) [begin, end] bounds; ``offset`` shifts the first tick by
+        ``offset % frequency`` (reference semantics), ticks stay <= end."""
         from . import clocks
-        self.range(begin, end, timezone)
-        b, e = self._bounds()
+        b, e = self._bounds(begin, end, timezone)
         if b is None or e is None:
             raise ValueError("clock() needs bounds: pass begin/end or "
                              "configure .range() first")
         if seed is None:
             return clocks.uniform(self._spark, b, e, frequency, offset=offset)
-        out = clocks.random(self._spark, b, e, frequency, seed=seed)
-        if offset not in ("0ns", "0s", None):
-            out = out.shift(offset, forward=True)
-        return out
+        off = clocks._offset_nanos(offset, frequency)
+        if b + off > e:
+            return TimeSeriesDataFrame(
+                self._spark.range(0).selectExpr("id AS time"))
+        return clocks.random(self._spark, b + off, e, frequency, seed=seed)

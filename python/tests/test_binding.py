@@ -323,8 +323,15 @@ def test_clock_string_bounds_and_offset(spark):
     c = clocks.uniform(spark, "1970-01-01", "1970-01-01 00:00:00.000000010",
                        "2ns")
     assert c.count() == 6
+    # reference semantics: first tick = begin + offset % frequency, ticks
+    # bounded by end (end-inclusive) — never past end
     shifted = clocks.uniform(spark, 0, 10, "2ns", offset="1ns")
-    assert sorted(r["time"] for r in shifted.collect()) == [1, 3, 5, 7, 9, 11]
+    assert sorted(r["time"] for r in shifted.collect()) == [1, 3, 5, 7, 9]
+    # offset >= frequency wraps: 5ns % 2ns = 1ns
+    wrapped = clocks.uniform(spark, 0, 10, "2ns", offset="5ns")
+    assert sorted(r["time"] for r in wrapped.collect()) == [1, 3, 5, 7, 9]
+    # offset pushing the first tick past end yields an empty clock
+    assert clocks.uniform(spark, 0, 3, "10ns", offset="4ns").count() == 0
     assert clocks.random(spark, "19700101", 100, "10ns").count() > 0
 
 
@@ -351,6 +358,32 @@ def test_fluent_reader_dataframe_and_clock(spark):
     assert sorted(r["time"] for r in ts.collect()) == [5]
     clock = graft.read(spark).clock("2ns", 0, 10)
     assert clock.count() == 6
+
+
+def test_fluent_reader_one_sided_range(spark):
+    import graft
+    # rows beyond +/-2**62 survive a one-sided range (true one-sided filter,
+    # not a sentinel bound)
+    far = 2**62 + 7
+    df = spark.createDataFrame([(1, 1.0), (5, 2.0), (far, 3.0)],
+                               "ts long, v double")
+    lo = graft.read(spark).time("ts").range(begin=2).dataframe(df)
+    assert sorted(r["time"] for r in lo.collect()) == [5, far]
+    hi = graft.read(spark).time("ts").range(end=6).dataframe(df)
+    assert sorted(r["time"] for r in hi.collect()) == [1, 5]
+
+
+def test_fluent_reader_terminals_side_effect_free(spark):
+    import graft
+    df = spark.createDataFrame([(1, 1.0), (5, 2.0), (9, 3.0)],
+                               "ts long, v double")
+    rd = graft.read(spark).time("ts")
+    # per-call bounds must NOT stick to the reader for later terminals
+    assert rd.dataframe(df, begin=2, end=9).count() == 1
+    assert rd.dataframe(df).count() == 3
+    rd2 = graft.read(spark)
+    assert rd2.clock("2ns", 0, 10).count() == 6
+    assert rd2._begin is None and rd2._end is None
 
 
 def test_fluent_reader_time_partitioned(spark, tmp_path):

@@ -56,9 +56,6 @@ object Bench {
       val (a, b) = (pass1(name), pass2(name))
       name -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }.toMap
-    // Timings are rounded to 4 decimals (0.1 ms — far below host noise) so
-    // the one-line JSON stays short enough that the driver's captured tail
-    // always contains the complete line, totals included.
     def r4(v: Double): String = if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r4(v) }
@@ -66,7 +63,23 @@ object Bench {
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","passes":2,"agg":"min","sf":"$sfDir","errors":$errors,"queries":$qs}""")
+    val fullLine =
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","passes":2,"agg":"min","sf":"$sfDir","errors":$errors,"queries":$qs}"""
+    // The full line (totals + all per-query times) no longer fits the
+    // driver's 2000-char stdout tail capture now that the registry exceeds
+    // ~100 queries, so it is ALSO persisted whole to bench_out.json in the
+    // working directory. stdout gets the full line first (for logs), then a
+    // short self-contained totals line LAST so the captured tail always ends
+    // with one complete, parseable JSON object.
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_out.json"),
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => }
+    println(fullLine)
+    val slowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(8)
+      .map { case (k, v) => s"\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","passes":2,"agg":"min","sf":"$sfDir","nqueries":${results.size},"errors":$errors,"full":"bench_out.json","slowest":$slowest}""")
     spark.stop()
   }
 }

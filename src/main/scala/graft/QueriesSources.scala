@@ -14,14 +14,23 @@ import graft.ts._
 object QueriesSources {
   import QueriesCore.{events, withValue100, T0, DAY, HOUR}
 
-  private def pid: Long = ProcessHandle.current().pid()
+  /** Fresh scratch directory, removed at JVM exit — unique per call so
+    * concurrent harness runs never clobber each other, and never left
+    * behind in /tmp (the queries read it lazily, so deletion must wait
+    * for shutdown, after the harness has materialized every result). */
+  private def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+      catch { case _: Throwable => () }))
+    p.toString
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CSV.from: write the canonized events back out as CSV, read through
     // fromCSV (header + schema inference + canonize + re-sort), and emit.
     "csv_roundtrip" -> ((s, dir) => {
-      // pid-suffixed so concurrent harness runs never clobber each other
-      val tmp = s"/tmp/graft_csv_${new java.io.File(dir).getName}_$pid"
+      val tmp = scratchDir("graft_csv_")
       events(s, dir).select("time", "event_id", "user_id", "value")
         .write.mode("overwrite").option("header", "true").csv(tmp)
       // inference picks the narrowest integer type; cast ids back to long
@@ -68,7 +77,7 @@ object QueriesSources {
     // filter prunes whole directories (asserted in PlanShapeSpec), the
     // exact row filter trims the edges.
     "time_partitioned_roundtrip" -> ((s, dir) => {
-      val tmp = s"/tmp/graft_tp_${new java.io.File(dir).getName}_$pid"
+      val tmp = scratchDir("graft_tp_")
       Sources.writeTimePartitioned(
         events(s, dir).select("time", "event_id", "user_id"),
         tmp, granularity = "7d", mode = "overwrite")

@@ -64,6 +64,15 @@ object StreamingOps {
       s"writeTimePartitionedStream: $path holds batch-written data — the " +
         "sink's commit log would hide those rows from every reader; " +
         "stream to a separate path")
+    // same store-metadata contract as the batch writer: restarting the sink
+    // with a different granularity would mix bucket layouts — refuse; and
+    // persist the granularity so readers never have to guess it
+    graft.ts.Sources.readStoreMetaNanos(df.sparkSession, path).foreach { m =>
+      require(m == g,
+        s"writeTimePartitionedStream: store $path has granularity ${m}ns; " +
+          s"streaming with $granularity (${g}ns) would mix bucket layouts")
+    }
+    graft.ts.Sources.writeStoreMeta(df.sparkSession, path, granularity)
     df.withColumn(graft.ts.Sources.BucketColumn, graft.ts.Sources.floorDivTime(g))
       .writeStream.format("parquet")
       .partitionBy(graft.ts.Sources.BucketColumn)

@@ -167,8 +167,9 @@ object Sources {
         unitToNanos, opts)
 
     /** Read a [[writeTimePartitioned]] store with the configured
-      * range/expand/columns; directory-level bucket pruning applies. */
-    def timePartitioned(path: String, granularity: String = "1d")
+      * range/expand/columns; directory-level bucket pruning applies.
+      * `granularity` defaults to the store's persisted metadata. */
+    def timePartitioned(path: String, granularity: String = null)
         : org.apache.spark.sql.DataFrame =
       fromTimePartitioned(spark, path, granularity, cols,
         expandedBegin, expandedEnd)
@@ -185,6 +186,65 @@ object Sources {
 
   /** Directory-partition column name used by the time-partitioned layout. */
   val BucketColumn = "time_bucket"
+
+  /** Store-level metadata file persisted next to the bucket directories, so
+    * readers never have to GUESS the writer's granularity (a mismatched
+    * guess silently prunes wrong buckets — data loss, not an error). */
+  private[graft] val StoreMetaFile = "_graft_store.json"
+
+  /** Persist the store's bucket granularity (idempotent overwrite). */
+  private[graft] def writeStoreMeta(spark: SparkSession, path: String,
+                                    granularity: String): Unit = {
+    val g = TimeSeriesOps.parseDuration(granularity)
+    val p = new org.apache.hadoop.fs.Path(path, StoreMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      (s"""{"format":"graft-time-partitioned","granularity":"$granularity"""" +
+        s""","granularity_nanos":$g}""" + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The store's persisted granularity in nanos, if the metadata file
+    * exists (pre-metadata stores return None). */
+  private[graft] def readStoreMetaNanos(spark: SparkSession,
+                                        path: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path, StoreMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      """"granularity_nanos"\s*:\s*(\d+)""".r.findFirstMatchIn(text)
+        .map(_.group(1).toLong)
+    }
+  }
+
+  /** Resolve the granularity a reader should use: an explicit value must
+    * MATCH the store's persisted one (fail loudly, never silently
+    * mis-prune); null adopts the store's, defaulting to 1d only for
+    * pre-metadata stores. */
+  private def resolveGranularity(spark: SparkSession, path: String,
+                                 granularity: String): Long = {
+    val meta = readStoreMetaNanos(spark, path)
+    Option(granularity) match {
+      case Some(s) =>
+        val g = TimeSeriesOps.parseDuration(s)
+        require(g > 0, s"granularity must be positive, got $s")
+        meta.foreach { m =>
+          require(m == g,
+            s"fromTimePartitioned: store $path was written with " +
+              s"granularity ${m}ns but the reader asked for $s (${g}ns) — " +
+              "bucket pruning would silently drop data. Omit granularity " +
+              "to adopt the store's.")
+        }
+        g
+      case None =>
+        meta.getOrElse(TimeSeriesOps.parseDuration("1d"))
+    }
+  }
 
   /**
    * Sink side of the time-series store: write the canonical frame as
@@ -214,10 +274,20 @@ object Sources {
       s"writeTimePartitioned: $path is a streaming-sink store " +
         "(_spark_metadata present) — batch writes would be invisible to " +
         "readers; write to a separate path")
+    // appending with a different granularity than the store's would mix
+    // incompatible bucket layouts — refuse (overwrite replaces the store,
+    // so only the append/errorifexists modes need the check)
+    if (mode != "overwrite")
+      readStoreMetaNanos(df.sparkSession, path).foreach { m =>
+        require(m == g,
+          s"writeTimePartitioned: store $path has granularity ${m}ns; " +
+            s"writing with $granularity (${g}ns) would mix bucket layouts")
+      }
     // exact integer floor-div: a double `/` would lose precision on
     // >2^53 nanos, silently mis-bucketing rows near bucket edges
     df.withColumn(BucketColumn, floorDivTime(g))
       .write.mode(mode).partitionBy(BucketColumn).parquet(path)
+    writeStoreMeta(df.sparkSession, path, granularity)
   }
 
   /** True iff `path` carries a streaming file-sink commit log — such a
@@ -248,14 +318,15 @@ object Sources {
   /** Read a [[writeTimePartitioned]] layout with [begin, end) pruning at
     * the DIRECTORY level (bucket comparisons are partition filters, so
     * non-qualifying buckets are never listed or opened), then the exact
-    * row-level time filter. `granularity` must match the writer's. */
+    * row-level time filter. `granularity` defaults (null) to the store's
+    * persisted metadata; an explicit value that mismatches it fails loudly
+    * rather than silently mis-pruning. */
   def fromTimePartitioned(spark: SparkSession, path: String,
-                          granularity: String = "1d",
+                          granularity: String = null,
                           columns: Seq[String] = Seq.empty,
                           beginNanos: Option[Long] = None,
                           endNanos: Option[Long] = None): DataFrame = {
-    val g = TimeSeriesOps.parseDuration(granularity)
-    require(g > 0, s"granularity must be positive, got $granularity")
+    val g = resolveGranularity(spark, path, granularity)
     var df = spark.read.parquet(path)
     beginNanos.foreach(b => df = df.filter(F.col(BucketColumn) >= Math.floorDiv(b, g)))
     endNanos.foreach(e => df = df.filter(F.col(BucketColumn) <= Math.floorDiv(e - 1, g)))

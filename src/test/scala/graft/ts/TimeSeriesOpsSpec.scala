@@ -258,4 +258,36 @@ class TimeSeriesOpsSpec extends SparkTestBase {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  it should "persist granularity metadata and fail loudly on mismatch" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tpm").toString
+    try {
+      val rows = Seq(5L, 15L, 25L).map(t => (t, t * 2))
+      Sources.writeTimePartitioned(rows.toDF("time", "v"), s"$dir/t",
+        granularity = "10ns", mode = "overwrite")
+      new java.io.File(s"$dir/t/_graft_store.json").exists() shouldBe true
+      // omitted granularity adopts the store's (NOT the pre-metadata 1d
+      // default, which here would collapse every row into bucket 0)
+      Sources.fromTimePartitioned(spark, s"$dir/t",
+        beginNanos = Some(10L), endNanos = Some(20L))
+        .select("time").as[Long].collect() shouldBe Array(15L)
+      // a mismatched explicit granularity is data loss, not a preference
+      val readErr = intercept[IllegalArgumentException] {
+        Sources.fromTimePartitioned(spark, s"$dir/t", granularity = "7ns")
+      }
+      readErr.getMessage should include("granularity")
+      // appending with a different granularity would mix bucket layouts
+      val writeErr = intercept[IllegalArgumentException] {
+        Sources.writeTimePartitioned(rows.toDF("time", "v"), s"$dir/t",
+          granularity = "7ns", mode = "append")
+      }
+      writeErr.getMessage should include("granularity")
+      // overwrite with a new granularity replaces the store AND its metadata
+      Sources.writeTimePartitioned(rows.toDF("time", "v"), s"$dir/t",
+        granularity = "20ns", mode = "overwrite")
+      Sources.readStoreMetaNanos(spark, s"$dir/t") shouldBe Some(20L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
