@@ -6,13 +6,17 @@ through ``mapInPandas`` in bounded Arrow batches (no collect, no UDF
 row-at-a-time boxing), output schemas are explicit, and every operator is
 a narrow map - partitioning and pushdown are untouched.
 
-The codec step itself is a clearly marked STUB: this environment ships no
-image/audio libraries, so ``_decode_stub`` derives deterministic fake
-pixels/metadata from the payload bytes. Swap ``_decode_stub`` (one
-function) for Pillow/ffmpeg in production; nothing else changes.
+Header parsing is REAL for the pure-parse formats: BMP/PNG/GIF dimensions
+and WAV audio shape live at fixed byte offsets, no codec needed. Full
+pixel/audio decode (and JPEG/WebP dimensions, which sit in
+variable-position segments) is codec-bound — this environment ships no
+image/audio libraries, so those report detected format with null
+dimensions. Swap ``_parse_header`` (one function) for Pillow/ffmpeg in
+production; nothing else changes.
 """
 
 import hashlib
+import struct
 
 import pandas as pd
 
@@ -28,15 +32,32 @@ FEATURE_SCHEMA = "doc_id long, feature array<float>"
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_sha string"
 
 
-def _decode_stub(payload: bytes):
-    """STUB codec: deterministic fake (width, height, format) from bytes.
+def _parse_header(payload: bytes):
+    """(width, height, format, n_bytes) parsed from the real file header.
 
-    Production: replace with e.g. PIL.Image.open(io.BytesIO(payload)).
+    BMP/PNG/GIF dimensions are fixed-offset reads; JPEG/WebP are detected
+    by magic with None dimensions (their size fields need a segment walk
+    plus, for pixels, a codec — see module doc). Unknown bytes report
+    ('unknown', None, None).
     """
     n = len(payload)
-    lead = payload[0] if n else 0
-    return (lead % 640 + 64, lead % 480 + 48,
-            ("jpeg", "png", "webp")[n % 3], n)
+    if n >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack(">II", payload[16:24])
+        return (w, h, "png", n)
+    if n >= 26 and payload[:2] == b"BM":
+        w, h = struct.unpack("<ii", payload[18:26])
+        return (w, h, "bmp", n)
+    if n >= 10 and payload[:6] in (b"GIF89a", b"GIF87a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return (w, h, "gif", n)
+    if n >= 28 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE" \
+            and payload[12:16] == b"fmt ":
+        return (None, None, "wav", n)
+    if n >= 16 and payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return (None, None, "webp", n)
+    if payload[:3] == b"\xff\xd8\xff":
+        return (None, None, "jpeg", n)
+    return (None, None, "unknown", n)
 
 
 def decode(df, id_col="doc_id", payload_col="payload"):
@@ -45,11 +66,12 @@ def decode(df, id_col="doc_id", payload_col="payload"):
 
     def gen(batches):
         for pdf in batches:
-            decoded = pdf[payload_col].map(_decode_stub)
+            decoded = pdf[payload_col].map(_parse_header)
+            # nullable Int32: width/height are None for codec-bound formats
             yield pd.DataFrame({
                 "doc_id": pdf[id_col],
-                "width": decoded.map(lambda t: t[0]).astype("int32"),
-                "height": decoded.map(lambda t: t[1]).astype("int32"),
+                "width": decoded.map(lambda t: t[0]).astype("Int32"),
+                "height": decoded.map(lambda t: t[1]).astype("Int32"),
                 "format": decoded.map(lambda t: t[2]),
                 "n_bytes": decoded.map(lambda t: t[3]).astype("int32"),
             })
@@ -62,14 +84,16 @@ def resize(df, target_width, id_col="doc_id", payload_col="payload"):
 
     def gen(batches):
         for pdf in batches:
-            decoded = pdf[payload_col].map(_decode_stub)
-            w = decoded.map(lambda t: t[0])
-            h = decoded.map(lambda t: t[1])
+            decoded = pdf[payload_col].map(_parse_header)
+            # nullable floats: payloads without parseable dimensions get a
+            # null resize plan instead of a fabricated one
+            w = pd.to_numeric(decoded.map(lambda t: t[0]), errors="coerce")
+            h = pd.to_numeric(decoded.map(lambda t: t[1]), errors="coerce")
             scale = target_width / w
             yield pd.DataFrame({
                 "doc_id": pdf[id_col],
                 "width": pd.Series([target_width] * len(pdf)).astype("int32"),
-                "height": (h * scale).astype("int32"),
+                "height": (h * scale).round().astype("Int32"),
                 "scale": scale.astype("float64"),
             })
 

@@ -217,12 +217,22 @@ def test_summarize_tumbling_on_batch_frame(ts):
 # ------------------------------------------------- multimodal mapInPandas
 
 def test_multimodal_decode_features_frames(spark):
+    import struct
+    # real headers: PNG dims are BE32 at 16/20, BMP signed LE32 at 18/22
+    png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+           + struct.pack(">II", 320, 200) + b"\x00" * 276)  # 300 bytes
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 640, -480) + b"\x00" * 4
     mm = spark.createDataFrame(
-        [(1, bytearray(b"x" * 300)), (2, bytearray(b"y" * 10))],
+        [(1, bytearray(png)), (2, bytearray(bmp)), (3, bytearray(b"y" * 10))],
         "doc_id long, payload binary")
     meta = multimodal.decode(mm).orderBy("doc_id").collect()
-    assert meta[0]["n_bytes"] == 300 and meta[0]["format"] == "jpeg"
-    assert meta[1]["n_bytes"] == 10
+    assert meta[0]["n_bytes"] == 300 and meta[0]["format"] == "png"
+    assert (meta[0]["width"], meta[0]["height"]) == (320, 200)
+    # negative BMP height = top-down bitmap, passed through signed
+    assert (meta[1]["format"], meta[1]["width"], meta[1]["height"]) == \
+        ("bmp", 640, -480)
+    # unparseable bytes: detected as unknown, never fabricated dims
+    assert meta[2]["format"] == "unknown" and meta[2]["width"] is None
     feats = multimodal.extract_features(mm, dim=8).collect()
     assert all(len(r["feature"]) == 8 for r in feats)
     frames = multimodal.sample_frames(mm, every_n_bytes=128).collect()

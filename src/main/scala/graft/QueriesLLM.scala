@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.{functions => F}
 import graft.llm._
 
@@ -144,12 +144,52 @@ object QueriesLLM {
           F.round(F.max(F.col("norm")), 6).as("max_norm"))
         .orderBy("label")),
     "mm_meta" -> ((s, dir) =>
+      // text payloads carry no media magic: the REAL parser must say
+      // 'unknown' with null dims, never fabricate values
       Multimodal.extract(docs(s, dir), "text")
         .select(F.col("doc_id"), F.col("meta.n_bytes").as("n_bytes"),
           F.col("meta.width").as("width"), F.col("meta.height").as("height"),
           F.col("meta.format").as("format"),
           F.size(F.col("frames")).as("n_frames"))
         .orderBy("doc_id")),
+    // header-parse round-trip: BMP/PNG/WAV headers CONSTRUCTED from doc
+    // fields (hex-built, then unhex'd to real binary), parsed back by
+    // decodeMeta — the oracle recomputes the planted values arithmetically,
+    // so a parser reading any wrong offset/endianness hash-mismatches
+    "mm_decode_headers" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id")
+      def hexByte(c: Column): Column =
+        F.lpad(F.conv(c.cast("string"), 10, 16), 2, "0")
+      // Column./ is DOUBLE division — shiftright keeps the byte math integral
+      def le16(c: Column) = F.concat(hexByte(c.cast("long") % 256),
+        hexByte(F.shiftright(c.cast("long"), 8) % 256))
+      def le32(c: Column) = F.concat(le16(c), F.lit("0000"))
+      def be32(c: Column) = F.lpad(F.conv(c.cast("string"), 10, 16), 8, "0")
+      val w = F.col("doc_id") % 640 + 1
+      val h = F.col("doc_id") % 480 + 1
+      val ch = F.col("doc_id") % 2 + 1
+      val rate = F.lit(8000) + (F.col("doc_id") % 8) * 4000
+      val bmp = F.unhex(F.concat(F.lit("424D" + "00" * 12 + "28000000"),
+        le32(w), le32(h)))
+      val png = F.unhex(F.concat(F.lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+        be32(w), be32(h)))
+      val wav = F.unhex(F.concat(
+        F.lit("52494646" + "00000000" + "57415645" + "666D7420" + "10000000" + "0100"),
+        le16(ch), le32(rate)))
+      d.select(F.col("doc_id"),
+          Multimodal.decodeMeta(bmp).as("b"),
+          Multimodal.decodeMeta(png).as("p"),
+          Multimodal.decodeMeta(wav).as("a"))
+        .select(F.col("doc_id"),
+          F.col("b.format").as("bmp_format"), F.col("b.width").as("bmp_w"),
+          F.col("b.height").as("bmp_h"),
+          F.col("p.format").as("png_format"), F.col("p.width").as("png_w"),
+          F.col("p.height").as("png_h"),
+          F.col("a.format").as("wav_format"),
+          F.col("a.sample_rate").as("wav_rate"),
+          F.col("a.channels").as("wav_channels"))
+        .orderBy("doc_id")
+    }),
     // deterministic sampling family (training-mix construction): all
     // randomness from the portable seeded hash, so DuckDB reproduces the
     // exact surviving row set
@@ -638,13 +678,23 @@ object QueriesLLM {
     "mm_meta" ->
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-         CAST(ascii(substring(text, 1, 1)) % 640 + 64 AS INTEGER) AS width,
-         CAST(ascii(substring(text, 1, 1)) % 480 + 48 AS INTEGER) AS height,
-         CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'jpeg'
-              WHEN octet_length(encode(text)) % 3 = 1 THEN 'png'
-              ELSE 'webp' END AS format,
+         CAST(NULL AS INTEGER) AS width,
+         CAST(NULL AS INTEGER) AS height,
+         'unknown' AS format,
          CAST(least(CAST(floor((octet_length(encode(text)) + 255) / 256) AS INTEGER), 16)
            AS INTEGER) AS n_frames
+         FROM documents ORDER BY doc_id""",
+    "mm_decode_headers" ->
+      """SELECT doc_id,
+         'bmp' AS bmp_format,
+         CAST(doc_id % 640 + 1 AS INTEGER) AS bmp_w,
+         CAST(doc_id % 480 + 1 AS INTEGER) AS bmp_h,
+         'png' AS png_format,
+         CAST(doc_id % 640 + 1 AS INTEGER) AS png_w,
+         CAST(doc_id % 480 + 1 AS INTEGER) AS png_h,
+         'wav' AS wav_format,
+         CAST(8000 + (doc_id % 8) * 4000 AS INTEGER) AS wav_rate,
+         CAST(doc_id % 2 + 1 AS INTEGER) AS wav_channels
          FROM documents ORDER BY doc_id""",
     "pii_redact" ->
       s"""WITH inj AS (SELECT doc_id,

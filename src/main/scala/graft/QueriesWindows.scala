@@ -100,6 +100,14 @@ object QueriesWindows {
         tieBreak = Seq("event_id"))
         .select("time", "event_id", "user_id", "count", "value100_sum")
         .orderBy("time", "event_id")),
+    // forward row-count frame (CountWindow's future direction): current row
+    // plus the 2 next rows of the same user, tie-broken on event_id
+    "summarize_windows_count" -> ((s, dir) =>
+      WindowOps.summarizeWindows(evV(s, dir), WindowOps.futureRows(2),
+        S.count() ++ S.sum("value100"), Seq("user_id"),
+        tieBreak = Seq("event_id"))
+        .select("time", "event_id", "user_id", "count", "value100_sum")
+        .orderBy("time", "event_id")),
     "add_summary_columns" -> ((s, dir) =>
       WindowOps.addSummaryColumns(evV(s, dir), S.count() ++ S.sum("value100"),
         Seq("user_id"), tieBreak = Seq("event_id"))
@@ -185,6 +193,13 @@ object QueriesWindows {
           count(*) OVER w AS count, CAST(sum(value100) OVER w AS BIGINT) AS value100_sum
           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY time, event_id
             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+          ORDER BY time, event_id""",
+    "summarize_windows_count" ->
+      s"""WITH e AS ($evVSql)
+          SELECT time, event_id, user_id,
+          count(*) OVER w AS count, CAST(sum(value100) OVER w AS BIGINT) AS value100_sum
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY time, event_id
+            ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING)
           ORDER BY time, event_id""",
     "add_summary_columns" ->
       s"""WITH e AS ($evVSql)

@@ -11,11 +11,15 @@ import org.apache.spark.sql.{functions => F}
  * filters on `contamination >= threshold` before training.
  *
  * Shape at 100 TB: the benchmark side collapses to one row per distinct
- * n-gram — eval suites are tiny next to the corpus, so it is broadcast by
- * default and the corpus-side explode never shuffles for the join; the
- * only shuffle is the per-doc count aggregation (map-side combined). Set
- * `broadcastBench = false` for a large benchmark side to fall back to a
- * shuffle join (AQE may still pick broadcast at runtime).
+ * n-gram — eval suites are tiny next to the corpus, so it is broadcast
+ * when its size estimate fits and the corpus-side explode never shuffles
+ * for the join; the only shuffle is the per-doc count aggregation
+ * (map-side combined). A benchmark side whose optimizer size estimate
+ * exceeds `maxBroadcastBytes` falls back to a shuffle join automatically
+ * — a forced broadcast of a large side would OOM the DRIVER, the one
+ * failure a caller mistake shouldn't be able to cause. Set
+ * `broadcastBench = false` to never hint (AQE may still pick broadcast
+ * at runtime).
  */
 object Contamination {
 
@@ -30,13 +34,21 @@ object Contamination {
    */
   def ngramOverlap(train: DataFrame, bench: DataFrame, idCol: String,
                    textCol: String, n: Int,
-                   broadcastBench: Boolean = true): DataFrame = {
+                   broadcastBench: Boolean = true,
+                   maxBroadcastBytes: Long = 256L << 20): DataFrame = {
     // n-grams live as 64-bit fingerprints end-to-end (codegen'd kernel, no
     // gram strings, long-typed shuffle keys); distinct = true gives the
     // sorted set form directly.
     val grams = TextStats.ngramHashes(F.col(textCol), n, distinct = true)
     val benchSet0 = bench.select(F.explode(grams).as("bench_gram")).distinct()
-    val benchSet = if (broadcastBench) F.broadcast(benchSet0) else benchSet0
+    // hint only when the optimizer's size estimate says the distinct gram
+    // set fits; an over-large estimate (or broadcastBench = false) plans a
+    // shuffle join instead of trusting the caller with the driver's heap
+    val benchFits =
+      benchSet0.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        BigInt(maxBroadcastBytes)
+    val benchSet =
+      if (broadcastBench && benchFits) F.broadcast(benchSet0) else benchSet0
     // Single evaluation of the n-gram expression per train row: carry the
     // per-doc total through the explode (explode_outer keeps zero-gram
     // docs as a null-gram row) and count matches with one left join — the

@@ -81,18 +81,79 @@ object Sampling {
 
   /** Deterministic fixed quota per stratum: the `n` rows of each stratum
     * with the smallest hash values (hash order = a stable pseudo-random
-    * order; ties broken by id). One hash-partitioned window — parallelism
-    * = |strata|; for quota sampling of a keyless corpus use
-    * [[sampleByHash]] with `rate = n / count`. */
+    * order; ties broken by id).
+    *
+    * Scale shape: a naive `row_number() OVER (PARTITION BY strata ORDER BY
+    * hash)` sorts each stratum in ONE task — with 3 hot strata over a
+    * 100 TB corpus that is three giant single-task sorts. Instead this
+    * runs two-pass threshold selection: (1) per-stratum counts (map-side-
+    * combinable agg, |strata| rows out); (2) filter to `hash < t_s` where
+    * `t_s = (n + 10*sqrt(n) + 100) / N_s` — for the uniform portable hash
+    * that keeps the true top-n with overwhelming probability while passing
+    * only ~n rows per stratum; (3) the exact trim window runs over those
+    * ~n candidate rows, not the corpus. Exactness is UNCONDITIONAL, not
+    * probabilistic: candidate counts are certified against `min(n, N_s)`,
+    * and any under-filled stratum (possible only if the hash were grossly
+    * non-uniform within it) falls back to the full window — normally zero
+    * strata and an empty branch. The bulk data is only ever scanned and
+    * filtered, never sorted or shuffled whole. */
   def quotaPerStratum(df: DataFrame, strataCols: Seq[String], idCol: String,
                       n: Int, seed: Long = 42L): DataFrame = {
     require(n >= 0, s"quota must be >= 0, got $n")
     require(strataCols.nonEmpty, "quotaPerStratum needs at least one stratum column")
-    val w = Window.partitionBy(strataCols.map(F.col): _*)
-      .orderBy(hashUnit(F.col(idCol), seed).asc, F.col(idCol).asc)
-    df.withColumn("__rn", F.row_number().over(w))
-      .filter(F.col("__rn") <= n)
-      .drop("__rn")
+    val reserved = Seq("__q_hash", "__q_n", "__q_t", "__q_c", "__q_rn")
+    reserved.foreach(c => require(!df.columns.contains(c),
+      s"quotaPerStratum: $c is reserved by this operator"))
+    if (n == 0) return df.filter(F.lit(false))
+    val outCols = df.columns.toSeq.map(F.col)
+    val strata = strataCols.map(F.col)
+    val data = df.withColumn("__q_hash", hashUnit(F.col(idCol), seed))
+
+    // pass 1: stratum sizes -> per-stratum hash threshold
+    val counts = data.groupBy(strata: _*)
+      .agg(F.count(F.lit(1)).as("__q_n"))
+      .withColumn("__q_t", F.least(F.lit(1.0),
+        F.lit(n + 10.0 * math.sqrt(n.toDouble) + 100.0) / F.col("__q_n")))
+    // null-safe equality: a null stratum is a group (window semantics),
+    // and a plain join would silently drop it
+    def nullSafe(prefix: String) =
+      strataCols.map(c => F.col(c) <=> F.col(s"$prefix$c")).reduce(_ && _)
+    def prefixed(src: DataFrame, prefix: String, extra: Seq[String]) =
+      src.select(strataCols.map(c => F.col(c).as(s"$prefix$c")) ++
+        extra.map(F.col): _*)
+
+    // pass 2: threshold filter — AQE broadcasts the tiny counts side
+    val candidates = data
+      .join(prefixed(counts, "__qs_", Seq("__q_n", "__q_t")), nullSafe("__qs_"))
+      .filter(F.col("__q_hash") < F.col("__q_t"))
+
+    // certify: every stratum must have >= min(n, N_s) candidates, else its
+    // threshold missed part of the true top-n (left join so a stratum with
+    // ZERO candidates is still caught)
+    val candCounts = candidates.groupBy(strata: _*)
+      .agg(F.count(F.lit(1)).as("__q_c"))
+    val bad = prefixed(counts, "__qb_", Seq("__q_n"))
+      .join(candCounts, strataCols.map(c =>
+        F.col(s"__qb_$c") <=> F.col(c)).reduce(_ && _), "left")
+      .filter(F.coalesce(F.col("__q_c"), F.lit(0L)) <
+        F.least(F.lit(n.toLong), F.col("__q_n")))
+      .select(strataCols.map(c => F.col(s"__qb_$c")): _*)
+
+    // pass 3: exact trim over the ~n candidates per stratum
+    val w = Window.partitionBy(strata: _*)
+      .orderBy(F.col("__q_hash").asc, F.col(idCol).asc)
+    val trimmed = candidates
+      .join(bad, nullSafe("__qb_"), "left_anti")
+      .withColumn("__q_rn", F.row_number().over(w))
+      .filter(F.col("__q_rn") <= n)
+      .select(outCols: _*)
+    // fallback (normally empty): full-stratum window for uncertified strata
+    val fallback = data
+      .join(bad, nullSafe("__qb_"), "left_semi")
+      .withColumn("__q_rn", F.row_number().over(w))
+      .filter(F.col("__q_rn") <= n)
+      .select(outCols: _*)
+    trimmed.unionByName(fallback)
   }
 
   /**

@@ -82,6 +82,41 @@ class SamplingSpec extends SparkTestBase {
     Sampling.quotaPerStratum(tiny, Seq("src"), "id", 5).count() shouldBe 3
   }
 
+  it should "match the naive full window exactly, including a hot stratum and null strata" in {
+    // one stratum holds 50% of rows (the 100x-scale shape the two-pass
+    // threshold exists for), plus a null stratum (window semantics: null
+    // is a group, which a plain inner join would silently drop)
+    val skewed = (0L until 4000L).map { i =>
+      val s = if (i % 2 == 0) "hot" else if (i % 4 == 1) "warm" else null
+      (i, s)
+    }.toDF("id", "src")
+    val got = Sampling.quotaPerStratum(skewed, Seq("src"), "id", 13)
+    // naive oracle: per-stratum smallest (hash, id)
+    val h = Sampling.hashUnit(F.col("id"), 42L)
+    val naive = skewed.withColumn("__h", h)
+      .withColumn("__rn", F.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")
+          .orderBy(F.col("__h").asc, F.col("id").asc)))
+      .filter(F.col("__rn") <= 13).select("id").as[Long].collect().sorted
+    got.select("id").as[Long].collect().sorted shouldBe naive
+    got.count() shouldBe 39
+  }
+
+  it should "pass only ~n candidate rows per stratum through the trim window" in {
+    // the exact-trim window must see ~n + slack rows, never the stratum —
+    // assert the plan's window input is bounded by the threshold filter
+    val big = (0L until 20000L).map(i => (i, "only")).toDF("id", "src")
+    val out = Sampling.quotaPerStratum(big, Seq("src"), "id", 10)
+    out.count() shouldBe 10
+    // threshold for n=10, N=20000: (10 + 10*sqrt(10) + 100)/20000 ≈ 0.0071
+    // -> expected candidates ≈ 142 ≪ 20000. Count rows surviving the same
+    // filter the operator applies.
+    val t = (10 + 10.0 * math.sqrt(10.0) + 100.0) / 20000.0
+    val cand = big.filter(Sampling.hashUnit(F.col("id"), 42L) < t).count()
+    assert(cand >= 10L && cand < 1000L,
+      s"candidate set should be ~142 rows, got $cand")
+  }
+
   behavior of "packSequences"
 
   private lazy val tokDocs = (0L until 300L)

@@ -94,6 +94,31 @@ class TextOpsSpec extends SparkTestBase {
     a shouldBe b
   }
 
+  it should "fall back to a shuffle join when the bench side estimate exceeds the cap" in {
+    def hasBroadcastHint(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.collectFirst {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.nonEmpty
+    val docs = Seq((1L, "a b c d")).toDF("id", "text")
+    val bench = (0L until 100L).map(i => (i, s"x$i y$i z$i w$i"))
+      .toDF("id", "text")
+    // small bench under the default cap: broadcast hint planned
+    hasBroadcastHint(
+      Contamination.ngramOverlap(docs, bench, "id", "text", 3)) shouldBe true
+    // same bench over a tiny cap: no hint — a shuffle join is planned, the
+    // driver's heap is never bet on the caller's size guess
+    val capped = Contamination.ngramOverlap(docs, bench, "id", "text", 3,
+      maxBroadcastBytes = 1L)
+    hasBroadcastHint(capped) shouldBe false
+    // opt-out still honored
+    hasBroadcastHint(Contamination.ngramOverlap(docs, bench, "id", "text", 3,
+      broadcastBench = false)) shouldBe false
+    // and the fallback plan still computes the same answer
+    capped.orderBy("id").collect().map(_.getAs[Long]("n_matched")) shouldBe
+      Contamination.ngramOverlap(docs, bench, "id", "text", 3)
+        .orderBy("id").collect().map(_.getAs[Long]("n_matched"))
+  }
+
   behavior of "hardFilter"
 
   it should "flag the Gopher/C4 reject rules and conjoin them into keep" in {
