@@ -147,6 +147,22 @@ object QueriesCore {
       AsOfJoin.leftJoin(l, r, tolerance = "6h", binned = true)
         .orderBy("time", "event_id")
     }),
+    // skew stress: ~half of all rows collapse onto ONE key (user_id
+    // parity), the rest spread over 50 — the binned path must keep
+    // |keys| x |bins| parallelism instead of serializing the hot key
+    "skew_left_join_asof_binned" -> ((s, dir) => {
+      val ev = events(s, dir)
+      def skew = F.when(F.col("user_id") % 2 === 0, 0L)
+        .otherwise(F.col("user_id") % 50 + 1)
+      val l = ev.filter(F.col("event_type") === "click")
+        .select(F.col("time"), F.col("event_id"), skew.as("skew_key"))
+      val r = withValue100(ev.filter(F.col("event_type") === "purchase"))
+        .select(F.col("time"), skew.as("skew_key"),
+          F.col("value100").as("p_value100"), F.col("time").as("p_time"))
+      AsOfJoin.leftJoin(l, r, tolerance = "6h", key = Seq("skew_key"),
+        binned = true)
+        .orderBy("time", "event_id")
+    }),
     "read_builder" -> ((s, dir) => {
       try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       catch { case _: Throwable => }
@@ -261,6 +277,20 @@ object QueriesCore {
             CASE WHEN r.time >= l.time - ${6 * HOUR} THEN r.p_value100 END AS p_value100,
             CASE WHEN r.time >= l.time - ${6 * HOUR} THEN r.p_time END AS p_time
           FROM l ASOF LEFT JOIN r ON r.time <= l.time
+          ORDER BY l.time, l.event_id""",
+    "skew_left_join_asof_binned" ->
+      s"""WITH l AS (SELECT epoch_ns(ts) AS time, event_id,
+                 CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id % 50 + 1 END AS skew_key
+                FROM events WHERE event_type = 'click'),
+          r AS (SELECT epoch_ns(ts) AS time,
+                 CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id % 50 + 1 END AS skew_key,
+                 CAST(round(value * 100, 0) AS BIGINT) AS p_value100,
+                 epoch_ns(ts) AS p_time
+                FROM events WHERE event_type = 'purchase')
+          SELECT l.time, l.event_id, l.skew_key,
+            CASE WHEN r.time >= l.time - ${6 * HOUR} THEN r.p_value100 END AS p_value100,
+            CASE WHEN r.time >= l.time - ${6 * HOUR} THEN r.p_time END AS p_time
+          FROM l ASOF LEFT JOIN r ON l.skew_key = r.skew_key AND r.time <= l.time
           ORDER BY l.time, l.event_id""",
     "read_builder" ->
       s"""SELECT epoch_ns(ts) AS time, event_id, user_id FROM events

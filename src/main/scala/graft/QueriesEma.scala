@@ -64,6 +64,20 @@ object QueriesEma {
         alpha = 0.05, durationPerPeriod = "1d", convention = "legacy")
         .select(F.col("time"), F.col("event_id"), F.col("event_type"),
           F.round(F.col("value_ewma"), 4).as("value_ewma"))
+        .orderBy("time", "event_id")),
+    // skew stress: one key (user_id parity) carries ~half the rows — the
+    // two-pass prefix scan must stay partition-parallel on the hot key-run
+    // instead of funneling it through one task
+    "skew_ema_rows_ewma" -> ((s, dir) =>
+      EmaOps.ewmaRows(
+        events(s, dir).select(F.col("time"), F.col("event_id"),
+          F.when(F.col("user_id") % 2 === 0, 0L)
+            .otherwise(F.col("user_id") % 50 + 1).as("skew_key"),
+          F.col("value")),
+        "value", Seq("skew_key"),
+        alpha = 0.05, durationPerPeriod = "1d", convention = "legacy")
+        .select(F.col("time"), F.col("event_id"), F.col("skew_key"),
+          F.round(F.col("value_ewma"), 4).as("value_ewma"))
         .orderBy("time", "event_id"))
   )
 
@@ -170,12 +184,14 @@ object QueriesEma {
         FROM s ORDER BY time, event_id"""
   }
 
-  private def ewmaRowsSql(alpha: Double, period: String): String = {
+  private def ewmaRowsSql(alpha: Double, period: String,
+                          keyExpr: String = "event_type",
+                          keyName: String = "event_type"): String = {
     val kk = k(alpha)
-    s"""WITH e AS (SELECT event_type, event_id, epoch_ns(ts) AS t, value AS x FROM events)
-        SELECT l.t AS time, l.event_id AS event_id, l.event_type AS event_type,
+    s"""WITH e AS (SELECT $keyExpr AS $keyName, event_id, epoch_ns(ts) AS t, value AS x FROM events)
+        SELECT l.t AS time, l.event_id AS event_id, l.$keyName AS $keyName,
           round(sum(r.x * exp($kk * ((l.t - r.t) / $period))), 4) AS value_ewma
-        FROM e l JOIN e r ON l.event_type = r.event_type AND r.t <= l.t
+        FROM e l JOIN e r ON l.$keyName = r.$keyName AND r.t <= l.t
         GROUP BY 1, 2, 3 ORDER BY time, event_id"""
   }
 
@@ -188,6 +204,8 @@ object QueriesEma {
     "ema_es_linear_convolution" -> esSql(0.05, "linear", "convolution", 1.0, Day),
     "ema_half_life" -> esSql(0.5, "previous", "legacy", 0.0, "43200000000000.0"),
     "ema_rows_es_current_core" -> esRowsSql(0.05, 1.0, Day),
-    "ema_rows_ewma_legacy" -> ewmaRowsSql(0.05, Day)
+    "ema_rows_ewma_legacy" -> ewmaRowsSql(0.05, Day),
+    "skew_ema_rows_ewma" -> ewmaRowsSql(0.05, Day,
+      "CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id % 50 + 1 END", "skew_key")
   )
 }

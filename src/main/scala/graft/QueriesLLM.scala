@@ -221,6 +221,17 @@ object QueriesLLM {
         budget = 1000L, numBuckets = 8)
         .select("doc_id", "pack_bucket", "pack_id", "pack_offset")
         .orderBy("doc_id")),
+    // skew stress: half the docs nearly fill a pack alone (900/1000),
+    // the rest are tiny — boundary churn and uneven fills, same bucketed
+    // O(1)-state scan
+    "skew_pack_sequences" -> ((s, dir) =>
+      Sampling.packSequences(
+        docs(s, dir).withColumn("skew_tok",
+          F.when(F.col("doc_id") % 2 === 0, 900L)
+            .otherwise(F.col("doc_id") % 97 + 1)),
+        "doc_id", "skew_tok", budget = 1000L, numBuckets = 8)
+        .select("doc_id", "pack_bucket", "pack_id", "pack_offset")
+        .orderBy("doc_id")),
     // Gopher-style repetition filter signals: top-bigram occupancy +
     // duplicate-trigram fraction. Exact integer ratios on both engines.
     "doc_repetition" -> ((s, dir) => {
@@ -310,6 +321,49 @@ object QueriesLLM {
              ((h1 % 2147483648) * 4294967296 + h2) / 9.223372036854776e18 AS u
            FROM documents)"""
 
+  /** Recursive-CTE mirror of packSequences' bucketed greedy fill (budget
+    * 1000, 8 buckets, seed 42) over document size expression `sizeExpr` —
+    * the same portable two-lane hash chain as the Spark side. */
+  private def packSql(sizeExpr: String): String =
+    s"""WITH RECURSIVE hashed AS (
+         SELECT doc_id, $sizeExpr AS sz,
+           (doc_id + 42) % 4294967296 AS c0,
+           xor(c0, c0 >> 16) * 73244475 % 4294967296 AS c1,
+           xor(c1, c1 >> 16) * 73244475 % 4294967296 AS c2,
+           xor(c2, c2 >> 16) AS ch,
+           ch % 8 AS pack_bucket,
+           (doc_id + 2654435803) % 4294967296 AS a0,
+           xor(a0, a0 >> 16) * 73244475 % 4294967296 AS a1,
+           xor(a1, a1 >> 16) * 73244475 % 4294967296 AS a2,
+           xor(a2, a2 >> 16) AS ah,
+           (doc_id + 5308871564) % 4294967296 AS b0,
+           xor(b0, b0 >> 16) * 73244475 % 4294967296 AS b1,
+           xor(b1, b1 >> 16) * 73244475 % 4294967296 AS b2,
+           xor(b2, b2 >> 16) AS bh,
+           ((ah % 2147483648) * 4294967296 + bh) / 9.223372036854776e18 AS u
+         FROM documents),
+        ranked AS (
+         SELECT doc_id, sz, pack_bucket,
+           row_number() OVER (PARTITION BY pack_bucket ORDER BY u, doc_id) AS rn
+         FROM hashed),
+        packs AS (
+         SELECT pack_bucket, rn, doc_id,
+           CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_offset,
+           CAST(sz AS BIGINT) AS fill
+         FROM ranked WHERE rn = 1
+         UNION ALL
+         SELECT r.pack_bucket, r.rn, r.doc_id,
+           CASE WHEN p.fill + r.sz > 1000 THEN p.pack_id + 1
+                ELSE p.pack_id END,
+           CASE WHEN p.fill + r.sz > 1000 THEN CAST(0 AS BIGINT)
+                ELSE p.fill END,
+           CASE WHEN p.fill + r.sz > 1000 THEN CAST(r.sz AS BIGINT)
+                ELSE p.fill + r.sz END
+         FROM ranked r JOIN packs p
+           ON r.pack_bucket = p.pack_bucket AND r.rn = p.rn + 1)
+        SELECT doc_id, pack_bucket, pack_id, pack_offset
+        FROM packs ORDER BY doc_id"""
+
   val oracleSql: Map[String, String] = Map(
     "sample_by_hash" ->
       s"""$hashUnitCte
@@ -335,45 +389,9 @@ object QueriesLLM {
          CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens
          FROM documents ORDER BY doc_id""",
-    "pack_sequences" ->
-      """WITH RECURSIVE hashed AS (
-           SELECT doc_id, n_chars,
-             (doc_id + 42) % 4294967296 AS c0,
-             xor(c0, c0 >> 16) * 73244475 % 4294967296 AS c1,
-             xor(c1, c1 >> 16) * 73244475 % 4294967296 AS c2,
-             xor(c2, c2 >> 16) AS ch,
-             ch % 8 AS pack_bucket,
-             (doc_id + 2654435803) % 4294967296 AS a0,
-             xor(a0, a0 >> 16) * 73244475 % 4294967296 AS a1,
-             xor(a1, a1 >> 16) * 73244475 % 4294967296 AS a2,
-             xor(a2, a2 >> 16) AS ah,
-             (doc_id + 5308871564) % 4294967296 AS b0,
-             xor(b0, b0 >> 16) * 73244475 % 4294967296 AS b1,
-             xor(b1, b1 >> 16) * 73244475 % 4294967296 AS b2,
-             xor(b2, b2 >> 16) AS bh,
-             ((ah % 2147483648) * 4294967296 + bh) / 9.223372036854776e18 AS u
-           FROM documents),
-          ranked AS (
-           SELECT doc_id, n_chars, pack_bucket,
-             row_number() OVER (PARTITION BY pack_bucket ORDER BY u, doc_id) AS rn
-           FROM hashed),
-          packs AS (
-           SELECT pack_bucket, rn, doc_id,
-             CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_offset,
-             CAST(n_chars AS BIGINT) AS fill
-           FROM ranked WHERE rn = 1
-           UNION ALL
-           SELECT r.pack_bucket, r.rn, r.doc_id,
-             CASE WHEN p.fill + r.n_chars > 1000 THEN p.pack_id + 1
-                  ELSE p.pack_id END,
-             CASE WHEN p.fill + r.n_chars > 1000 THEN CAST(0 AS BIGINT)
-                  ELSE p.fill END,
-             CASE WHEN p.fill + r.n_chars > 1000 THEN CAST(r.n_chars AS BIGINT)
-                  ELSE p.fill + r.n_chars END
-           FROM ranked r JOIN packs p
-             ON r.pack_bucket = p.pack_bucket AND r.rn = p.rn + 1)
-          SELECT doc_id, pack_bucket, pack_id, pack_offset
-          FROM packs ORDER BY doc_id""",
+    "pack_sequences" -> packSql("n_chars"),
+    "skew_pack_sequences" ->
+      packSql("CASE WHEN doc_id % 2 = 0 THEN 900 ELSE doc_id % 97 + 1 END"),
     "doc_token_stats" ->
       """SELECT doc_id,
          CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,

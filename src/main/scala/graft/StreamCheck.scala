@@ -15,9 +15,11 @@ import graft.ts.{AsOfJoin, EmaOps, Summarizers, TimeSeriesOps}
  * driver-visible correctness evidence for the streaming surface — the ops
  * whose semantics DuckDB cannot oracle (watermarks, incremental state).
  *
- * Covers all seven streaming operators: summarizeTumbling /
+ * Covers all seven streaming operators — summarizeTumbling /
  * summarizeSliding / summarizeSessions, ewmaStateful, dedupExactStream,
- * leftJoinStream, futureLeftJoinStream.
+ * leftJoinStream, futureLeftJoinStream — plus the time-partitioned sink
+ * and a checkpoint restart (stop mid-stream, resume, exactly-once +
+ * state recovery).
  *
  * Usage: `runMain graft.StreamCheck [sfDir] [outJson]` — writes one JSON
  * object per op: {"match": bool, "stream_rows": n, "batch_rows": n,
@@ -215,6 +217,43 @@ object StreamCheck {
         graft.ts.Sources.writeTimePartitioned(evDF, s"$base/batch",
           granularity = "7d", mode = "overwrite")
         (readBack(s"$base/stream"), readBack(s"$base/batch"))
+      } finally
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+
+    record("restart_recovery") {
+      // stop a stateful query mid-stream and restart it from its
+      // checkpoint: committed offsets, open-window state and the file
+      // sink's commit log must all recover — the final output equals one
+      // uninterrupted batch run (exactly-once: no dropped or duplicated
+      // windows; state recovery: windows straddling the stop point combine
+      // rows from both phases).
+      val base = java.nio.file.Files.createTempDirectory("graft_sc_rr").toString
+      try {
+        val mem = MemoryStream[(Long, String, Double)]
+        def build(df: DataFrame): DataFrame = StreamingOps.summarizeTumbling(
+          df, Summarizers.sum("v"), "6 hours", "0 seconds", Seq("event_type"))
+        def startQuery() = build(mem.toDF().toDF("time", "event_type", "v"))
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ck")
+          .outputMode("append").start()
+        val (phase1, phase2) = ev.splitAt(ev.length / 2)
+        val q1 = startQuery()
+        try {
+          phase1.grouped(math.max(1, phase1.length / 2))
+            .foreach { c => mem.addData(c); q1.processAllAvailable() }
+        } finally q1.stop()
+        val q2 = startQuery() // same source, sink and checkpoint: a restart
+        try {
+          phase2.grouped(math.max(1, phase2.length / 2))
+            .foreach { c => mem.addData(c); q2.processAllAvailable() }
+          mem.addData(sentinel)
+          q2.processAllAvailable()
+        } finally q2.stop()
+        val stream = spark.read.parquet(s"$base/out").collect().toSeq
+          .filterNot(_.toSeq.contains("__wm_sentinel__"))
+        (stream, build(evDF).collect().toSeq)
       } finally
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
     }

@@ -223,14 +223,21 @@ object TimeSeriesOps {
   // ---------------------------------------------------------------- clocks
 
   /** Evenly spaced `time`-only table over [begin, end] step `frequency`
-    * (≙ Clocks.uniform, Clocks.scala:44-89). Distributed via spark.range. */
+    * (≙ Clocks.uniform, Clocks.scala:44-89). Distributed via spark.range.
+    * `offset` shifts the first tick to `begin + offset % frequency` and
+    * ticks stay bounded by `end` (reference semantics: "specifying an
+    * offset greater than the frequency is the same as offset %
+    * frequency"; end-inclusive). */
   def uniformClock(spark: SparkSession, beginNanos: Long, endNanos: Long,
-                   frequency: String): DataFrame = {
+                   frequency: String, offset: String = "0ns"): DataFrame = {
     val step = parseDuration(frequency)
     require(step > 0, s"frequency must be positive: $frequency")
     require(endNanos >= beginNanos, s"end ($endNanos) must be >= begin ($beginNanos)")
-    val n = (endNanos - beginNanos) / step + 1
-    spark.range(n).select((lit(beginNanos) + col("id") * step).as(TimeColumn))
+    val off = parseDuration(offset) % step
+    require(off >= 0, s"offset must be non-negative: $offset")
+    val first = beginNanos + off
+    val n = if (first > endNanos) 0L else (endNanos - first) / step + 1
+    spark.range(n).select((lit(first) + col("id") * step).as(TimeColumn))
   }
 
   /** Merge two same-schema time-series tables preserving order; ties keep

@@ -150,6 +150,17 @@ class TimeSeriesOpsSpec extends SparkTestBase {
       TimeSeriesOps.uniformClock(spark, 10L, 0L, "1ns")
   }
 
+  it should "apply reference offset semantics: first tick begin + offset % frequency, bounded by end" in {
+    TimeSeriesOps.uniformClock(spark, 0L, 10L, "2ns", offset = "1ns")
+      .as[Long].collect().sorted shouldBe Array(1L, 3L, 5L, 7L, 9L)
+    // offset >= frequency wraps (Clocks.scala offset % frequency note)
+    TimeSeriesOps.uniformClock(spark, 0L, 10L, "2ns", offset = "5ns")
+      .as[Long].collect().sorted shouldBe Array(1L, 3L, 5L, 7L, 9L)
+    // offset past end: empty clock, never an out-of-range tick
+    TimeSeriesOps.uniformClock(spark, 0L, 3L, "10ns", offset = "4ns")
+      .count() shouldBe 0L
+  }
+
   behavior of "fromDF"
 
   it should "sort unsorted input and trust sorted input without a shuffle" in {
