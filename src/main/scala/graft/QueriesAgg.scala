@@ -205,7 +205,9 @@ object QueriesAgg {
     "summarize_covar_corr" -> {
       val x = "CAST(l_quantity AS DOUBLE)"; val y = "CAST(l_linenumber AS DOUBLE)"
       val n = s"CAST(count($x) AS DOUBLE)"
-      val cov = s"((sum($x * $y) / $n - (sum($x) / $n) * (sum($y) / $n)) * ($n / ($n - 1.0)))"
+      // POPULATION covariance (no Bessel) — reference convention, pinned
+      // by GoldenParitySpec
+      val cov = s"(sum($x * $y) / $n - (sum($x) / $n) * (sum($y) / $n))"
       val r = s"((sum($x * $y) / $n - (sum($x) / $n) * (sum($y) / $n)) / " +
         s"(sqrt(sum($x * $x) / $n - (sum($x) / $n) * (sum($x) / $n)) * " +
         s"sqrt(sum($y * $y) / $n - (sum($y) / $n) * (sum($y) / $n))))"
@@ -252,29 +254,41 @@ object QueriesAgg {
           FROM e GROUP BY event_type ORDER BY event_type"""
     },
     "summarize_weighted_mean" -> {
+      // reference WeightedMeanTest semantics (w here is strictly positive,
+      // so the sign-folding terms reduce away): frequency-weights variance
+      // coMoment·Σw/((Σw)²−Σw²), t-stat over the effective sample size
       val x = "CAST(value100 AS DOUBLE)"
-      val n = "CAST(count(w) AS DOUBLE)"
       val wm = s"(sum($x * w) / sum(w))"
-      val wvar = s"((sum($x * $x * w) / sum(w) - $wm * $wm) * ($n / ($n - 1.0)))"
+      val com = s"(sum(w * $x * $x) - sum($x * w) * sum($x * w) / sum(w))"
+      val wvar = s"($com * sum(w) / (sum(w) * sum(w) - sum(w * w)))"
       s"""WITH e AS ($evwSql)
           SELECT CAST(0 AS BIGINT) AS time, event_type,
           $wm AS value100_w_weightedMean,
           sqrt($wvar) AS value100_w_weightedStandardDeviation,
-          $wm / (sqrt($wvar) / sqrt($n)) AS value100_w_weightedTStat,
+          sqrt(sum(w) * sum(w) / sum(w * w)) * $wm / sqrt($wvar)
+            AS value100_w_weightedTStat,
           count(w) AS value100_w_observationCount
           FROM e GROUP BY event_type ORDER BY event_type"""
     },
     "summarize_weighted_cov_corr" -> {
-      def wcov(x: String, y: String) = {
+      // covariance: reliability-weights unbiased estimator coMoment /
+      // (Σw − Σw²/Σw) (reference convention, pinned by GoldenParitySpec)
+      def wcov(x: String, y: String) =
+        s"((sum($x * $y * w) - sum($x * w) * sum($y * w) / sum(w)) / " +
+          s"(sum(w) - sum(w * w) / sum(w)))"
+      // correlation: the normalization cancels, so the ratio mirrors the
+      // impl's cxy/cxx/cyy expression SHAPE bit-for-bit (hash compare
+      // needs identical IEEE rounding, not just identical math)
+      def cmom(x: String, y: String) = {
         val n = "CAST(count(w) AS DOUBLE)"
         s"((sum($x * $y * w) / sum(w) - (sum($x * w) / sum(w)) * (sum($y * w) / sum(w))) * " +
-          s"($n / CAST(count(w) - 1 AS DOUBLE)))"
+          s"($n / ($n - 1.0)))"
       }
       val x = "CAST(value100 AS DOUBLE)"; val y = "CAST(user_id AS DOUBLE)"
       s"""WITH e AS ($evwSql)
           SELECT CAST(0 AS BIGINT) AS time, event_type,
           ${wcov(x, y)} AS value100_user_id_w_weightedCovariance,
-          ${wcov(x, y)} / sqrt(${wcov(x, x)} * ${wcov(y, y)})
+          ${cmom(x, y)} / sqrt(${cmom(x, x)} * ${cmom(y, y)})
             AS value100_user_id_w_weightedCorrelation
           FROM e GROUP BY event_type ORDER BY event_type"""
     },

@@ -154,9 +154,12 @@ object Summarizers {
     (sdiv(c.agg(F.sum(v * v)), n) - mu * mu) * sdiv(n, n - F.lit(1.0))
   }
 
-  /** Sample covariance from power sums: (Σxy/n − μxμy) · n/(n−1);
-    * `<x>_<y>_covariance` (Summarizers.scala:142). Rows where either side is
-    * null are excluded pairwise. */
+  /** POPULATION covariance from power sums: Σxy/n − μxμy (≙ the
+    * reference's CorrelationState render, subtractable/
+    * CorrelationSummarizer.scala:129 — coMoment / n, NO Bessel
+    * correction; pinned by GoldenParitySpec against the reference spec's
+    * values); `<x>_<y>_covariance` (Summarizers.scala:142). Rows where
+    * either side is null are excluded pairwise. */
   def covariance(x: String, y: String): Summarizer =
     Summarizer(c => Seq(s"${x}_${y}_covariance" -> covExpr(x, y, c)))
 
@@ -165,9 +168,8 @@ object Summarizers {
     val vx = c.in(F.when(ok, F.col(x)).cast("double"))
     val vy = c.in(F.when(ok, F.col(y)).cast("double"))
     val n = c.agg(F.count(vx)).cast("double")
-    (sdiv(c.agg(F.sum(vx * vy)), n) -
-      sdiv(c.agg(F.sum(vx)), n) * sdiv(c.agg(F.sum(vy)), n)) *
-      sdiv(n, n - F.lit(1.0))
+    sdiv(c.agg(F.sum(vx * vy)), n) -
+      sdiv(c.agg(F.sum(vx)), n) * sdiv(c.agg(F.sum(vy)), n)
   }
 
   /** Pearson correlation + t-stat from power sums; `<x>_<y>_correlation`,
@@ -265,8 +267,11 @@ object Summarizers {
       s"${x}_state_s4" -> c.agg(F.sum(v * v * v * v)))
   }
 
-  /** Weighted sample covariance (w-weighted means, sample correction m/(m-1);
-    * ≙ WeightedCovarianceSummarizer). */
+  /** Weighted covariance, unbiased under RELIABILITY weights (≙
+    * WeightedCovarianceSummarizer.render, rdd/.../WeightedCovariance
+    * Summarizer.scala:98): coMoment / (Σw − Σw²/Σw), where coMoment is the
+    * weighted co-moment about the weighted means. Reduces to the n/(n−1)
+    * sample correction for uniform weights; pinned by GoldenParitySpec. */
   def weightedCovariance(x: String, y: String, w: String): Summarizer = Summarizer { c =>
     Seq(s"${x}_${y}_${w}_weightedCovariance" -> weightedCovExpr(x, y, w, c))
   }
@@ -275,12 +280,12 @@ object Summarizers {
     val ok = F.col(x).isNotNull && F.col(y).isNotNull && F.col(w).isNotNull
     val ww = c.in(F.when(ok, F.col(w)).cast("double"))
     val sw = c.agg(F.sum(ww))
-    val mx = sdiv(c.agg(F.sum(F.col(x) * ww)), sw)
-    val my = sdiv(c.agg(F.sum(F.col(y) * ww)), sw)
+    val swsq = c.agg(F.sum(ww * ww))
+    val sx = c.agg(F.sum(F.col(x) * ww))
+    val sy = c.agg(F.sum(F.col(y) * ww))
     val sxy = c.agg(F.sum(F.col(x) * F.col(y) * ww))
-    val n = c.agg(F.count(ww))
-    (sdiv(sxy, sw) - mx * my) *
-      sdiv(n.cast("double"), (n - F.lit(1)).cast("double"))
+    val coMoment = sxy - sdiv(sx * sy, sw)
+    sdiv(coMoment, sw - sdiv(swsq, sw))
   }
 
   /** Weighted Pearson correlation (≙ WeightedCorrelationSummarizer).
@@ -307,17 +312,26 @@ object Summarizers {
   /** Weighted mean / stddev / t-stat / count (≙ WeightedMeanTestSummarizer,
     * Summarizers.scala:91). */
   def weightedMeanTest(v: String, w: String): Summarizer = Summarizer { c =>
-    val ok = F.col(v).isNotNull && F.col(w).isNotNull
+    // Reference semantics (subtractable/WeightedMeanTestSummarizer.scala:
+    // 51-57,129-142, pinned by GoldenParitySpec): a negative weight FLIPS
+    // the value's sign and contributes |w| (v = x·sign(w), w' = |w|); zero
+    // weights are skipped entirely (not observations); variance is the
+    // frequency-weights unbiased form coMoment·Σw'/((Σw')² − Σw'²); the
+    // t-stat uses the effective sample size (Σw')²/Σw'², not the row count.
+    val ok = F.col(v).isNotNull && F.col(w).isNotNull && F.col(w) =!= 0.0
     val x = c.in(F.when(ok, F.col(v)).cast("double"))
     val ww = c.in(F.when(ok, F.col(w)).cast("double"))
+    val a = F.abs(ww)
     val n = c.agg(F.count(ww))
-    val nd = n.cast("double")
-    val sw = c.agg(F.sum(ww))
-    val wm = sdiv(c.agg(F.sum(x * ww)), sw)
-    val wvar = (sdiv(c.agg(F.sum(x * x * ww)), sw) - wm * wm) *
-      sdiv(nd, nd - F.lit(1.0))
+    val sumA = c.agg(F.sum(a))
+    val sumA2 = c.agg(F.sum(a * a))
+    val sumWX = c.agg(F.sum(ww * x)) // = Σ w'·v  (w·x = |w|·x·sign(w))
+    val sumAX2 = c.agg(F.sum(a * x * x)) // = Σ w'·v²  (v² = x²)
+    val wm = sdiv(sumWX, sumA)
+    val coMoment = sumAX2 - sdiv(sumWX * sumWX, sumA)
+    val wvar = sdiv(coMoment * sumA, sumA * sumA - sumA2)
     val wsd = F.sqrt(wvar)
-    val t = sdiv(wm, sdiv(wsd, F.sqrt(nd)))
+    val t = F.sqrt(sdiv(sumA * sumA, sumA2)) * sdiv(wm, wsd)
     Seq(
       s"${v}_${w}_weightedMean" -> wm,
       s"${v}_${w}_weightedStandardDeviation" -> wsd,
@@ -329,7 +343,10 @@ object Summarizers {
     * or out-of-sample (≙ ZScoreSummarizer, Summarizers.scala:179). */
   def zScore(x: String, includeCurrent: Boolean): Summarizer = Summarizer { c =>
     val v = c.in(x).cast("double")
-    val lastVal = c.agg(F.max_by(v, F.when(v.isNotNull, F.col(TimeSeriesOps.TimeColumn))))
+    // tie-break equal last timestamps by value (engine-wide greatest-tuple
+    // convention) — a bare max_by(time) is nondeterministic on ties
+    val lastVal = c.agg(F.max_by(v,
+      F.when(v.isNotNull, F.struct(F.col(TimeSeriesOps.TimeColumn), v))))
     val z = if (includeCurrent) {
       val n = c.agg(F.count(v)).cast("double")
       sdiv(lastVal - sdiv(c.agg(F.sum(v)), n), F.sqrt(varExpr(v, c)))
@@ -374,8 +391,13 @@ object Summarizers {
         centralMoment(v, 2, c) * centralMoment(v, 2, c)) - F.lit(3.0)))
   }
 
-  private def intPow(x: Column, n: Int): Column =
-    (1 until n).foldLeft(x)((acc, _) => acc * x)
+  private def intPow(x: Column, n: Int): Column = {
+    require(n >= 0, s"intPow exponent must be >= 0, got $n")
+    // x^0 = 1 — but only for non-null x (a bare lit(1.0) would resurrect
+    // null rows into the 0th moment's sum)
+    if (n == 0) F.when(x.isNotNull, F.lit(1.0))
+    else (1 until n).foldLeft(x)((acc, _) => acc * x)
+  }
 
   /** Population central moment from raw power sums (single pass, map-side
     * combinable — no two-pass mean subtraction). */

@@ -364,6 +364,200 @@ class GoldenParitySpec extends SparkTestBase {
     }
   }
 
+  // ------------------------------------------- per-summarizer golden values
+  // Expected numbers are hardcoded in the corresponding reference specs
+  // (src/test/scala/.../summarize/summarizer/*Spec.scala) over the fixture
+  // CSVs; truncated literals there imply ~1e-9 tolerant equality.
+
+  private val SD = "summarize/summarizer"
+  private def onlyVal(df: DataFrame, col: String): Double =
+    df.collect()(0).getAs[Double](col)
+  private def byId(df: DataFrame, col: String): Map[Int, Double] =
+    df.collect().map(r => r.getAs[Int]("id") -> r.getAs[Double](col)).toMap
+
+  it should "match variance/stddev/zScore goldens" in {
+    val price = loadCsv(s"$SD/meansummarizer/Price.csv",
+      "time long, id int, price double")
+    onlyVal(Summarize.summarize(price, S.variance("price")),
+      "price_variance") shouldBe 3.25 +- 1e-9
+    onlyVal(Summarize.summarize(price, S.stddev("price")),
+      "price_stddev") shouldBe 1.802775638 +- 1e-8
+    val zPrice = loadCsv(s"$SD/zscoresummarizer/Price.csv",
+      "time long, id int, price double")
+    onlyVal(Summarize.summarize(zPrice, S.zScore("price", includeCurrent = true)),
+      "price_zScore") shouldBe 1.5254255396193801 +- 1e-9
+    onlyVal(Summarize.summarize(zPrice, S.zScore("price", includeCurrent = false)),
+      "price_zScore") shouldBe 1.8090680674665818 +- 1e-9
+  }
+
+  private def corrInput = {
+    val price = loadCsv(s"$SD/correlationsummarizer/Price.csv",
+      "time long, id int, price double")
+    val forecast = loadCsv(s"$SD/correlationsummarizer/Forecast.csv",
+      "time long, id int, forecast double")
+    AsOfJoin.leftJoin(price, forecast, "0ns", Seq("id"))
+      .withColumn("price2", F.col("price"))
+      .withColumn("price3", -F.col("price"))
+      .withColumn("price4", F.col("price") * 2)
+      .withColumn("price5", F.lit(0.0))
+  }
+
+  it should "match covariance goldens (population normalization)" in {
+    val input = corrInput
+    def cov(x: String, y: String) =
+      byId(Summarize.summarize(input, S.covariance(x, y), Seq("id")),
+        s"${x}_${y}_covariance")
+    val c2 = cov("price", "price2")
+    c2(7) shouldBe 3.368055556 +- 1e-8
+    c2(3) shouldBe 2.534722222 +- 1e-8
+    val c3 = cov("price", "price3")
+    c3(7) shouldBe -3.368055556 +- 1e-8
+    c3(3) shouldBe -2.534722222 +- 1e-8
+    val c4 = cov("price", "price4")
+    c4(7) shouldBe 6.736111111 +- 1e-8
+    c4(3) shouldBe 5.069444444 +- 1e-8
+    val c5 = cov("price", "price5")
+    c5(7) shouldBe 0.0 +- 1e-12
+    c5(3) shouldBe 0.0 +- 1e-12
+  }
+
+  it should "match correlation and tStat goldens" in {
+    val input = corrInput
+    val r4 = byId(Summarize.summarize(input,
+      S.correlation("price", "price4"), Seq("id")), "price_price4_correlation")
+    r4(7) shouldBe 1.0 +- 1e-12
+    r4(3) shouldBe 1.0 +- 1e-12
+    // zero-variance side: undefined — reference spells NaN, graft SQL null
+    Summarize.summarize(input, S.correlation("price", "price5"), Seq("id"))
+      .collect().foreach { r =>
+        val i = r.fieldIndex("price_price5_correlation")
+        assert(r.isNullAt(i) || r.getDouble(i).isNaN)
+      }
+    val rf = Summarize.summarize(input,
+      S.correlation("price", "forecast"), Seq("id")).collect()
+      .map(r => r.getAs[Int]("id") ->
+        (r.getAs[Double]("price_forecast_correlation"),
+          r.getAs[Double]("price_forecast_correlationTStat"))).toMap
+    rf(7)._1 shouldBe -0.021896121374023046 +- 1e-12
+    rf(7)._2 shouldBe -0.04380274440368827 +- 1e-12
+    rf(3)._1 shouldBe -0.47908485866330514 +- 1e-12
+    rf(3)._2 shouldBe -1.0915971793294055 +- 1e-12
+    // multi-pair form emits every pair with the same numbers, sign-flipped
+    // through price3 = -price
+    val multi = Summarize.summarize(input,
+      S.correlation(Seq("price", "price3"), Seq("forecast")), Seq("id"))
+      .collect().map(r => r.getAs[Int]("id") -> r).toMap
+    multi(7).getAs[Double]("price_forecast_correlation") shouldBe
+      -0.021896121374023046 +- 1e-12
+    multi(7).getAs[Double]("price3_forecast_correlation") shouldBe
+      0.021896121374023046 +- 1e-12
+  }
+
+  it should "match weightedMeanTest and weightedCorrelation goldens" in {
+    val price = loadCsv(s"$SD/weightedmeantestsummarizer/Price.csv",
+      "time long, id int, price double")
+    val forecast = loadCsv(s"$SD/weightedmeantestsummarizer/Forecast.csv",
+      "time long, id int, forecast double")
+    val joined = AsOfJoin.leftJoin(price, forecast, "0ns", Seq("id"))
+    val r = Summarize.summarize(joined,
+      S.weightedMeanTest("price", "forecast")).collect()(0)
+    r.getAs[Double]("price_forecast_weightedMean") shouldBe
+      0.11695906432748544 +- 1e-12
+    r.getAs[Double]("price_forecast_weightedStandardDeviation") shouldBe
+      4.373623725800579 +- 1e-12
+    r.getAs[Double]("price_forecast_weightedTStat") shouldBe
+      0.0788230123405099 +- 1e-12
+    r.getAs[Long]("price_forecast_observationCount") shouldBe 12L
+
+    val data = loadCsv(s"$SD/weightedcorrelationsummarizer/Data.csv",
+      "time long, w double, x double, y double")
+    onlyVal(Summarize.summarize(data, S.weightedCorrelation("x", "y", "w")),
+      "x_y_w_weightedCorrelation") shouldBe -1.0 +- 1e-9
+
+    // reliability-weights estimator reduces to the Bessel-corrected sample
+    // covariance under uniform weights (reference WeightedCovariance
+    // doc contract): wcov(w=1) = population covariance * n/(n-1)
+    val uni = corrInput.withColumn("w1", F.lit(1.0))
+    val wc = onlyVal(Summarize.summarize(uni,
+      S.weightedCovariance("price", "forecast", "w1")),
+      "price_forecast_w1_weightedCovariance")
+    val pc = onlyVal(Summarize.summarize(uni,
+      S.covariance("price", "forecast")), "price_forecast_covariance")
+    wc shouldBe (pc * 12.0 / 11.0) +- 1e-9
+  }
+
+  it should "match nthMoment and standardized-moment goldens" in {
+    val price = loadCsv(s"$SD/nthmomentsummarizer/Price.csv",
+      "time long, id int, price double")
+    def mom(n: Int) = byId(
+      Summarize.summarize(price, S.nthMoment("price", n), Seq("id")),
+      s"price_${n}thMoment")
+    mom(0)(3) shouldBe 1.0 +- 1e-12
+    mom(0)(7) shouldBe 1.0 +- 1e-12
+    mom(1)(3) shouldBe 3.0833333333333335 +- 1e-12
+    mom(1)(7) shouldBe 3.416666666666667 +- 1e-12
+    mom(2)(3) shouldBe 12.041666666666668 +- 1e-12
+    mom(2)(7) shouldBe 15.041666666666666 +- 1e-12
+    mom(3)(3) shouldBe 53.39583333333333 +- 1e-11
+
+    val sm = loadCsv(s"$SD/standardizedmomentsummarizer/Price.csv",
+      "time long, id int, price double")
+    onlyVal(Summarize.summarize(sm, S.skewness("price")),
+      "price_skewness") shouldBe 0.0 +- 1e-12
+    onlyVal(Summarize.summarize(sm, S.kurtosis("price")),
+      "price_kurtosis") shouldBe -1.2167832167832167 +- 1e-12
+  }
+
+  it should "match product/dotProduct/geometricMean goldens incl. zero and sign handling" in {
+    val ddl = "time long, id int, price double, priceWithZero double, " +
+      "priceWithNegatives double"
+    val prod = loadCsv(s"$SD/productsummarizer/Price.csv", ddl)
+    val p = byId(Summarize.summarize(prod, S.product("price"), Seq("id")),
+      "price_product")
+    p(3) shouldBe 324.84375 +- 1e-9
+    p(7) shouldBe 360.0 +- 1e-9
+    onlyVal(Summarize.summarize(prod, S.product("priceWithZero")),
+      "priceWithZero_product") shouldBe 0.0 +- 1e-12
+    val pn = byId(
+      Summarize.summarize(prod, S.product("priceWithNegatives"), Seq("id")),
+      "priceWithNegatives_product")
+    pn(3) shouldBe -324.84375 +- 1e-9
+    pn(7) shouldBe 360.0 +- 1e-9
+    // windowed: a zero EXITING the window must not poison later products
+    val win = WindowOps.summarizeWindows(prod,
+      WindowOps.pastAbsoluteTime("50ns"), S.product("priceWithZero"))
+      .orderBy("time").select("priceWithZero_product").collect()
+    win.head.getDouble(0) shouldBe 0.0 +- 1e-12
+    win.last.getDouble(0) shouldBe 742.5 +- 1e-9
+
+    val dot = loadCsv(s"$SD/dotproductsummarizer/Price.csv",
+      "time long, id int, price double")
+    val d = byId(
+      Summarize.summarize(dot, S.dotProduct("price", "price"), Seq("id")),
+      "price_price_dotProduct")
+    d(3) shouldBe 72.25 +- 1e-9
+    d(7) shouldBe 90.25 +- 1e-9
+
+    val geo = loadCsv(s"$SD/geometricmeansummarizer/Price.csv", ddl)
+    val g = byId(
+      Summarize.summarize(geo, S.geometricMean("price"), Seq("id")),
+      "price_geometricMean")
+    g(3) shouldBe 2.621877636494 +- 1e-9
+    g(7) shouldBe 2.667168275340 +- 1e-9
+    onlyVal(Summarize.summarize(geo, S.geometricMean("priceWithZero")),
+      "priceWithZero_geometricMean") shouldBe 0.0 +- 1e-12
+    val gn = byId(Summarize.summarize(geo,
+      S.geometricMean("priceWithNegatives"), Seq("id")),
+      "priceWithNegatives_geometricMean")
+    gn(3) shouldBe -2.621877636494 +- 1e-9
+    gn(7) shouldBe 2.667168275340 +- 1e-9
+    val gwin = WindowOps.summarizeWindows(geo,
+      WindowOps.pastAbsoluteTime("50ns"), S.geometricMean("priceWithZero"))
+      .orderBy("time").select("priceWithZero_geometricMean").collect()
+    gwin.head.getDouble(0) shouldBe 0.0 +- 1e-12
+    gwin.last.getDouble(0) shouldBe 5.220043408524 +- 1e-9
+  }
+
   // "decay using half life correctly": alpha 0.5 per 100s half-life,
   // previous/legacy, keyless
   it should "match the reference emaHalfLife golden column" in {

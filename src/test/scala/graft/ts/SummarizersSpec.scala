@@ -34,6 +34,9 @@ class SummarizersSpec extends SparkTestBase {
     val (ma, mb) = (mean(a), mean(b))
     a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum / (a.length - 1)
   }
+  // reference convention (CorrelationState.render): coMoment / n, no Bessel
+  private def popCov(a: Seq[Double], b: Seq[Double]) =
+    sampleCov(a, b) * (a.length - 1) / a.length
 
   private def one(s: Summarizer): org.apache.spark.sql.Row =
     Summarize.summarize(df, s).collect().head
@@ -54,9 +57,9 @@ class SummarizersSpec extends SparkTestBase {
     approx(r.getDouble(2), math.sqrt(sampleVar(xs)))
   }
 
-  it should "compute sample covariance and Pearson correlation with t-stat" in {
+  it should "compute population covariance and Pearson correlation with t-stat" in {
     val r = one(Summarizers.covariance("x", "y") ++ Summarizers.correlation("x", "y"))
-    approx(r.getDouble(1), sampleCov(xs, ys))
+    approx(r.getDouble(1), popCov(xs, ys))
     val rho = sampleCov(xs, ys) / math.sqrt(sampleVar(xs) * sampleVar(ys))
     approx(r.getDouble(2), rho, 1e-9)
     approx(r.getDouble(3), rho * math.sqrt((n - 2) / (1 - rho * rho)), 1e-9)
@@ -66,26 +69,45 @@ class SummarizersSpec extends SparkTestBase {
     val r = one(Summarizers.weightedCovariance("x", "y", "w") ++
       Summarizers.weightedCorrelation("x", "y", "w"))
     val sw = ws.sum
+    val swsq = ws.map(w => w * w).sum
     val mx = xs.zip(ws).map { case (x, w) => x * w }.sum / sw
     val my = ys.zip(ws).map { case (y, w) => y * w }.sum / sw
+    // reliability-weights unbiased estimator (reference convention):
+    // coMoment / (Σw − Σw²/Σw)
     def wcov(a: Seq[Double], ma: Double, b: Seq[Double], mb: Double) =
-      a.indices.map(i => ws(i) * (a(i) - ma) * (b(i) - mb)).sum / sw * n / (n - 1)
+      a.indices.map(i => ws(i) * (a(i) - ma) * (b(i) - mb)).sum /
+        (sw - swsq / sw)
     val cxy = wcov(xs, mx, ys, my)
     approx(r.getDouble(1), cxy, 1e-9)
     val rho = cxy / math.sqrt(wcov(xs, mx, xs, mx) * wcov(ys, my, ys, my))
     approx(r.getDouble(2), rho, 1e-9)
   }
 
-  it should "compute the weighted mean test block" in {
+  it should "compute the weighted mean test block (reference semantics)" in {
     val r = one(Summarizers.weightedMeanTest("x", "w"))
+    // frequency-weights variance + effective-sample-size t-stat (weights
+    // here are positive, so sign folding reduces away)
     val sw = ws.sum
+    val sw2 = ws.map(w => w * w).sum
     val wm = xs.zip(ws).map { case (x, w) => x * w }.sum / sw
-    val wvar = (xs.zip(ws).map { case (x, w) => x * x * w }.sum / sw - wm * wm) *
-      n / (n - 1.0)
+    val coMoment = xs.zip(ws).map { case (x, w) => w * (x - wm) * (x - wm) }.sum
+    val wvar = coMoment * sw / (sw * sw - sw2)
+    val ess = sw * sw / sw2
     approx(r.getDouble(1), wm, 1e-9)
     approx(r.getDouble(2), math.sqrt(wvar), 1e-9)
-    approx(r.getDouble(3), wm / (math.sqrt(wvar) / math.sqrt(n.toDouble)), 1e-9)
+    approx(r.getDouble(3), math.sqrt(ess) * wm / math.sqrt(wvar), 1e-9)
     r.getLong(4) shouldBe n.toLong
+  }
+
+  it should "fold negative weights and skip zero weights in weightedMeanTest (reference parity)" in {
+    // v = x*sign(w), w' = |w|; zero-weight rows are not observations
+    val mixed = Seq((1L, 2.0, -1.0), (2L, 3.0, 2.0), (3L, 99.0, 0.0))
+      .toDF("time", "x", "w")
+    val r = Summarize.summarize(mixed,
+      Summarizers.weightedMeanTest("x", "w")).collect().head
+    // folded values: (-2.0, w 1.0), (3.0, w 2.0); zero-weight row skipped
+    approx(r.getDouble(1), (-2.0 * 1.0 + 3.0 * 2.0) / 3.0, 1e-9)
+    r.getLong(4) shouldBe 2L
   }
 
   it should "compute in-sample and out-of-sample zScore of the latest point" in {
