@@ -558,6 +558,38 @@ class GoldenParitySpec extends SparkTestBase {
     gwin.last.getDouble(0) shouldBe 5.220043408524 +- 1e-9
   }
 
+  // reference OLSRegressionSummarizerSpec "regression with or without
+  // intercept correctly": weighted two-regressor fit over data.csv (time
+  // values are raw yyyyMMdd longs — irrelevant to a full-table aggregate)
+  it should "match the reference weighted OLS goldens" in {
+    val data = loadCsv(s"$SD/olsregressionsummarizer/data.csv",
+      "time long, y double, w double, x1 double, x2 double")
+    val r = Summarize.summarize(data,
+      S.OLSRegression("y", Seq("x1", "x2"), Some("w"))).collect()(0)
+      .getAs[Row]("y_OLSRegression")
+    r.getAs[Long]("samples") shouldBe 100L
+    r.getAs[Double]("intercept") shouldBe 3.117181999992637 +- 1e-9
+    // our struct carries rSquared; the reference's r is its square root
+    r.getAs[Double]("rSquared") shouldBe 0.05754234336966876 +- 1e-9
+    math.sqrt(r.getAs[Double]("rSquared")) shouldBe
+      0.23987985194607062 +- 1e-9
+    r.getAs[Double]("stdErr_intercept") shouldBe 0.5351305295407137 +- 1e-9
+    r.getAs[Double]("tStat_intercept") shouldBe 5.825087203804313 +- 1e-9
+    r.getAs[Double]("cond") shouldBe 1.4264121300439514 +- 1e-6
+    r.getAs[Double]("logLikelihood") shouldBe -312.11292022635649 +- 1e-6
+    r.getAs[Double]("akaikeIC") shouldBe 630.225840453 +- 1e-6
+    r.getAs[Double]("bayesIC") shouldBe 638.041351011 +- 1e-6
+    val beta = r.getSeq[Double](r.fieldIndex("beta"))
+    beta(0) shouldBe 0.28007101558427594 +- 1e-9
+    beta(1) shouldBe 1.3162178418611101 +- 1e-9
+    val se = r.getSeq[Double](r.fieldIndex("stdErr_beta"))
+    se(0) shouldBe 0.5870869011202909 +- 1e-9
+    se(1) shouldBe 0.5582749581661886 +- 1e-9
+    val t = r.getSeq[Double](r.fieldIndex("tStat_beta"))
+    t(0) shouldBe 0.4770520600099199 +- 1e-9
+    t(1) shouldBe 2.3576515883581814 +- 1e-9
+  }
+
   // "decay using half life correctly": alpha 0.5 per 100s half-life,
   // previous/legacy, keyless
   it should "match the reference emaHalfLife golden column" in {
