@@ -184,6 +184,53 @@ class GoldenParitySpec extends SparkTestBase {
       Seq("time", "id"))
   }
 
+  // -------------------------------------------------------------- CSV.from
+
+  // reference CSVSpec: headerless schema naming, unsorted normalization,
+  // and SQL-timestamp parsing with default and custom formats
+  it should "match the reference CSV.from parsing behaviors" in {
+    val dir = s"$Res/csv"
+    val noHeader = Sources.fromCSV(spark, s"$dir/Price.csv", header = false,
+      schema = Some(StructType.fromDDL("time long, C1 int, C2 double")),
+      sorted = true)
+    noHeader.columns.toSeq shouldBe Seq("time", "C1", "C2")
+    val nhRows = noHeader.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    nhRows.size shouldBe 12
+    nhRows should contain((1000L, 7, 0.5))
+    nhRows should contain((1000L, 3, 1.0))
+
+    val withHeader = Sources.fromCSV(spark, s"$dir/PriceWithHeader.csv")
+    withHeader.columns.toSeq shouldBe Seq("time", "id", "price", "info")
+    val whRows = withHeader.collect()
+    whRows.length shouldBe 12
+    whRows.foreach(_.getAs[String]("info") shouldBe "test")
+    // "1" infers/parses as the DOUBLE 1.0 alongside "0.5" (shared column)
+    whRows.map(r => (r.getAs[Long]("time"), r.getAs[Int]("id")))
+      .toSet should contain((1000L, 7))
+
+    // an unsorted file read with sorted=false equals the sorted file
+    val unsorted = Sources.fromCSV(spark,
+      s"$dir/PriceWithHeaderUnsorted.csv", sorted = false).collect()
+    val sortedF = Sources.fromCSV(spark, s"$dir/PriceWithHeader.csv",
+      sorted = true).collect()
+    unsorted.map(_.toSeq).sortBy(_.mkString("|")) shouldBe
+      sortedF.map(_.toSeq).sortBy(_.mkString("|"))
+
+    // default timestamp format: "2008-01-02 00:00:00.000" (UTC session)
+    val t0 = 1199232000L * 1000000000L
+    val ts1 = Sources.fromCSV(spark, s"$dir/TimeStampsWithHeader.csv",
+      sorted = false)
+    ts1.orderBy("time").collect()(0).getLong(0) shouldBe t0
+    ts1.count() shouldBe 11
+
+    // custom format "yyyyMMdd'T'HH:mm:ssZ" via the pass-through option
+    val ts2 = Sources.fromCSV(spark, s"$dir/TimeStampsWithHeader2.csv",
+      schema = Some(StructType.fromDDL("time timestamp")), sorted = false,
+      options = Map("timestampFormat" -> "yyyyMMdd'T'HH:mm:ssZ"))
+    ts2.orderBy("time").collect()(0).getLong(0) shouldBe t0
+  }
+
   // -------------------------------------------------------- summarizeCycles
 
   // reference SummarizeCyclesSpec (3 golden files)
@@ -299,6 +346,17 @@ class GoldenParitySpec extends SparkTestBase {
   }
 
   // -------------------------------------------------------------- summarize
+
+  // reference SummarizeSpec: keyless sum 7800.0; per key {7 -> 4100, 3 -> 3700}
+  it should "match summarize sum goldens" in {
+    val volume = loadCsv("summarize/Volume.csv",
+      "time long, id int, volume long")
+    Summarize.summarize(volume, S.sum("volume")).collect()(0)
+      .getAs[Long]("volume_sum") shouldBe 7800L
+    byId(Summarize.summarize(volume, S.sum("volume"), Seq("id"))
+      .withColumn("volume_sum", F.col("volume_sum").cast("double")),
+      "volume_sum") shouldBe Map(7 -> 4100.0, 3 -> 3700.0)
+  }
 
   // reference MeanSummarizerSpec: mean over Price.csv is exactly 3.25
   it should "match the mean summarizer golden value" in {
