@@ -54,7 +54,11 @@ object Multimodal {
    */
   def decodeMeta(bin: Column): Column = {
     val nBytes = F.octet_length(bin)
-    val hx = F.hex(bin)
+    // every parsed field lives in the first 28 bytes — hex only that
+    // prefix, never the payload (a media blob is MBs; hexing it whole
+    // would do 100,000x the work of the header read and double the
+    // per-row memory)
+    val hx = F.hex(F.substring(bin, 1, 28))
     val isPng = hx.startsWith("89504E470D0A1A0A") && nBytes >= 24
     val isBmp = hx.startsWith("424D") && nBytes >= 26
     val isGif = (hx.startsWith("474946383961") || hx.startsWith("474946383761")) &&
