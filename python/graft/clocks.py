@@ -32,17 +32,20 @@ def _offset_nanos(offset, frequency):
     return parse_nanos(offset) % parse_nanos(frequency)
 
 
-def uniform(session, begin, end, frequency, offset="0ns", time_zone="UTC"):
+def uniform(session, begin, end, frequency, offset="0ns", time_zone="UTC",
+            end_inclusive=True):
     """Evenly spaced time-only table with first tick ``begin + offset %
-    frequency``, stepping ``frequency`` while <= ``end`` (end-inclusive, ≙
-    flint clocks.uniform)."""
+    frequency``, stepping ``frequency`` while <= ``end`` (≙ flint
+    clocks.uniform; ``end_inclusive=False`` drops a tick landing exactly
+    on ``end``)."""
     api = session._jvm.graft.python.PyApi
     b = _to_nanos(begin, time_zone) + _offset_nanos(offset, frequency)
     e = _to_nanos(end, time_zone)
     if b > e:  # offset pushed the first tick past end: empty clock
         return TimeSeriesDataFrame(
             session.range(0).selectExpr("id AS time"))
-    jdf = api.uniformClock(session._jsparkSession, b, e, frequency)
+    jdf = api.uniformClock(session._jsparkSession, b, e, frequency,
+                           bool(end_inclusive))
     return TimeSeriesDataFrame(DataFrame(jdf, session))
 
 

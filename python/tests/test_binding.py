@@ -342,6 +342,9 @@ def test_clock_string_bounds_and_offset(spark):
     assert sorted(r["time"] for r in wrapped.collect()) == [1, 3, 5, 7, 9]
     # offset pushing the first tick past end yields an empty clock
     assert clocks.uniform(spark, 0, 3, "10ns", offset="4ns").count() == 0
+    # end_inclusive=False drops only a tick landing exactly on end
+    ei = clocks.uniform(spark, 0, 10, "2ns", end_inclusive=False)
+    assert sorted(r["time"] for r in ei.collect()) == [0, 2, 4, 6, 8]
     assert clocks.random(spark, "19700101", 100, "10ns").count() > 0
 
 

@@ -66,6 +66,11 @@ object PyApi {
                    frequency: String): DataFrame =
     TimeSeriesOps.uniformClock(spark, beginNanos, endNanos, frequency)
 
+  def uniformClock(spark: SparkSession, beginNanos: Long, endNanos: Long,
+                   frequency: String, endInclusive: Boolean): DataFrame =
+    TimeSeriesOps.uniformClock(spark, beginNanos, endNanos, frequency,
+      endInclusive = endInclusive)
+
   def randomClock(spark: SparkSession, beginNanos: Long, endNanos: Long,
                   frequency: String, seed: Long): DataFrame =
     Sources.randomClock(spark, beginNanos, endNanos, frequency, seed)

@@ -227,16 +227,21 @@ object TimeSeriesOps {
     * `offset` shifts the first tick to `begin + offset % frequency` and
     * ticks stay bounded by `end` (reference semantics: "specifying an
     * offset greater than the frequency is the same as offset %
-    * frequency"; end-inclusive). */
+    * frequency"). `endInclusive = false` drops a tick landing exactly on
+    * `end` (the reference's endInclusive flag). */
   def uniformClock(spark: SparkSession, beginNanos: Long, endNanos: Long,
-                   frequency: String, offset: String = "0ns"): DataFrame = {
+                   frequency: String, offset: String = "0ns",
+                   endInclusive: Boolean = true): DataFrame = {
     val step = parseDuration(frequency)
     require(step > 0, s"frequency must be positive: $frequency")
     require(endNanos >= beginNanos, s"end ($endNanos) must be >= begin ($beginNanos)")
     val off = parseDuration(offset) % step
     require(off >= 0, s"offset must be non-negative: $offset")
     val first = beginNanos + off
-    val n = if (first > endNanos) 0L else (endNanos - first) / step + 1
+    val n0 = if (first > endNanos) 0L else (endNanos - first) / step + 1
+    // the only tick endInclusive can remove is the one AT end exactly
+    val n = if (!endInclusive && n0 > 0 && first + (n0 - 1) * step == endNanos)
+      n0 - 1 else n0
     spark.range(n).select((lit(first) + col("id") * step).as(TimeColumn))
   }
 

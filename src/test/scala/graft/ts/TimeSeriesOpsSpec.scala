@@ -161,6 +161,14 @@ class TimeSeriesOpsSpec extends SparkTestBase {
       .count() shouldBe 0L
   }
 
+  it should "drop only the exactly-at-end tick when endInclusive = false" in {
+    TimeSeriesOps.uniformClock(spark, 0L, 10L, "2ns", endInclusive = false)
+      .as[Long].collect().sorted shouldBe Array(0L, 2L, 4L, 6L, 8L)
+    // last tick NOT at end: endInclusive has no effect
+    TimeSeriesOps.uniformClock(spark, 0L, 9L, "2ns", endInclusive = false)
+      .as[Long].collect().sorted shouldBe Array(0L, 2L, 4L, 6L, 8L)
+  }
+
   behavior of "fromDF"
 
   it should "sort unsorted input and trust sorted input without a shuffle" in {
