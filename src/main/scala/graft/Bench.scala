@@ -71,15 +71,29 @@ object Bench {
     // working directory. stdout gets the full line first (for logs), then a
     // short self-contained totals line LAST so the captured tail always ends
     // with one complete, parseable JSON object.
-    try {
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_out.json"),
-        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case _: Throwable => }
+    // Delete-then-write so a failed write can never leave a stale file from
+    // a previous run that the summary line then falsely points at; on write
+    // failure the "full" field is nulled out.
+    def writeJson(path: String, line: String): Boolean =
+      try {
+        val p = java.nio.file.Paths.get(path)
+        java.nio.file.Files.deleteIfExists(p)
+        java.nio.file.Files.write(
+          p, (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        true
+      } catch { case _: Throwable => false }
+    val fullOk = writeJson("bench_out.json", fullLine)
     println(fullLine)
     val slowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(8)
       .map { case (k, v) => s"\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","passes":2,"agg":"min","sf":"$sfDir","nqueries":${results.size},"errors":$errors,"full":"bench_out.json","slowest":$slowest}""")
+    val fullField = if (fullOk) "\"bench_out.json\"" else "null"
+    val totalsLine =
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","passes":2,"agg":"min","sf":"$sfDir","nqueries":${results.size},"errors":$errors,"full":$fullField,"slowest":$slowest}"""
+    // The driver's stdout parser chokes on sbt's "[info] " prefix, so the
+    // short totals object is ALSO written to its own well-known file that
+    // can be read without scraping stdout.
+    writeJson("bench_totals.json", totalsLine)
+    println(totalsLine)
     spark.stop()
   }
 }

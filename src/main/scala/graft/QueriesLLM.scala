@@ -152,10 +152,12 @@ object QueriesLLM {
           F.col("meta.format").as("format"),
           F.size(F.col("frames")).as("n_frames"))
         .orderBy("doc_id")),
-    // header-parse round-trip: BMP/PNG/WAV headers CONSTRUCTED from doc
-    // fields (hex-built, then unhex'd to real binary), parsed back by
-    // decodeMeta — the oracle recomputes the planted values arithmetically,
-    // so a parser reading any wrong offset/endianness hash-mismatches
+    // header-parse round-trip: BMP/PNG/WAV/JPEG/WebP headers CONSTRUCTED
+    // from doc fields (hex-built, then unhex'd to real binary), parsed back
+    // by decodeMeta — the oracle recomputes the planted values
+    // arithmetically, so a parser reading any wrong offset/endianness
+    // hash-mismatches. The JPEG carries a COM segment whose length varies
+    // per row, so the bounded SOF walk hops a genuinely dynamic offset.
     "mm_decode_headers" -> ((s, dir) => {
       val d = docs(s, dir).select("doc_id")
       def hexByte(c: Column): Column =
@@ -163,8 +165,13 @@ object QueriesLLM {
       // Column./ is DOUBLE division — shiftright keeps the byte math integral
       def le16(c: Column) = F.concat(hexByte(c.cast("long") % 256),
         hexByte(F.shiftright(c.cast("long"), 8) % 256))
+      def le24(c: Column) = F.concat(le16(c),
+        hexByte(F.shiftright(c.cast("long"), 16) % 256))
       def le32(c: Column) = F.concat(le16(c), F.lit("0000"))
+      def le32w(c: Column) = F.concat(le24(c),
+        hexByte(F.shiftright(c.cast("long"), 24) % 256))
       def be32(c: Column) = F.lpad(F.conv(c.cast("string"), 10, 16), 8, "0")
+      def be16(c: Column) = F.lpad(F.conv(c.cast("string"), 10, 16), 4, "0")
       val w = F.col("doc_id") % 640 + 1
       val h = F.col("doc_id") % 480 + 1
       val ch = F.col("doc_id") % 2 + 1
@@ -176,10 +183,31 @@ object QueriesLLM {
       val wav = F.unhex(F.concat(
         F.lit("52494646" + "00000000" + "57415645" + "666D7420" + "10000000" + "0100"),
         le16(ch), le32(rate)))
+      // SOI | APP0(JFIF, 16) | COM(2 + doc_id%32 pad) | SOF0(17): the walk
+      // must hop two variable segments before the dims
+      val comPad = F.col("doc_id") % 32
+      val jpeg = F.unhex(F.concat(
+        F.lit("FFD8" + "FFE0" + "0010" + "4A46494600" + "00" * 9 + "FFFE"),
+        be16(comPad + 2), F.repeat(F.lit("78"), comPad.cast("int")),
+        F.lit("FFC0" + "0011" + "08"), be16(h), be16(w), F.lit("00" * 10)))
+      // WebP: VP8X extended canvas (24-bit w-1/h-1) and VP8L lossless
+      // (2x14-bit packed little-endian)
+      val webpx = F.unhex(F.concat(
+        F.lit("52494646" + "00000000" + "57454250" + "56503858" + "0A000000" +
+          "00000000"),
+        le24(w - 1), le24(h - 1)))
+      val vp8lBits = (w - 1) + (h - 1) * 16384L
+      val webpl = F.unhex(F.concat(
+        F.lit("52494646" + "00000000" + "57454250" + "5650384C" + "05000000" +
+          "2F"),
+        le32w(vp8lBits)))
       d.select(F.col("doc_id"),
           Multimodal.decodeMeta(bmp).as("b"),
           Multimodal.decodeMeta(png).as("p"),
-          Multimodal.decodeMeta(wav).as("a"))
+          Multimodal.decodeMeta(wav).as("a"),
+          Multimodal.decodeMeta(jpeg).as("j"),
+          Multimodal.decodeMeta(webpx).as("wx"),
+          Multimodal.decodeMeta(webpl).as("wl"))
         .select(F.col("doc_id"),
           F.col("b.format").as("bmp_format"), F.col("b.width").as("bmp_w"),
           F.col("b.height").as("bmp_h"),
@@ -187,7 +215,12 @@ object QueriesLLM {
           F.col("p.height").as("png_h"),
           F.col("a.format").as("wav_format"),
           F.col("a.sample_rate").as("wav_rate"),
-          F.col("a.channels").as("wav_channels"))
+          F.col("a.channels").as("wav_channels"),
+          F.col("j.format").as("jpeg_format"), F.col("j.width").as("jpeg_w"),
+          F.col("j.height").as("jpeg_h"),
+          F.col("wx.format").as("webpx_format"), F.col("wx.width").as("webpx_w"),
+          F.col("wx.height").as("webpx_h"),
+          F.col("wl.width").as("webpl_w"), F.col("wl.height").as("webpl_h"))
         .orderBy("doc_id")
     }),
     // deterministic sampling family (training-mix construction): all
@@ -712,7 +745,15 @@ object QueriesLLM {
          CAST(doc_id % 480 + 1 AS INTEGER) AS png_h,
          'wav' AS wav_format,
          CAST(8000 + (doc_id % 8) * 4000 AS INTEGER) AS wav_rate,
-         CAST(doc_id % 2 + 1 AS INTEGER) AS wav_channels
+         CAST(doc_id % 2 + 1 AS INTEGER) AS wav_channels,
+         'jpeg' AS jpeg_format,
+         CAST(doc_id % 640 + 1 AS INTEGER) AS jpeg_w,
+         CAST(doc_id % 480 + 1 AS INTEGER) AS jpeg_h,
+         'webp' AS webpx_format,
+         CAST(doc_id % 640 + 1 AS INTEGER) AS webpx_w,
+         CAST(doc_id % 480 + 1 AS INTEGER) AS webpx_h,
+         CAST(doc_id % 640 + 1 AS INTEGER) AS webpl_w,
+         CAST(doc_id % 480 + 1 AS INTEGER) AS webpl_h
          FROM documents ORDER BY doc_id""",
     "pii_redact" ->
       s"""WITH inj AS (SELECT doc_id,

@@ -94,9 +94,12 @@ object Sampling {
     * ~n candidate rows, not the corpus. Exactness is UNCONDITIONAL, not
     * probabilistic: candidate counts are certified against `min(n, N_s)`,
     * and any under-filled stratum (possible only if the hash were grossly
-    * non-uniform within it) falls back to the full window — normally zero
-    * strata and an empty branch. The bulk data is only ever scanned and
-    * filtered, never sorted or shuffled whole. */
+    * non-uniform within it) falls back to the full window. The check is
+    * eager and the fallback branch (and its anti/semi joins) is omitted
+    * from the plan entirely when every stratum certifies — the common
+    * case. The bulk data is only ever scanned and filtered, never sorted
+    * or shuffled whole. Note this operator runs a certification job at
+    * call time (over ~n candidates per stratum, not the corpus). */
   def quotaPerStratum(df: DataFrame, strataCols: Seq[String], idCol: String,
                       n: Int, seed: Long = 42L): DataFrame = {
     require(n >= 0, s"quota must be >= 0, got $n")
@@ -139,21 +142,36 @@ object Sampling {
         F.least(F.lit(n.toLong), F.col("__q_n")))
       .select(strataCols.map(c => F.col(s"__qb_$c")): _*)
 
-    // pass 3: exact trim over the ~n candidates per stratum
+    // pass 3: exact trim over the ~n candidates per stratum.
+    // The certification check is EAGER (one job over the candidate set,
+    // which is ~n rows per stratum, not the corpus): in the common case
+    // where every stratum certifies, the returned plan is just the window
+    // over the candidates — no anti/semi joins, no fallback union, and no
+    // third shuffle of the candidate set. Only when a stratum genuinely
+    // under-fills does the plan grow the exclusion join + full-window
+    // fallback branch.
     val w = Window.partitionBy(strata: _*)
       .orderBy(F.col("__q_hash").asc, F.col(idCol).asc)
-    val trimmed = candidates
-      .join(bad, nullSafe("__qb_"), "left_anti")
-      .withColumn("__q_rn", F.row_number().over(w))
-      .filter(F.col("__q_rn") <= n)
-      .select(outCols: _*)
-    // fallback (normally empty): full-stratum window for uncertified strata
-    val fallback = data
-      .join(bad, nullSafe("__qb_"), "left_semi")
-      .withColumn("__q_rn", F.row_number().over(w))
-      .filter(F.col("__q_rn") <= n)
-      .select(outCols: _*)
-    trimmed.unionByName(fallback)
+    val anyBad = !bad.isEmpty
+    if (!anyBad) {
+      candidates
+        .withColumn("__q_rn", F.row_number().over(w))
+        .filter(F.col("__q_rn") <= n)
+        .select(outCols: _*)
+    } else {
+      val trimmed = candidates
+        .join(bad, nullSafe("__qb_"), "left_anti")
+        .withColumn("__q_rn", F.row_number().over(w))
+        .filter(F.col("__q_rn") <= n)
+        .select(outCols: _*)
+      // fallback: full-stratum window for uncertified strata
+      val fallback = data
+        .join(bad, nullSafe("__qb_"), "left_semi")
+        .withColumn("__q_rn", F.row_number().over(w))
+        .filter(F.col("__q_rn") <= n)
+        .select(outCols: _*)
+      trimmed.unionByName(fallback)
+    }
   }
 
   /**

@@ -25,10 +25,10 @@ object Intervals {
   /** Max clock ticks we will broadcast without complaint (≙ reference's 16 MB guardrail). */
   private val MaxClockTicks = 20 * 365 * 24 * 12
 
-  /** Replace `time` with the interval stamp per the inclusion/rounding matrix;
-    * drops rows outside all intervals. Clock passed as a sorted tick array. */
-  def intervalize(df: DataFrame, clock: Array[Long], inclusion: String = "begin",
-                  rounding: String = "end"): DataFrame = {
+  /** The interval-stamp column per the inclusion/rounding matrix (null =
+    * row falls outside every interval), with clock validation. */
+  private def bucketColumn(df: DataFrame, clock: Array[Long], inclusion: String,
+                           rounding: String): Column = {
     require(Seq("begin", "end").contains(inclusion), "inclusion must be begin|end")
     require(Seq("begin", "end").contains(rounding), "rounding must be begin|end")
     // First tick must exceed Long.MinValue: Kernels.NoBucket uses it as the
@@ -49,12 +49,17 @@ object Intervals {
     // Codegen'd binary-search expression (graft.Kernels.intervalBucket):
     // O(log m) per row inside whole-stage codegen — replaces the round-2
     // Scala UDF, which boxed every row and broke the codegen stage.
-    df.withColumn(TimeColumn,
-        org.apache.spark.sql.graft.GraftColumns.intervalBucket(
-          F.col(TimeColumn), bc,
-          beginInclusive = inclusion == "begin", stampBegin = rounding == "begin"))
-      .filter(F.col(TimeColumn).isNotNull)
+    org.apache.spark.sql.graft.GraftColumns.intervalBucket(
+      F.col(TimeColumn), bc,
+      beginInclusive = inclusion == "begin", stampBegin = rounding == "begin")
   }
+
+  /** Replace `time` with the interval stamp per the inclusion/rounding matrix;
+    * drops rows outside all intervals. Clock passed as a sorted tick array. */
+  def intervalize(df: DataFrame, clock: Array[Long], inclusion: String = "begin",
+                  rounding: String = "end"): DataFrame =
+    df.withColumn(TimeColumn, bucketColumn(df, clock, inclusion, rounding))
+      .filter(F.col(TimeColumn).isNotNull)
 
   /** Clock from a DataFrame's time column (collected + deduped + sorted —
     * clock tables are metadata-sized, like the reference's broadcast). */
@@ -68,8 +73,20 @@ object Intervals {
                          rounding: String = "end"): DataFrame =
     Summarize.summarizeCycles(intervalize(df, clock, inclusion, rounding), s, key)
 
-  /** Bucket + collect rows (≙ groupByInterval). */
+  /** Bucket + collect rows (≙ groupByInterval). Unlike [[intervalize]], the
+    * collected rows keep their ORIGINAL timestamps — only the outer `time`
+    * is the interval stamp (reference GroupByIntervalSpec pins this: the
+    * expected arrays hold the raw input rows). */
   def groupByInterval(df: DataFrame, clock: Array[Long], key: Seq[String] = Seq.empty,
-                      inclusion: String = "begin", rounding: String = "end"): DataFrame =
-    Summarize.groupByCycle(intervalize(df, clock, inclusion, rounding), key)
+                      inclusion: String = "begin", rounding: String = "end"): DataFrame = {
+    val b = "__graft_interval"
+    require(!df.columns.contains(b), s"groupByInterval: $b is reserved")
+    val bucketed = df.withColumn(b, bucketColumn(df, clock, inclusion, rounding))
+      .filter(F.col(b).isNotNull)
+    val s = Summarizers.rows(df.columns.toSeq)
+    val aggs = s.outputs
+    val g = bucketed.groupBy((b +: key).map(F.col): _*).agg(aggs.head, aggs.tail: _*)
+    g.select((F.col(b).as(TimeColumn) +: key.map(F.col)) ++
+      s.names.map(n => F.col(s"`$n`")): _*)
+  }
 }

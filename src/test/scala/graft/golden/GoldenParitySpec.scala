@@ -648,6 +648,159 @@ class GoldenParitySpec extends SparkTestBase {
     t(1) shouldBe 2.3576515883581814 +- 1e-9
   }
 
+  // -------------------------------------------------------- groupByInterval
+
+  // reference GroupByIntervalSpec fixtures (groupbyinterval/{Volume,Clock}
+  // .csv): expected buckets are constructed inline in the reference spec —
+  // pinned here as (stamp[, id] -> multiset of (time, id, volume)) tuples.
+  private def gbiVolume = loadCsv("groupbyinterval/Volume.csv",
+    "time long, id int, volume long")
+
+  /** rows-array contents per output row, as sorted (time,id,volume) tuples. */
+  private def gbiBuckets(df: DataFrame, withKey: Boolean)
+      : Map[Seq[Long], Seq[(Long, Int, Long)]] =
+    df.collect().map { r =>
+      val k = if (withKey) Seq(r.getLong(0), r.getInt(1).toLong)
+              else Seq(r.getLong(0))
+      val rows = r.getSeq[Row](r.fieldIndex("rows"))
+        .map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).sorted
+      k -> rows
+    }.toMap
+
+  // GroupByIntervalSpec "group by clock correctly" (default inclusion=
+  // begin, rounding=end), at 100ns — driven by the Clock.csv FIXTURE —
+  // and at 50ns (uniform ticks, as in the reference spec)
+  it should "match GroupByIntervalSpec's default-convention buckets" in {
+    val clock100 = Intervals.clockTicks(
+      loadCsv("groupbyinterval/Clock.csv", "time long"))
+    val got = gbiBuckets(
+      Intervals.groupByInterval(gbiVolume, clock100), withKey = false)
+    got shouldBe Map(
+      Seq(1100L) -> Seq((1000L, 3, 200L), (1000L, 7, 100L),
+        (1050L, 3, 300L), (1050L, 7, 400L)),
+      Seq(1200L) -> Seq((1100L, 3, 500L), (1100L, 7, 600L),
+        (1150L, 3, 700L), (1150L, 7, 800L)),
+      Seq(1300L) -> Seq((1200L, 3, 900L), (1200L, 7, 1000L),
+        (1250L, 3, 1100L), (1250L, 7, 1200L)))
+    val clock50 = (0L to 2000L by 50L).toArray
+    val got50 = gbiBuckets(
+      Intervals.groupByInterval(gbiVolume, clock50), withKey = false)
+    got50.keys.map(_.head).toSeq.sorted shouldBe
+      Seq(1050L, 1100L, 1150L, 1200L, 1250L, 1300L)
+    got50(Seq(1050L)) shouldBe Seq((1000L, 3, 200L), (1000L, 7, 100L))
+    got50(Seq(1300L)) shouldBe Seq((1250L, 3, 1100L), (1250L, 7, 1200L))
+  }
+
+  // "group by clock correctly with (inclusion, rounding) = (end, end)"
+  it should "match GroupByIntervalSpec's (end, end) buckets" in {
+    val clock100 = (0L to 2000L by 100L).toArray
+    val got = gbiBuckets(Intervals.groupByInterval(gbiVolume, clock100,
+      inclusion = "end", rounding = "end"), withKey = false)
+    got shouldBe Map(
+      Seq(1000L) -> Seq((1000L, 3, 200L), (1000L, 7, 100L)),
+      Seq(1100L) -> Seq((1050L, 3, 300L), (1050L, 7, 400L),
+        (1100L, 3, 500L), (1100L, 7, 600L)),
+      Seq(1200L) -> Seq((1150L, 3, 700L), (1150L, 7, 800L),
+        (1200L, 3, 900L), (1200L, 7, 1000L)),
+      Seq(1300L) -> Seq((1250L, 3, 1100L), (1250L, 7, 1200L)))
+    val clock50 = (0L to 2000L by 50L).toArray
+    val got50 = gbiBuckets(Intervals.groupByInterval(gbiVolume, clock50,
+      inclusion = "end", rounding = "end"), withKey = false)
+    got50(Seq(1000L)) shouldBe Seq((1000L, 3, 200L), (1000L, 7, 100L))
+    got50(Seq(1250L)) shouldBe Seq((1250L, 3, 1100L), (1250L, 7, 1200L))
+    got50.keys.map(_.head).toSeq.sorted shouldBe
+      Seq(1000L, 1050L, 1100L, 1150L, 1200L, 1250L)
+  }
+
+  // "`groupByInterval` per key correctly"
+  it should "match GroupByIntervalSpec's per-key buckets" in {
+    val clock100 = (0L to 2000L by 100L).toArray
+    val got = gbiBuckets(Intervals.groupByInterval(gbiVolume, clock100,
+      key = Seq("id")), withKey = true)
+    got shouldBe Map(
+      Seq(1100L, 7L) -> Seq((1000L, 7, 100L), (1050L, 7, 400L)),
+      Seq(1100L, 3L) -> Seq((1000L, 3, 200L), (1050L, 3, 300L)),
+      Seq(1200L, 3L) -> Seq((1100L, 3, 500L), (1150L, 3, 700L)),
+      Seq(1200L, 7L) -> Seq((1100L, 7, 600L), (1150L, 7, 800L)),
+      Seq(1300L, 3L) -> Seq((1200L, 3, 900L), (1250L, 3, 1100L)),
+      Seq(1300L, 7L) -> Seq((1200L, 7, 1000L), (1250L, 7, 1200L)))
+  }
+
+  // ------------------------------------------------------- parquet fixtures
+
+  // reference TimeSeriesRDDSpec "read parquet files" + ReadBuilderSpec
+  // "Parquet reader" family, over the shipped PriceWithHeader*.parquet
+  private val PqDir = s"$Res/parquet"
+
+  it should "read PriceWithHeader.parquet with the reference's schema, order and values" in {
+    val df = Sources.read(spark).parquet(s"$PqDir/PriceWithHeader.parquet")
+    df.columns.toSeq shouldBe Seq("time", "id", "price", "info")
+    val rows = df.orderBy("time", "id").collect()
+    rows.length shouldBe 12
+    rows(0).getLong(0) shouldBe 1000L
+    rows(0).getInt(1) shouldBe 3
+    // reference's first row (file order): id 7, price 0.5, info "test"
+    val r7 = rows.find(r => r.getLong(0) == 1000L && r.getInt(1) == 7).get
+    r7.getDouble(2) shouldBe 0.5
+    r7.getString(3) shouldBe "test"
+  }
+
+  it should "match ReadBuilderSpec's [begin, end) range semantics on the parquet fixture" in {
+    val path = s"$PqDir/PriceWithHeader.parquet"
+    val all = Sources.read(spark).parquet(path).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+    def got(b: java.lang.Long, e: java.lang.Long) = {
+      var rb = Sources.read(spark)
+      if (b != null) rb = rb.beginNanos(b)
+      if (e != null) rb = rb.endNanos(e)
+      rb.parquet(path).collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    }
+    got(1100L, 1250L) shouldBe all.filter(t => t._1 >= 1100L && t._1 < 1250L)
+    got(null, 1100L) shouldBe all.filter(_._1 < 1100L)
+    got(1100L, null) shouldBe all.filter(_._1 >= 1100L)
+  }
+
+  it should "place time first for any requested column order, like ReadBuilderSpec" in {
+    val path = s"$PqDir/PriceWithHeader.parquet"
+    Sources.read(spark).columns("time", "id").parquet(path)
+      .columns.toSeq shouldBe Seq("time", "id")
+    Sources.read(spark).columns("id", "time").parquet(path)
+      .columns.toSeq shouldBe Seq("time", "id")
+  }
+
+  it should "convert a seconds time unit like ReadBuilderSpec's timeUnit option" in {
+    val path = s"$PqDir/PriceWithHeader.parquet"
+    val raw = Sources.read(spark).parquet(path)
+      .select("time").collect().map(_.getLong(0)).sorted
+    val scaled = Sources.read(spark).time(TimeSeriesOps.TimeColumn, 1000000000L)
+      .parquet(path).select("time").collect().map(_.getLong(0)).sorted
+    scaled shouldBe raw.map(_ * 1000000000L)
+  }
+
+  it should "canonize a renamed time column like ReadBuilderSpec's timeColumn option" in {
+    val path = s"$PqDir/PriceWithHeaderTimeRenamed.parquet"
+    val df = Sources.read(spark).time("timeRenamed").parquet(path)
+    df.columns.head shouldBe "time"
+    df.columns should not contain "timeRenamed"
+    val expected = spark.read.parquet(path)
+      .select(F.col("timeRenamed")).collect().map(_.getLong(0)).sorted
+    df.select("time").collect().map(_.getLong(0)).sorted shouldBe expected
+  }
+
+  it should "sort the unsorted parquet fixture like ReadBuilderSpec's isSorted=false" in {
+    val path = s"$PqDir/PriceWithHeaderUnsorted.parquet"
+    val sorted = TimeSeriesOps.fromDF(
+      spark.read.parquet(path), isSorted = false)
+    val times = sorted.collect().map(_.getLong(0))
+    times shouldBe times.sorted
+    times.length shouldBe
+      spark.read.parquet(path).count().toInt
+    // same rows as a plain sorted read
+    val expected = spark.read.parquet(path).sort("time")
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    sorted.collect().map(_.toSeq).sortBy(_.mkString("|")) shouldBe expected
+  }
+
   // "decay using half life correctly": alpha 0.5 per 100s half-life,
   // previous/legacy, keyless
   it should "match the reference emaHalfLife golden column" in {
