@@ -37,7 +37,14 @@ def uniform(session, begin, end, frequency, offset="0ns", time_zone="UTC",
     """Evenly spaced time-only table with first tick ``begin + offset %
     frequency``, stepping ``frequency`` while <= ``end`` (≙ flint
     clocks.uniform; ``end_inclusive=False`` drops a tick landing exactly
-    on ``end``)."""
+    on ``end``).
+
+    Deliberate leniency vs the reference: flint's ``Clock.firstTick``
+    requires ``first < end`` and THROWS when the offset pushes the first
+    tick to or past ``end``; here ``first == end`` yields that single tick
+    (consistent with ``end_inclusive``) and ``first > end`` yields an empty
+    clock — degenerate ranges are data, not errors. Mirrored by the Scala
+    ``uniformClock`` and pinned by ``test_uniform_clock_offset``."""
     api = session._jvm.graft.python.PyApi
     b = _to_nanos(begin, time_zone) + _offset_nanos(offset, frequency)
     e = _to_nanos(end, time_zone)

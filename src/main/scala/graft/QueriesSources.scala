@@ -14,15 +14,27 @@ import graft.ts._
 object QueriesSources {
   import QueriesCore.{events, withValue100, T0, DAY, HOUR}
 
+  /** Paths awaiting cleanup, drained by ONE JVM-wide shutdown hook — a
+    * hook-per-call would accumulate a thread per query invocation over a
+    * long-lived session (each bench/verify pass calls scratchDir). */
+  private val scratchPaths =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    var p = scratchPaths.poll()
+    while (p != null) {
+      try org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+      catch { case _: Throwable => () }
+      p = scratchPaths.poll()
+    }
+  }))
+
   /** Fresh scratch directory, removed at JVM exit — unique per call so
     * concurrent harness runs never clobber each other, and never left
     * behind in /tmp (the queries read it lazily, so deletion must wait
     * for shutdown, after the harness has materialized every result). */
   private def scratchDir(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
-      catch { case _: Throwable => () }))
+    scratchPaths.add(p)
     p.toString
   }
 

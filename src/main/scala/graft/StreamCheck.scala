@@ -17,9 +17,10 @@ import graft.ts.{AsOfJoin, EmaOps, Summarizers, TimeSeriesOps}
  *
  * Covers all seven streaming operators — summarizeTumbling /
  * summarizeSliding / summarizeSessions, ewmaStateful, dedupExactStream,
- * leftJoinStream, futureLeftJoinStream — plus the time-partitioned sink
- * and a checkpoint restart (stop mid-stream, resume, exactly-once +
- * state recovery).
+ * leftJoinStream, futureLeftJoinStream — plus the time-partitioned sink,
+ * a checkpoint restart (stop mid-stream, resume, exactly-once + state
+ * recovery), and a ~100x sf0.1 replay of the two as-of join streams
+ * (state eviction under watermark pressure at volume).
  *
  * Usage: `runMain graft.StreamCheck [sfDir] [outJson]` — writes one JSON
  * object per op: {"match": bool, "stream_rows": n, "batch_rows": n,
@@ -49,7 +50,23 @@ object StreamCheck {
       .orderBy("time")
       .as[(Long, String, Double)].collect().toSeq
     require(ev.nonEmpty, s"no events at $sfDir")
-    val sentinelT = ev.last._1 + 365L * 86400L * 1000000000L
+
+    // Larger replay source (sf0.1, ~100x the default sfDir) for the
+    // state-eviction probe on the as-of join streams; skipped when the
+    // directory isn't present.
+    val largeDir = "/root/testdata/sf0.1"
+    val evLarge: Option[Seq[(Long, String, Double)]] =
+      if (new java.io.File(s"$largeDir/events.parquet").exists() &&
+          largeDir != sfDir)
+        Some(QueriesCore.events(spark, largeDir)
+          .select(F.col("time"), F.col("event_type"),
+            F.round(F.col("value") * 100).as("v"))
+          .orderBy("time")
+          .as[(Long, String, Double)].collect().toSeq)
+      else None
+
+    val sentinelT = math.max(ev.last._1, evLarge.map(_.last._1).getOrElse(0L)) +
+      365L * 86400L * 1000000000L
     val sentinel = (sentinelT, "__wm_sentinel__", 0.0)
 
     /** Feed `rows` through a MemoryStream in `chunks` time-ordered slices
@@ -267,6 +284,42 @@ object StreamCheck {
         purchasesDeduped.toDF("time", "event_type", "rv"),
         tolerance = "6h", key = Seq("event_type")).collect().toSeq
       (stream, batch)
+    }
+
+    // Scale probe (VERDICT r7 #8): replay the sf0.1 events (~100x the
+    // default) through the two as-of join streams in 16 watermark-advancing
+    // chunks. Every chunk boundary evicts out-of-tolerance join state, so
+    // equivalence here shows eviction keeps EXACTLY the rows the contract
+    // needs under real volume — not just on a 1k-row replay.
+    evLarge.foreach { evL =>
+      val clicksL = evL.filter(_._2 == "click")
+      val purchasesL = evL.filter(_._2 == "purchase")
+        .map(x => (x._1, "click", x._3)).sortBy(_._1)
+      val purchasesDedupedL =
+        purchasesL.groupBy(_._1).map(_._2.head).toSeq.sortBy(_._1)
+
+      record("left_join_stream_large") {
+        val stream = runJoinStream("sc_asof_lg", clicksL, purchasesDedupedL, 16)(
+          (l, r) => StreamingOps.leftJoinStream(l, r, tolerance = "6h",
+            key = Seq("event_type"), watermarkDelay = "0 seconds"))
+        val batch = AsOfJoin.leftJoin(
+          clicksL.toDF("time", "event_type", "lv"),
+          purchasesDedupedL.toDF("time", "event_type", "rv"),
+          tolerance = "6h", key = Seq("event_type")).collect().toSeq
+        (stream, batch)
+      }
+
+      record("future_left_join_stream_large") {
+        val stream = runJoinStream("sc_future_asof_lg", clicksL,
+          purchasesDedupedL, 16)(
+          (l, r) => StreamingOps.futureLeftJoinStream(l, r, tolerance = "6h",
+            key = Seq("event_type"), watermarkDelay = "0 seconds"))
+        val batch = AsOfJoin.futureLeftJoin(
+          clicksL.toDF("time", "event_type", "lv"),
+          purchasesDedupedL.toDF("time", "event_type", "rv"),
+          tolerance = "6h", key = Seq("event_type")).collect().toSeq
+        (stream, batch)
+      }
     }
 
     val json = results.map { case (op, (err, sr, br)) =>

@@ -72,14 +72,18 @@ object StreamingOps {
         s"writeTimePartitionedStream: store $path has granularity ${m}ns; " +
           s"streaming with $granularity (${g}ns) would mix bucket layouts")
     }
-    graft.ts.Sources.writeStoreMeta(df.sparkSession, path, granularity)
-    df.withColumn(graft.ts.Sources.BucketColumn, graft.ts.Sources.floorDivTime(g))
+    val q = df
+      .withColumn(graft.ts.Sources.BucketColumn, graft.ts.Sources.floorDivTime(g))
       .writeStream.format("parquet")
       .partitionBy(graft.ts.Sources.BucketColumn)
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .start()
+    // stamp the store only once start() has succeeded: an abandoned builder
+    // or a failed start must not constrain the path's future granularity
+    graft.ts.Sources.writeStoreMeta(df.sparkSession, path, granularity)
+    q
   }
 
   /** Event-time tumbling-window summarize with a watermark. Output columns:

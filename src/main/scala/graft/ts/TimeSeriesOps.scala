@@ -228,7 +228,13 @@ object TimeSeriesOps {
     * ticks stay bounded by `end` (reference semantics: "specifying an
     * offset greater than the frequency is the same as offset %
     * frequency"). `endInclusive = false` drops a tick landing exactly on
-    * `end` (the reference's endInclusive flag). */
+    * `end` (the reference's endInclusive flag).
+    *
+    * Deliberate leniency vs the reference: flint's Clock.firstTick
+    * `require(first < end)` THROWS when the offset lands the first tick on
+    * or past `end`; here `first == end` yields that single tick and
+    * `first > end` an empty clock — degenerate ranges are data, not
+    * errors. The python binding documents and pins the same choice. */
   def uniformClock(spark: SparkSession, beginNanos: Long, endNanos: Long,
                    frequency: String, offset: String = "0ns",
                    endInclusive: Boolean = true): DataFrame = {

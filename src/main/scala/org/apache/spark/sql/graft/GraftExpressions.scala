@@ -51,6 +51,16 @@ object GraftColumns {
                      beginInclusive: Boolean, stampBegin: Boolean): Column =
     col(IntervalBucket(ex(time), clock, beginInclusive, stampBegin))
 
+  /** Packed JPEG dims `(width << 32) | height` from a bounded SOF walk
+    * over the raw payload bytes; null when no SOF within bounds. */
+  def jpegDimsPacked(bin: Column, maxPrefix: Int, maxSegments: Int): Column =
+    col(JpegDimsPacked(ex(bin), maxPrefix, maxSegments))
+
+  /** Media-header metadata struct `(n_bytes, format, width, height,
+    * sample_rate, channels)` parsed from the payload's leading bytes. */
+  def mediaMeta(bin: Column, jpegMaxPrefix: Int, jpegMaxSegments: Int): Column =
+    col(MediaMeta(ex(bin), jpegMaxPrefix, jpegMaxSegments))
+
   /** Σ aᵢ·bᵢ of two numeric arrays in double precision. */
   def dotProduct(a: Column, b: Column): Column = col(DotProductExpr(ex(a), ex(b)))
 
@@ -234,6 +244,71 @@ case class CentroidProbes(child: Expression, centroids: Array[Double],
       s"${ev.value} = graft.Kernels.centroidProbes($c, $cents, $dim, $nprobe);")
   }
   override protected def withNewChildInternal(newChild: Expression): CentroidProbes =
+    copy(child = newChild)
+}
+
+/**
+ * Media-header metadata struct from one kernel call over the raw payload
+ * bytes (graft.Kernels.mediaMeta): BMP/PNG/GIF/WAV/WebP fixed offsets plus
+ * the bounded JPEG SOF walk. One expression node per payload keeps the
+ * enclosing projection far under the JVM's 64 KB generated-method limit —
+ * the per-byte column-expression formulation it replaces disabled
+ * whole-stage codegen for any query parsing several payloads at once.
+ */
+case class MediaMeta(child: Expression, jpegMaxPrefix: Int, jpegMaxSegments: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = MediaMeta.schema
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    graft.Kernels.mediaMeta(
+      input.asInstanceOf[Array[Byte]], jpegMaxPrefix, jpegMaxSegments)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.Kernels.mediaMeta($c, $jpegMaxPrefix, $jpegMaxSegments);")
+  override protected def withNewChildInternal(newChild: Expression): MediaMeta =
+    copy(child = newChild)
+}
+
+object MediaMeta {
+  val schema: StructType = StructType(Seq(
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true)))
+}
+
+/**
+ * JPEG dimensions from a bounded SOF-marker walk over the raw payload
+ * bytes (see graft.Kernels.jpegDims), packed as `(width << 32) | height`;
+ * null when no SOF is found within the prefix/segment bounds. Replaces an
+ * interpreted higher-order `aggregate` fold over a hex string that was
+ * ~1000x slower per row and evaluated once per extracted field.
+ */
+case class JpegDimsPacked(child: Expression, maxPrefix: Int, maxSegments: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(maxPrefix >= 4, s"maxPrefix must be >= 4, got $maxPrefix")
+  require(maxSegments >= 1, s"maxSegments must be >= 1, got $maxSegments")
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = {
+    val r = graft.Kernels.jpegDims(
+      input.asInstanceOf[Array[Byte]], maxPrefix, maxSegments)
+    if (r < 0L) null else r
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("graftJpegDims")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      long $r = graft.Kernels.jpegDims($c, $maxPrefix, $maxSegments);
+      if ($r < 0L) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): JpegDimsPacked =
     copy(child = newChild)
 }
 
