@@ -67,7 +67,10 @@ def events_transform_factory():
 
     def t(d, k):
         d["ts"] = d["ts"] + pd.Timedelta(k * span, unit="ns")
-        d["event_id"] = d["event_id"] + k * 10**12
+        # offset must keep ids within int32: the registry's cast_columns
+        # query CASTs event_id to INT by contract (10 replicas * 1e7 stays
+        # below 2^31; original sf0.1 ids are < 1e6)
+        d["event_id"] = d["event_id"] + k * 10**7
         return d
 
     return t

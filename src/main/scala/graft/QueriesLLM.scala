@@ -121,7 +121,15 @@ object QueriesLLM {
     }),
     "emb_near_dup" -> ((s, dir) => {
       val e = embs(s, dir)
-      val centroids = e.filter(F.col("vec_id") < 16).orderBy("vec_id")
+      // Cell count scales with the corpus — fixed ~64-vector target
+      // occupancy, floor 16 — so the per-cell pair loop stays constant-size
+      // and total candidate work grows LINEARLY. A fixed cell count makes
+      // the bucketed loop quadratic again as the corpus grows (a 10x scale
+      // probe measured alpha ~= 2.1 with k pinned at 16). The oracle
+      // derives the identical k from count(*); at sf0.01 (200 vectors)
+      // k stays 16, so small-scale results are unchanged.
+      val k = math.max(16L, e.count() / 64L)
+      val centroids = e.filter(F.col("vec_id") < k).orderBy("vec_id")
         .select("embedding").collect()
         .map(_.getSeq[Float](0).toSeq).toSeq
       Similarity.cosineDupPairs(e, "vec_id", "embedding", centroids,
@@ -633,8 +641,11 @@ object QueriesLLM {
     "emb_near_dup" -> {
       def cos(x: String, y: String) =
         s"list_dot_product($x, $y) / (sqrt(list_dot_product($x, $x)) * sqrt(list_dot_product($y, $y)))"
+      // cell count k = greatest(16, N/64) mirrors the Spark side: fixed
+      // per-cell occupancy keeps the bucketed pair loop linear in N
       s"""WITH cents AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS c
-             FROM embeddings WHERE vec_id < 16),
+             FROM embeddings
+             WHERE vec_id < (SELECT greatest(16, count(*) // 64) FROM embeddings)),
          n AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS v FROM embeddings),
          nc AS (SELECT n_id, v, cell FROM (
              SELECT n_id, v, cell, row_number() OVER (PARTITION BY n_id

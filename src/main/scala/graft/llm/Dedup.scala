@@ -334,7 +334,11 @@ object Dedup {
       F.col("ws").as("ws_a"), F.col("n").as("n_a"))
     val b = banded.select(F.col("blk"), F.col("band"), F.col("id").as("id_b"),
       F.col("ws").as("ws_b"), F.col("n").as("n_b"))
-    a.join(b, Seq("blk", "band"))
+    // full-width probe parallelism under a broadcast build (see PairJoin:
+    // without it the whole O(block²) loop runs in ONE scan task)
+    val (aPar, bSide) = PairJoin.sides(a, b,
+      Seq(F.col("blk"), F.col("band"), F.col("id_a")))
+    aPar.join(bSide, Seq("blk", "band"))
       // the exact size prune (banding is a superset of it)
       .filter(F.col("id_a") < F.col("id_b") &&
         F.least(F.col("n_a"), F.col("n_b")).cast("double") >=

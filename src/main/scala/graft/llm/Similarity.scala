@@ -89,7 +89,10 @@ object Similarity {
       .withColumn("cell", F.explode(probeCells(F.col("v"), centroids, nprobe)))
     val a = c.select(F.col("cell"), F.col("id").as("id_a"), F.col("v").as("v_a"))
     val b = c.select(F.col("cell"), F.col("id").as("id_b"), F.col("v").as("v_b"))
-    a.join(b, Seq("cell"))
+    // full-width probe parallelism under a broadcast build (see PairJoin:
+    // without it the whole O(cell²) loop runs in ONE scan task)
+    val (aPar, bSide) = PairJoin.sides(a, b, Seq(F.col("cell"), F.col("id_a")))
+    aPar.join(bSide, Seq("cell"))
       .filter(F.col("id_a") < F.col("id_b"))
       .select(F.col("id_a"), F.col("id_b"),
         F.round(cosine(F.col("v_a"), F.col("v_b")), 6).as("cosine"))
