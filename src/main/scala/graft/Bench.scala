@@ -47,14 +47,26 @@ object Bench {
       try { force(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => -1.0 }
     }
+    // Dev-only scale-probe knobs (unset for driver runs): restrict to a
+    // comma-separated query subset and/or change the pass count — a 100×
+    // derived-data probe over the full registry at 2 passes would run for
+    // the better part of an hour, so probes use a curated subset.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val registry = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(2)
     // Passes are interleaved (whole registry, then the whole registry
     // again) rather than back-to-back per query, so a query's two samples
     // sit minutes apart and a contention burst cannot inflate both.
-    val pass1 = SparkEntry.queries.map { case (name, fn) => name -> timeOnce(fn) }
-    val pass2 = SparkEntry.queries.map { case (name, fn) => name -> timeOnce(fn) }
-    val results = SparkEntry.queries.keys.map { name =>
-      val (a, b) = (pass1(name), pass2(name))
-      name -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+    val allPasses = (1 to passes).map { _ =>
+      registry.map { case (name, fn) => name -> timeOnce(fn) }
+    }
+    val results = registry.keys.map { name =>
+      val samples = allPasses.map(_(name)).filter(_ >= 0)
+      name -> (if (samples.isEmpty) -1.0 else samples.min)
     }.toMap
     def r4(v: Double): String = if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
@@ -64,7 +76,7 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
     val fullLine =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","passes":2,"agg":"min","sf":"$sfDir","errors":$errors,"queries":$qs}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","passes":$passes,"agg":"min","sf":"$sfDir","errors":$errors,"queries":$qs}"""
     // The full line (totals + all per-query times) no longer fits the
     // driver's 2000-char stdout tail capture now that the registry exceeds
     // ~100 queries, so it is ALSO persisted whole to bench_out.json in the
@@ -88,7 +100,7 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
     val fullField = if (fullOk) "\"bench_out.json\"" else "null"
     val totalsLine =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","passes":2,"agg":"min","sf":"$sfDir","nqueries":${results.size},"errors":$errors,"full":$fullField,"slowest":$slowest}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","passes":$passes,"agg":"min","sf":"$sfDir","nqueries":${results.size},"errors":$errors,"full":$fullField,"slowest":$slowest}"""
     // The driver's stdout parser chokes on sbt's "[info] " prefix, so the
     // short totals object is ALSO written to its own well-known file that
     // can be read without scraping stdout.
