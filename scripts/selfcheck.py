@@ -16,6 +16,7 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fail, ok, skip = [], [], []
+progress = os.environ.get("SELFCHECK_PROGRESS") == "1"
 for name in sorted(os.listdir(out_dir)):
     d = os.path.join(out_dir, name)
     if not os.path.isdir(d):
@@ -26,7 +27,13 @@ for name in sorted(os.listdir(out_dir)):
         skip.append((name, len(got)))
         continue
     try:
+        if progress:
+            import time
+            t0 = time.time()
+            print(f"[selfcheck] {name} ...", flush=True)
         exp = con.execute(oracle[name]).fetchdf()
+        if progress:
+            print(f"[selfcheck] {name} oracle {time.time() - t0:.1f}s", flush=True)
     except Exception as e:
         fail.append((name, f"oracle SQL error: {e}"))
         continue

@@ -121,19 +121,42 @@ object QueriesLLM {
     }),
     "emb_near_dup" -> ((s, dir) => {
       val e = embs(s, dir)
-      // Cell count scales with the corpus — fixed ~64-vector target
-      // occupancy, floor 16 — so the per-cell pair loop stays constant-size
-      // and total candidate work grows LINEARLY. A fixed cell count makes
-      // the bucketed loop quadratic again as the corpus grows (a 10x scale
-      // probe measured alpha ~= 2.1 with k pinned at 16). The oracle
-      // derives the identical k from count(*); at sf0.01 (200 vectors)
-      // k stays 16, so small-scale results are unchanged.
-      val k = math.max(16L, e.count() / 64L)
+      // Cell count scales as ceil(sqrt(N)): flat-IVF moderate-threshold
+      // mining costs N·k (assignment) + N²/k (per-cell pairs), so k = √N
+      // balances both at Θ(N^1.5) — the best a flat quantizer can do. A
+      // FIXED k is quadratic in the pair loop (α ≈ 2.1 measured at 10×),
+      // k ∝ N is quadratic in assignment (α ≈ 1.23 measured at 100×).
+      // The truly linear path exists only in the high-threshold regime —
+      // see emb_near_dup_lsh. The oracle derives the identical k from
+      // count(*).
+      val k = math.max(16L, math.ceil(math.sqrt(e.count().toDouble)).toLong)
       val centroids = e.filter(F.col("vec_id") < k).orderBy("vec_id")
         .select("embedding").collect()
         .map(_.getSeq[Float](0).toSeq).toSeq
       Similarity.cosineDupPairs(e, "vec_id", "embedding", centroids,
         threshold = 0.45, nprobe = 2)
+        .orderBy("id_a", "id_b")
+    }),
+    "emb_near_dup_lsh" -> ((s, dir) => {
+      val e = embs(s, dir)
+      // True-duplicate detection (cosine ≥ 0.9) via banded sign-LSH — the
+      // LINEAR scale path. The shipped corpora carry no duplicate-level
+      // pairs (max cosine ~0.6), so the query PLANTS them: every 50th
+      // vector gets a deterministically perturbed copy (±0.3% per-component
+      // wiggle ⇒ cosine ≈ 0.99999), the same construct-then-detect pattern
+      // as mm_decode_headers. The oracle replays the identical perturbation
+      // and the identical literal hyperplanes.
+      val base = e.select(F.col("vec_id").as("id"),
+        F.transform(F.col("embedding"), x => x.cast("double")).as("v"))
+      val copies = e.filter(F.col("vec_id") % 50 === 3)
+        .select((F.col("vec_id") + F.lit(1000000000000000L)).as("id"),
+          F.transform(F.col("embedding"), (x, i) =>
+            x.cast("double") * (F.lit(1.0) +
+              (((i + 1) * 31 + F.col("vec_id") * 17) % 7 - 3)
+                .cast("double") * F.lit(0.001))).as("v"))
+      Similarity.signLshDupPairs(base.unionByName(copies), "id", "v",
+        Similarity.lshPlanes(bands = 8, rowsPerBand = 20, dim = 64),
+        rowsPerBand = 20, threshold = 0.9)
         .orderBy("id_a", "id_b")
     }),
     // Deterministic quantized k-means (2 Lloyd iterations, k = 8): the
@@ -641,11 +664,11 @@ object QueriesLLM {
     "emb_near_dup" -> {
       def cos(x: String, y: String) =
         s"list_dot_product($x, $y) / (sqrt(list_dot_product($x, $x)) * sqrt(list_dot_product($y, $y)))"
-      // cell count k = greatest(16, N/64) mirrors the Spark side: fixed
-      // per-cell occupancy keeps the bucketed pair loop linear in N
+      // cell count k = greatest(16, ceil(sqrt(N))) mirrors the Spark side:
+      // the flat-IVF assignment/pair-loop balance point (see the query)
       s"""WITH cents AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS c
              FROM embeddings
-             WHERE vec_id < (SELECT greatest(16, count(*) // 64) FROM embeddings)),
+             WHERE vec_id < (SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embeddings)),
          n AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS v FROM embeddings),
          nc AS (SELECT n_id, v, cell FROM (
              SELECT n_id, v, cell, row_number() OVER (PARTITION BY n_id
@@ -655,6 +678,37 @@ object QueriesLLM {
              round(${cos("a.v", "b.v")}, 6) AS cosine
            FROM nc a JOIN nc b ON a.cell = b.cell AND a.n_id < b.n_id)
          SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.45
+         ORDER BY id_a, id_b"""
+    },
+    "emb_near_dup_lsh" -> {
+      def cos(x: String, y: String) =
+        s"list_dot_product($x, $y) / (sqrt(list_dot_product($x, $x)) * sqrt(list_dot_product($y, $y)))"
+      // The identical ±1 hyperplanes as the Spark side, embedded as
+      // literals; band value = little-endian integer of the 20 sign bits.
+      // DuckDB's list index i is 1-based = the Spark side's (i + 1).
+      val planes = Similarity.lshPlanes(bands = 8, rowsPerBand = 20, dim = 64)
+      val bandSelects = (0 until 8).map { b =>
+        val bits = (0 until 20).map { r =>
+          val lits = planes(b * 20 + r)
+            .map(d => if (d > 0) "1.0" else "-1.0").mkString(",")
+          s"(CASE WHEN list_dot_product(v, [$lits]) >= 0 THEN ${1L << r} ELSE 0 END)"
+        }.mkString("\n             + ")
+        s"SELECT id, v, $b AS band, $bits AS bv FROM u"
+      }.mkString("\n           UNION ALL\n           ")
+      s"""WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         pert AS (SELECT vec_id + 1000000000000000 AS id,
+             list_transform(embedding::DOUBLE[], (x, i) ->
+               x * (1.0 + (((i*31 + vec_id*17) % 7) - 3) * 0.001)) AS v
+           FROM embeddings WHERE vec_id % 50 = 3),
+         u AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+         sig AS ($bandSelects),
+         pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM sig a JOIN sig b ON a.band = b.band AND a.bv = b.bv
+               AND a.id < b.id),
+         scored AS (SELECT id_a, id_b, round(${cos("x.v", "y.v")}, 6) AS cosine
+             FROM pairs JOIN u x ON x.id = pairs.id_a
+               JOIN u y ON y.id = pairs.id_b)
+         SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
          ORDER BY id_a, id_b"""
     },
     "ivf_train_assign" -> {

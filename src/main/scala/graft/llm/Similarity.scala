@@ -103,6 +103,85 @@ object Similarity {
   }
 
   /**
+   * Deterministic ±1 random-hyperplane matrix for [[signLshDupPairs]]:
+   * `bands * rowsPerBand` planes of `dim` components each, derived from a
+   * splitmix-style integer mix of (seed, plane index, component index) —
+   * reproducible on any engine, any partition order, and embeddable as
+   * literals in an oracle SQL string.
+   */
+  def lshPlanes(bands: Int, rowsPerBand: Int, dim: Int,
+                seed: Long = 42L): Seq[Seq[Double]] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (0 until bands * rowsPerBand).map { t =>
+      (0 until dim).map { j =>
+        if ((mix(seed * 0x100000001L + t.toLong * dim + j) & 1L) == 0L) -1.0
+        else 1.0
+      }
+    }
+  }
+
+  /**
+   * Embedding near-duplicate pairs via banded sign-random-projection LSH —
+   * the LINEAR-scale path for the high-threshold regime (cosine ≥ ~0.9,
+   * i.e. true duplicates), complementing [[cosineDupPairs]]'s flat-IVF
+   * moderate-threshold mining (which is Θ(N^1.5) by nature: moderate
+   * similarity can't be bucketed without near-all-pairs work).
+   *
+   * Each vector gets a `rowsPerBand`-bit signature per band (bit = sign of
+   * the dot product with a fixed hyperplane); candidate pairs agree on ALL
+   * bits of at least one band; the exact cosine filter then keeps pairs at
+   * or above `threshold`. Scaling: signatures are one codegen'd scan
+   * (O(N · bands · rowsPerBand · dim)); the band-bucket join is an
+   * equi-join; expected random collisions are N²·bands/2^rowsPerBand, so
+   * `rowsPerBand` ≈ 2·log2(N) keeps candidate work linear while band count
+   * buys back recall (p^R per band, 1-(1-p^R)^B overall, p = 1 − θ/π). At
+   * duplicate-level similarity (cos ≥ 0.99 ⇒ p ≥ 0.995) recall stays ≈ 1
+   * for R ≤ 24 with B = 8.
+   *
+   * Output: (id_a, id_b, cosine rounded to 6), id_a < id_b, distinct.
+   */
+  def signLshDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                      planes: Seq[Seq[Double]], rowsPerBand: Int,
+                      threshold: Double): DataFrame = {
+    require(planes.nonEmpty && planes.size % rowsPerBand == 0,
+      "planes.size must be a positive multiple of rowsPerBand")
+    val bands = planes.size / rowsPerBand
+    val v = F.col("v")
+    // band value = little-endian integer of the band's sign bits; the same
+    // left-to-right dot-product fold as the oracle's list_dot_product
+    def bandVal(b: Int): Column =
+      (0 until rowsPerBand).map { r =>
+        val plane = planes(b * rowsPerBand + r)
+        F.when(dot(v, F.lit(plane.toArray)) >= 0, F.lit(1L << r))
+          .otherwise(F.lit(0L))
+      }.reduce(_ + _)
+    val sig = df.select(F.col(idCol).as("id"), F.col(vecCol).as("v"))
+      .withColumn("bands", F.array((0 until bands).map(b =>
+        F.struct(F.lit(b).as("band"), bandVal(b).as("bv"))): _*))
+      .select(F.col("id"), v, F.explode(F.col("bands")).as("bb"))
+      .select(F.col("id"), v, F.col("bb.band").as("band"), F.col("bb.bv").as("bv"))
+    val a = sig.select(F.col("band"), F.col("bv"),
+      F.col("id").as("id_a"), v.as("v_a"))
+    val b = sig.select(F.col("band"), F.col("bv"),
+      F.col("id").as("id_b"), v.as("v_b"))
+    val (aPar, bSide) = PairJoin.sides(a, b,
+      Seq(F.col("band"), F.col("bv"), F.col("id_a")))
+    aPar.join(bSide, Seq("band", "bv"))
+      .filter(F.col("id_a") < F.col("id_b"))
+      .select(F.col("id_a"), F.col("id_b"),
+        F.round(cosine(F.col("v_a"), F.col("v_b")), 6).as("cosine"))
+      // a pair agreeing in several bands appears once per band with an
+      // identical cosine; collapse before the threshold filter
+      .dropDuplicates("id_a", "id_b")
+      .filter(F.col("cosine") >= threshold)
+  }
+
+  /**
    * Deterministic quantized Lloyd k-means — trains the centroids [[ivfTopK]]
    * consumes, with bit-reproducible results on any engine and any partition
    * order. Two design choices buy the determinism:

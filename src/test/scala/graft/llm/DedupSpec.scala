@@ -307,6 +307,35 @@ class DedupSpec extends SparkTestBase {
     out.head.getDouble(2) should be >= 0.999
   }
 
+  it should "find duplicate-level pairs via banded sign-LSH, and only those" in {
+    val dim = 16
+    // two near-identical vectors, one orthogonal-ish, one opposite
+    def v(f: Int => Double) = (0 until dim).map(f)
+    val vs = Seq(
+      (0L, v(j => math.sin(j + 1.0))),
+      (1L, v(j => math.sin(j + 1.0) * (if (j % 2 == 0) 1.001 else 0.999))),
+      (2L, v(j => math.cos(3.0 * j + 1.0))),
+      (3L, v(j => -math.sin(j + 1.0))))
+      .toDF("id", "v")
+    val planes = Similarity.lshPlanes(bands = 8, rowsPerBand = 6, dim = dim)
+    val out = Similarity.signLshDupPairs(vs, "id", "v", planes,
+      rowsPerBand = 6, threshold = 0.9).collect()
+    // (0,1) is a true duplicate (cos ≈ 0.99999) — with 8 bands of 6 bits
+    // its collision probability is 1 - (1 - p^6)^8 ≈ 1 for p ≈ 0.999;
+    // the opposite vector 3 can never pass the cosine filter, and vector 2
+    // is filtered even if a band collides
+    out.map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((0L, 1L))
+    out.head.getDouble(2) should be >= 0.999
+  }
+
+  it should "generate reproducible ±1 planes" in {
+    val a = Similarity.lshPlanes(2, 3, 4)
+    a shouldBe Similarity.lshPlanes(2, 3, 4)
+    a.flatten.toSet shouldBe Set(-1.0, 1.0)
+    a.size shouldBe 6
+    a should not be Similarity.lshPlanes(2, 3, 4, seed = 7L)
+  }
+
   it should "compute l2 norms via array folds" in {
     val r = Seq((1L, Seq(3.0f, 4.0f))).toDF("id", "v")
       .select(Similarity.l2Norm($"v")).collect().head
