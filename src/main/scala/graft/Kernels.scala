@@ -235,6 +235,32 @@ object Kernels {
     java.lang.Double.valueOf(s)
   }
 
+  /** All LSH band values of a vector in one monomorphic pass: plane `t`
+    * (flat row-major, `planes.length / dim` planes) contributes sign bit
+    * `t % rowsPerBand` of band `t / rowsPerBand`. Each plane's dot product
+    * is the same sequential fold as [[dotD]] (bit-identical to the oracle's
+    * `list_dot_product`). One call replaces a `bands × rowsPerBand` tree of
+    * dot-product expressions that fell out of codegen and evaluated ~50×
+    * slower row-by-row. */
+  def lshBands(v: ArrayData, planes: Array[Double], dim: Int,
+               rowsPerBand: Int): ArrayData = {
+    val nPlanes = planes.length / dim
+    val out = new Array[Long](nPlanes / rowsPerBand)
+    var t = 0
+    while (t < nPlanes) {
+      val off = t * dim
+      var s = 0.0
+      var j = 0
+      while (j < dim) {
+        s += v.getDouble(j) * planes(off + j)
+        j += 1
+      }
+      if (s >= 0) out(t / rowsPerBand) |= 1L << (t % rowsPerBand)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** cos(a, b) = Σab / (√Σaa · √Σbb), accumulated in one pass with the
     * same per-accumulator op order as three separate folds. Null on length
     * mismatch or null elements, like [[dotD]]. */

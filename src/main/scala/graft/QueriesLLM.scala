@@ -121,15 +121,17 @@ object QueriesLLM {
     }),
     "emb_near_dup" -> ((s, dir) => {
       val e = embs(s, dir)
-      // Cell count scales as ceil(sqrt(N)): flat-IVF moderate-threshold
-      // mining costs N·k (assignment) + N²/k (per-cell pairs), so k = √N
-      // balances both at Θ(N^1.5) — the best a flat quantizer can do. A
-      // FIXED k is quadratic in the pair loop (α ≈ 2.1 measured at 10×),
-      // k ∝ N is quadratic in assignment (α ≈ 1.23 measured at 100×).
-      // The truly linear path exists only in the high-threshold regime —
-      // see emb_near_dup_lsh. The oracle derives the identical k from
-      // count(*).
-      val k = math.max(16L, math.ceil(math.sqrt(e.count().toDouble)).toLong)
+      // Cell count scales as ceil(2·√N): flat-IVF moderate-threshold
+      // mining costs N·k (assignment flops) + N²/k (per-cell pair rows),
+      // so k ∝ √N balances both at Θ(N^1.5) — the best a flat quantizer
+      // can do; the constant 2 is measured (k sweep at N = 20k: 142 →
+      // 4.6 s, 283 → 1.8 s, 312 → 1.3 s, 600 → 2.0 s, 1000 → 3.0 s —
+      // pair rows cost ~6× their share of assignment flops). A FIXED k is
+      // quadratic in the pair loop (α ≈ 2.1 measured at 10×), k ∝ N is
+      // quadratic in assignment (α ≈ 1.23 measured at 100×). The truly
+      // linear path exists only in the high-threshold regime — see
+      // emb_near_dup_lsh. The oracle derives the identical k from count(*).
+      val k = math.max(16L, math.ceil(2.0 * math.sqrt(e.count().toDouble)).toLong)
       val centroids = e.filter(F.col("vec_id") < k).orderBy("vec_id")
         .select("embedding").collect()
         .map(_.getSeq[Float](0).toSeq).toSeq
@@ -147,7 +149,7 @@ object QueriesLLM {
       // as mm_decode_headers. The oracle replays the identical perturbation
       // and the identical literal hyperplanes.
       val base = e.select(F.col("vec_id").as("id"),
-        F.transform(F.col("embedding"), x => x.cast("double")).as("v"))
+        F.col("embedding").cast("array<double>").as("v"))
       val copies = e.filter(F.col("vec_id") % 50 === 3)
         .select((F.col("vec_id") + F.lit(1000000000000000L)).as("id"),
           F.transform(F.col("embedding"), (x, i) =>
@@ -664,11 +666,11 @@ object QueriesLLM {
     "emb_near_dup" -> {
       def cos(x: String, y: String) =
         s"list_dot_product($x, $y) / (sqrt(list_dot_product($x, $x)) * sqrt(list_dot_product($y, $y)))"
-      // cell count k = greatest(16, ceil(sqrt(N))) mirrors the Spark side:
-      // the flat-IVF assignment/pair-loop balance point (see the query)
+      // cell count k = greatest(16, ceil(2·sqrt(N))) mirrors the Spark
+      // side: the flat-IVF assignment/pair-loop balance point (see query)
       s"""WITH cents AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS c
              FROM embeddings
-             WHERE vec_id < (SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embeddings)),
+             WHERE vec_id < (SELECT greatest(16, CAST(ceil(2*sqrt(count(*))) AS BIGINT)) FROM embeddings)),
          n AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS v FROM embeddings),
          nc AS (SELECT n_id, v, cell FROM (
              SELECT n_id, v, cell, row_number() OVER (PARTITION BY n_id

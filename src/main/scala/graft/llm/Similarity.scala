@@ -150,21 +150,17 @@ object Similarity {
                       threshold: Double): DataFrame = {
     require(planes.nonEmpty && planes.size % rowsPerBand == 0,
       "planes.size must be a positive multiple of rowsPerBand")
-    val bands = planes.size / rowsPerBand
+    val dim = planes.head.length
+    require(planes.forall(_.length == dim), "planes must share one dimension")
     val v = F.col("v")
-    // band value = little-endian integer of the band's sign bits; the same
-    // left-to-right dot-product fold as the oracle's list_dot_product
-    def bandVal(b: Int): Column =
-      (0 until rowsPerBand).map { r =>
-        val plane = planes(b * rowsPerBand + r)
-        F.when(dot(v, F.lit(plane.toArray)) >= 0, F.lit(1L << r))
-          .otherwise(F.lit(0L))
-      }.reduce(_ + _)
+    // All band values in ONE kernel call per row (band value = little-endian
+    // integer of the band's sign bits; each plane's dot product is the same
+    // left-to-right fold as the oracle's list_dot_product). A per-bit
+    // expression tree here fell out of codegen and evaluated ~50× slower.
     val sig = df.select(F.col(idCol).as("id"), F.col(vecCol).as("v"))
-      .withColumn("bands", F.array((0 until bands).map(b =>
-        F.struct(F.lit(b).as("band"), bandVal(b).as("bv"))): _*))
-      .select(F.col("id"), v, F.explode(F.col("bands")).as("bb"))
-      .select(F.col("id"), v, F.col("bb.band").as("band"), F.col("bb.bv").as("bv"))
+      .select(F.col("id"), v,
+        F.posexplode(org.apache.spark.sql.graft.GraftColumns.lshBands(
+          v, planes.flatten.toArray, dim, rowsPerBand)).as(Seq("band", "bv")))
     val a = sig.select(F.col("band"), F.col("bv"),
       F.col("id").as("id_a"), v.as("v_a"))
     val b = sig.select(F.col("band"), F.col("bv"),

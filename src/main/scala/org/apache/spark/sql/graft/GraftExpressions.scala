@@ -76,6 +76,12 @@ object GraftColumns {
                      nprobe: Int): Column =
     col(CentroidProbes(ex(vec), centroids, dim, nprobe))
 
+  /** All sign-LSH band values of a vector (flat row-major ±1 planes),
+    * `planes.length / dim / rowsPerBand` longs in one kernel call. */
+  def lshBands(vec: Column, planes: Array[Double], dim: Int,
+               rowsPerBand: Int): Column =
+    col(LshBands(ex(vec), planes, dim, rowsPerBand))
+
   /**
    * Narrow partition-count reduction at the InternalRow layer: applies the
    * given coalescer to `queryExecution.toRdd` and rebuilds the DataFrame
@@ -244,6 +250,25 @@ case class CentroidProbes(child: Expression, centroids: Array[Double],
       s"${ev.value} = graft.Kernels.centroidProbes($c, $cents, $dim, $nprobe);")
   }
   override protected def withNewChildInternal(newChild: Expression): CentroidProbes =
+    copy(child = newChild)
+}
+
+case class LshBands(child: Expression, planes: Array[Double],
+                    dim: Int, rowsPerBand: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(planes.length % dim == 0 && (planes.length / dim) % rowsPerBand == 0,
+    "planes must hold a whole number of bands of rowsPerBand planes")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    graft.Kernels.lshBands(input.asInstanceOf[ArrayData], planes, dim, rowsPerBand)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ps = ctx.addReferenceObj("planes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.Kernels.lshBands($c, $ps, $dim, $rowsPerBand);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): LshBands =
     copy(child = newChild)
 }
 
