@@ -476,6 +476,148 @@ object Kernels {
       Array[Any](n, fmt, w, h, rate, ch))
   }
 
+  // --- Fused PII scrub -----------------------------------------------------
+  // Same three pattern classes as graft.llm.Pii, staged in the same order
+  // (email -> phone -> ipv4), but evaluated in ONE kernel call per row with
+  // counts collected during the replace loops. The full-pattern regex scan is
+  // replaced by anchor jumps (indexOf '@' / '+' / word-boundary digit) with
+  // the REAL java.util.regex engine validating each anchor, so match
+  // enumeration is provably identical to successive Matcher.find() — the
+  // semantics regexp_replace/regexp_count implement — while skipping the
+  // per-position prefix scans that made the column form superlinear in token
+  // run length. The six regex passes of the staged column formulation
+  // (3 counts + 3 replaces) collapse into three anchor-jump passes.
+
+  /** Domain part of Pii.EmailPattern (everything after the '@'). */
+  private val EmailDomainPat = java.util.regex.Pattern.compile(
+    "[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)*\\.[A-Za-z]{2,}")
+  private val PhonePat = java.util.regex.Pattern.compile(
+    "\\+[0-9]{1,3}([ -]?[0-9]{2,4}){2,4}\\b")
+  private val Ipv4Pat = java.util.regex.Pattern.compile(
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b")
+
+  /** Char class of Pii.EmailPattern's local part: [A-Za-z0-9._%+-]. */
+  @inline private def isAtom(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '.' || c == '_' || c == '%' ||
+      c == '+' || c == '-'
+
+  /** java.util.regex's (non-UNICODE_CHARACTER_CLASS) \w for \b checks. */
+  @inline private def isWordCh(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_'
+
+  /**
+   * Email stage: for each '@' (indexOf jump), the local part is the maximal
+   * backward run of atom chars (greedy `[atom]+` cannot backtrack usefully —
+   * the char after any shortened run is an atom char, never '@'), clamped at
+   * the previous match's end exactly as Matcher.find(end) clamps match
+   * starts; the domain is validated by the real regex via region+lookingAt
+   * (its start is '@'-anchored, independent of the local part). An '@' whose
+   * anchor fails can start no match at any other position either (any
+   * earlier start hits this same '@' with the same failed domain; later
+   * starts belong to later '@'s), so jumping to the next '@' preserves
+   * leftmost-match order. Counts the replacements into `counts(slot)`.
+   */
+  private def scrubEmails(s: String, counts: Array[Int], slot: Int): String = {
+    var p = s.indexOf('@')
+    if (p < 0) return s
+    val n = s.length
+    var sb: java.lang.StringBuilder = null
+    var last = 0
+    var m: java.util.regex.Matcher = null
+    while (p >= 0) {
+      var bs = p
+      while (bs > last && isAtom(s.charAt(bs - 1))) bs -= 1
+      var end = -1
+      if (bs < p) {
+        if (m == null) m = EmailDomainPat.matcher(s)
+        m.region(p + 1, n)
+        if (m.lookingAt()) end = m.end()
+      }
+      if (end >= 0) {
+        if (sb == null) sb = new java.lang.StringBuilder(n)
+        sb.append(s, last, bs).append("<EMAIL>")
+        last = end
+        counts(slot) += 1
+        p = s.indexOf('@', end)
+      } else p = s.indexOf('@', p + 1)
+    }
+    if (sb == null) s else sb.append(s, last, n).toString
+  }
+
+  /** Phone stage: the pattern starts with a literal '+', so candidate match
+    * starts are exactly the '+' positions — indexOf jumps between them and
+    * the full pattern validates via region+lookingAt (trailing \b sees the
+    * true region end). */
+  private def scrubPhones(s: String, counts: Array[Int], slot: Int): String = {
+    var p = s.indexOf('+')
+    if (p < 0) return s
+    val n = s.length
+    var sb: java.lang.StringBuilder = null
+    var last = 0
+    var m: java.util.regex.Matcher = null
+    while (p >= 0) {
+      if (m == null) m = PhonePat.matcher(s)
+      m.region(p, n)
+      if (m.lookingAt()) {
+        if (sb == null) sb = new java.lang.StringBuilder(n)
+        sb.append(s, last, p).append("<PHONE>")
+        last = m.end()
+        counts(slot) += 1
+        p = s.indexOf('+', last)
+      } else p = s.indexOf('+', p + 1)
+    }
+    if (sb == null) s else sb.append(s, last, n).toString
+  }
+
+  /** IPv4 stage: a match must start on a digit whose predecessor is a
+    * non-word char (the leading \b; checked here against the TRUE
+    * predecessor — the regex then runs with an opaque region start, where
+    * its own \b trivially holds). Digits inside a word run can never start
+    * a match, so the anchor scan skips them. */
+  private def scrubIps(s: String, counts: Array[Int], slot: Int): String = {
+    val n = s.length
+    var sb: java.lang.StringBuilder = null
+    var last = 0
+    var m: java.util.regex.Matcher = null
+    var q = 0
+    while (q < n) {
+      val c = s.charAt(q)
+      if (c >= '0' && c <= '9' && (q == 0 || !isWordCh(s.charAt(q - 1)))) {
+        if (m == null) m = Ipv4Pat.matcher(s)
+        m.region(q, n)
+        if (m.lookingAt()) {
+          if (sb == null) sb = new java.lang.StringBuilder(n)
+          sb.append(s, last, q).append("<IP>")
+          last = m.end()
+          counts(slot) += 1
+          q = last
+        } else q += 1
+      } else q += 1
+    }
+    if (sb == null) s else sb.append(s, last, n).toString
+  }
+
+  /**
+   * One-call PII scrub: `(redacted, n_emails, n_phones, n_ips)` with the
+   * exact staged semantics of `Pii.redact` + `Pii.counts` — emails replaced
+   * on the raw text, phones on the email-redacted text, IPv4s on the
+   * phone-redacted text, each count taken on its stage's input (so a
+   * phone-looking run swallowed by an email is never double-counted).
+   * Replacement tokens contain no '$'/'\' so literal append matches
+   * regexp_replace's replacement handling.
+   */
+  def piiScrub(u: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val counts = new Array[Int](3)
+    val s1 = scrubEmails(u.toString, counts, 0)
+    val s2 = scrubPhones(s1, counts, 1)
+    val s3 = scrubIps(s2, counts, 2)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      org.apache.spark.unsafe.types.UTF8String.fromString(s3),
+      counts(0), counts(1), counts(2)))
+  }
+
   /**
    * Bounded JPEG SOF-marker walk over the leading `maxPrefix` bytes: hop
    * `FF xx | len(BE16) | payload` segments from byte 2 until a SOF marker

@@ -336,9 +336,16 @@ object QueriesLLM {
         F.lit(".0.1 call +1 555 "),
         F.lpad(F.pmod(F.col("doc_id"), F.lit(10000L)).cast("string"), 4, "0"),
         F.lit(" end"))
-      val cnts = Pii.counts(injected).map { case (n, c) => c.as(n) }
-      docs(s, dir).select(
-        (F.col("doc_id") +: cnts :+ Pii.redact(injected).as("redacted")): _*)
+      // fused kernel: one scrub call yields redaction + all three staged
+      // counts (semantics pinned to the staged regex forms in TextOpsSpec;
+      // the oracle below keeps evaluating the staged regexes in DuckDB)
+      docs(s, dir)
+        .select(F.col("doc_id"), Pii.scrub(injected).as("_pii"))
+        .select(F.col("doc_id"),
+          F.col("_pii.n_emails").as("n_emails"),
+          F.col("_pii.n_phones").as("n_phones"),
+          F.col("_pii.n_ips").as("n_ips"),
+          F.col("_pii.redacted").as("redacted"))
         .orderBy("doc_id")
     }),
     // Gopher/C4 hard-filter audit flags (one scan, pure expressions).

@@ -61,6 +61,12 @@ object GraftColumns {
   def mediaMeta(bin: Column, jpegMaxPrefix: Int, jpegMaxSegments: Int): Column =
     col(MediaMeta(ex(bin), jpegMaxPrefix, jpegMaxSegments))
 
+  /** Fused PII scrub struct `(redacted, n_emails, n_phones, n_ips)` —
+    * staged email/phone/IPv4 redaction + per-stage counts in one kernel
+    * call; semantics identical to the staged `Pii.redact`/`Pii.counts`
+    * regexp columns it accelerates. */
+  def piiScrub(text: Column): Column = col(PiiScrub(ex(text)))
+
   /** Σ aᵢ·bᵢ of two numeric arrays in double precision. */
   def dotProduct(a: Column, b: Column): Column = col(DotProductExpr(ex(a), ex(b)))
 
@@ -304,6 +310,37 @@ object MediaMeta {
     StructField("height", IntegerType, nullable = true),
     StructField("sample_rate", IntegerType, nullable = true),
     StructField("channels", IntegerType, nullable = true)))
+}
+
+/**
+ * Fused PII scrub (graft.Kernels.piiScrub): one kernel call computes the
+ * staged email -> phone -> IPv4 redaction AND the three per-stage match
+ * counts that `Pii.counts` defines, replacing six regexp passes (3
+ * regexp_count + 3 regexp_replace) with three anchor-jumping scans. At
+ * 100 TB, PII scrubbing touches every byte of every document — halving the
+ * pass count and removing the regex engine's per-position prefix scans is
+ * the difference between linear and superlinear cost in token run length.
+ */
+case class PiiScrub(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = PiiScrub.schema
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    graft.Kernels.piiScrub(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.Kernels.piiScrub($c);")
+  override protected def withNewChildInternal(newChild: Expression): PiiScrub =
+    copy(child = newChild)
+}
+
+object PiiScrub {
+  val schema: StructType = StructType(Seq(
+    StructField("redacted", StringType, nullable = false),
+    StructField("n_emails", IntegerType, nullable = false),
+    StructField("n_phones", IntegerType, nullable = false),
+    StructField("n_ips", IntegerType, nullable = false)))
 }
 
 /**

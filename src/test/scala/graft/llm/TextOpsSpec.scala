@@ -181,4 +181,66 @@ class TextOpsSpec extends SparkTestBase {
     d.select(Pii.redact(F.col("text"))).head().getString(0) shouldBe
       "contact <EMAIL> now"
   }
+
+  behavior of "Pii.scrub (fused kernel)"
+
+  /** Kernel == staged-regex parity on a corpus: every row's redaction and
+    * all three staged counts must agree between the fused kernel and the
+    * pure regexp column forms the DuckDB oracle mirrors. */
+  private def assertScrubParity(rows: Seq[String]): Unit = {
+    val d = rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val cnts = Pii.counts(F.col("text")).map { case (n, c) => c.as("staged_" + n) }
+    val out = d.select(
+      (Seq(F.col("id"), F.col("text"), Pii.scrub(F.col("text")).as("k"),
+        Pii.redact(F.col("text")).as("staged_red")) ++ cnts): _*)
+      .orderBy("id").collect()
+    out.foreach { r =>
+      val k = r.getStruct(2)
+      withClue(s"text=<${r.getString(1)}>: ") {
+        k.getString(0) shouldBe r.getString(3)
+        k.getInt(1) shouldBe r.getInt(4)
+        k.getInt(2) shouldBe r.getInt(5)
+        k.getInt(3) shouldBe r.getInt(6)
+      }
+    }
+  }
+
+  it should "match the staged regex forms on adversarial edge cases" in {
+    assertScrubParity(Seq(
+      "", "@", "a@", "@b.com", "a@b", "a@b.c", "a@b.co", "u@v.co",
+      "a@b@c.com", "a@b.com@d.com", "ab..cd@x.com end", "a-b_c%d@x-y.z.org",
+      "a@b.c3d.e5", "a@b.c3d.ee tail", "x a@b.com +44 20 7946 0958 10.0.0.1 end",
+      "+123 456 7890@x.com", "bob+12345678@ex.com", "u12345678@ex.com",
+      "+1 555 0042", "+1 555 0042,next", "+12 3456", "+1-800-FLOWERS",
+      "call +123 45 67 89 012 stop", "++44 20 7946 0958", "+999999999999999",
+      "1.2.3.4", "1.2.3.4 hi", "hi 1.2.3.4", "1.2.3.4.5.6.7.8",
+      "999.999.999.999", "1.2.3.4567", "v1.2.3.4", "x1.2.3.4", "_1.2.3.4",
+      "-1.2.3.4", "10.0.0.1:8080", "a 10.0.0.1.b", ".1.2.3.4.",
+      "ip 10.7.0.1 mail u7@mail.example.com call +1 555 0007 end",
+      "trailing email end@example.com", "email@example.com",
+      "a".repeat(300) + " no pii in this very long token run " + "9".repeat(120),
+      "%+.-_@ex.ample and +0 00 00 00 and 0.0.0.0"))
+  }
+
+  it should "match the staged regex forms on a seeded random corpus" in {
+    val rnd = new scala.util.Random(4242)
+    val frags = Array(
+      "lorem", "ipsum9", "a@b.com", "x.y%z@mail.example.co", "@nope",
+      "+1 555 0137", "+44 20 7946 0958", "+12 3456", "10.0.0.1", "1.2.3.4567",
+      "999.999.999.999", "..", "@@", "+", ".", "-", "_", "7", "word123",
+      "u12345678@ex.com", "tok_r73", "1.2.3.4.5.6.7.8", "+1-800-FLOWERS")
+    val rows = (0 until 300).map { _ =>
+      val n = 1 + rnd.nextInt(12)
+      Seq.fill(n)(frags(rnd.nextInt(frags.length)))
+        .mkString(if (rnd.nextBoolean()) " " else "")
+    }
+    assertScrubParity(rows)
+  }
+
+  it should "return a null struct for null text like the staged forms" in {
+    val d = Seq((1L, null: String), (2L, "a@b.com")).toDF("id", "text")
+    val out = d.select(Pii.scrub(F.col("text")).as("k")).orderBy(F.col("id")).collect()
+    out(0).isNullAt(0) shouldBe true
+    out(1).getStruct(0).getString(0) shouldBe "<EMAIL>"
+  }
 }
