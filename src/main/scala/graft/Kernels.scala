@@ -476,6 +476,92 @@ object Kernels {
       Array[Any](n, fmt, w, h, rate, ch))
   }
 
+  // --- Text-stat kernels ---------------------------------------------------
+
+  /** java.util.regex / RE2 \s: the six ASCII whitespace chars. */
+  @inline private def isRegexSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /**
+   * Count of BPE-pretokenizer segments `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]`
+   * (TextStats.BpeTokenPattern) in one char-class transition loop. The
+   * alternation's matches are exactly: maximal ASCII letter runs, maximal
+   * ASCII digit runs, and each remaining non-whitespace CODE POINT on its
+   * own (surrogate pairs advance as one, like the regex). Replaces a
+   * regexp_count whose engine re-examined every position — this is one pass,
+   * branch-per-char, perfectly linear in input length.
+   */
+  def bpeCount(u: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val s = u.toString
+    val n = s.length
+    var cnt = 0
+    var prev = 0 // 0 = none/space/other, 1 = letter run, 2 = digit run
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) {
+        if (prev != 1) cnt += 1
+        prev = 1; i += 1
+      } else if (c >= '0' && c <= '9') {
+        if (prev != 2) cnt += 1
+        prev = 2; i += 1
+      } else if (isRegexSpace(c)) {
+        prev = 0; i += 1
+      } else {
+        cnt += 1
+        prev = 0
+        i += Character.charCount(s.codePointAt(i))
+      }
+    }
+    cnt
+  }
+
+  /**
+   * Stopword-vote language ID in one pass: split on single spaces (the
+   * corpus convention `split(text, ' ')` uses), look each short token up in
+   * `wordMask` (word -> bitmask of language ordinals — a word like "que"
+   * can vote for several languages, exactly like the per-language
+   * `filter(tokens, isin(...))` counts it replaces), count CJK chars for
+   * `cjkIdx` in the same scan, and return the FIRST label (list order) whose
+   * vote count equals the maximum — the tie semantics of
+   * `greatest(...)` + a when-chain in label order.
+   */
+  def langIdLabel(u: org.apache.spark.unsafe.types.UTF8String,
+                  wordMask: java.util.HashMap[String, Integer],
+                  labels: Array[org.apache.spark.unsafe.types.UTF8String],
+                  maxWordLen: Int,
+                  cjkIdx: Int): org.apache.spark.unsafe.types.UTF8String = {
+    val s = u.toString
+    val n = s.length
+    val counts = new Array[Int](labels.length)
+    var tokStart = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        val len = i - tokStart
+        if (len > 0 && len <= maxWordLen) {
+          val m = wordMask.get(s.substring(tokStart, i))
+          if (m != null) {
+            var b = m.intValue()
+            while (b != 0) {
+              counts(java.lang.Integer.numberOfTrailingZeros(b)) += 1
+              b &= b - 1
+            }
+          }
+        }
+        tokStart = i + 1
+      } else if (cjkIdx >= 0) {
+        val c = s.charAt(i)
+        if (c >= 0x4e00 && c <= 0x9fff) counts(cjkIdx) += 1
+      }
+      i += 1
+    }
+    var best = 0
+    var j = 1
+    while (j < counts.length) { if (counts(j) > counts(best)) best = j; j += 1 }
+    labels(best)
+  }
+
   // --- Fused PII scrub -----------------------------------------------------
   // Same three pattern classes as graft.llm.Pii, staged in the same order
   // (email -> phone -> ipv4), but evaluated in ONE kernel call per row with

@@ -29,8 +29,15 @@ object TextStats {
   val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
   /** Approximate BPE token count: pre-tokenizer segments of
-    * [[BpeTokenPattern]]. Codegen'd regexp_count — one scan, no UDF. */
+    * [[BpeTokenPattern]], counted by a single char-class transition kernel
+    * (one linear pass; the regex engine re-examined every position). Count
+    * parity with [[bpeTokenCountRegex]] is pinned in TextOpsSpec. */
   def bpeTokenCount(text: Column): Column =
+    org.apache.spark.sql.graft.GraftColumns.bpeTokenCount(text)
+
+  /** The portable regexp form of [[bpeTokenCount]] — the reference
+    * semantics the DuckDB oracle mirrors (regexp_extract_all length). */
+  def bpeTokenCountRegex(text: Column): Column =
     F.regexp_count(text, F.lit(BpeTokenPattern))
 
   /** Mean token length for single-space-joined text:
@@ -60,12 +67,28 @@ object TextStats {
   val DeStop = Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein")
   val FrStop = Seq("le", "les", "des", "et", "une", "est", "dans", "que", "pour", "au")
 
+  private val LangLists = Seq(
+    "en" -> EnStop, "es" -> EsStop, "de" -> DeStop, "fr" -> FrStop)
+
   /**
    * N-gram/stopword language-ID heuristic: count hits per language's stopword
    * list (+ CJK character count for zh) and take the argmax with a fixed
-   * preference order (en > es > de > fr > zh) on ties. Deterministic; no model.
+   * preference order (en > es > de > fr > zh) on ties. Deterministic; no
+   * model. One kernel pass per row (word -> language-bitmask map lookups +
+   * CJK count in the same scan); label parity with the per-language
+   * filter/greatest column form [[langIdColumns]] is pinned in TextOpsSpec.
+   * One deliberate divergence: null text yields null here, where
+   * [[langIdColumns]] yields "zh" (its CASE chain's null conditions fall
+   * through to the otherwise branch — an artifact, not a semantic).
    */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column =
+    org.apache.spark.sql.graft.GraftColumns.stopwordLangId(
+      text, LangLists, cjkLabel = Some("zh"))
+
+  /** The pure-Column form of [[langId]] — the reference semantics the
+    * DuckDB oracle mirrors (per-language list_filter counts + greatest +
+    * a CASE chain in preference order). */
+  def langIdColumns(text: Column): Column = {
     val en = hits(text, EnStop); val es = hits(text, EsStop)
     val de = hits(text, DeStop); val fr = hits(text, FrStop)
     val zh = F.length(F.regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))

@@ -61,6 +61,16 @@ object GraftColumns {
   def mediaMeta(bin: Column, jpegMaxPrefix: Int, jpegMaxSegments: Int): Column =
     col(MediaMeta(ex(bin), jpegMaxPrefix, jpegMaxSegments))
 
+  /** BPE-pretokenizer segment count (TextStats.BpeTokenPattern) as one
+    * char-class transition loop — same count as the regexp form, linear. */
+  def bpeTokenCount(text: Column): Column = col(BpeTokenCountExpr(ex(text)))
+
+  /** Stopword-vote language id over `langWords` (label -> stopword list,
+    * label order = tie preference; `cjkLabel` also scores CJK chars). */
+  def stopwordLangId(text: Column, langWords: Seq[(String, Seq[String])],
+                     cjkLabel: Option[String]): Column =
+    col(StopwordLangId(ex(text), langWords, cjkLabel))
+
   /** Fused PII scrub struct `(redacted, n_emails, n_phones, n_ips)` —
     * staged email/phone/IPv4 redaction + per-stage counts in one kernel
     * call; semantics identical to the staged `Pii.redact`/`Pii.counts`
@@ -310,6 +320,71 @@ object MediaMeta {
     StructField("height", IntegerType, nullable = true),
     StructField("sample_rate", IntegerType, nullable = true),
     StructField("channels", IntegerType, nullable = true)))
+}
+
+/** BPE-pretokenizer segment count: one transition loop over char classes,
+  * exactly the matches of `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]` (TextStats
+  * pins kernel == regexp_count parity in its spec). */
+case class BpeTokenCountExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    graft.Kernels.bpeCount(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.Kernels.bpeCount($c);")
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCountExpr =
+    copy(child = newChild)
+}
+
+/**
+ * Stopword-vote language ID in one kernel pass (graft.Kernels.langIdLabel):
+ * per-language stopword hit counts via ONE word -> language-bitmask map
+ * lookup per token (a word on several lists votes for all of them, like the
+ * per-language `size(filter(split(text,' '), isin(...)))` columns this
+ * replaces), CJK chars counted for `cjkLabel` in the same scan, ties to the
+ * earliest label in `langWords` order (+ cjk last) — the semantics of
+ * `greatest` + a when-chain in that order.
+ */
+case class StopwordLangId(child: Expression,
+                          langWords: Seq[(String, Seq[String])],
+                          cjkLabel: Option[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(langWords.nonEmpty && langWords.size + cjkLabel.size <= 31,
+    "need 1..31 languages")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val labels: Array[org.apache.spark.unsafe.types.UTF8String] =
+    (langWords.map(_._1) ++ cjkLabel).map(
+      org.apache.spark.unsafe.types.UTF8String.fromString).toArray
+  @transient private lazy val wordMask: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    for (((_, words), i) <- langWords.zipWithIndex; w <- words) {
+      val prev = m.get(w)
+      m.put(w, Integer.valueOf((if (prev == null) 0 else prev.intValue()) | (1 << i)))
+    }
+    m
+  }
+  @transient private lazy val maxWordLen: Int =
+    langWords.flatMap(_._2).map(_.length).max
+  private def cjkIdx: Int = if (cjkLabel.isDefined) langWords.size else -1
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.Kernels.langIdLabel(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      wordMask, labels, maxWordLen, cjkIdx)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapRef = ctx.addReferenceObj("wordMask", wordMask, "java.util.HashMap")
+    val labelsRef = ctx.addReferenceObj("labels", labels,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.Kernels.langIdLabel($c, $mapRef, $labelsRef, $maxWordLen, $cjkIdx);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): StopwordLangId =
+    copy(child = newChild)
 }
 
 /**

@@ -182,6 +182,58 @@ class TextOpsSpec extends SparkTestBase {
       "contact <EMAIL> now"
   }
 
+  behavior of "text kernels vs column forms"
+
+  /** Shared corpus for kernel-vs-reference parity: edge cases + seeded
+    * random fragment concatenations (multi-space runs, CJK, digits glued to
+    * letters, surrogate pairs, stopwords of several languages). */
+  private def textParityCorpus: Seq[String] = {
+    val rnd = new scala.util.Random(1717)
+    val frags = Array(
+      "the", "la", "der", "les", "que", "de", "und", "pour", "it", "no",
+      "word", "Word123x", "42", "3.14", "!?", "{}", "a,b;c", "汉字漢字",
+      "😀", "tok_r73", "", " ", "  ", "\tx\n", "é-ü", "not-a-stopword",
+      "THE", "100000", "a1b2c3")
+    val edge = Seq(
+      "", " ", "   ", "the la der les que", "que que que", "汉 字 the",
+      "汉字汉字汉字 the a is", "el la de que y en", "der die das und ist",
+      "le les des et une est", "a.b!c?d;e:f", "123abc456", "__a__",
+      "x\fy\rz", "😀😀😀", "mixé café naïve", "the quick brown fox",
+      "one two three four five six seven eight nine ten the of and")
+    edge ++ (0 until 250).map { _ =>
+      val n = 1 + rnd.nextInt(14)
+      Seq.fill(n)(frags(rnd.nextInt(frags.length)))
+        .mkString(if (rnd.nextInt(4) == 0) "" else " ")
+    }
+  }
+
+  it should "match bpeTokenCount kernel to the regexp form" in {
+    val d = textParityCorpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val bad = d.select(F.col("text"),
+      TextStats.bpeTokenCount(F.col("text")).as("k"),
+      TextStats.bpeTokenCountRegex(F.col("text")).as("r"))
+      .where(F.col("k") =!= F.col("r")).collect()
+    withClue(bad.mkString("; ")) { bad shouldBe empty }
+  }
+
+  it should "match langId kernel to the column form" in {
+    val d = textParityCorpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val bad = d.select(F.col("text"),
+      TextStats.langId(F.col("text")).as("k"),
+      TextStats.langIdColumns(F.col("text")).as("r"))
+      .where(F.col("k") =!= F.col("r")).collect()
+    withClue(bad.mkString("; ")) { bad shouldBe empty }
+    // null handling is the one DELIBERATE divergence: the kernel propagates
+    // null, while the column form's when-chain falls through its null
+    // conditions to otherwise("zh") — an artifact, not a semantic (the
+    // corpus text column is non-null; divergence documented on langId)
+    val nd = Seq((1L, null: String)).toDF("id", "text")
+    nd.select(TextStats.langId(F.col("text"))).head().isNullAt(0) shouldBe true
+    nd.select(TextStats.langIdColumns(F.col("text"))).head().getString(0) shouldBe "zh"
+  }
+
   behavior of "Pii.scrub (fused kernel)"
 
   /** Kernel == staged-regex parity on a corpus: every row's redaction and
