@@ -562,6 +562,111 @@ object Kernels {
     labels(best)
   }
 
+  /**
+   * Per-document token statistics in ONE pass over the chars:
+   * `(n_tokens, n_unique, n_punct, n_stop)` where tokens are single-space
+   * splits (empty tokens from consecutive spaces count, like
+   * `split(text, ' ')`), `n_unique` counts distinct token strings
+   * (= `size(array_distinct(split(...)))`), `n_punct` counts chars in
+   * `[.,!?;:]` (= the length-difference of the regexp_replace form), and
+   * `n_stop` counts tokens found in `stopSet`
+   * (= `size(filter(tokens, isin(words)))`). Replaces up to four separate
+   * split-array pipelines (each allocating a token array per row) that made
+   * the quality/token-stats queries the last superlinear-in-bytes family.
+   */
+  def docTokenStats(u: org.apache.spark.unsafe.types.UTF8String,
+                    stopSet: java.util.HashSet[String],
+                    maxStopLen: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = u.toString
+    val n = s.length
+    val uniq = new java.util.HashSet[String]()
+    var nTok = 0
+    var nPunct = 0
+    var nStop = 0
+    var tokStart = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        nTok += 1
+        val tok = s.substring(tokStart, i)
+        uniq.add(tok)
+        if (i - tokStart <= maxStopLen && stopSet.contains(tok)) nStop += 1
+        tokStart = i + 1
+      } else {
+        val c = s.charAt(i)
+        if (c == '.' || c == ',' || c == '!' || c == '?' || c == ';' || c == ':')
+          nPunct += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTok, uniq.size(), nPunct, nStop))
+  }
+
+  /**
+   * Context-window chunking in one pass: returns an array of structs
+   * `(start, n_tokens, chunk_text)` for chunk starts 0, stride, 2*stride, …
+   * < n_tokens, where tokens are single-space splits of `text`. Because the
+   * join delimiter equals the split delimiter, `array_join(slice(tokens,
+   * s+1, chunkSize), " ")` is exactly the SUBSTRING of `text` spanning
+   * those tokens (consecutive spaces round-trip as empty tokens), so the
+   * kernel records token start offsets once and emits substrings — no
+   * token array, no per-chunk slice/join allocations. Empty text has one
+   * empty token, like `split("", " ")`.
+   */
+  def chunkSpans(u: org.apache.spark.unsafe.types.UTF8String,
+                 chunkSize: Int, stride: Int): ArrayData = {
+    val s = u.toString
+    val n = s.length
+    // token i spans [starts(i), ends(i)); single-space delimiter
+    var nTok = 1
+    var i = 0
+    while (i < n) { if (s.charAt(i) == ' ') nTok += 1; i += 1 }
+    val starts = new Array[Int](nTok)
+    var t = 1
+    i = 0
+    while (i < n) {
+      if (s.charAt(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    val nChunks = (nTok + stride - 1) / stride
+    val out = new Array[Any](nChunks)
+    var c = 0
+    while (c < nChunks) {
+      val st = c * stride
+      val take = math.min(chunkSize, nTok - st)
+      val from = starts(st)
+      val until = if (st + take >= nTok) n else starts(st + take) - 1
+      out(c) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](st, take,
+          org.apache.spark.unsafe.types.UTF8String.fromString(s.substring(from, until))))
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /**
+   * Order-sensitive rolling hash over a token array, bit-identical to the
+   * `aggregate(tokens, 0L, (acc, t) => xxhash64(acc, t))` fold it replaces:
+   * Spark's two-child xxhash64 seeds with 42, folds the long acc, then the
+   * token bytes — so acc' = hashBytes(t, hashLong(acc, 42)). One primitive
+   * loop per row instead of one boxed lambda dispatch per token.
+   */
+  def rollingTokenHash(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      val h = XXH64.hashLong(acc, 42L)
+      acc =
+        if (t == null) h
+        else XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, h)
+      i += 1
+    }
+    acc
+  }
+
   // --- Fused PII scrub -----------------------------------------------------
   // Same three pattern classes as graft.llm.Pii, staged in the same order
   // (email -> phone -> ipv4), but evaluated in ONE kernel call per row with

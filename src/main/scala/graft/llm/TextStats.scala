@@ -16,9 +16,19 @@ object TextStats {
   /** Whitespace tokens (single-space convention of the corpus). */
   def tokens(text: Column): Column = F.split(text, " ")
 
-  def tokenCount(text: Column): Column = F.size(tokens(text))
+  /** Single-pass token-statistics struct shared (via Catalyst common
+    * subexpression elimination) by every count below that appears in the
+    * same projection — one kernel scan instead of one split-array pipeline
+    * per count. EnStop is the default stopword list so `tokenCount` /
+    * `tokenSetRatio(EnStop)` / `punctRatio` all collapse onto ONE node.
+    * Parity with the split/filter/array_distinct column forms is pinned in
+    * TextOpsSpec. */
+  private def stats(text: Column, words: Seq[String] = EnStop): Column =
+    org.apache.spark.sql.graft.GraftColumns.docTokenStats(text, words)
 
-  def uniqueTokenCount(text: Column): Column = F.size(F.array_distinct(tokens(text)))
+  def tokenCount(text: Column): Column = stats(text).getField("n_tokens")
+
+  def uniqueTokenCount(text: Column): Column = stats(text).getField("n_unique")
 
   /** BPE-style pre-tokenizer segment pattern: letter runs, digit runs, and
     * individual punctuation marks — the GPT-2 pre-tokenizer's split points
@@ -49,17 +59,21 @@ object TextStats {
 
   /** Ratio of tokens found in `words` (e.g. stopwords). */
   def tokenSetRatio(text: Column, words: Seq[String]): Column =
-    hits(text, words).cast("double") / tokenCount(text).cast("double")
+    stats(text, words).getField("n_stop").cast("double") /
+      stats(text, words).getField("n_tokens").cast("double")
 
-  private def hits(text: Column, words: Seq[String]): Column =
+  /** Pure-Column stopword-hit count — reference semantics for the kernel's
+    * `n_stop` (used by [[langIdColumns]] and the parity specs). */
+  private[llm] def hits(text: Column, words: Seq[String]): Column =
     F.size(F.filter(tokens(text), t => t.isin(words.map(F.lit(_)): _*)))
 
   /** Punctuation character ratio; null for empty text (0/0 raises
     * DIVIDE_BY_ZERO under Spark 4's default ANSI mode — empty documents
-    * are ordinary corpus rows, not errors). */
+    * are ordinary corpus rows, not errors). The count is the kernel's
+    * `n_punct` (= the length-difference of the regexp_replace form). */
   def punctRatio(text: Column): Column =
     F.when(F.length(text) > 0,
-      (F.length(text) - F.length(F.regexp_replace(text, "[.,!?;:]", "")))
+      stats(text).getField("n_punct")
         .cast("double") / F.length(text).cast("double"))
 
   val EnStop = Seq("the", "a", "is", "of", "to", "and", "in", "that", "it", "on")
@@ -128,7 +142,7 @@ object TextStats {
     val flags = Seq(
       "words_ok" -> (n >= minWords && n <= maxWords),
       "mwl_ok" -> (mtl >= 3.0 && mtl <= 10.0),
-      "stop_ok" -> (hits(text, EnStop) >= 2),
+      "stop_ok" -> (stats(text).getField("n_stop") >= 2),
       "no_braces" -> !text.contains("{"),
       "no_lorem" -> !F.lower(text).contains("lorem ipsum"))
     flags :+ ("keep" -> flags.map(_._2).reduce(_ && _))
@@ -204,15 +218,12 @@ object TextStats {
                   textCol: String, chunkSize: Int, stride: Int): org.apache.spark.sql.DataFrame = {
     require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
     require(stride >= 1, s"stride must be >= 1, got $stride")
-    val ts = tokens(F.col(textCol))
-    // null-text guard: without it, greatest(null - 1, 0) = 0 (greatest
-    // SKIPS nulls) would fabricate one phantom all-null chunk per null doc
-    val chunks = F.when(F.col(textCol).isNotNull, F.transform(
-      F.sequence(F.lit(0), F.greatest(F.size(ts) - 1, F.lit(0)), F.lit(stride)),
-      s => F.struct(
-        s.as("start"),
-        F.least(F.lit(chunkSize), F.size(ts) - s).as("n_tokens"),
-        F.array_join(F.slice(ts, s + F.lit(1), F.lit(chunkSize)), " ").as("chunk_text"))))
+    // one offset-walk kernel call per row (chunk texts are substrings of
+    // the original — the join delimiter equals the split delimiter); null
+    // text propagates to a null array, which posexplode drops. Parity with
+    // the transform+slice+array_join column form is pinned in TextOpsSpec.
+    val chunks = org.apache.spark.sql.graft.GraftColumns
+      .chunkSpans(F.col(textCol), chunkSize, stride)
     df.select(F.col(idCol), F.posexplode(chunks).as(Seq("chunk_id", "ch")))
       .select(F.col(idCol), F.col("chunk_id"),
         F.col("ch.start").as("start"), F.col("ch.n_tokens").as("n_tokens"),
@@ -225,10 +236,15 @@ object TextStats {
   /**
    * 64-bit rolling (order-sensitive) hash over tokens: a chained-hash fold
    * acc' = xxhash64(acc, token). Equivalent role to a Rabin-Karp polynomial
-   * hash but ANSI-safe (no overflowing multiply) and still a pure
-   * `aggregate` fold — no UDF.
+   * hash but ANSI-safe (no overflowing multiply). One codegen'd kernel loop
+   * per row, bit-identical to [[rollingHashFold]] (pinned in TextOpsSpec).
    */
   def rollingHash(text: Column): Column =
+    org.apache.spark.sql.graft.GraftColumns.rollingTokenHash(tokens(text))
+
+  /** The pure higher-order-function form of [[rollingHash]] — the reference
+    * semantics (one boxed xxhash64 dispatch per token; ~10x slower). */
+  def rollingHashFold(text: Column): Column =
     F.aggregate(tokens(text), F.lit(0L), (acc, t) => F.xxhash64(acc, t))
 
   /**

@@ -351,11 +351,14 @@ object PyApi {
     graft.llm.TextStats.hardFilter(df, textCol, minWords, maxWords)
 
   def piiRedact(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn(textCol, graft.llm.Pii.redact(F.col(textCol)))
+    df.withColumn(textCol,
+      graft.llm.Pii.scrub(F.col(textCol)).getField("redacted"))
 
-  def piiCounts(df: DataFrame, textCol: String): DataFrame =
-    graft.llm.Pii.counts(F.col(textCol))
-      .foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+  def piiCounts(df: DataFrame, textCol: String): DataFrame = {
+    val s = graft.llm.Pii.scrub(F.col(textCol))
+    Seq("n_emails", "n_phones", "n_ips")
+      .foldLeft(df) { case (d, n) => d.withColumn(n, s.getField(n)) }
+  }
 
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame =

@@ -61,6 +61,21 @@ object GraftColumns {
   def mediaMeta(bin: Column, jpegMaxPrefix: Int, jpegMaxSegments: Int): Column =
     col(MediaMeta(ex(bin), jpegMaxPrefix, jpegMaxSegments))
 
+  /** Order-sensitive rolling hash of a token array — bit-identical to the
+    * `aggregate(tokens, 0L, (acc, t) => xxhash64(acc, t))` fold. */
+  def rollingTokenHash(tokens: Column): Column = col(RollingTokenHash(ex(tokens)))
+
+  /** Context-window chunk structs `(start, n_tokens, chunk_text)` for
+    * single-space-tokenized text, one offset-walk kernel call per row. */
+  def chunkSpans(text: Column, chunkSize: Int, stride: Int): Column =
+    col(ChunkSpans(ex(text), chunkSize, stride))
+
+  /** Single-pass token statistics struct `(n_tokens, n_unique, n_punct,
+    * n_stop)` over single-space-tokenized text; `n_stop` counts hits in
+    * `stopWords`. */
+  def docTokenStats(text: Column, stopWords: Seq[String]): Column =
+    col(DocTokenStats(ex(text), stopWords))
+
   /** BPE-pretokenizer segment count (TextStats.BpeTokenPattern) as one
     * char-class transition loop — same count as the regexp form, linear. */
   def bpeTokenCount(text: Column): Column = col(BpeTokenCountExpr(ex(text)))
@@ -320,6 +335,88 @@ object MediaMeta {
     StructField("height", IntegerType, nullable = true),
     StructField("sample_rate", IntegerType, nullable = true),
     StructField("channels", IntegerType, nullable = true)))
+}
+
+/** Single-pass per-document token statistics (graft.Kernels.docTokenStats):
+  * token / distinct-token / punctuation-char / stopword-hit counts in one
+  * scan, replacing up to four split-array pipelines. The downstream double
+  * arithmetic (ratios, quality score) stays in ordinary Column expressions
+  * over these ints, so IEEE results are bit-identical to the column forms
+  * the DuckDB oracle mirrors (parity pinned in TextOpsSpec). */
+case class DocTokenStats(child: Expression, stopWords: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = DocTokenStats.schema
+  override def nullIntolerant: Boolean = true
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopWords.foreach(s.add)
+    s
+  }
+  @transient private lazy val maxStopLen: Int =
+    if (stopWords.isEmpty) 0 else stopWords.map(_.length).max
+  override protected def nullSafeEval(input: Any): Any =
+    graft.Kernels.docTokenStats(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], stopSet, maxStopLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("stopSet", stopSet, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.Kernels.docTokenStats($c, $setRef, $maxStopLen);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): DocTokenStats =
+    copy(child = newChild)
+}
+
+object DocTokenStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_unique", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false),
+    StructField("n_stop", IntegerType, nullable = false)))
+}
+
+/** Context-window chunk structs from one offset-walk kernel call
+  * (graft.Kernels.chunkSpans): replaces a transform+slice+array_join tree
+  * that re-walked the token array and allocated a joined string per chunk.
+  * TextOpsSpec pins parity against the higher-order-function form. */
+case class ChunkSpans(child: Expression, chunkSize: Int, stride: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+  require(stride >= 1, s"stride must be >= 1, got $stride")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(ChunkSpans.elementSchema, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    graft.Kernels.chunkSpans(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], chunkSize, stride)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.Kernels.chunkSpans($c, $chunkSize, $stride);")
+  override protected def withNewChildInternal(newChild: Expression): ChunkSpans =
+    copy(child = newChild)
+}
+
+object ChunkSpans {
+  val elementSchema: StructType = StructType(Seq(
+    StructField("start", IntegerType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("chunk_text", StringType, nullable = false)))
+}
+
+/** Rolling (order-sensitive) token-chain hash: one primitive XXH64 loop per
+  * row, bit-identical to the interpreted `aggregate`+`xxhash64` fold it
+  * replaces (TextOpsSpec pins value equality against the fold form). */
+case class RollingTokenHash(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    graft.Kernels.rollingTokenHash(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.Kernels.rollingTokenHash($c);")
+  override protected def withNewChildInternal(newChild: Expression): RollingTokenHash =
+    copy(child = newChild)
 }
 
 /** BPE-pretokenizer segment count: one transition loop over char classes,

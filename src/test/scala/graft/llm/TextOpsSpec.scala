@@ -217,6 +217,62 @@ class TextOpsSpec extends SparkTestBase {
     withClue(bad.mkString("; ")) { bad shouldBe empty }
   }
 
+  it should "match docTokenStats kernel to the split-array column forms" in {
+    val ts = F.split(F.col("text"), " ")
+    val d = textParityCorpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val bad = d.select(F.col("text"),
+      TextStats.tokenCount(F.col("text")).as("k_n"),
+      F.size(ts).as("r_n"),
+      TextStats.uniqueTokenCount(F.col("text")).as("k_u"),
+      F.size(F.array_distinct(ts)).as("r_u"),
+      org.apache.spark.sql.graft.GraftColumns
+        .docTokenStats(F.col("text"), TextStats.EnStop).getField("n_punct").as("k_p"),
+      (F.length(F.col("text")) -
+        F.length(F.regexp_replace(F.col("text"), "[.,!?;:]", ""))).as("r_p"),
+      org.apache.spark.sql.graft.GraftColumns
+        .docTokenStats(F.col("text"), TextStats.EsStop).getField("n_stop").as("k_s"),
+      TextStats.hits(F.col("text"), TextStats.EsStop).as("r_s"))
+      .where(F.col("k_n") =!= F.col("r_n") || F.col("k_u") =!= F.col("r_u") ||
+        F.col("k_p") =!= F.col("r_p") || F.col("k_s") =!= F.col("r_s"))
+      .collect()
+    withClue(bad.mkString("; ")) { bad shouldBe empty }
+  }
+
+  it should "match chunkSpans kernel to the transform+slice+array_join form" in {
+    import org.apache.spark.sql.Column
+    // the pre-kernel column formulation, kept here as the reference
+    def chunksHof(text: Column, chunkSize: Int, stride: Int): Column = {
+      val ts = F.split(text, " ")
+      F.when(text.isNotNull, F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(ts) - 1, F.lit(0)), F.lit(stride)),
+        s => F.struct(
+          s.as("start"),
+          F.least(F.lit(chunkSize), F.size(ts) - s).as("n_tokens"),
+          F.array_join(F.slice(ts, s + F.lit(1), F.lit(chunkSize)), " ").as("chunk_text"))))
+    }
+    val d = (textParityCorpus ++ Seq(null, "a  b   c", " x ", "lone"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for ((cs, st) <- Seq((3, 2), (1, 1), (8, 8), (2, 5))) {
+      val k = org.apache.spark.sql.graft.GraftColumns.chunkSpans(F.col("text"), cs, st)
+      val bad = d.select(F.col("text"), k.as("k"), chunksHof(F.col("text"), cs, st).as("r"))
+        .where(F.col("k") =!= F.col("r") || (F.col("k").isNull =!= F.col("r").isNull))
+        .collect()
+      withClue(s"chunkSize=$cs stride=$st: " + bad.mkString("; ")) { bad shouldBe empty }
+    }
+  }
+
+  it should "match rollingHash kernel to the aggregate fold bit-for-bit" in {
+    val d = (textParityCorpus :+ null).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val bad = d.select(F.col("text"),
+      TextStats.rollingHash(F.col("text")).as("k"),
+      TextStats.rollingHashFold(F.col("text")).as("r"))
+      .where(F.col("k") =!= F.col("r") ||
+        (F.col("k").isNull =!= F.col("r").isNull)).collect()
+    withClue(bad.mkString("; ")) { bad shouldBe empty }
+  }
+
   it should "match langId kernel to the column form" in {
     val d = textParityCorpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("id", "text")
