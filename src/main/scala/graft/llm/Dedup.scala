@@ -223,6 +223,9 @@ object Dedup {
       .union(pairs.select(F.col(bCol).as("src"), F.col(aCol).as("dst")))
       .persist()
     var labels = ids.select(F.col(idCol).as("id"), F.col(idCol).as("lbl"))
+    val lblType = labels.schema("lbl").dataType
+    val labelSchema = org.apache.spark.sql.types.StructType(
+      labels.schema.fields.take(2))
     var prevRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
     var round = 0
     var converged = false
@@ -230,9 +233,18 @@ object Dedup {
       // neighbor messages: the label of each node, delivered to each peer
       val msgs = edges.join(labels, edges("src") === labels("id"))
         .select(F.col("dst").as("id"), F.col("lbl"))
-      val propagated = labels.select(F.col("id"), F.col("lbl"))
-        .union(msgs)
-        .groupBy("id").agg(F.min("lbl").as("lbl"))
+      // Carry each node's PREVIOUS label through the same aggregation that
+      // computes the new one: only the self row contributes a non-null
+      // `old`, and min() skips nulls, so `old` survives the groupBy for
+      // free — no extra join for change detection. A node that first
+      // appears this round (a conduit present only in `pairs`, labeled by
+      // a neighbor) comes out with old = null and MUST count as a change,
+      // or the loop can converge one round before the conduit relays its
+      // label onward (wrong components on paths through non-ids nodes).
+      val propagated = labels
+        .select(F.col("id"), F.col("lbl"), F.col("lbl").as("old"))
+        .union(msgs.withColumn("old", F.lit(null).cast(lblType)))
+        .groupBy("id").agg(F.min("lbl").as("lbl"), F.min("old").as("old"))
       // pointer jump: shortcut through the label's own label. Every label
       // value is itself a node id present in the table (labels start as
       // own-ids and only propagate), so the join hits unless the node
@@ -248,23 +260,32 @@ object Dedup {
         .join(parents, propagated("lbl") === parents("p_id"), "left")
         .select(propagated("id"),
           F.least(propagated("lbl"),
-            F.coalesce(F.col("p_lbl"), propagated("lbl"))).as("lbl"))
-      val matRdd = jumped.rdd.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val next = ids.sparkSession.createDataFrame(matRdd, jumped.schema)
-      // LEFT join: a node that first appears this round (a conduit present
-      // only in `pairs`, labeled by a neighbor) has no old label — it MUST
-      // count as a change, or the loop can converge one round before the
-      // conduit relays its label onward (wrong components on paths through
-      // non-ids nodes).
-      val changed = next.join(labels.withColumnRenamed("lbl", "old"),
-          Seq("id"), "left")
-        .filter(F.col("old").isNull || F.col("lbl") < F.col("old"))
-        .limit(1).count()
+            F.coalesce(F.col("p_lbl"), propagated("lbl"))).as("lbl"),
+          propagated("old"))
+      val withChg = jumped.select(F.col("id"), F.col("lbl"),
+        (F.col("old").isNull || F.col("lbl") < F.col("old")).as("chg"))
+      // Convergence detection rides INSIDE the round's one materialization
+      // job: an accumulator tallies changed rows while the persisted round
+      // RDD is computed, so each round costs exactly one Spark job instead
+      // of materialization + a separate probe join + limit(1).count().
+      // Accumulator semantics are safe here because only ZERO is trusted:
+      // a stage retry can over-count, never turn a genuinely changed round
+      // into 0 (tasks add only when a changed row exists), and we read the
+      // value immediately after this job, before any recomputation.
+      val acc = ids.sparkSession.sparkContext.longAccumulator(
+        s"graft.dupClusters.changed.r$round")
+      val matRdd = withChg.rdd.mapPartitions { it =>
+        it.map { r =>
+          if (r.getBoolean(2)) acc.add(1L)
+          org.apache.spark.sql.Row(r.get(0), r.get(1))
+        }
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      matRdd.count() // the round's single job: materialize + tally changes
+      val next = ids.sparkSession.createDataFrame(matRdd, labelSchema)
       prevRdd.foreach(_.unpersist(blocking = false))
       prevRdd = Some(matRdd)
       labels = next
-      converged = changed == 0
+      converged = acc.value == 0L
       round += 1
     }
     edges.unpersist(blocking = false)

@@ -182,6 +182,38 @@ class DedupSpec extends SparkTestBase {
     out.map(_.getLong(1)).distinct shouldBe Array(1L)
   }
 
+  it should "spend exactly one Spark job per propagation round" in {
+    // The convergence probe is fused into the round's materialization job
+    // (accumulator tally inside the persisted-RDD count), so the whole
+    // loop must cost one job per round — a chain of 8 converges in <= 5
+    // pointer-jumping rounds, so <= 5 jobs total until the (lazy) result.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val ids = (1L to 8L).toDF("doc_id")
+    val pairs = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    spark.sparkContext.addSparkListener(listener)
+    // force sort-merge joins: broadcast-hash builds each collect via their
+    // own Spark job in this tiny fixture, which would hide the loop's true
+    // job count (at scale these joins are sort-merge anyway)
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = Dedup.dupClusters(ids, pairs, "doc_id") // lazy result: jobs
+      Thread.sleep(500) // listener bus is async; let job-start events drain
+      val loopJobs = jobs.get()
+      assert(loopJobs <= 5, s"expected <= 5 jobs (1/round), saw $loopJobs")
+      out.collect().map(_.getLong(1)).distinct shouldBe Array(1L)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   it should "keep one representative per component via dedupByClusters" in {
     val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (10L, "y"), (20L, "z"))
       .toDF("doc_id", "text")
