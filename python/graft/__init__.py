@@ -16,10 +16,11 @@ Scala classes must be on the driver classpath, e.g.::
         .getOrCreate())
 """
 
-from .dataframe import TimeSeriesDataFrame
+from .dataframe import TimeSeriesDataFrame, lsh_planes
 from .functions import udf
 from .readwriter import read
 from . import summarizers, clocks, multimodal, functions, readwriter, windows
 
-__all__ = ["TimeSeriesDataFrame", "udf", "read", "summarizers", "clocks",
-           "multimodal", "functions", "readwriter", "windows"]
+__all__ = ["TimeSeriesDataFrame", "lsh_planes", "udf", "read",
+           "summarizers", "clocks", "multimodal", "functions", "readwriter",
+           "windows"]

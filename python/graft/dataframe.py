@@ -377,6 +377,40 @@ class TimeSeriesDataFrame(DataFrame):
         """Exact corpus top-k token frequencies (count desc, token asc)."""
         return self._with(_api(self).topKTokens(self._jdf, text_col, k))
 
+    def chunk_tokens(self, id_col, text_col, chunk_size, stride):
+        """Context-window chunking: overlapping ``chunk_size``-token windows
+        every ``stride`` tokens -> (id, chunk_id, chunk_text, n_chunk_tokens)
+        rows. One offset-walk kernel call per document."""
+        return self._with(_api(self).chunkTokens(
+            self._jdf, id_col, text_col, chunk_size, stride))
+
+    def ngram_repetition(self, id_col, text_col, n):
+        """Gopher-style n-gram repetition signals per document: n_grams,
+        top_frac (most frequent n-gram's occupancy) and dup_frac (fraction
+        of n-gram occurrences beyond each gram's first)."""
+        return self._with(_api(self).ngramRepetition(
+            self._jdf, id_col, text_col, n))
+
+    def ngram_overlap(self, bench, id_col, text_col, n,
+                      broadcast_bench=True):
+        """Benchmark decontamination: per training doc (self), the distinct
+        n-gram overlap fraction against the ``bench`` corpus' n-gram set.
+        ``broadcast_bench`` keeps the benchmark set broadcast while it fits
+        (size-capped on the Scala side; falls back to a shuffle join)."""
+        return self._with(_api(self).ngramOverlap(
+            self._jdf, bench._jdf, id_col, text_col, n, broadcast_bench))
+
+    def sign_lsh_dup_pairs(self, id_col, vec_col, planes, rows_per_band,
+                           threshold):
+        """Sign-LSH embedding near-duplicate pairs: band-bucket candidates
+        (all band values in one kernel call per row) verified by exact
+        cosine >= ``threshold``. ``planes`` is a list of lists, e.g. from
+        :func:`graft.dataframe.lsh_planes`. The linear-cost scale path for
+        the high-similarity regime (vs cosine_dup_pairs' IVF cells)."""
+        jl = self._jcentroids(planes)
+        return self._with(_api(self).signLshDupPairs(
+            self._jdf, id_col, vec_col, jl, rows_per_band, threshold))
+
     def duplicate_spans(self, id_col, text_col, n=50):
         """ExactSubstr-style duplicated spans: maximal merged token ranges
         of n-token windows that also appear in another document (adjacent
@@ -522,3 +556,13 @@ class TimeSeriesDataFrame(DataFrame):
             spark._jsparkSession, path, granularity,
             _jlist(spark, list(columns or [])), begin_nanos, end_nanos)
         return _wrap(jdf, spark)
+
+
+def lsh_planes(spark, bands, rows_per_band, dim, seed=42):
+    """Seeded deterministic sign-LSH hyperplanes as a list of
+    ``bands * rows_per_band`` lists of ``dim`` floats — pass to
+    :meth:`TimeSeriesDataFrame.sign_lsh_dup_pairs`. Same splitmix-derived
+    values as the Scala side, so plans are reproducible across bindings."""
+    jps = spark._jvm.graft.python.PyApi.lshPlanes(
+        bands, rows_per_band, dim, seed)
+    return [[float(v) for v in p] for p in jps]

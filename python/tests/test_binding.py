@@ -420,3 +420,66 @@ def test_reference_style_window_specs(spark, ts):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
     w = ts.add_windows(window=windows.future_absolute_time("10ns"), key=["k"])
     assert any(c.startswith("window_") for c in w.columns)
+
+
+# ------------------------------------------------- r8 text / LSH bindings
+
+def test_chunk_tokens_strided_windows(spark):
+    # mirrors TextOpsSpec "produce strided windows covering every token"
+    d = TimeSeriesDataFrame(spark.createDataFrame(
+        [(7, "t1 t2 t3 t4 t5")], "id long, text string"))
+    r = (d.chunk_tokens("id", "text", chunk_size=3, stride=2)
+         .orderBy("chunk_id").collect())
+    assert [x["chunk_id"] for x in r] == [0, 1, 2]
+    assert [x["start"] for x in r] == [0, 2, 4]
+    assert [x["n_tokens"] for x in r] == [3, 3, 1]
+    assert [x["chunk_text"] for x in r] == ["t1 t2 t3", "t3 t4 t5", "t5"]
+
+
+def test_ngram_repetition_fractions(spark):
+    # bigrams of "a b a b a": 4 total, 2 distinct, top claims 2/4
+    d = TimeSeriesDataFrame(spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x y z")], "id long, text string"))
+    r = d.ngram_repetition("id", "text", 2).orderBy("id").collect()
+    assert r[0]["n_grams"] == 4
+    assert abs(r[0]["top_frac"] - 0.5) < 1e-12
+    assert abs(r[0]["dup_frac"] - 0.5) < 1e-12
+    assert r[1]["n_grams"] == 2 and r[1]["dup_frac"] == 0.0
+
+
+def test_ngram_overlap_contamination(spark):
+    train = TimeSeriesDataFrame(spark.createDataFrame(
+        [(1, "the quick brown fox jumps"),
+         (2, "totally clean document here okay")], "id long, text string"))
+    bench = TimeSeriesDataFrame(spark.createDataFrame(
+        [(10, "the quick brown fox ran")], "id long, text string"))
+    r = train.ngram_overlap(bench, "id", "text", 3).orderBy("id").collect()
+    assert r[0]["n_grams"] == 3 and r[0]["n_matched"] == 2
+    assert abs(r[0]["contamination"] - 2.0 / 3.0) < 1e-12
+    assert r[1]["n_matched"] == 0
+
+
+def test_sign_lsh_dup_pairs_and_planes(spark):
+    # mirrors DedupSpec "find duplicate-level pairs via banded sign-LSH"
+    import math
+    from graft import lsh_planes
+    dim = 16
+
+    def v(f):
+        return [f(j) for j in range(dim)]
+
+    rows = [
+        (0, v(lambda j: math.sin(j + 1.0))),
+        (1, v(lambda j: math.sin(j + 1.0) * (1.001 if j % 2 == 0 else 0.999))),
+        (2, v(lambda j: math.cos(3.0 * j + 1.0))),
+        (3, v(lambda j: -math.sin(j + 1.0)))]
+    d = TimeSeriesDataFrame(spark.createDataFrame(
+        rows, "id long, v array<double>"))
+    planes = lsh_planes(spark, bands=8, rows_per_band=6, dim=dim)
+    assert len(planes) == 48 and len(planes[0]) == dim
+    assert set(x for p in planes for x in p) == {-1.0, 1.0}
+    assert planes == lsh_planes(spark, bands=8, rows_per_band=6, dim=dim)
+    out = d.sign_lsh_dup_pairs("id", "v", planes, rows_per_band=6,
+                               threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(0, 1)]
+    assert out[0]["cosine"] >= 0.999

@@ -346,6 +346,33 @@ object PyApi {
   def topKTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
     graft.llm.TextStats.topKTokens(df, textCol, k)
 
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, stride: Int): DataFrame =
+    graft.llm.TextStats.chunkTokens(df, idCol, textCol, chunkSize, stride)
+
+  def ngramRepetition(df: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame =
+    graft.llm.TextStats.ngramRepetition(df, idCol, textCol, n)
+
+  def ngramOverlap(train: DataFrame, bench: DataFrame, idCol: String,
+                   textCol: String, n: Int,
+                   broadcastBench: Boolean): DataFrame =
+    graft.llm.Contamination.ngramOverlap(train, bench, idCol, textCol, n,
+      broadcastBench)
+
+  /** Seeded deterministic LSH hyperplanes (bands*rowsPerBand x dim). */
+  def lshPlanes(bands: Int, rowsPerBand: Int, dim: Int,
+                seed: Long): JList[JList[java.lang.Double]] =
+    graft.llm.Similarity.lshPlanes(bands, rowsPerBand, dim, seed)
+      .map(p => p.map(java.lang.Double.valueOf).asJava).asJava
+
+  def signLshDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                      planes: JList[JList[java.lang.Double]],
+                      rowsPerBand: Int, threshold: Double): DataFrame =
+    graft.llm.Similarity.signLshDupPairs(df, idCol, vecCol,
+      planes.asScala.toSeq.map(_.asScala.toSeq.map(_.doubleValue())),
+      rowsPerBand, threshold)
+
   def hardFilter(df: DataFrame, textCol: String, minWords: Int,
                  maxWords: Int): DataFrame =
     graft.llm.TextStats.hardFilter(df, textCol, minWords, maxWords)
