@@ -50,17 +50,23 @@ def sum(col): return _factory("sum", col)                      # noqa: A001
 def kahan_sum(col): return _factory("kahanSum", col)
 def mean(col): return _factory("mean", col)
 def variance(col): return _factory("variance", col)
+def variance_stable(col): return _factory("varianceStable", col)
 def stddev(col): return _factory("stddev", col)
+def stddev_stable(col): return _factory("stddevStable", col)
 def min(col): return _factory("min", col)                      # noqa: A001
 def max(col): return _factory("max", col)                      # noqa: A001
 def product(col): return _factory("product", col)
 def dot_product(x, y): return _factory("dotProduct", x, y)
 def geometric_mean(col): return _factory("geometricMean", col)
 def covariance(x, y): return _factory("covariance", x, y)
+def covariance_stable(x, y): return _factory("covarianceStable", x, y)
+def correlation_stable(x, y): return _factory("correlationStable", x, y)
 def weighted_covariance(x, y, w): return _factory("weightedCovariance", x, y, w)
 def weighted_correlation(x, y, w): return _factory("weightedCorrelation", x, y, w)
 def weighted_mean_test(x, w): return _factory("weightedMeanTest", x, w)
 def z_score(col, include_current): return _factory("zScore", col, include_current)
+def z_score_stable(col, include_current):
+    return _factory("zScoreStable", col, include_current)
 def nth_moment(col, n): return _factory("nthMoment", col, n)
 def nth_central_moment(col, n): return _factory("nthCentralMoment", col, n)
 def skewness(col): return _factory("skewness", col)

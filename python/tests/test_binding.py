@@ -483,3 +483,17 @@ def test_sign_lsh_dup_pairs_and_planes(spark):
                                threshold=0.9).collect()
     assert [(r["id_a"], r["id_b"]) for r in out] == [(0, 1)]
     assert out[0]["cosine"] >= 0.999
+
+
+def test_stable_estimators_large_mean(spark):
+    # mean 1e9, sd ~1e-3: power sums collapse, stable family keeps digits
+    rows = [(i, 1.0e9 + ((i * 37) % 21 - 10) * 1e-4) for i in range(200)]
+    ts = TimeSeriesDataFrame(spark.createDataFrame(
+        rows, "time long, x double"))
+    import statistics
+    truth = statistics.variance(r[1] - 1.0e9 for r in rows)
+    got = ts.summarize(summarizers.variance_stable("x")).collect()[0]
+    assert abs(got["x_variance"] - truth) / truth < 1e-3
+    z = ts.summarize(
+        summarizers.z_score_stable("x", True)).collect()[0]["x_zScore"]
+    assert abs(z) < 5  # finite and sane, where power sums may emit NaN

@@ -131,14 +131,20 @@ object PyApi {
   def countCol(x: String): Summarizer = Summarizers.count(x)
   def mean(x: String): Summarizer = Summarizers.mean(x)
   def variance(x: String): Summarizer = Summarizers.variance(x)
+  def varianceStable(x: String): Summarizer = Summarizers.varianceStable(x)
   def stddev(x: String): Summarizer = Summarizers.stddev(x)
+  def stddevStable(x: String): Summarizer = Summarizers.stddevStable(x)
   def min(x: String): Summarizer = Summarizers.min(x)
   def max(x: String): Summarizer = Summarizers.max(x)
   def product(x: String): Summarizer = Summarizers.product(x)
   def dotProduct(x: String, y: String): Summarizer = Summarizers.dotProduct(x, y)
   def geometricMean(x: String): Summarizer = Summarizers.geometricMean(x)
   def covariance(x: String, y: String): Summarizer = Summarizers.covariance(x, y)
+  def covarianceStable(x: String, y: String): Summarizer =
+    Summarizers.covarianceStable(x, y)
   def correlation(x: String, y: String): Summarizer = Summarizers.correlation(x, y)
+  def correlationStable(x: String, y: String): Summarizer =
+    Summarizers.correlationStable(x, y)
   def correlationPairs(cols: JList[String]): Summarizer =
     Summarizers.correlation(seq(cols))
   def weightedCovariance(x: String, y: String, w: String): Summarizer =
@@ -147,6 +153,8 @@ object PyApi {
     Summarizers.weightedCorrelation(x, y, w)
   def weightedMeanTest(x: String, w: String): Summarizer =
     Summarizers.weightedMeanTest(x, w)
+  def zScoreStable(x: String, includeCurrent: Boolean): Summarizer =
+    Summarizers.zScoreStable(x, includeCurrent)
   def zScore(x: String, includeCurrent: Boolean): Summarizer =
     Summarizers.zScore(x, includeCurrent)
   def nthMoment(x: String, n: Int): Summarizer = Summarizers.nthMoment(x, n)

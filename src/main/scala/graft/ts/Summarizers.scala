@@ -129,9 +129,31 @@ object Summarizers {
    * Bessel-corrected sample variance from raw power sums, like the
    * reference's NthCentralMomentSummarizer (one pass, map-side combinable):
    * (Σx²/n − μ²) · n/(n−1). `<c>_variance` (Summarizers.scala:129).
+   *
+   * Numeric regime (pinned by NumericStressSpec): power sums cancel
+   * catastrophically when |mean| >> stddev — relative error grows like
+   * ε·(μ/σ)² with ε ≈ 2.2e-16, so results carry ~8 significant digits at
+   * μ/σ = 1e4 and NONE beyond μ/σ ≈ 1e8. For such data use
+   * [[varianceStable]] (shifted central-moment updates, the reference's
+   * Kahan+central-update robustness): not bit-pinned to the DuckDB
+   * power-sum oracle, measured ≤ ~1e-4 relative error even at μ/σ = 1e12
+   * where this factory returns noise.
    */
   def variance(x: String): Summarizer =
     Summarizer(c => Seq(s"${x}_variance" -> varExpr(c.in(x).cast("double"), c)))
+
+  /** Drop-in [[variance]] via Spark's shifted central-moment aggregate
+    * (no power-sum cancellation — keeps ~4+ significant digits for
+    * large-mean/small-variance data where power sums keep none; pinned by
+    * NumericStressSpec); same output name, not oracle-bit-pinned. */
+  def varianceStable(x: String): Summarizer =
+    Summarizer(c =>
+      Seq(s"${x}_variance" -> c.agg(F.var_samp(c.in(x).cast("double")))))
+
+  /** Drop-in stable [[stddev]]; see [[varianceStable]]. */
+  def stddevStable(x: String): Summarizer =
+    Summarizer(c =>
+      Seq(s"${x}_stddev" -> c.agg(F.stddev_samp(c.in(x).cast("double")))))
 
   /** Sample stddev = sqrt(variance); `<c>_stddev` (Summarizers.scala:117). */
   def stddev(x: String): Summarizer =
@@ -163,6 +185,14 @@ object Summarizers {
   def covariance(x: String, y: String): Summarizer =
     Summarizer(c => Seq(s"${x}_${y}_covariance" -> covExpr(x, y, c)))
 
+  /** Drop-in [[covariance]] (population) via Spark's centered co-moment
+    * aggregate — immune to the power-sum cancellation documented on
+    * [[variance]]; same output name, not oracle-bit-pinned. covar_pop
+    * already excludes null rows pairwise. */
+  def covarianceStable(x: String, y: String): Summarizer =
+    Summarizer(c => Seq(s"${x}_${y}_covariance" ->
+      c.agg(F.covar_pop(c.in(x).cast("double"), c.in(y).cast("double")))))
+
   private def covExpr(x: String, y: String, c: SummarizerCtx): Column = {
     val ok = F.col(x).isNotNull && F.col(y).isNotNull
     val vx = c.in(F.when(ok, F.col(x)).cast("double"))
@@ -185,6 +215,19 @@ object Summarizers {
     val r = sdiv(sdiv(sxy, n) - sdiv(sx, n) * sdiv(sy, n),
       F.sqrt(sdiv(sxx, n) - sdiv(sx, n) * sdiv(sx, n)) *
         F.sqrt(sdiv(syy, n) - sdiv(sy, n) * sdiv(sy, n)))
+    val t = r * F.sqrt(sdiv(n - F.lit(2.0), F.lit(1.0) - r * r))
+    Seq(s"${x}_${y}_correlation" -> r, s"${x}_${y}_correlationTStat" -> t)
+  }
+
+  /** Drop-in stable [[correlation]] (+tStat) via Spark's centered corr
+    * aggregate; see [[varianceStable]] for the regime argument. Same
+    * output names, not oracle-bit-pinned. */
+  def correlationStable(x: String, y: String): Summarizer = Summarizer { c =>
+    val ok = F.col(x).isNotNull && F.col(y).isNotNull
+    val vx = c.in(F.when(ok, F.col(x)).cast("double"))
+    val vy = c.in(F.when(ok, F.col(y)).cast("double"))
+    val n = c.agg(F.count(vx)).cast("double")
+    val r = c.agg(F.corr(vx, vy))
     val t = r * F.sqrt(sdiv(n - F.lit(2.0), F.lit(1.0) - r * r))
     Seq(s"${x}_${y}_correlation" -> r, s"${x}_${y}_correlationTStat" -> t)
   }
@@ -362,6 +405,30 @@ object Summarizers {
     }
     Seq(s"${x}_zScore" -> z)
   }
+
+  /** Drop-in stable [[zScore]]: centered aggregates only (avg /
+    * var_samp), with the out-of-sample mean/variance obtained by the
+    * exact one-element DOWNDATE of the centered sum of squares
+    * (M2_prev = M2 − (y−μ)(y−μ_prev)) instead of power-sum subtraction —
+    * every term stays O(σ²), so no cancellation at large |mean|.
+    * Same output name, not oracle-bit-pinned; see [[varianceStable]]. */
+  def zScoreStable(x: String, includeCurrent: Boolean): Summarizer =
+    Summarizer { c =>
+      val v = c.in(x).cast("double")
+      val lastVal = c.agg(F.max_by(v,
+        F.when(v.isNotNull, F.struct(F.col(TimeSeriesOps.TimeColumn), v))))
+      val n = c.agg(F.count(v)).cast("double")
+      val mu = c.agg(F.avg(v))
+      val m2 = c.agg(F.var_samp(v)) * (n - F.lit(1.0))
+      val z = if (includeCurrent) {
+        sdiv(lastVal - mu, F.sqrt(sdiv(m2, n - F.lit(1.0))))
+      } else {
+        val meanPrev = sdiv(n * mu - lastVal, n - F.lit(1.0))
+        val m2Prev = m2 - (lastVal - mu) * (lastVal - meanPrev)
+        sdiv(lastVal - meanPrev, F.sqrt(sdiv(m2Prev, n - F.lit(2.0))))
+      }
+      Seq(s"${x}_zScore" -> z)
+    }
 
   /** Raw n-th moment E[x^n]; `<c>_<n>thMoment` (Summarizers.scala:195). */
   def nthMoment(x: String, n: Int): Summarizer = Summarizer { c =>
