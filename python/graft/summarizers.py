@@ -105,6 +105,18 @@ def quantile(col, probabilities):
     return Summarizer(build)
 
 
+def approx_quantile(col, probabilities, accuracy=10000):
+    """Bounded-memory approximate quantiles (the scale path; same output
+    names as :func:`quantile`, not bit-exact)."""
+    def build(session):
+        jl = session._jvm.java.util.ArrayList()
+        for p in probabilities:
+            jl.add(float(p))
+        return session._jvm.graft.python.PyApi.approxQuantile(
+            col, jl, accuracy)
+    return Summarizer(build)
+
+
 def ols_regression(y, xs, weight=None):
     return Summarizer(lambda s: s._jvm.graft.python.PyApi.olsRegression(
         y, _jstrings(s, list(xs)), weight or ""))

@@ -497,3 +497,10 @@ def test_stable_estimators_large_mean(spark):
     z = ts.summarize(
         summarizers.z_score_stable("x", True)).collect()[0]["x_zScore"]
     assert abs(z) < 5  # finite and sane, where power sums may emit NaN
+
+
+def test_approx_quantile_drop_in(ts):
+    exact = ts.summarize(summarizers.quantile("v", [0.5])).collect()[0]
+    approx = ts.summarize(
+        summarizers.approx_quantile("v", [0.5])).collect()[0]
+    assert abs(approx["v_0.5quantile"] - exact["v_0.5quantile"]) < 1e-9

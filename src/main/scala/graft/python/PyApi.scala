@@ -162,6 +162,10 @@ object PyApi {
     Summarizers.nthCentralMoment(x, n)
   def skewness(x: String): Summarizer = Summarizers.skewness(x)
   def kurtosis(x: String): Summarizer = Summarizers.kurtosis(x)
+  def approxQuantile(x: String, ps: JList[java.lang.Double],
+                     accuracy: Int): Summarizer =
+    Summarizers.approxQuantile(x, ps.asScala.toSeq.map(_.doubleValue()),
+      accuracy)
   def quantile(x: String, ps: JList[java.lang.Double]): Summarizer =
     Summarizers.quantile(x, ps.asScala.toSeq.map(_.doubleValue()))
   def olsRegression(y: String, xs: JList[String], weight: String): Summarizer =

@@ -541,10 +541,24 @@ object Summarizers {
     * Memory note: exact percentile buffers every value of the group — the
     * same caveat the reference documents for summarize()-scale use
     * (reference Summarizers.scala:374-378). For huge groups prefer
-    * `F.approx_percentile` (bounded sketch) unless bit-exact quantiles
-    * are required. */
+    * [[approxQuantile]] (bounded sketch) unless bit-exact quantiles are
+    * required. */
   def quantile(x: String, ps: Seq[Double]): Summarizer = Summarizer { c =>
     ps.map(q => s"${x}_${q}quantile" -> c.agg(F.percentile(c.in(x), F.lit(q))))
+  }
+
+  /** Bounded-memory approximate quantiles via Spark's approx_percentile
+    * (Greenwald–Khanna style sketch, O(1/accuracy) state per group,
+    * map-side combinable) — the SCALE path paired with exact [[quantile]]
+    * the same way [[approxDistinctCount]] pairs with [[distinctCount]].
+    * `accuracy` is the sketch's relative-rank error knob (Spark default
+    * 10000 ≈ rank error 1e-4). Same output names as [[quantile]], so
+    * drop-in; not bit-exact by construction. */
+  def approxQuantile(x: String, ps: Seq[Double],
+                     accuracy: Int = 10000): Summarizer = Summarizer { c =>
+    ps.map(q => s"${x}_${q}quantile" ->
+      c.agg(F.approx_percentile(c.in(x), F.lit(q), F.lit(accuracy))
+        .cast("double")))
   }
 
   /**

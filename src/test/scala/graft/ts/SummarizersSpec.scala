@@ -151,6 +151,21 @@ class SummarizersSpec extends SparkTestBase {
     approx(r.getDouble(3), 4.0)
   }
 
+  it should "compute bounded-memory approximate quantiles near the exact ranks" in {
+    // big enough that rank-error bounds are meaningful: 0..9999
+    val big = (0 until 10000).map(i => (i.toLong, i.toDouble))
+      .toDF("time", "x").repartition(8)
+    val r = Summarize.summarize(big,
+      Summarizers.approxQuantile("x", Seq(0.25, 0.5, 0.99)))
+      .collect().head
+    // accuracy 10000 -> rank error ~1e-4 -> value error ~ +-2 here
+    math.abs(r.getDouble(1) - 2500.0) should be <= 5.0
+    math.abs(r.getDouble(2) - 5000.0) should be <= 5.0
+    math.abs(r.getDouble(3) - 9900.0) should be <= 5.0
+    // same output naming as the exact factory (drop-in)
+    r.schema.fieldNames should contain("x_0.5quantile")
+  }
+
   it should "fit exact OLS with intercept" in {
     // y = 3 + 2*x1 - x2, exact fit
     val pts = Seq(
