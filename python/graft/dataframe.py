@@ -493,6 +493,20 @@ class TimeSeriesDataFrame(DataFrame):
             self._jdf, summarizer._jsum(self.sparkSession), gap_duration,
             watermark_delay, _jlist(self.sparkSession, key)))
 
+    def summarize_intervals_stream(self, clock_nanos, summarizer,
+                                   watermark_delay="0 seconds", key=None,
+                                   inclusion="begin", rounding="end"):
+        """Streaming summarize_intervals over an ARBITRARY clock (list of
+        long nanos ticks) — same inclusion/rounding matrix as batch; see
+        the Scala scaladoc for the watermark-vs-stamp lateness note."""
+        jl = self.sparkSession._jvm.java.util.ArrayList()
+        for t in clock_nanos:
+            jl.add(int(t))
+        return self._with(_api(self).summarizeIntervalsStream(
+            self._jdf, jl, summarizer._jsum(self.sparkSession),
+            watermark_delay, _jlist(self.sparkSession, key), inclusion,
+            rounding))
+
     def ewma_stateful(self, col, key, alpha=0.05, duration_per_period="1d",
                       convention="legacy", watermark_delay="0 seconds",
                       state_timeout="30 days"):

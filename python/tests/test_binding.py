@@ -504,3 +504,13 @@ def test_approx_quantile_drop_in(ts):
     approx = ts.summarize(
         summarizers.approx_quantile("v", [0.5])).collect()[0]
     assert abs(approx["v_0.5quantile"] - exact["v_0.5quantile"]) < 1e-9
+
+
+def test_summarize_intervals_stream_on_batch_frame(ts):
+    # arbitrary (irregular) clock; on a batch frame the streaming op runs
+    # as a plain aggregation — same bucket semantics as batch intervals
+    out = ts.summarize_intervals_stream(
+        [5, 12, 40], summarizers.sum("v"), key=["k"]).collect()
+    # rows at t in [5,12) stamp 12; [12,40) stamp 40 (rounding="end")
+    stamps = sorted(set(r["time"] for r in out))
+    assert stamps and set(stamps) <= {12, 40}

@@ -15,9 +15,10 @@ import graft.ts.{AsOfJoin, EmaOps, Summarizers, TimeSeriesOps}
  * driver-visible correctness evidence for the streaming surface — the ops
  * whose semantics DuckDB cannot oracle (watermarks, incremental state).
  *
- * Covers all seven streaming operators — summarizeTumbling /
- * summarizeSliding / summarizeSessions, ewmaStateful, dedupExactStream,
- * leftJoinStream, futureLeftJoinStream — plus the time-partitioned sink,
+ * Covers all eight streaming operators — summarizeTumbling /
+ * summarizeSliding / summarizeSessions / summarizeIntervalsStream
+ * (arbitrary clock), ewmaStateful, dedupExactStream, leftJoinStream,
+ * futureLeftJoinStream — plus the time-partitioned sink,
  * a checkpoint restart (stop mid-stream, resume, exactly-once + state
  * recovery), and a ~100x sf0.1 replay of the two as-of join streams
  * (state eviction under watermark pressure at volume).
@@ -166,6 +167,24 @@ object StreamCheck {
       val build = (df: DataFrame) => StreamingOps.summarizeSessions(
         df, Summarizers.count(), "2 hours", "0 seconds", Seq("event_type"))
       (runStream("sc_sessions", ev, 4)(build), build(evDF).collect().toSeq)
+    }
+
+    record("summarize_intervals_stream") {
+      // deliberately IRREGULAR clock (the uniform-window trio can't express
+      // this): ticks at uneven fractions of the event span, plus a
+      // far-future tick so the sentinel lands inside the clock range —
+      // intervalize drops out-of-range rows BEFORE the watermark node, so
+      // a sentinel outside every interval would never advance the
+      // watermark and the last buckets would never finalize.
+      val t0 = ev.head._1; val t1 = ev.last._1 + 1
+      val span = t1 - t0
+      val ticks = Array(t0, t0 + span / 7, t0 + span / 3, t0 + span / 2,
+        t0 + 5 * span / 6, t1, sentinelT + 2)
+      val build = (df: DataFrame) => StreamingOps.summarizeIntervalsStream(
+        df, ticks, Summarizers.sum("v"), "0 seconds", Seq("event_type"))
+      val batch = graft.ts.Intervals.summarizeIntervals(
+        evDF, ticks, Summarizers.sum("v"), Seq("event_type"))
+      (runStream("sc_intervals", ev, 4)(build), batch.collect().toSeq)
     }
 
     record("ewma_stateful") {

@@ -448,6 +448,15 @@ object PyApi {
     graft.streaming.StreamingOps.summarizeSessions(df, s, gapDuration,
       watermarkDelay, seq(key))
 
+  // clock as Number: py4j maps small Python ints to Integer, large to Long
+  def summarizeIntervalsStream(df: DataFrame, clock: JList[java.lang.Number],
+                               s: Summarizer, watermarkDelay: String,
+                               key: JList[String], inclusion: String,
+                               rounding: String): DataFrame =
+    graft.streaming.StreamingOps.summarizeIntervalsStream(df,
+      clock.asScala.map(_.longValue()).toArray, s, watermarkDelay, seq(key),
+      inclusion, rounding)
+
   def dedupExactStream(df: DataFrame, keyCols: JList[String],
                        watermarkDelay: String): DataFrame =
     graft.streaming.StreamingOps.dedupExactStream(df, seq(keyCols), watermarkDelay)

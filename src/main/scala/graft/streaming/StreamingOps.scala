@@ -108,6 +108,42 @@ object StreamingOps {
     windowed(df, s, F.session_window(F.col(EventTs), gapDuration),
       watermarkDelay, key)
 
+  /**
+   * Streaming [[graft.ts.Intervals.summarizeIntervals]]: ARBITRARY-clock
+   * interval bucketing (the tumbling/sliding/session trio covers uniform
+   * clocks only) under the same inclusion×rounding matrix as batch. The
+   * broadcast clock + codegen'd binary-search bucket expression are the
+   * batch operator's own; state eviction comes from grouping on the
+   * watermarked stamp, so each interval's row finalizes (append mode)
+   * once the watermark passes its stamp.
+   *
+   * Watermark note: the delay is measured against interval STAMPS, not raw
+   * event times. `rounding = "begin"` stamps at or before the event time,
+   * so any `watermarkDelay` covering event lateness is safe;
+   * `rounding = "end"` stamps up to one interval width ahead — add the
+   * maximum interval width to the delay to keep the same lateness budget.
+   *
+   * Output `time` keeps the exact nanosecond tick (grouping carries the
+   * long stamp alongside its micro-truncated event-time twin, so no
+   * precision is lost to TimestampType).
+   */
+  def summarizeIntervalsStream(df: DataFrame, clock: Array[Long],
+                               s: Summarizer, watermarkDelay: String,
+                               key: Seq[String] = Seq.empty,
+                               inclusion: String = "begin",
+                               rounding: String = "end"): DataFrame = {
+    val stamped = graft.ts.Intervals.intervalize(df, clock, inclusion, rounding)
+    val withTs = stamped
+      .withColumn(EventTs, TimeSeriesOps.nanosToTimestamp(F.col(TimeColumn)))
+      .withWatermark(EventTs, watermarkDelay)
+    val aggs = s.outputs
+    withTs
+      .groupBy(F.col(EventTs) +: F.col(TimeColumn) +: key.map(F.col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select((F.col(TimeColumn) +: key.map(F.col)) ++
+        s.names.map(n => F.col(s"`$n`")): _*)
+  }
+
   private def windowed(df: DataFrame, s: Summarizer, windowCol: org.apache.spark.sql.Column,
                        watermarkDelay: String, key: Seq[String]): DataFrame = {
     val withTs = withEventTime(df).withWatermark(EventTs, watermarkDelay)
