@@ -439,6 +439,59 @@ class TimeSeriesDataFrame(DataFrame):
         """Append n_emails / n_ips / n_phones match counts."""
         return self._with(_api(self).piiCounts(self._jdf, text_col))
 
+    def assign_splits(self, id_col, splits, seed=42):
+        """Deterministic train/validation/test assignment: appends a
+        ``split`` column. ``splits`` is an ordered list of (name, fraction)
+        pairs summing to 1. A row's split depends only on (id, seed) — it
+        never moves when the corpus grows."""
+        s = self.sparkSession
+        names = _jlist(s, [n for n, _ in splits])
+        fracs = s._jvm.java.util.ArrayList()
+        for _, f in splits:
+            fracs.add(float(f))
+        return self._with(_api(self).assignSplits(
+            self._jdf, id_col, names, fracs, seed))
+
+    def oov_counts(self, text_col, vocab):
+        """Append n_tokens / n_oov / oov_rate against a fixed vocabulary
+        (single kernel scan; vocabulary = broadcast model parameters, e.g.
+        ``top_k_tokens(...)`` collected)."""
+        return self._with(_api(self).oovCounts(
+            self._jdf, text_col, _jlist(self.sparkSession, list(vocab))))
+
+    def pq_train(self, id_col, vec_col, m, k, iters):
+        """Deterministic product-quantization codebooks (m subspaces × k
+        cells each) as a list of lists of lists — pass to pq_encode /
+        pq_topk."""
+        jb = _api(self).pqTrain(self._jdf, id_col, vec_col, m, k, iters)
+        return [[[float(v) for v in c] for c in b] for b in jb]
+
+    def _jbooks(self, codebooks):
+        jvm = self.sparkSession._jvm
+        jb = jvm.java.util.ArrayList()
+        for b in codebooks:
+            jb2 = jvm.java.util.ArrayList()
+            for c in b:
+                jb3 = jvm.java.util.ArrayList()
+                for v in c:
+                    jb3.add(float(v))
+                jb2.add(jb3)
+            jb.add(jb2)
+        return jb
+
+    def pq_encode(self, id_col, vec_col, codebooks):
+        """PQ compression: (id, codes) — m small codes per vector, the
+        storable ~32x-smaller form of the corpus for ANN at scale."""
+        return self._with(_api(self).pqEncode(
+            self._jdf, id_col, vec_col, self._jbooks(codebooks)))
+
+    def pq_topk(self, queries, id_col, vec_col, codebooks, k):
+        """Asymmetric top-k over the PQ-compressed corpus (self): exact
+        query vectors ranked against codebook reconstructions."""
+        return self._with(_api(self).pqTopK(
+            queries._jdf, self._jdf, id_col, vec_col,
+            self._jbooks(codebooks), k))
+
     def kmeans_assign(self, id_col, vec_col, k, iters):
         """Deterministic quantized k-means: (id, cell) assignments."""
         return self._with(_api(self).kmeansAssign(

@@ -514,3 +514,54 @@ def test_summarize_intervals_stream_on_batch_frame(ts):
     # rows at t in [5,12) stamp 12; [12,40) stamp 40 (rounding="end")
     stamps = sorted(set(r["time"] for r in out))
     assert stamps and set(stamps) <= {12, 40}
+
+
+def test_assign_splits_deterministic_cover(spark):
+    d = TimeSeriesDataFrame(spark.createDataFrame(
+        [(i,) for i in range(400)], "id long"))
+    splits = [("train", 0.75), ("validation", 0.125), ("test", 0.125)]
+    out = d.assign_splits("id", splits).collect()
+    assert len(out) == 400
+    names = {r["split"] for r in out}
+    assert names == {"train", "validation", "test"}
+    counts = {n: sum(1 for r in out if r["split"] == n) for n in names}
+    assert 240 <= counts["train"] <= 360
+    # same assignment on re-run (pure function of id + seed)
+    again = {r["id"]: r["split"] for r in d.assign_splits("id", splits).collect()}
+    assert all(again[r["id"]] == r["split"] for r in out)
+
+
+def test_oov_counts(spark):
+    d = TimeSeriesDataFrame(spark.createDataFrame(
+        [(1, "a b a zz qq"), (2, "a a a")], "id long, text string"))
+    r = d.oov_counts("text", ["a", "b"]).orderBy("id").collect()
+    assert (r[0]["n_tokens"], r[0]["n_oov"]) == (5, 2)
+    assert abs(r[0]["oov_rate"] - 0.4) < 1e-12
+    assert (r[1]["n_tokens"], r[1]["n_oov"]) == (3, 0)
+
+
+def test_pq_train_encode_topk(spark):
+    # mirrors DedupSpec "product quantization": two direction clusters
+    # per 2-dim subspace
+    rows = [
+        (0, [1.0, 0.01, 0.02, 1.0]),
+        (1, [0.02, 1.0, 1.0, 0.03]),
+        (2, [0.9, 0.05, 0.01, 0.8]),
+        (3, [0.03, 0.8, 1.1, 0.0]),
+        (4, [1.1, 0.0, 0.05, 0.9])]
+    d = TimeSeriesDataFrame(spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"))
+    books = d.pq_train("vec_id", "embedding", m=2, k=2, iters=2)
+    assert len(books) == 2 and len(books[0]) == 2 and len(books[0][0]) == 2
+    codes = {r["id"]: list(r["codes"])
+             for r in d.pq_encode("vec_id", "embedding", books).collect()}
+    assert codes[0] == codes[2] == codes[4]
+    assert codes[1] == codes[3]
+    assert codes[0] != codes[1]
+    q = TimeSeriesDataFrame(spark.createDataFrame(
+        rows[:1], "vec_id long, embedding array<float>"))
+    out = (d.pq_topk(q, "vec_id", "embedding", books, k=4)
+           .orderBy("rank").collect())
+    assert {r["n_id"] for r in out[:2]} == {2, 4}
+    scores = [r["cosine"] for r in out]
+    assert all(a >= b for a, b in zip(scores, scores[1:]))

@@ -374,6 +374,71 @@ object QueriesLLM {
       Dedup.stripDuplicateSpans(d, "doc_id", "text", spans)
         .select(F.col("doc_id"), F.md5(F.col("text")).as("stripped_md5"))
         .orderBy("doc_id")
+    }),
+    // Deterministic train/validation/test assignment: exact binary
+    // fractions (0.75/0.125/0.125) so the cumulative bounds are the same
+    // doubles on every engine — a row's split never moves when the corpus
+    // grows (eval-set stability across corpus versions).
+    "sample_split" -> ((s, dir) =>
+      Sampling.assignSplits(docs(s, dir), "doc_id",
+        Seq("train" -> 0.75, "validation" -> 0.125, "test" -> 0.125))
+        .select("doc_id", "split").orderBy("doc_id")),
+    // Vocabulary-coverage quality signal: OOV counts against the corpus's
+    // own top-50 token vocabulary (collected model parameters, broadcast
+    // inside one kernel scan). Integer counts + one exact division.
+    "doc_oov" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val vocab = TextStats.topKTokens(d, "text", 50)
+        .collect().map(_.getString(0)).toSeq
+      val oc = TextStats.oovCounts(F.col("text"), vocab)
+      d.select(F.col("doc_id"),
+          oc.getField("n_tokens").as("n_tokens"),
+          oc.getField("n_oov").as("n_oov"),
+          (oc.getField("n_oov").cast("double") /
+            oc.getField("n_tokens").cast("double")).as("oov_rate"))
+        .orderBy("doc_id")
+    }),
+    // Semantic (embedding-cosine) dedup, end to end: flat-IVF near-dup
+    // pairs -> connected components -> keep the min-id representative per
+    // cluster. The same candidates->verify->cluster pipeline as the text
+    // MinHash dedup, over vectors.
+    "emb_dedup_keep" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val k = math.max(16L, math.ceil(2.0 * math.sqrt(e.count().toDouble)).toLong)
+      val centroids = e.filter(F.col("vec_id") < k).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toSeq).toSeq
+      val pairs = Similarity.cosineDupPairs(e, "vec_id", "embedding",
+        centroids, threshold = 0.45, nprobe = 2)
+      Dedup.dedupByClusters(e, "vec_id", pairs)
+        .select("vec_id", "label").orderBy("vec_id")
+    }),
+    // Product quantization: per-subspace deterministic quantized k-means
+    // (m=4 subspaces of 16 dims, k=8 cells, 1 Lloyd iteration), corpus
+    // encoded to 4 codes/vector. The oracle unrolls all four subspace
+    // trainers in SQL — integer-quantized arithmetic keeps every engine
+    // bit-identical (same design as ivf_train_assign).
+    "pq_encode" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val books = Similarity.pqTrain(e, "vec_id", "embedding",
+        m = 4, k = 8, iters = 1)
+      Similarity.pqEncode(e, "vec_id", "embedding", books)
+        .select(F.col("id").as("vec_id") +:
+          (0 until 4).map(j =>
+            F.element_at(F.col("codes"), j + 1).as(s"code_$j")): _*)
+        .orderBy("vec_id")
+    }),
+    // Asymmetric-distance top-k over the PQ-compressed corpus: queries
+    // stay exact, corpus side is its codebook reconstruction — the scan
+    // reads m codes instead of the raw vector (the 100 TB story).
+    "pq_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val books = Similarity.pqTrain(e, "vec_id", "embedding",
+        m = 4, k = 8, iters = 1)
+      Similarity.pqTopK(e.filter(F.col("vec_id") < 10), e,
+        "vec_id", "embedding", books, k = 5)
+        .select("q_id", "n_id", "rank")
+        .orderBy("q_id", "rank")
     })
   )
 
@@ -436,6 +501,51 @@ object QueriesLLM {
            ON r.pack_bucket = p.pack_bucket AND r.rn = p.rn + 1)
         SELECT doc_id, pack_bucket, pack_id, pack_offset
         FROM packs ORDER BY doc_id"""
+
+  /** DuckDB mirror of pqTrain(m=4, k=8, iters=1, quantScale=1e7) on the
+    * 64-dim embeddings + the float-space encode assignment: each of the
+    * four 16-dim subspaces unrolls the same integer-quantized Lloyd step
+    * as the ivf_train_assign oracle (quantized assignment -> integer
+    * round-half-up update), then dequantizes the trained centroids
+    * through REAL (the Float codebook Spark returns) and re-assigns the
+    * RAW double slices against them — exactly [[graft.llm.Similarity.pqEncode]]'s
+    * arithmetic. Produces CTEs a2_j (final code per subspace) and fcb_j
+    * (float codebook lists, as DOUBLE). */
+  private def pqCte: String = {
+    def d(v: String) = s"list_transform($v, t -> t::DOUBLE)"
+    def cosq(x: String, y: String) =
+      s"list_dot_product(${d(x)}, ${d(y)}) / (sqrt(list_dot_product(${d(x)}, ${d(x)})) * sqrt(list_dot_product(${d(y)}, ${d(y)})))"
+    def cosr(x: String, y: String) =
+      s"list_dot_product($x, $y) / (sqrt(list_dot_product($x, $x)) * sqrt(list_dot_product($y, $y)))"
+    val subs = (0 until 4).map { j =>
+      val lo = j * 16 + 1; val hi = (j + 1) * 16
+      s"""e_$j AS (SELECT vec_id, q[$lo:$hi] AS q FROM e),
+         r_$j AS (SELECT vec_id, (embedding::DOUBLE[])[$lo:$hi] AS v FROM embeddings),
+         c0_$j AS (SELECT vec_id AS cell, q AS c FROM e_$j WHERE vec_id < 8),
+         a1_$j AS (SELECT vec_id, cell FROM (
+             SELECT e_$j.vec_id, c0_$j.cell, row_number() OVER (PARTITION BY e_$j.vec_id
+               ORDER BY ${cosq(s"e_$j.q", s"c0_$j.c")} DESC, c0_$j.cell ASC) AS rk
+             FROM e_$j, c0_$j) WHERE rk = 1),
+         u1_$j AS (SELECT a1_$j.cell, i AS pos,
+               CAST(floor((2*sum(e_$j.q[i+1]) + count(*)) / (2.0*count(*))) AS BIGINT) AS cv
+             FROM a1_$j JOIN e_$j USING (vec_id), range(0, 16) r(i)
+             GROUP BY a1_$j.cell, i),
+         c1m_$j AS (SELECT cell, list(cv ORDER BY pos) AS c FROM u1_$j GROUP BY cell),
+         c1_$j AS (SELECT c0_$j.cell, COALESCE(c1m_$j.c, c0_$j.c) AS c
+                   FROM c0_$j LEFT JOIN c1m_$j USING (cell)),
+         fcb_$j AS (SELECT cell,
+             list_transform(c, cv -> CAST(CAST(cv AS DOUBLE)/10000000.0 AS REAL)::DOUBLE) AS cl
+           FROM c1_$j),
+         a2_$j AS (SELECT vec_id, cell FROM (
+             SELECT r_$j.vec_id, fcb_$j.cell, row_number() OVER (PARTITION BY r_$j.vec_id
+               ORDER BY ${cosr(s"r_$j.v", s"fcb_$j.cl")} DESC, fcb_$j.cell ASC) AS rk
+             FROM r_$j, fcb_$j) WHERE rk = 1)"""
+    }.mkString(",\n         ")
+    s"""WITH e AS (SELECT vec_id,
+           list_transform(embedding::DOUBLE[], x -> CAST(round(x*10000000.0) AS BIGINT)) AS q
+         FROM embeddings),
+         $subs"""
+  }
 
   val oracleSql: Map[String, String] = Map(
     "sample_by_hash" ->
@@ -914,6 +1024,89 @@ object QueriesLLM {
          agg AS (SELECT doc_id, array_to_string(list(tok ORDER BY ti), ' ') AS txt
                  FROM keep GROUP BY doc_id)
          SELECT t.doc_id, md5(COALESCE(a.txt, '')) AS stripped_md5
-         FROM t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id"""
+         FROM t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""",
+    "sample_split" ->
+      s"""$hashUnitCte
+          SELECT doc_id,
+            CASE WHEN u < 0.75 THEN 'train'
+                 WHEN u < 0.875 THEN 'validation'
+                 ELSE 'test' END AS split
+          FROM h ORDER BY doc_id""",
+    "doc_oov" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+           FROM documents),
+         vocab AS (SELECT t FROM (SELECT t, count(*) AS c FROM tok GROUP BY t)
+           ORDER BY c DESC, t LIMIT 50),
+         per AS (SELECT doc_id, count(*) AS n,
+             sum(CASE WHEN t IN (SELECT t FROM vocab) THEN 0 ELSE 1 END) AS oov
+           FROM tok GROUP BY doc_id)
+         SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+           CAST(oov AS INTEGER) AS n_oov,
+           CAST(oov AS DOUBLE) / CAST(n AS DOUBLE) AS oov_rate
+         FROM per ORDER BY doc_id""",
+    // The emb_near_dup pair oracle + the dedup_keep_docs component/keep
+    // tail, over vectors: recursive min-label components of the exact
+    // cell-bucketed cosine pair graph, representatives only.
+    "emb_dedup_keep" -> {
+      def cos(x: String, y: String) =
+        s"list_dot_product($x, $y) / (sqrt(list_dot_product($x, $x)) * sqrt(list_dot_product($y, $y)))"
+      s"""WITH RECURSIVE cents AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS c
+             FROM embeddings
+             WHERE vec_id < (SELECT greatest(16, CAST(ceil(2*sqrt(count(*))) AS BIGINT)) FROM embeddings)),
+         n AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS v FROM embeddings),
+         nc AS (SELECT n_id, v, cell FROM (
+             SELECT n_id, v, cell, row_number() OVER (PARTITION BY n_id
+               ORDER BY ${cos("v", "c")} DESC, cell DESC) AS rk
+             FROM n, cents) WHERE rk <= 2),
+         p AS (SELECT DISTINCT a.n_id AS id_a, b.n_id AS id_b
+           FROM nc a JOIN nc b ON a.cell = b.cell AND a.n_id < b.n_id
+           WHERE round(${cos("a.v", "b.v")}, 6) >= 0.45),
+         und AS (SELECT id_a AS src, id_b AS dst FROM p
+                 UNION ALL SELECT id_b, id_a FROM p),
+         comp(id, lbl) AS (
+           SELECT vec_id, vec_id FROM embeddings
+           UNION
+           SELECT u.dst, c.lbl FROM comp c JOIN und u ON u.src = c.id),
+         keep AS (SELECT id FROM comp GROUP BY id HAVING id = min(lbl))
+         SELECT vec_id, label FROM embeddings JOIN keep ON vec_id = keep.id
+         ORDER BY vec_id"""
+    },
+    "pq_encode" ->
+      s"""$pqCte
+         SELECT a2_0.vec_id,
+           CAST(a2_0.cell AS INTEGER) AS code_0,
+           CAST(a2_1.cell AS INTEGER) AS code_1,
+           CAST(a2_2.cell AS INTEGER) AS code_2,
+           CAST(a2_3.cell AS INTEGER) AS code_3
+         FROM a2_0
+         JOIN a2_1 ON a2_1.vec_id = a2_0.vec_id
+         JOIN a2_2 ON a2_2.vec_id = a2_0.vec_id
+         JOIN a2_3 ON a2_3.vec_id = a2_0.vec_id
+         ORDER BY a2_0.vec_id""",
+    "pq_topk" -> {
+      def cos(x: String, y: String) =
+        s"list_dot_product($x, $y) / (sqrt(list_dot_product($x, $x)) * sqrt(list_dot_product($y, $y)))"
+      s"""$pqCte,
+         dec AS (SELECT a2_0.vec_id AS n_id,
+             flatten([f0.cl, f1.cl, f2.cl, f3.cl]) AS v
+           FROM a2_0
+           JOIN a2_1 ON a2_1.vec_id = a2_0.vec_id
+           JOIN a2_2 ON a2_2.vec_id = a2_0.vec_id
+           JOIN a2_3 ON a2_3.vec_id = a2_0.vec_id
+           JOIN fcb_0 f0 ON f0.cell = a2_0.cell
+           JOIN fcb_1 f1 ON f1.cell = a2_1.cell
+           JOIN fcb_2 f2 ON f2.cell = a2_2.cell
+           JOIN fcb_3 f3 ON f3.cell = a2_3.cell),
+         qs AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+         scored AS (SELECT q_id, n_id, ${cos("qv", "v")} AS cs
+           FROM qs, dec WHERE q_id <> n_id),
+         ranked AS (SELECT q_id, n_id,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY cs DESC, n_id) AS INTEGER) AS rank
+           FROM scored)
+         SELECT q_id, n_id, rank FROM ranked WHERE rank <= 5
+         ORDER BY q_id, rank"""
+    }
   )
 }

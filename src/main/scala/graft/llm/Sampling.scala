@@ -61,6 +61,33 @@ object Sampling {
       .otherwise(hashUnit(F.col(idCol), seed) < p))
   }
 
+  /** Deterministic named-split assignment (train/validation/test): append a
+    * `split` column placing each row in `splits(i)._1` where the cumulative
+    * fractions bracket `hashUnit(id)`. Fractions must sum to 1 (±1e-9); the
+    * last split absorbs the rounding tail, so every row is assigned. Same
+    * determinism contract as [[sampleByHash]]: order- and partition-
+    * independent, reproducible engine-to-engine, and stable under corpus
+    * growth (a row's split never changes when other rows arrive — the
+    * property that keeps eval sets uncontaminated across corpus versions).
+    * One scan, no shuffle; the when-chain is pure codegen'd arithmetic. */
+  def assignSplits(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
+                   seed: Long = 42L): DataFrame = {
+    require(splits.nonEmpty, "assignSplits needs at least one split")
+    require(splits.forall(_._2 >= 0.0), "split fractions must be >= 0")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    require(!df.columns.contains("split"),
+      "assignSplits: input already has a split column")
+    val u = hashUnit(F.col(idCol), seed)
+    val bounds = splits.scanLeft(0.0)(_ + _._2).tail
+    val assigned = splits.init.zip(bounds.init).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), hi)) =>
+        val cond = u < hi
+        Some(acc.fold(F.when(cond, name))(_.when(cond, name)))
+    }.fold(F.lit(splits.last._1))(_.otherwise(splits.last._1))
+    df.withColumn("split", assigned)
+  }
+
   /** Per-stratum rates (a training mix): rows in stratum s survive with
     * probability `rates(s)` (else `defaultRate`). The rates ride in as a
     * broadcast-joined two-column frame, so the mix scales to any number of

@@ -57,6 +57,19 @@ object TextStats {
     (F.length(text).cast("double") - (n - F.lit(1.0))) / n
   }
 
+  /** (n_tokens, n_oov) against a fixed vocabulary in ONE kernel pass —
+    * n_oov = tokens not in `vocab`. The standard vocabulary-coverage
+    * quality signal (high OOV rate ⇒ noise/boilerplate/wrong language);
+    * the vocabulary itself is corpus-derived model parameters (e.g.
+    * [[topKTokens]] collected), broadcast inside the expression. Both
+    * fields read the same `docTokenStats` node, so a projection using
+    * both costs one scan. */
+  def oovCounts(text: Column, vocab: Seq[String]): Column = {
+    val s = stats(text, vocab)
+    F.struct(s.getField("n_tokens").as("n_tokens"),
+      (s.getField("n_tokens") - s.getField("n_stop")).as("n_oov"))
+  }
+
   /** Ratio of tokens found in `words` (e.g. stopwords). */
   def tokenSetRatio(text: Column, words: Seq[String]): Column =
     stats(text, words).getField("n_stop").cast("double") /

@@ -418,6 +418,44 @@ object PyApi {
     graft.llm.Similarity.cosineDupPairs(df, idCol, vecCol, cents(centroids),
       threshold, nprobe)
 
+  def assignSplits(df: DataFrame, idCol: String, names: JList[String],
+                   fracs: JList[java.lang.Double], seed: Long): DataFrame =
+    graft.llm.Sampling.assignSplits(df, idCol,
+      names.asScala.toSeq.zip(fracs.asScala.toSeq.map(_.doubleValue())), seed)
+
+  /** Append n_tokens / n_oov / oov_rate against a fixed vocabulary (one
+    * kernel scan). */
+  def oovCounts(df: DataFrame, textCol: String,
+                vocab: JList[String]): DataFrame = {
+    val oc = graft.llm.TextStats.oovCounts(F.col(textCol), seq(vocab))
+    df.withColumn("n_tokens", oc.getField("n_tokens"))
+      .withColumn("n_oov", oc.getField("n_oov"))
+      .withColumn("oov_rate", F.col("n_oov").cast("double") /
+        F.col("n_tokens").cast("double"))
+  }
+
+  private def books(raw: JList[JList[JList[java.lang.Double]]]): Seq[Seq[Seq[Float]]] =
+    raw.asScala.toSeq.map(_.asScala.toSeq.map(
+      _.asScala.toSeq.map(_.floatValue())))
+
+  /** Product-quantization codebooks (m × k × dim/m), trainable once and
+    * reusable across encode/search calls. */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
+              iters: Int): JList[JList[JList[java.lang.Double]]] =
+    graft.llm.Similarity.pqTrain(df, idCol, vecCol, m, k, iters)
+      .map(_.map(_.map(v => java.lang.Double.valueOf(v.toDouble)).asJava)
+        .asJava).asJava
+
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               codebooks: JList[JList[JList[java.lang.Double]]]): DataFrame =
+    graft.llm.Similarity.pqEncode(df, idCol, vecCol, books(codebooks))
+
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, codebooks: JList[JList[JList[java.lang.Double]]],
+             k: Int): DataFrame =
+    graft.llm.Similarity.pqTopK(queries, corpus, idCol, vecCol,
+      books(codebooks), k)
+
   /** Deterministic quantized k-means; returns the (id, cell) assignments. */
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
                    k: Int, iters: Int): DataFrame =

@@ -461,4 +461,77 @@ class DedupSpec extends SparkTestBase {
       .orderBy("id").collect().map(_.getString(1))
     out.toSeq shouldBe Seq("", "")
   }
+
+  behavior of "product quantization"
+
+  // 4-dim vectors in two tight direction clusters per 2-dim subspace;
+  // ids 0/1 seed distinct cells in both subspaces
+  private val pqVecs = Seq(
+    (0L, Seq(1.0f, 0.01f, 0.02f, 1.0f)),
+    (1L, Seq(0.02f, 1.0f, 1.0f, 0.03f)),
+    (2L, Seq(0.9f, 0.05f, 0.01f, 0.8f)),
+    (3L, Seq(0.03f, 0.8f, 1.1f, 0.0f)),
+    (4L, Seq(1.1f, 0.0f, 0.05f, 0.9f)))
+    .toDF("vec_id", "embedding")
+
+  it should "train per-subspace codebooks and encode cluster-mates alike" in {
+    val books = Similarity.pqTrain(pqVecs, "vec_id", "embedding",
+      m = 2, k = 2, iters = 2)
+    books should have size 2
+    books.foreach { b => b should have size 2; b.head should have size 2 }
+    val codes = Similarity.pqEncode(pqVecs, "vec_id", "embedding", books)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    codes(0L) shouldBe codes(2L) // same direction in both subspaces
+    codes(0L) shouldBe codes(4L)
+    codes(1L) shouldBe codes(3L)
+    codes(0L) should not be codes(1L)
+    // determinism under repartitioning (integer-quantized training)
+    val books8 = Similarity.pqTrain(pqVecs.repartition(8), "vec_id",
+      "embedding", m = 2, k = 2, iters = 2)
+    books8 shouldBe books
+  }
+
+  it should "reconstruct each subspace's selected centroid on decode" in {
+    val books = Similarity.pqTrain(pqVecs, "vec_id", "embedding",
+      m = 2, k = 2, iters = 1)
+    val enc = Similarity.pqEncode(pqVecs, "vec_id", "embedding", books)
+    val rows = enc.select(F.col("id"), F.col("codes"),
+      Similarity.pqDecode(F.col("codes"), books).as("dec")).collect()
+    rows.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      val dec = r.getSeq[Double](2)
+      dec shouldBe (books(0)(cs(0)).map(_.toDouble) ++
+        books(1)(cs(1)).map(_.toDouble))
+    }
+  }
+
+  it should "rank ADC neighbors by reconstruction cosine" in {
+    val books = Similarity.pqTrain(pqVecs, "vec_id", "embedding",
+      m = 2, k = 2, iters = 2)
+    val out = Similarity.pqTopK(pqVecs.filter($"vec_id" === 0L), pqVecs,
+      "vec_id", "embedding", books, k = 4).orderBy("rank").collect()
+    out should have size 4
+    // cluster-mates of 0 (ids 2 and 4 share 0's codes) outrank the others
+    out.take(2).map(_.getLong(1)).toSet shouldBe Set(2L, 4L)
+    // scores are non-increasing in rank
+    out.map(_.getDouble(3)).sliding(2).foreach { w =>
+      w(0) should be >= w(1)
+    }
+  }
+
+  it should "reject a dimension not divisible by m" in {
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.pqTrain(pqVecs, "vec_id", "embedding", m = 3, k = 2, iters = 1)
+  }
+
+  behavior of "oovCounts"
+
+  it should "count tokens outside the vocabulary in one pass" in {
+    val d = Seq((1L, "a b a zz qq"), (2L, "a a a")).toDF("id", "text")
+    val oc = TextStats.oovCounts(F.col("text"), Seq("a", "b"))
+    val rows = d.select(F.col("id"), oc.getField("n_tokens"),
+      oc.getField("n_oov")).orderBy("id").collect()
+    (rows(0).getInt(1), rows(0).getInt(2)) shouldBe ((5, 2))
+    (rows(1).getInt(1), rows(1).getInt(2)) shouldBe ((3, 0))
+  }
 }

@@ -242,4 +242,47 @@ class SamplingSpec extends SparkTestBase {
     // it actually permutes (not the identity order)
     a.count { case (id, pos) => id == pos } should be < 100
   }
+
+  behavior of "assignSplits"
+
+  it should "cover every row with roughly proportional, deterministic splits" in {
+    val out = Sampling.assignSplits(corpus, "id",
+      Seq("train" -> 0.75, "validation" -> 0.125, "test" -> 0.125))
+    out.count() shouldBe 1000L
+    val byName = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byName.keySet shouldBe Set("train", "validation", "test")
+    byName("train").toDouble should be(750.0 +- 60.0)
+    byName("validation").toDouble should be(125.0 +- 45.0)
+    // identical assignment on any partitioning
+    val a = out.select("id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    Sampling.assignSplits(corpus.repartition(7), "id",
+      Seq("train" -> 0.75, "validation" -> 0.125, "test" -> 0.125))
+      .select("id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap shouldBe a
+  }
+
+  it should "keep a row's split stable when the corpus grows" in {
+    // eval-set stability: a row's split depends only on (id, seed), never
+    // on what other rows exist
+    val half = corpus.filter(F.col("id") < 500)
+    val splits = Seq("train" -> 0.75, "test" -> 0.25)
+    val small = Sampling.assignSplits(half, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val full = Sampling.assignSplits(corpus, "id", splits)
+      .filter(F.col("id") < 500)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    full shouldBe small
+  }
+
+  it should "reject bad fraction sets and reserved columns" in {
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.assignSplits(corpus, "id", Seq("a" -> 0.5, "b" -> 0.4))
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.assignSplits(corpus, "id", Seq("a" -> 1.2, "b" -> -0.2))
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.assignSplits(
+        corpus.withColumn("split", F.lit("x")), "id", Seq("a" -> 1.0))
+  }
 }
