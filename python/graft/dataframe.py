@@ -264,6 +264,13 @@ class TimeSeriesDataFrame(DataFrame):
             raise ValueError("schema is required for the raw-callable form")
         return TimeSeriesDataFrame(grouped.applyInPandas(func, schema))
 
+    def add_lag_sum(self, col, window, lag, key=None):
+        """Overlappable lag-window sum: appends ``<col>_sum`` over the core
+        window [t-window, t] and ``<col>_lagSum`` over the preceding band
+        [t-window-lag, t-window) — both range frames behind one exchange."""
+        return self._with(_api(self).addLagSum(
+            self._jdf, col, window, lag, _jlist(self.sparkSession, key)))
+
     def add_summary_columns(self, summarizer, key=None, tie_break=None):
         return self._with(_api(self).addSummaryColumns(
             self._jdf, summarizer._jsum(self.sparkSession),

@@ -565,3 +565,13 @@ def test_pq_train_encode_topk(spark):
     assert {r["n_id"] for r in out[:2]} == {2, 4}
     scores = [r["cosine"] for r in out]
     assert all(a >= b for a, b in zip(scores, scores[1:]))
+
+
+def test_add_lag_sum(spark):
+    # mirrors SummarizeModesSpec addLagSum: window 2ns, lag 2ns
+    d = TimeSeriesDataFrame(spark.createDataFrame(
+        [(t, float(t + 1)) for t in range(6)], "time long, v double"))
+    out = d.add_lag_sum("v", "2ns", "2ns").orderBy("time").collect()
+    assert [(r["v_sum"], r["v_lagSum"]) for r in out] == [
+        (1.0, 0.0), (3.0, 0.0), (6.0, 0.0), (9.0, 1.0), (12.0, 3.0),
+        (15.0, 5.0)]

@@ -143,7 +143,15 @@ object QueriesWindows {
         .select(F.col("time"), F.col("event_type"),
           F.col("r.event_id").as("event_id"), F.col("r.value100").as("value100"))
         .orderBy("time", "event_id")
-    })
+    }),
+    // overlappable lag-window sum (the reference's private LagSumSummarizer
+    // semantics): core [t-1d, t] sum + overlap band [t-1d-12h, t-1d) sum,
+    // both range frames in ONE Window exec
+    "lag_sum_windows" -> ((s, dir) =>
+      WindowOps.addLagSum(evV(s, dir), "value100", window = "1d",
+        lag = "12h", key = Seq("user_id"))
+        .select("time", "event_id", "user_id", "value100_sum", "value100_lagSum")
+        .orderBy("time", "event_id"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -224,6 +232,17 @@ object QueriesWindows {
     "arrow_roundtrip" ->
       s"""WITH e AS ($evHourSql)
           SELECT time, event_type, event_id, value100
-          FROM e ORDER BY time, event_id"""
+          FROM e ORDER BY time, event_id""",
+    "lag_sum_windows" ->
+      s"""WITH e AS ($evVSql)
+          SELECT time, event_id, user_id,
+          COALESCE(sum(CAST(value100 AS DOUBLE)) OVER core, 0.0) AS value100_sum,
+          COALESCE(sum(CAST(value100 AS DOUBLE)) OVER band, 0.0) AS value100_lagSum
+          FROM e WINDOW
+          core AS (PARTITION BY user_id ORDER BY time
+            RANGE BETWEEN ${1 * DAY} PRECEDING AND CURRENT ROW),
+          band AS (PARTITION BY user_id ORDER BY time
+            RANGE BETWEEN ${1 * DAY + 12 * HOUR} PRECEDING AND ${1 * DAY + 1} PRECEDING)
+          ORDER BY time, event_id"""
   )
 }

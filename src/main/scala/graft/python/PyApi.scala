@@ -243,6 +243,10 @@ object PyApi {
                         tieBreak: JList[String]): DataFrame =
     WindowOps.addSummaryColumns(df, s, seq(key), seq(tieBreak))
 
+  def addLagSum(df: DataFrame, col: String, window: String, lag: String,
+                key: JList[String]): DataFrame =
+    WindowOps.addLagSum(df, col, window, lag, seq(key))
+
   private def window(past: String, future: String): WindowOps.TimeWindow =
     (opt(past), opt(future)) match {
       case (Some(p), None) => WindowOps.pastAbsoluteTime(p)

@@ -81,6 +81,37 @@ object WindowOps {
     df.withColumn(s"window_${window.name}", rowsCol)
   }
 
+  /** Overlappable lag-window sum (≙ the reference's LagSumSummarizer,
+    * rdd/function/summarize/summarizer/overlappable/LagSumSummarizer.scala:20-47
+    * — a private overlappable summarizer splitting a window's rows into a
+    * core sum and an overlap-flagged lagSum): for each row, appends
+    * `<col>_sum` = Σ col over the core window [t−window, t] and
+    * `<col>_lagSum` = Σ col over the preceding overlap band
+    * [t−window−lag, t−window). The reference computes the split through
+    * its overlappable-iterator machinery; here the two bands are two range
+    * frames sharing ONE partition + sort, which Catalyst evaluates in a
+    * single Window exec — one hash exchange total, each frame swept with a
+    * moving lower bound. */
+  def addLagSum(df: DataFrame, col: String, window: String, lag: String,
+                key: Seq[String] = Seq.empty): DataFrame = {
+    val w = TimeSeriesOps.parseDuration(window)
+    val l = TimeSeriesOps.parseDuration(lag)
+    require(w >= 0L && l > 0L, "window must be >= 0 and lag > 0")
+    val core = Window.partitionBy(key.map(F.col): _*)
+      .orderBy(F.col(TimeColumn)).rangeBetween(-w, 0L)
+    // closed integer bounds: [t-w-l, t-w-1] is exactly the half-open
+    // overlap band [t-w-l, t-w) on long-nanos times
+    val band = Window.partitionBy(key.map(F.col): _*)
+      .orderBy(F.col(TimeColumn)).rangeBetween(-w - l, -w - 1L)
+    // the reference state is Double with zero() = (0.0, 0.0): cast the
+    // input once and coalesce empty frames to 0.0, never null
+    val x = F.col(col).cast("double")
+    df.withColumn(s"${col}_sum",
+        F.coalesce(F.sum(x).over(core), F.lit(0.0)))
+      .withColumn(s"${col}_lagSum",
+        F.coalesce(F.sum(x).over(band), F.lit(0.0)))
+  }
+
   /** Running (cumulative) aggregate appended per row (≙ addSummaryColumns,
     * Summarizations.scala:25-50). Ties on time are resolved by `tieBreak`
     * columns if given (the reference uses physical row order, which a

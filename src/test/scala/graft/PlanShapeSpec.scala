@@ -191,6 +191,28 @@ class PlanShapeSpec extends SparkTestBase {
     globalSorts(p) shouldBe 0
   }
 
+  it should "plan addLagSum's two range frames behind one exchange" in {
+    val df = Seq((1L, "a", 1.0), (2L, "a", 2.0)).toDF("time", "k", "v")
+    val out = WindowOps.addLagSum(df, "v", "5ns", "5ns", Seq("k"))
+    // both frames share the (key, time) partitioning+sort: one hash
+    // exchange total, never one per frame
+    exchanges(out) shouldBe 1
+    cartesians(out) shouldBe 0
+  }
+
+  it should "plan PQ encode and split assignment as pure scans (zero exchanges)" in {
+    val vecs = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val books = Seq(Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))) // m=1, k=2
+    val enc = graft.llm.Similarity.pqEncode(vecs, "vec_id", "embedding", books)
+    exchanges(enc) shouldBe 0
+    cartesians(enc) shouldBe 0
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("id", "src")
+    val sp = graft.llm.Sampling.assignSplits(docs, "id",
+      Seq("train" -> 0.75, "test" -> 0.25))
+    exchanges(sp) shouldBe 0
+  }
+
   it should "prune whole bucket directories on time-partitioned reads" in {
     val dir = java.nio.file.Files.createTempDirectory("graft_tp_prune").toString
     try {

@@ -165,6 +165,34 @@ class SummarizeModesSpec extends SparkTestBase {
     out shouldBe Array(1.0, 3.0, 6.0, 5.0)
   }
 
+  behavior of "addLagSum"
+
+  it should "split core-window and lag-band sums like the reference's overlappable LagSum" in {
+    // times 0..5 with value = time+1; window 2ns, lag 2ns:
+    // at t=4: core [2,4] -> 3+4+5 = 12, band [0,2) -> 1+2 = 3
+    val df = (0L to 5L).map(t => (t, (t + 1).toDouble)).toDF("time", "v")
+    val out = WindowOps.addLagSum(df, "v", window = "2ns", lag = "2ns")
+      .orderBy("time").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+    out shouldBe Array(
+      (0L, 1.0, 0.0),          // band empty -> 0.0, never null
+      (1L, 3.0, 0.0),
+      (2L, 6.0, 0.0),          // band [-2,0) holds nothing at or before -1
+      (3L, 9.0, 1.0),          // band [-1,1) -> t=0
+      (4L, 12.0, 3.0),         // band [0,2) -> t=0,1
+      (5L, 15.0, 5.0))         // core [3,5] -> 4+5+6, band [1,3) -> 2+3
+  }
+
+  it should "respect keys and reject a zero lag" in {
+    val df = Seq((0L, "a", 1.0), (1L, "b", 10.0), (2L, "a", 2.0))
+      .toDF("time", "k", "v")
+    val out = WindowOps.addLagSum(df, "v", "10ns", "10ns", key = Seq("k"))
+      .orderBy("time").collect().map(_.getDouble(3))
+    out shouldBe Array(1.0, 10.0, 3.0) // never mixes keys
+    an[IllegalArgumentException] should be thrownBy
+      WindowOps.addLagSum(df, "v", "10ns", "0ns")
+  }
+
   behavior of "summarize with key"
 
   it should "stamp summarize() output with time 0 and group by key" in {
