@@ -499,6 +499,13 @@ class TimeSeriesDataFrame(DataFrame):
             queries._jdf, self._jdf, id_col, vec_col,
             self._jbooks(codebooks), k))
 
+    def pq_topk_encoded(self, queries, id_col, vec_col, codebooks, k):
+        """pq_topk over an already-encoded (id, codes) corpus (self) — the
+        stored-codes search path: the scan reads m codes per vector."""
+        return self._with(_api(self).pqTopKEncoded(
+            queries._jdf, self._jdf, id_col, vec_col,
+            self._jbooks(codebooks), k))
+
     def kmeans_assign(self, id_col, vec_col, k, iters):
         """Deterministic quantized k-means: (id, cell) assignments."""
         return self._with(_api(self).kmeansAssign(

@@ -333,10 +333,19 @@ object Similarity {
    */
   def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
              vecCol: String, codebooks: Seq[Seq[Seq[Float]]],
-             k: Int): DataFrame = {
-    val c = pqEncode(corpus, idCol, vecCol, codebooks)
-      .select(F.col("id").as("n_id"),
-        pqDecode(F.col("codes"), codebooks).as("n_vec"))
+             k: Int): DataFrame =
+    pqTopKEncoded(queries, pqEncode(corpus, idCol, vecCol, codebooks),
+      idCol, vecCol, codebooks, k)
+
+  /** [[pqTopK]] over an already-encoded corpus (the stored (id, codes)
+    * frame from [[pqEncode]]) — the actual 100 TB search path: the scan
+    * reads m codes per vector, nothing else. [[pqTopK]] is this plus an
+    * on-the-fly encode for callers holding raw vectors. */
+  def pqTopKEncoded(queries: DataFrame, encoded: DataFrame, idCol: String,
+                    vecCol: String, codebooks: Seq[Seq[Seq[Float]]],
+                    k: Int): DataFrame = {
+    val c = encoded.select(F.col("id").as("n_id"),
+      pqDecode(F.col("codes"), codebooks).as("n_vec"))
     val q = queries.select(F.col(idCol).as("q_id"),
       F.col(vecCol).cast("array<double>").as("q_vec"))
     val scored = c.join(F.broadcast(q), F.col("q_id") =!= F.col("n_id"))

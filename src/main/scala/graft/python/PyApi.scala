@@ -460,6 +460,13 @@ object PyApi {
     graft.llm.Similarity.pqTopK(queries, corpus, idCol, vecCol,
       books(codebooks), k)
 
+  def pqTopKEncoded(queries: DataFrame, encoded: DataFrame, idCol: String,
+                    vecCol: String,
+                    codebooks: JList[JList[JList[java.lang.Double]]],
+                    k: Int): DataFrame =
+    graft.llm.Similarity.pqTopKEncoded(queries, encoded, idCol, vecCol,
+      books(codebooks), k)
+
   /** Deterministic quantized k-means; returns the (id, cell) assignments. */
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
                    k: Int, iters: Int): DataFrame =

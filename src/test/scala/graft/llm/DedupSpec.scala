@@ -519,6 +519,18 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  it should "search a stored encoded table identically to the raw path" in {
+    val books = Similarity.pqTrain(pqVecs, "vec_id", "embedding",
+      m = 2, k = 2, iters = 2)
+    val stored = Similarity.pqEncode(pqVecs, "vec_id", "embedding", books)
+    val q = pqVecs.filter($"vec_id" === 0L)
+    val viaRaw = Similarity.pqTopK(q, pqVecs, "vec_id", "embedding",
+      books, k = 4).collect().map(_.toSeq).toSeq
+    val viaCodes = Similarity.pqTopKEncoded(q, stored, "vec_id", "embedding",
+      books, k = 4).collect().map(_.toSeq).toSeq
+    viaCodes shouldBe viaRaw
+  }
+
   it should "reject a dimension not divisible by m" in {
     an[IllegalArgumentException] should be thrownBy
       Similarity.pqTrain(pqVecs, "vec_id", "embedding", m = 3, k = 2, iters = 1)
