@@ -446,6 +446,23 @@ class TimeSeriesDataFrame(DataFrame):
         """Append n_emails / n_ips / n_phones match counts."""
         return self._with(_api(self).piiCounts(self._jdf, text_col))
 
+    def with_url_parts(self, url_col):
+        """Append url_host (lowercased authority, no userinfo/port),
+        url_domain (heuristic registrable domain) and url_norm (lowercase,
+        fragment + trailing-slash stripped) — one scan."""
+        return self._with(_api(self).withUrlParts(self._jdf, url_col))
+
+    def dedup_by_url(self, id_col, url_col):
+        """Keep the smallest id per normalized URL (same-page dedup)."""
+        return self._with(_api(self).dedupByUrl(self._jdf, id_col, url_col))
+
+    def cap_per_domain(self, id_col, url_col, n, seed=42):
+        """Cap each registrable domain at n deterministic smallest-hash
+        rows (two-pass threshold selection; hot domains never serialize
+        through one task)."""
+        return self._with(_api(self).capPerDomain(
+            self._jdf, id_col, url_col, n, seed))
+
     def assign_splits(self, id_col, splits, seed=42):
         """Deterministic train/validation/test assignment: appends a
         ``split`` column. ``splits`` is an ordered list of (name, fraction)

@@ -575,3 +575,21 @@ def test_add_lag_sum(spark):
     assert [(r["v_sum"], r["v_lagSum"]) for r in out] == [
         (1.0, 0.0), (3.0, 0.0), (6.0, 0.0), (9.0, 1.0), (12.0, 3.0),
         (15.0, 5.0)]
+
+
+def test_url_parts_dedup_and_cap(spark):
+    d = TimeSeriesDataFrame(spark.createDataFrame(
+        [(1, "https://WWW.Example.CO.UK:443/A#x"),
+         (2, "https://www.example.co.uk:443/a/"),
+         (3, "https://other.com/b")], "id long, url string"))
+    parts = {r["id"]: (r["url_host"], r["url_domain"], r["url_norm"])
+             for r in d.with_url_parts("url").collect()}
+    assert parts[1] == ("www.example.co.uk", "example.co.uk",
+                        "https://www.example.co.uk:443/a")
+    assert parts[3] == ("other.com", "other.com", "https://other.com/b")
+    kept = sorted(r["id"] for r in d.dedup_by_url("id", "url").collect())
+    assert kept == [1, 3]
+    big = TimeSeriesDataFrame(spark.createDataFrame(
+        [(i, "https://site%d.com/p/%d" % (i % 2, i)) for i in range(40)],
+        "id long, url string"))
+    assert big.cap_per_domain("id", "url", n=3).count() == 6

@@ -428,6 +428,27 @@ object QueriesLLM {
             F.element_at(F.col("codes"), j + 1).as(s"code_$j")): _*)
         .orderBy("vec_id")
     }),
+    // URL/domain family (C4-style web preprocessing): the corpus carries
+    // no URLs, so each doc gets a deterministic constructed URL exercising
+    // case, www, ccTLD (co.uk), port, trailing slash and fragment — the
+    // same construct-then-process pattern as pii_redact/mm_decode_headers.
+    "url_domain_stats" -> ((s, dir) => {
+      val h = Urls.host(docUrl)
+      docs(s, dir).select(F.col("doc_id"), h.as("host"),
+          Urls.registrableDomain(h).as("domain"))
+        .orderBy("doc_id")
+    }),
+    // Normalized-URL exact dedup: lowercase + fragment/trailing-slash
+    // strip collapses the planted variants; keep the min doc_id per page.
+    "url_dedup_keep" -> ((s, dir) =>
+      Urls.dedupByUrl(docs(s, dir).withColumn("url", docUrl), "doc_id", "url")
+        .select("doc_id", "source").orderBy("doc_id")),
+    // Per-domain quota cap (no domain dominates the mix): deterministic
+    // smallest-hash winners via the two-pass threshold selection.
+    "url_domain_cap" -> ((s, dir) =>
+      Urls.capPerDomain(docs(s, dir).withColumn("url", docUrl),
+          "doc_id", "url", n = 5)
+        .select("doc_id", "source").orderBy("doc_id")),
     // Asymmetric-distance top-k over the PQ-compressed corpus: queries
     // stay exact, corpus side is its codebook reconstruction — the scan
     // reads m codes instead of the raw vector (the 100 TB story).
@@ -443,6 +464,55 @@ object QueriesLLM {
   )
 
   private val stopEn = inList(TextStats.EnStop)
+
+  /** Deterministic constructed URL per doc (see url_domain_stats): mixes
+    * case, www, a ccTLD, an explicit port, a trailing slash and a
+    * fragment so every normalization rule is exercised. Periods (3, 20,
+    * 4, 50, 5) give the normalized key a period of 300 doc_ids, so real
+    * duplicate groups exist even at sf0.01. */
+  private def docUrl: Column = F.concat(
+    F.lit("https://"),
+    F.when(F.pmod(F.col("doc_id"), F.lit(3L)) === 0, F.lit("WWW."))
+      .otherwise(F.lit("")),
+    F.lit("Site"), F.pmod(F.col("doc_id"), F.lit(20L)).cast("string"),
+    F.when(F.pmod(F.col("doc_id"), F.lit(4L)) === 0, F.lit(".CO.UK"))
+      .otherwise(F.lit(".com")),
+    F.lit(":443/Pages/"), F.pmod(F.col("doc_id"), F.lit(50L)).cast("string"),
+    F.when(F.pmod(F.col("doc_id"), F.lit(5L)) === 0, F.lit("/"))
+      .otherwise(F.lit("")),
+    F.when(F.pmod(F.col("doc_id"), F.lit(2L)) === 0,
+        F.concat(F.lit("#frag"), F.col("doc_id").cast("string")))
+      .otherwise(F.lit("")))
+
+  /** The same construction in DuckDB SQL. */
+  private val docUrlSql =
+    """('https://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+       || 'Site' || CAST(doc_id % 20 AS VARCHAR)
+       || CASE WHEN doc_id % 4 = 0 THEN '.CO.UK' ELSE '.com' END
+       || ':443/Pages/' || CAST(doc_id % 50 AS VARCHAR)
+       || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+       || CASE WHEN doc_id % 2 = 0 THEN '#frag' || CAST(doc_id AS VARCHAR)
+          ELSE '' END)"""
+
+  /** DuckDB mirrors of Urls.host / registrableDomain / normalize over a
+    * `url` column expression. */
+  private def hostSql(url: String) =
+    s"""regexp_replace(
+          string_split(lower(regexp_extract($url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '@')[-1],
+          ':[0-9]+$$', '')"""
+  private def domainSql(host: String) =
+    s"""(CASE WHEN len(string_split($host, '.')) >= 3
+            AND string_split($host, '.')[-2] IN
+              ('co','com','net','org','gov','ac','edu')
+          THEN array_to_string(string_split($host, '.')[
+            len(string_split($host, '.'))-2 : len(string_split($host, '.'))], '.')
+          WHEN len(string_split($host, '.')) >= 2
+          THEN array_to_string(string_split($host, '.')[
+            len(string_split($host, '.'))-1 : len(string_split($host, '.'))], '.')
+          ELSE $host END)"""
+  private def normUrlSql(url: String) =
+    s"regexp_replace(lower(regexp_replace($url, '#.*$$', '')), '/$$', '')"
 
   /** DuckDB mirror of Sampling.hashUnit (same bounded-integer avalanche
     * arithmetic, seed 42; 2654435803 = 42 + the Knuth constant). */
@@ -1071,6 +1141,26 @@ object QueriesLLM {
          SELECT vec_id, label FROM embeddings JOIN keep ON vec_id = keep.id
          ORDER BY vec_id"""
     },
+    "url_domain_stats" -> {
+      val h = hostSql(docUrlSql)
+      s"""WITH d AS (SELECT doc_id, $h AS host FROM documents)
+         SELECT doc_id, host, ${domainSql("host")} AS domain
+         FROM d ORDER BY doc_id"""
+    },
+    "url_dedup_keep" ->
+      s"""WITH n AS (SELECT doc_id, source,
+             ${normUrlSql(docUrlSql)} AS nu FROM documents),
+         keep AS (SELECT nu, min(doc_id) AS k FROM n GROUP BY nu)
+         SELECT doc_id, source FROM n JOIN keep ON n.nu = keep.nu
+           AND n.doc_id = keep.k
+         ORDER BY doc_id""",
+    "url_domain_cap" ->
+      s"""$hashUnitCte,
+         d AS (SELECT doc_id, source, u,
+             ${domainSql(hostSql(docUrlSql))} AS dom FROM h)
+         SELECT doc_id, source FROM d
+         QUALIFY row_number() OVER (PARTITION BY dom ORDER BY u, doc_id) <= 5
+         ORDER BY doc_id""",
     "pq_encode" ->
       s"""$pqCte
          SELECT a2_0.vec_id,

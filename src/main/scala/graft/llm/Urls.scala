@@ -1,0 +1,90 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+/**
+ * URL/domain operators for web-corpus pipelines (the C4/RefinedWeb-style
+ * preprocessing steps): host extraction, a heuristic registrable domain,
+ * URL normalization, normalized-URL dedup, and per-domain quota caps.
+ *
+ * Everything is pure Catalyst expressions over the URL string (regex +
+ * string/array functions shared verbatim by the DuckDB oracles — the
+ * patterns stay inside the subset RE2 and java.util.regex interpret
+ * identically), so the extraction passes are one codegen'd scan with no
+ * shuffle; the dedup/quota steps reuse the engine's standard hash-agg and
+ * threshold-selection shapes.
+ */
+object Urls {
+
+  /** Lowercased host of an absolute URL: the authority between `://` and
+    * the first `/`, `?` or `#`, with userinfo and port stripped. Null for
+    * strings that don't parse as scheme-qualified URLs (ordinary corpus
+    * rows, not errors). */
+  def host(url: Column): Column = {
+    val auth = F.lower(F.regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val noUser = F.element_at(F.split(auth, "@"), -1)
+    val noPort = F.regexp_replace(noUser, ":[0-9]+$", "")
+    F.when(noPort =!= "", noPort)
+  }
+
+  /** Second-level labels under which registrations commonly live
+    * (`example.co.uk` ⇒ `co` is a registry label, the domain keeps three
+    * labels). A deliberate, documented heuristic in place of the full
+    * public-suffix list — deterministic and SQL-mirrorable. */
+  val SecondLevelLabels = Seq("co", "com", "net", "org", "gov", "ac", "edu")
+
+  /** Heuristic registrable domain (eTLD+1): the last two labels of the
+    * host, or the last three when the penultimate label is a well-known
+    * registry label ([[SecondLevelLabels]]). Hosts with fewer labels pass
+    * through unchanged. */
+  def registrableDomain(hostCol: Column): Column = {
+    val parts = F.split(hostCol, "\\.")
+    val n = F.size(parts)
+    def lastK(k: Int) =
+      F.array_join(F.slice(parts, n - k + 1, F.lit(k)), ".")
+    F.when(n >= 3 &&
+        F.element_at(parts, -2).isin(SecondLevelLabels.map(x => x: Any): _*),
+        lastK(3))
+      .when(n >= 2, lastK(2))
+      .otherwise(hostCol)
+  }
+
+  /** Canonical URL for exact dedup: lowercase the whole URL (hosts are
+    * case-insensitive; lowercasing paths too is the usual dedup-recall
+    * trade, documented), drop the `#fragment`, and drop one trailing
+    * slash. One scan, no shuffle. */
+  def normalize(url: Column): Column =
+    F.regexp_replace(
+      F.lower(F.regexp_replace(url, "#.*$", "")), "/$", "")
+
+  /** Keep exactly one row (smallest id) per normalized URL — the "same
+    * page fetched twice" dedup that runs before any content dedup. Scale
+    * shape: a hash aggregation on the normalized-URL key for the keep set
+    * (map-side combinable) + a broadcast-or-shuffle left-semi join back;
+    * the corpus is scanned, never sorted. */
+  def dedupByUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val keep = df.select(normalize(F.col(urlCol)).as("__u_norm"),
+        F.col(idCol).as("__u_id"))
+      .groupBy("__u_norm").agg(F.min("__u_id").as("__u_keep"))
+    df.join(keep,
+        normalize(F.col(urlCol)) <=> F.col("__u_norm") &&
+          F.col(idCol) === F.col("__u_keep"),
+        "left_semi")
+  }
+
+  /** Cap each registrable domain's row count at `n` (deterministic
+    * smallest-hash winners) — the "no domain dominates the mix" guard.
+    * Delegates to [[Sampling.quotaPerStratum]]'s two-pass threshold
+    * selection, so hot domains never serialize through one task. */
+  def capPerDomain(df: DataFrame, idCol: String, urlCol: String, n: Int,
+                   seed: Long = 42L): DataFrame = {
+    require(!df.columns.contains("url_domain"),
+      "capPerDomain: input already has a url_domain column")
+    val withD = df.withColumn("url_domain",
+      registrableDomain(host(F.col(urlCol))))
+    Sampling.quotaPerStratum(withD, Seq("url_domain"), idCol, n, seed)
+      .drop("url_domain")
+  }
+}

@@ -438,6 +438,22 @@ object PyApi {
         F.col("n_tokens").cast("double"))
   }
 
+  /** Append url_host / url_domain / url_norm extracted from a URL column
+    * (one codegen'd scan). */
+  def withUrlParts(df: DataFrame, urlCol: String): DataFrame = {
+    val h = graft.llm.Urls.host(F.col(urlCol))
+    df.withColumn("url_host", h)
+      .withColumn("url_domain", graft.llm.Urls.registrableDomain(h))
+      .withColumn("url_norm", graft.llm.Urls.normalize(F.col(urlCol)))
+  }
+
+  def dedupByUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    graft.llm.Urls.dedupByUrl(df, idCol, urlCol)
+
+  def capPerDomain(df: DataFrame, idCol: String, urlCol: String, n: Int,
+                   seed: Long): DataFrame =
+    graft.llm.Urls.capPerDomain(df, idCol, urlCol, n, seed)
+
   private def books(raw: JList[JList[JList[java.lang.Double]]]): Seq[Seq[Seq[Float]]] =
     raw.asScala.toSeq.map(_.asScala.toSeq.map(
       _.asScala.toSeq.map(_.floatValue())))

@@ -1,0 +1,79 @@
+package graft.llm
+
+import graft.SparkTestBase
+import org.apache.spark.sql.{functions => F}
+
+/** URL/domain operators: host parsing edges, the registrable-domain
+  * heuristic, normalization rules, URL dedup, per-domain caps. */
+class UrlSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def hostOf(url: String): Option[String] =
+    Seq(Tuple1(url)).toDF("u").select(Urls.host($"u"))
+      .collect().headOption.flatMap(r => Option(r.getString(0)))
+
+  behavior of "host"
+
+  it should "extract the lowercased authority without userinfo or port" in {
+    hostOf("https://WWW.Example.COM/path?q=1#f") shouldBe Some("www.example.com")
+    hostOf("http://user:pw@site.org:8080/x") shouldBe Some("site.org")
+    hostOf("ftp://Host.Net") shouldBe Some("host.net")
+    hostOf("https://a.co.uk:443") shouldBe Some("a.co.uk")
+  }
+
+  it should "yield null for non-URLs" in {
+    hostOf("not a url") shouldBe None
+    hostOf("/relative/path") shouldBe None
+    hostOf("https://") shouldBe None
+  }
+
+  behavior of "registrableDomain"
+
+  it should "keep two labels, or three under registry second-level labels" in {
+    val rows = Seq("www.example.com", "a.b.example.co.uk", "example.com",
+      "deep.sub.site.org", "localhost")
+      .map(Tuple1(_)).toDF("h")
+      .select(Urls.registrableDomain($"h")).as[String].collect()
+    rows shouldBe Array("example.com", "example.co.uk", "example.com",
+      "site.org", "localhost")
+  }
+
+  behavior of "normalize"
+
+  it should "lowercase, strip fragments and one trailing slash" in {
+    val out = Seq(
+      "https://A.com/Path/",
+      "https://a.COM/Path#sec2",
+      "https://a.com/Path")
+      .map(Tuple1(_)).toDF("u")
+      .select(Urls.normalize($"u")).as[String].collect()
+    out.toSet shouldBe Set("https://a.com/path")
+  }
+
+  behavior of "dedupByUrl"
+
+  it should "keep the smallest id per normalized URL" in {
+    val d = Seq(
+      (1L, "https://a.com/x#one"),
+      (2L, "https://A.COM/x/"),
+      (3L, "https://a.com/y"))
+      .toDF("id", "url")
+    // 1 and 2 normalize alike ("https://a.com/x"); 1 wins
+    Urls.dedupByUrl(d, "id", "url")
+      .select("id").as[Long].collect().sorted shouldBe Array(1L, 3L)
+  }
+
+  behavior of "capPerDomain"
+
+  it should "cap each domain at n deterministic rows" in {
+    val d = (0L until 100L)
+      .map(i => (i, s"https://site${i % 2}.com/p/$i")).toDF("id", "url")
+    val out = Urls.capPerDomain(d, "id", "url", n = 7)
+    out.count() shouldBe 14
+    out.columns should not contain "url_domain"
+    // deterministic winners (same set on re-run / repartition)
+    val a = out.select("id").as[Long].collect().sorted
+    Urls.capPerDomain(d.repartition(5), "id", "url", n = 7)
+      .select("id").as[Long].collect().sorted shouldBe a
+  }
+}
