@@ -294,6 +294,20 @@ object StreamCheck {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
     }
 
+    record("stateless_pipeline_ops") {
+      // the ingest-side preprocessing chain (seeded Bernoulli sample ->
+      // named split assignment -> quality score) is stateless, so it must
+      // compose on a readStream frame unchanged and row-for-row match the
+      // batch run — the "same filters on the firehose and the backfill"
+      // guarantee a training pipeline needs
+      val build = (df: DataFrame) =>
+        graft.llm.Sampling.assignSplits(
+          graft.llm.Sampling.sampleByHash(df, "time", 0.5, seed = 7L),
+          "time", Seq("train" -> 0.75, "validation" -> 0.125, "test" -> 0.125))
+          .withColumn("q", graft.llm.TextStats.qualityScore(F.col("event_type")))
+      (runStream("sc_stateless", ev, 4)(build), build(evDF).collect().toSeq)
+    }
+
     record("future_left_join_stream") {
       val stream = runJoinStream("sc_future_asof", clicks, purchasesDeduped, 4)(
         (l, r) => StreamingOps.futureLeftJoinStream(l, r, tolerance = "6h",
