@@ -428,6 +428,21 @@ object QueriesLLM {
             F.element_at(F.col("codes"), j + 1).as(s"code_$j")): _*)
         .orderBy("vec_id")
     }),
+    // One-scan corpus dashboard: doc/token/BPE-token totals and an
+    // English-share count per source — the per-doc kernels compose
+    // directly under an ordinary map-side-combinable aggregation, so the
+    // whole report costs one pass over the corpus.
+    "corpus_report" -> ((s, dir) =>
+      docs(s, dir).select(F.col("source"),
+          TextStats.tokenCount(F.col("text")).as("nt"),
+          TextStats.bpeTokenCount(F.col("text")).as("nb"),
+          TextStats.langId(F.col("text")).as("lang"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum(F.col("nt").cast("long")).as("n_tokens"),
+          F.sum(F.col("nb").cast("long")).as("n_bpe_tokens"),
+          F.sum(F.when(F.col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+        .orderBy("source")),
     // URL/domain family (C4-style web preprocessing): the corpus carries
     // no URLs, so each doc gets a deterministic constructed URL exercising
     // case, www, ccTLD (co.uk), port, trailing slash and fragment — the
@@ -513,6 +528,22 @@ object QueriesLLM {
           ELSE $host END)"""
   private def normUrlSql(url: String) =
     s"regexp_replace(lower(regexp_replace($url, '#.*$$', '')), '/$$', '')"
+
+  /** DuckDB mirror of TextStats.langId's CASE chain over `text` (shared by
+    * doc_langid and corpus_report). RE2 (DuckDB) spells the CJK range
+    * with braces; Java regex uses the literal characters. */
+  private val langIdCaseSql: String = {
+    def h(ws: Seq[String]) =
+      s"len(list_filter(string_split(text, ' '), t -> t IN (${inList(ws)})))"
+    val en = h(TextStats.EnStop); val es = h(TextStats.EsStop)
+    val de = h(TextStats.DeStop); val fr = h(TextStats.FrStop)
+    val zh = "length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))"
+    s"""CASE WHEN $en = greatest($en, $es, $de, $fr, $zh) THEN 'en'
+             WHEN $es = greatest($en, $es, $de, $fr, $zh) THEN 'es'
+             WHEN $de = greatest($en, $es, $de, $fr, $zh) THEN 'de'
+             WHEN $fr = greatest($en, $es, $de, $fr, $zh) THEN 'fr'
+             ELSE 'zh' END"""
+  }
 
   /** DuckDB mirror of Sampling.hashUnit (same bounded-integer avalanche
     * arithmetic, seed 42; 2654435803 = 42 + the Knuth constant). */
@@ -666,21 +697,9 @@ object QueriesLLM {
           + (($uniq / $n) * 0.25) + (($stop / $n) * 0.25) AS quality
           FROM documents ORDER BY doc_id"""
     },
-    "doc_langid" -> {
-      def h(ws: Seq[String]) =
-        s"len(list_filter(string_split(text, ' '), t -> t IN (${inList(ws)})))"
-      val en = h(TextStats.EnStop); val es = h(TextStats.EsStop)
-      val de = h(TextStats.DeStop); val fr = h(TextStats.FrStop)
-      // RE2 (DuckDB) spells the CJK range \x{4e00}; Java regex uses 一
-      val zh = "length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))"
-      s"""SELECT doc_id,
-          CASE WHEN $en = greatest($en, $es, $de, $fr, $zh) THEN 'en'
-               WHEN $es = greatest($en, $es, $de, $fr, $zh) THEN 'es'
-               WHEN $de = greatest($en, $es, $de, $fr, $zh) THEN 'de'
-               WHEN $fr = greatest($en, $es, $de, $fr, $zh) THEN 'fr'
-               ELSE 'zh' END AS lang_pred
-          FROM documents ORDER BY doc_id"""
-    },
+    "doc_langid" ->
+      s"""SELECT doc_id, $langIdCaseSql AS lang_pred
+          FROM documents ORDER BY doc_id""",
     "dedup_exact" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
            AS dup_key,
@@ -1141,6 +1160,17 @@ object QueriesLLM {
          SELECT vec_id, label FROM embeddings JOIN keep ON vec_id = keep.id
          ORDER BY vec_id"""
     },
+    "corpus_report" ->
+      s"""WITH d AS (SELECT source,
+           len(string_split(text, ' ')) AS nt,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS nb,
+           $langIdCaseSql AS lang
+         FROM documents)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tokens,
+           CAST(sum(nb) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+         FROM d GROUP BY source ORDER BY source""",
     "url_domain_stats" -> {
       val h = hostSql(docUrlSql)
       s"""WITH d AS (SELECT doc_id, $h AS host FROM documents)

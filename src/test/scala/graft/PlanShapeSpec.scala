@@ -213,6 +213,18 @@ class PlanShapeSpec extends SparkTestBase {
     exchanges(sp) shouldBe 0
   }
 
+  it should "plan URL extraction as a pure scan and URL dedup without cartesians" in {
+    val d = Seq((1L, "https://a.com/x"), (2L, "https://b.com/y"))
+      .toDF("id", "url")
+    val parts = d.select(graft.llm.Urls.host(F.col("url")),
+      graft.llm.Urls.normalize(F.col("url")))
+    exchanges(parts) shouldBe 0
+    val dd = graft.llm.Urls.dedupByUrl(d, "id", "url")
+    cartesians(dd) shouldBe 0
+    // keep-set aggregation + join back; never a corpus sort
+    globalSorts(dd) shouldBe 0
+  }
+
   it should "prune whole bucket directories on time-partitioned reads" in {
     val dir = java.nio.file.Files.createTempDirectory("graft_tp_prune").toString
     try {
