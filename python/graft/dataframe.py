@@ -543,6 +543,12 @@ class TimeSeriesDataFrame(DataFrame):
             jl.add(inner)
         return jl
 
+    def brute_force_topk(self, queries, id_col, vec_col, k):
+        """Exact cosine top-k: self is the corpus, the (small) query frame
+        is broadcast. Output (q_id, n_id, rank, cosine)."""
+        return self._with(_api(self).bruteForceTopK(
+            queries._jdf, self._jdf, id_col, vec_col, k))
+
     def ivf_topk(self, queries, id_col, vec_col, centroids, k, nprobe=2):
         """IVF-style ANN: self is the corpus, queries probe nprobe cells."""
         return self._with(_api(self).ivfTopK(

@@ -593,3 +593,14 @@ def test_url_parts_dedup_and_cap(spark):
         [(i, "https://site%d.com/p/%d" % (i % 2, i)) for i in range(40)],
         "id long, url string"))
     assert big.cap_per_domain("id", "url", n=3).count() == 6
+
+
+def test_brute_force_topk(spark):
+    d = TimeSeriesDataFrame(spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]),
+         (3, [-1.0, 0.0])], "vec_id long, embedding array<float>"))
+    q = TimeSeriesDataFrame(spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"))
+    out = d.brute_force_topk(q, "vec_id", "embedding", 3).orderBy("rank").collect()
+    assert [r["n_id"] for r in out] == [1, 2, 3]
+    assert abs(out[2]["cosine"] + 1.0) < 1e-9

@@ -92,4 +92,19 @@ object KernelLaws extends Properties("Kernels") {
       Gen.oneOf(true, false)) { (c, t, bi, sb) =>
       Kernels.intervalBucket(c, t, bi, sb) == bucketRef(c, t, bi, sb)
     }
+
+  property("docTokenStats = split/distinct/membership reference (the oovCounts base)") =
+    forAll(tokens, Gen.someOf("a", "bb", "dog", "zz")) { (ts, vocab) =>
+      val text = ts.mkString(" ")
+      val set = new java.util.HashSet[String]()
+      vocab.foreach(set.add)
+      val maxLen = if (vocab.isEmpty) 0 else vocab.map(_.length).max
+      val row = Kernels.docTokenStats(UTF8String.fromString(text), set, maxLen)
+      val split = text.split(" ", -1)
+      row.getInt(0) == split.length &&
+        row.getInt(1) == split.distinct.length &&
+        row.getInt(3) == split.count(vocab.contains(_)) &&
+        // the oovCounts identity: n_oov = n_tokens - n_stop, never negative
+        row.getInt(0) - row.getInt(3) == split.count(t => !vocab.contains(t))
+    }
 }
