@@ -523,6 +523,15 @@ class TimeSeriesDataFrame(DataFrame):
             queries._jdf, self._jdf, id_col, vec_col,
             self._jbooks(codebooks), k))
 
+    def ivf_pq_topk(self, queries, id_col, vec_col, coarse, codebooks, k,
+                    nprobe=2):
+        """IVF-PQ top-k over the corpus (self): coarse cells narrow the
+        candidates, PQ codes compress every candidate read — the
+        billion-scale ANN layout."""
+        return self._with(_api(self).ivfPqTopK(
+            queries._jdf, self._jdf, id_col, vec_col,
+            self._jcentroids(coarse), self._jbooks(codebooks), k, nprobe))
+
     def kmeans_assign(self, id_col, vec_col, k, iters):
         """Deterministic quantized k-means: (id, cell) assignments."""
         return self._with(_api(self).kmeansAssign(

@@ -604,3 +604,24 @@ def test_brute_force_topk(spark):
     out = d.brute_force_topk(q, "vec_id", "embedding", 3).orderBy("rank").collect()
     assert [r["n_id"] for r in out] == [1, 2, 3]
     assert abs(out[2]["cosine"] + 1.0) < 1e-9
+
+
+def test_ivf_pq_topk(spark):
+    rows = [
+        (0, [1.0, 0.01, 0.02, 1.0]),
+        (1, [0.02, 1.0, 1.0, 0.03]),
+        (2, [0.9, 0.05, 0.01, 0.8]),
+        (3, [0.03, 0.8, 1.1, 0.0]),
+        (4, [1.1, 0.0, 0.05, 0.9])]
+    d = TimeSeriesDataFrame(spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"))
+    q = TimeSeriesDataFrame(spark.createDataFrame(
+        rows[:1], "vec_id long, embedding array<float>"))
+    books = d.pq_train("vec_id", "embedding", m=2, k=2, iters=2)
+    coarse = [[1.0, 0.0, 0.0, 1.0], [0.0, 1.0, 1.0, 0.0]]
+    # probing both cells == full PQ ranking
+    full = [tuple(r) for r in d.pq_topk(q, "vec_id", "embedding", books, k=4)
+            .orderBy("rank").collect()]
+    ivfpq = [tuple(r) for r in d.ivf_pq_topk(q, "vec_id", "embedding",
+             coarse, books, k=4, nprobe=2).orderBy("rank").collect()]
+    assert ivfpq == full

@@ -428,6 +428,21 @@ object QueriesLLM {
             F.element_at(F.col("codes"), j + 1).as(s"code_$j")): _*)
         .orderBy("vec_id")
     }),
+    // IVF-PQ: coarse cells route the candidates, PQ codes carry the
+    // payload — the canonical billion-scale ANN index, searched end to
+    // end from the stored (id, cell, codes) form.
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val coarse = e.filter(F.col("vec_id") < 16).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toSeq).toSeq
+      val books = Similarity.pqTrain(e, "vec_id", "embedding",
+        m = 4, k = 8, iters = 1)
+      Similarity.ivfPqTopK(e.filter(F.col("vec_id") < 10), e,
+        "vec_id", "embedding", coarse, books, k = 5, nprobe = 4)
+        .select("q_id", "n_id", "rank")
+        .orderBy("q_id", "rank")
+    }),
     // One-scan corpus dashboard: doc/token/BPE-token totals and an
     // English-share count per source — the per-doc kernels compose
     // directly under an ordinary map-side-combinable aggregation, so the
@@ -1159,6 +1174,43 @@ object QueriesLLM {
          keep AS (SELECT id FROM comp GROUP BY id HAVING id = min(lbl))
          SELECT vec_id, label FROM embeddings JOIN keep ON vec_id = keep.id
          ORDER BY vec_id"""
+    },
+    "ann_ivfpq_topk" -> {
+      def cos(x: String, y: String) =
+        s"list_dot_product($x, $y) / (sqrt(list_dot_product($x, $x)) * sqrt(list_dot_product($y, $y)))"
+      s"""$pqCte,
+         dec AS (SELECT a2_0.vec_id AS n_id,
+             flatten([f0.cl, f1.cl, f2.cl, f3.cl]) AS dv
+           FROM a2_0
+           JOIN a2_1 ON a2_1.vec_id = a2_0.vec_id
+           JOIN a2_2 ON a2_2.vec_id = a2_0.vec_id
+           JOIN a2_3 ON a2_3.vec_id = a2_0.vec_id
+           JOIN fcb_0 f0 ON f0.cell = a2_0.cell
+           JOIN fcb_1 f1 ON f1.cell = a2_1.cell
+           JOIN fcb_2 f2 ON f2.cell = a2_2.cell
+           JOIN fcb_3 f3 ON f3.cell = a2_3.cell),
+         cents AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS c
+             FROM embeddings WHERE vec_id < 16),
+         nv AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS v FROM embeddings),
+         nc AS (SELECT n_id, cell FROM (
+             SELECT n_id, cell, row_number() OVER (PARTITION BY n_id
+               ORDER BY ${cos("v", "c")} DESC, cell ASC) AS rk
+             FROM nv, cents) WHERE rk = 1),
+         qs AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+             FROM embeddings WHERE vec_id < 10),
+         qp AS (SELECT q_id, qv, cell FROM (
+             SELECT q_id, qv, cell, row_number() OVER (PARTITION BY q_id
+               ORDER BY ${cos("qv", "c")} DESC, cell DESC) AS rk
+             FROM qs, cents) WHERE rk <= 4),
+         cand AS (SELECT qp.q_id, nc.n_id, qp.qv, dec.dv
+             FROM qp JOIN nc ON qp.cell = nc.cell AND qp.q_id <> nc.n_id
+             JOIN dec ON dec.n_id = nc.n_id),
+         ranked AS (SELECT q_id, n_id,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY ${cos("qv", "dv")} DESC, n_id) AS INTEGER) AS rank
+             FROM cand)
+         SELECT q_id, n_id, rank FROM ranked WHERE rank <= 5
+         ORDER BY q_id, rank"""
     },
     "corpus_report" ->
       s"""WITH d AS (SELECT source,

@@ -483,6 +483,13 @@ object PyApi {
     graft.llm.Similarity.pqTopKEncoded(queries, encoded, idCol, vecCol,
       books(codebooks), k)
 
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, coarse: JList[JList[java.lang.Double]],
+                codebooks: JList[JList[JList[java.lang.Double]]],
+                k: Int, nprobe: Int): DataFrame =
+    graft.llm.Similarity.ivfPqTopK(queries, corpus, idCol, vecCol,
+      cents(coarse), books(codebooks), k, nprobe)
+
   /** Deterministic quantized k-means; returns the (id, cell) assignments. */
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
                    k: Int, iters: Int): DataFrame =

@@ -531,6 +531,22 @@ class DedupSpec extends SparkTestBase {
     viaCodes shouldBe viaRaw
   }
 
+  it should "match full PQ ranking when IVF probes every cell" in {
+    val books = Similarity.pqTrain(pqVecs, "vec_id", "embedding",
+      m = 2, k = 2, iters = 2)
+    val coarse = Seq(Seq(1.0f, 0.0f, 0.0f, 1.0f), Seq(0.0f, 1.0f, 1.0f, 0.0f))
+    val q = pqVecs.filter($"vec_id" === 0L)
+    val full = Similarity.pqTopK(q, pqVecs, "vec_id", "embedding",
+      books, k = 4).collect().map(_.toSeq).toSeq
+    val ivfpq = Similarity.ivfPqTopK(q, pqVecs, "vec_id", "embedding",
+      coarse, books, k = 4, nprobe = 2).collect().map(_.toSeq).toSeq
+    ivfpq shouldBe full
+    // probing one cell restricts candidates to that cell's members
+    val narrow = Similarity.ivfPqTopK(q, pqVecs, "vec_id", "embedding",
+      coarse, books, k = 4, nprobe = 1).collect()
+    narrow.length should be < full.length
+  }
+
   it should "reject a dimension not divisible by m" in {
     an[IllegalArgumentException] should be thrownBy
       Similarity.pqTrain(pqVecs, "vec_id", "embedding", m = 3, k = 2, iters = 1)
