@@ -75,6 +75,39 @@ class AqeParitySpec extends SparkTestBase {
         .toDF("id", "text")
       graft.llm.Dedup.duplicateSpans(docs, "id", "text", n = 3)
     })
+    parity("addLagSum")(() =>
+      WindowOps.addLagSum(d, "v", "1d", "12h", Seq("k")))
+    parity("capPerDomain")(() => {
+      val urls = (0L until 90L)
+        .map(i => (i, s"https://site${i % 3}.com/p/$i")).toDF("id", "url")
+        .repartition(6)
+      graft.llm.Urls.capPerDomain(urls, "id", "url", n = 7)
+    })
+    val vecs = (0L until 40L).map(i => (i,
+      Seq((math.sin(i * 0.7) + 1.5).toFloat, (math.cos(i * 0.9) + 1.5).toFloat,
+        (math.sin(i * 1.3) + 1.5).toFloat, (math.cos(i * 0.3) + 1.5).toFloat)))
+      .toDF("vec_id", "embedding").repartition(7)
+    parity("pqTrain+Encode")(() => {
+      // trains INSIDE the parity closure: the integer-quantized Lloyd
+      // iterations themselves must be AQE-invariant, not just the encode
+      val books = graft.llm.Similarity.pqTrain(vecs, "vec_id", "embedding",
+        m = 2, k = 4, iters = 2)
+      graft.llm.Similarity.pqEncode(vecs, "vec_id", "embedding", books)
+    })
+    parity("ivfPqTopK")(() => {
+      val books = graft.llm.Similarity.pqTrain(vecs, "vec_id", "embedding",
+        m = 2, k = 4, iters = 1)
+      val coarse = Seq(Seq(1.0f, 0.2f, 0.1f, 0.3f), Seq(0.1f, 1.0f, 0.9f, 0.2f))
+      graft.llm.Similarity.ivfPqTopK(
+        vecs.filter(F2.col("vec_id") < 3), vecs, "vec_id", "embedding",
+        coarse, books, k = 5, nprobe = 2)
+    })
+    parity("dupClusters")(() => {
+      val ids = (0L until 60L).toDF("doc_id")
+      val pairs = (0L until 50L).map(i => (i, i + 10L)).toDF("id_a", "id_b")
+        .repartition(4)
+      graft.llm.Dedup.dupClusters(ids, pairs, "doc_id")
+    })
   }
 
   private val F2 = org.apache.spark.sql.functions
