@@ -123,4 +123,33 @@ class PartitionLayoutSpec extends SparkTestBase {
     invariant("duplicateSpans")(() =>
       graft.llm.Dedup.duplicateSpans(docs, "id", "text", n = 3))
   }
+
+  it should "produce identical PQ / URL / lag-sum results across layouts" in {
+    val F2 = org.apache.spark.sql.functions
+    val vecs = (0L until 40L).map(i => (i,
+      Seq((math.sin(i * 0.7) + 1.5).toFloat, (math.cos(i * 0.9) + 1.5).toFloat,
+        (math.sin(i * 1.3) + 1.5).toFloat, (math.cos(i * 0.3) + 1.5).toFloat)))
+      .toDF("vec_id", "embedding").repartition(7)
+    invariant("pqTrain+Encode")(() => {
+      val books = graft.llm.Similarity.pqTrain(vecs, "vec_id", "embedding",
+        m = 2, k = 4, iters = 2)
+      graft.llm.Similarity.pqEncode(vecs, "vec_id", "embedding", books)
+    })
+    invariant("ivfPqTopK")(() => {
+      val books = graft.llm.Similarity.pqTrain(vecs, "vec_id", "embedding",
+        m = 2, k = 4, iters = 1)
+      val coarse = Seq(Seq(1.0f, 0.2f, 0.1f, 0.3f), Seq(0.1f, 1.0f, 0.9f, 0.2f))
+      graft.llm.Similarity.ivfPqTopK(
+        vecs.filter(F2.col("vec_id") < 3), vecs, "vec_id", "embedding",
+        coarse, books, k = 5, nprobe = 2)
+    })
+    val urls = (0L until 90L)
+      .map(i => (i, s"https://Site${i % 3}.com/p/${i % 30}#f$i"))
+      .toDF("id", "url").repartition(6)
+    invariant("dedupByUrl")(() => graft.llm.Urls.dedupByUrl(urls, "id", "url"))
+    invariant("capPerDomain")(() =>
+      graft.llm.Urls.capPerDomain(urls, "id", "url", n = 7))
+    invariant("addLagSum")(() =>
+      WindowOps.addLagSum(data, "v", "1d", "12h", Seq("k")))
+  }
 }
