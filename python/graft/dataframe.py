@@ -463,6 +463,14 @@ class TimeSeriesDataFrame(DataFrame):
         return self._with(_api(self).capPerDomain(
             self._jdf, id_col, url_col, n, seed))
 
+    def select_top_by_budget(self, id_col, tokens_col, score_col, budget):
+        """Fill a token budget with the best-scored rows: keep exactly the
+        greedy prefix of the (score desc, id asc) order whose running
+        token total fits ``budget``. Range-refinement aggregations, never
+        a global corpus sort."""
+        return self._with(_api(self).selectTopByBudget(
+            self._jdf, id_col, tokens_col, score_col, budget))
+
     def assign_splits(self, id_col, splits, seed=42):
         """Deterministic train/validation/test assignment: appends a
         ``split`` column. ``splits`` is an ordered list of (name, fraction)

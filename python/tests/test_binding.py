@@ -625,3 +625,18 @@ def test_ivf_pq_topk(spark):
     ivfpq = [tuple(r) for r in d.ivf_pq_topk(q, "vec_id", "embedding",
              coarse, books, k=4, nprobe=2).orderBy("rank").collect()]
     assert ivfpq == full
+
+
+def test_select_top_by_budget(spark):
+    rows = [(i, (i * 37 % 23) + 1, float((i * 31) % 10) / 3.0)
+            for i in range(100)]
+    d = TimeSeriesDataFrame(spark.createDataFrame(
+        rows, "id long, toks long, score double"))
+    got = sorted(r["id"] for r in
+                 d.select_top_by_budget("id", "toks", "score", 300).collect())
+    cum, ref = 0, []
+    for i, t, _ in sorted(rows, key=lambda r: (-r[2], r[0])):
+        cum += t
+        if cum <= 300:
+            ref.append(i)
+    assert got == sorted(ref)

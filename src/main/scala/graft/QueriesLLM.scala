@@ -428,6 +428,17 @@ object QueriesLLM {
             F.element_at(F.col("codes"), j + 1).as(s"code_$j")): _*)
         .orderBy("vec_id")
     }),
+    // Budget-constrained selection: fill half the corpus' character budget
+    // with the highest-quality docs. The library walks range refinements
+    // (O(log) aggregations) instead of globally sorting the corpus; the
+    // oracle takes the straight window-prefix definition.
+    "select_budget" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val budget = d.agg(F.sum("n_chars")).head().getLong(0) / 2
+      val scored = d.withColumn("q", TextStats.qualityScore(F.col("text")))
+      Sampling.selectTopByBudget(scored, "doc_id", "n_chars", "q", budget)
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
     // IVF-PQ: coarse cells route the candidates, PQ codes carry the
     // payload — the canonical billion-scale ANN index, searched end to
     // end from the stored (id, cell, codes) form.
@@ -543,6 +554,18 @@ object QueriesLLM {
           ELSE $host END)"""
   private def normUrlSql(url: String) =
     s"regexp_replace(lower(regexp_replace($url, '#.*$$', '')), '/$$', '')"
+
+  /** DuckDB mirror of TextStats.qualityScore over `text` (shared by
+    * doc_quality and select_budget). */
+  private lazy val qualityExprSql: String = {
+    val n = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
+    val uniq = "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)"
+    val stop = s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopEn))) AS DOUBLE)"
+    val mtl = s"(CAST(length(text) AS DOUBLE) - ($n - 1.0)) / $n"
+    s"""(((CASE WHEN $n >= 20 AND $n <= 1000 THEN 1.0 ELSE 0.5 END) * 0.25)
+        + ((CASE WHEN $mtl >= 3.0 AND $mtl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.25)
+        + (($uniq / $n) * 0.25) + (($stop / $n) * 0.25))"""
+  }
 
   /** DuckDB mirror of TextStats.langId's CASE chain over `text` (shared by
     * doc_langid and corpus_report). RE2 (DuckDB) spells the CJK range
@@ -700,16 +723,12 @@ object QueriesLLM {
          FROM documents ORDER BY doc_id""",
     "doc_quality" -> {
       val n = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
-      val uniq = "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)"
       val stop = s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopEn))) AS DOUBLE)"
-      val mtl = s"(CAST(length(text) AS DOUBLE) - ($n - 1.0)) / $n"
       s"""SELECT doc_id,
           $stop / $n AS stop_ratio,
           CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
             / CAST(length(text) AS DOUBLE) AS punct_ratio,
-          ((CASE WHEN $n >= 20 AND $n <= 1000 THEN 1.0 ELSE 0.5 END) * 0.25)
-          + ((CASE WHEN $mtl >= 3.0 AND $mtl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.25)
-          + (($uniq / $n) * 0.25) + (($stop / $n) * 0.25) AS quality
+          $qualityExprSql AS quality
           FROM documents ORDER BY doc_id"""
     },
     "doc_langid" ->
@@ -1175,6 +1194,15 @@ object QueriesLLM {
          SELECT vec_id, label FROM embeddings JOIN keep ON vec_id = keep.id
          ORDER BY vec_id"""
     },
+    "select_budget" ->
+      s"""WITH q AS (SELECT doc_id, source, n_chars,
+             $qualityExprSql AS q FROM documents),
+         o AS (SELECT doc_id, source,
+             sum(n_chars) OVER (ORDER BY q DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cs FROM q)
+         SELECT doc_id, source FROM o
+         WHERE cs <= (SELECT CAST(sum(n_chars) AS BIGINT) // 2 FROM documents)
+         ORDER BY doc_id""",
     "ann_ivfpq_topk" -> {
       def cos(x: String, y: String) =
         s"list_dot_product($x, $y) / (sqrt(list_dot_product($x, $x)) * sqrt(list_dot_product($y, $y)))"

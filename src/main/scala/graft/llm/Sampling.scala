@@ -202,6 +202,157 @@ object Sampling {
   }
 
   /**
+   * Greedy budget fill: keep exactly the rows a single descending
+   * (`scoreCol`, then ascending `idCol`) scan would keep while the running
+   * `tokensCol` total stays within `budget` — "fill the training budget
+   * with the best documents". A row is kept iff the tokens of all
+   * strictly-better rows plus its own fit in `budget`.
+   *
+   * Scale shape: the naive form is a GLOBAL sort + running window — one
+   * task holding the corpus. Instead this walks range refinements: each
+   * round buckets the current candidate score range into `refineBuckets`
+   * sub-ranges with ONE map-side-combinable aggregation, keeps every
+   * bucket that fits wholly, and recurses into the single boundary
+   * bucket — O(log) full-scan aggregations, never a corpus sort or
+   * shuffle of the data itself. Ties at the final boundary score refine
+   * the same way on id. The exact running-sum window runs only over the
+   * terminal slice (≤ `sliceCap` rows, certified). Rows with null/NaN
+   * score or null/negative tokens fail loudly (selection order would be
+   * undefined). Like [[quotaPerStratum]], the driver-side walk runs
+   * aggregation jobs at call time — model-parameter-sized results only.
+   */
+  def selectTopByBudget(df: DataFrame, idCol: String, tokensCol: String,
+                        scoreCol: String, budget: Long,
+                        refineBuckets: Int = 1024,
+                        sliceCap: Long = 262144): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(refineBuckets >= 2 && sliceCap >= 1, "bad refinement parameters")
+    val id = F.col(idCol)
+    val tok = F.col(tokensCol).cast("long")
+    val sc = F.col(scoreCol).cast("double")
+
+    // hygiene + totals in one pass
+    val head = df.agg(
+      F.count(F.lit(1)).as("n"),
+      F.coalesce(F.sum(tok), F.lit(0L)).as("t"),
+      F.coalesce(F.sum(F.when(tok.isNull || tok < 0L || sc.isNull ||
+        F.isnan(sc), 1L).otherwise(0L)), F.lit(0L)).as("bad")).head()
+    require(head.getLong(2) == 0L,
+      s"selectTopByBudget: null/negative $tokensCol or null/NaN $scoreCol")
+    if (head.getLong(0) == 0L) return df
+    if (head.getLong(1) <= budget) return df // everything fits
+
+    /** Refine one ordering level over `value` within candidate predicate
+      * `base`, walking buckets of [lo, hi] in take-order (`asc` = take
+      * small values first). Returns (definitely-kept predicate, tokens
+      * they consume, terminal boundary-slice predicate). Terminates when
+      * the boundary slice is <= sliceCap rows or its range stops
+      * splitting (ulp-narrow). */
+    def walk(value: Column, asc: Boolean, lo0: Double, hi0: Double,
+             base: Column, budget0: Long): (Column, Long, Column) = {
+      var lo = lo0; var hi = hi0
+      var kept: Column = F.lit(false)
+      var remaining = budget0
+      var slice: Column = base
+      var done = hi - lo <= math.ulp(math.max(math.abs(lo), math.abs(hi))) * 4
+      while (!done) {
+        val width = (hi - lo) / refineBuckets
+        val raw = if (asc) (value - lo) / width else (F.lit(hi) - value) / width
+        val b = F.least(F.greatest(F.floor(raw), F.lit(0)),
+          F.lit(refineBuckets - 1L)).cast("int")
+        val agg = df.filter(slice)
+          .groupBy(b.as("__b"))
+          .agg(F.sum(tok).as("__t"), F.count(F.lit(1)).as("__c"))
+          .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+        var i = 0
+        var boundary = -1
+        while (i < refineBuckets && boundary < 0) {
+          agg.get(i).foreach { case (t, _) =>
+            if (t <= remaining) remaining -= t else boundary = i
+          }
+          i += 1
+        }
+        if (boundary < 0) {
+          // every candidate fits (possible when an earlier level already
+          // consumed the overflow): all kept, no boundary slice
+          kept = kept || slice
+          slice = F.lit(false)
+          done = true
+        } else {
+          // each present bucket before the boundary was taken whole — one
+          // comparison covers them (absent buckets contribute nothing)
+          if (boundary > 0) kept = kept || (slice && b < boundary)
+          val (bLo, bHi) =
+            if (asc) (lo + boundary * width, lo + (boundary + 1) * width)
+            else (hi - (boundary + 1) * width, hi - boundary * width)
+          slice = slice && b === boundary
+          val rows = agg(boundary)._2
+          if (rows <= sliceCap ||
+              bHi - bLo <= math.ulp(math.max(math.abs(bLo),
+                math.abs(bHi))) * 4) done = true
+          else { lo = bLo; hi = bHi }
+        }
+      }
+      (kept, budget0 - remaining, slice)
+    }
+
+    val sStats = df.agg(F.min(sc), F.max(sc)).head()
+    val (keptS, usedS, sliceS) =
+      walk(sc, asc = false, sStats.getDouble(0), sStats.getDouble(1),
+        F.lit(true), budget)
+    var remaining = budget - usedS
+    var kept = keptS
+    var terminal = sliceS
+
+    // if the boundary slice is still over the cap, its score range was
+    // ulp-narrow: at most a handful of representable score values — take
+    // whole values while they fit, then refine by id INSIDE the single
+    // boundary value (order there is id-ascending by definition)
+    val sliceRows = terminal match {
+      case _ => df.filter(terminal).agg(F.count(F.lit(1))).head().getLong(0)
+    }
+    if (sliceRows > sliceCap) {
+      val vals = df.filter(terminal).groupBy(sc.as("__s"))
+        .agg(F.sum(tok).as("__t"), F.count(F.lit(1)).as("__c"))
+        .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+        .sortBy(v => -v._1)
+      var boundaryVal: Option[(Double, Long)] = None
+      for ((v, t, c) <- vals if boundaryVal.isEmpty) {
+        if (t <= remaining) { remaining -= t; kept = kept || (terminal && sc === v) }
+        else boundaryVal = Some((v, c))
+      }
+      boundaryVal match {
+        case None => terminal = F.lit(false)
+        case Some((v, c)) =>
+          val vSlice = terminal && sc === v
+          if (c <= sliceCap) terminal = vSlice
+          else {
+            val idStats = df.filter(vSlice)
+              .agg(F.min(id.cast("double")), F.max(id.cast("double"))).head()
+            val (k2, u2, s2) = walk(id.cast("double"), asc = true,
+              idStats.getDouble(0), idStats.getDouble(1), vSlice, remaining)
+            kept = kept || k2
+            remaining -= u2
+            terminal = s2
+          }
+      }
+    }
+
+    // exact finish: running (score desc, id asc) prefix sum over the
+    // certified-small terminal slice; def: a row is kept iff all
+    // strictly-better rows' tokens plus its own fit the budget
+    val w = Window.orderBy(sc.desc, id.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val keptIds = df.filter(terminal)
+      .withColumn("__cum", F.sum(tok).over(w))
+      .filter(F.col("__cum") <= remaining)
+      .select(id.as("__keep_id"))
+    df.filter(kept)
+      .unionByName(df.join(keptIds, id === F.col("__keep_id"), "left_semi"))
+  }
+
+  /**
    * Sequence packing: assign each document to a fixed-token-budget pack
    * (the step that turns a filtered corpus into training sequences).
    * Documents are spread across `numBuckets` independent streams by a

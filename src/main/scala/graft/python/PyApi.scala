@@ -422,6 +422,11 @@ object PyApi {
     graft.llm.Similarity.cosineDupPairs(df, idCol, vecCol, cents(centroids),
       threshold, nprobe)
 
+  def selectTopByBudget(df: DataFrame, idCol: String, tokensCol: String,
+                        scoreCol: String, budget: Long): DataFrame =
+    graft.llm.Sampling.selectTopByBudget(df, idCol, tokensCol, scoreCol,
+      budget)
+
   def assignSplits(df: DataFrame, idCol: String, names: JList[String],
                    fracs: JList[java.lang.Double], seed: Long): DataFrame =
     graft.llm.Sampling.assignSplits(df, idCol,

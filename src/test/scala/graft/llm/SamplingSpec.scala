@@ -276,6 +276,56 @@ class SamplingSpec extends SparkTestBase {
     full shouldBe small
   }
 
+  behavior of "selectTopByBudget"
+
+  private val budgetRows = (0L until 200L)
+    .map(i => (i, (i * 37 % 23) + 1L, ((i * 31) % 10).toDouble / 3.0))
+
+  private def budgetRef(budget: Long): Seq[Long] = {
+    var cum = 0L
+    budgetRows.sortBy { case (i, _, s) => (-s, i) }.flatMap { case (i, t, _) =>
+      cum += t
+      if (cum <= budget) Some(i) else None
+    }
+  }
+
+  it should "keep exactly the greedy prefix of the (score desc, id asc) order" in {
+    val df = budgetRows.toDF("id", "toks", "score").repartition(7)
+    for (b <- Seq(0L, 17L, 100L, 500L, 2000L, 100000L)) {
+      val got = Sampling.selectTopByBudget(df, "id", "toks", "score", b)
+        .select("id").as[Long].collect().sorted.toSeq
+      withClue(s"budget $b: ") { got shouldBe budgetRef(b).sorted }
+    }
+  }
+
+  it should "refine correctly under tiny caps, coarse buckets and tied scores" in {
+    // deep range refinement: 4-way buckets, 8-row terminal slices
+    val df = budgetRows.toDF("id", "toks", "score")
+    val got = Sampling.selectTopByBudget(df, "id", "toks", "score", 500L,
+      refineBuckets = 4, sliceCap = 8)
+      .select("id").as[Long].collect().sorted.toSeq
+    got shouldBe budgetRef(500L).sorted
+    // single score value for the whole corpus: order degenerates to id —
+    // forces the id-refinement walk (cap below the corpus size)
+    val flat = (0L until 100L).map(i => (i, 3L, 1.0)).toDF("id", "toks", "score")
+    val ids = Sampling.selectTopByBudget(flat, "id", "toks", "score", 30L,
+      refineBuckets = 4, sliceCap = 8)
+      .select("id").as[Long].collect().sorted.toSeq
+    ids shouldBe (0L until 10L)
+  }
+
+  it should "short-circuit when everything fits and reject bad inputs" in {
+    val df = budgetRows.toDF("id", "toks", "score")
+    Sampling.selectTopByBudget(df, "id", "toks", "score", Long.MaxValue)
+      .count() shouldBe 200
+    val bad = Seq((1L, -3L, 1.0)).toDF("id", "toks", "score")
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.selectTopByBudget(bad, "id", "toks", "score", 10L)
+    val nan = Seq((1L, 3L, Double.NaN)).toDF("id", "toks", "score")
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.selectTopByBudget(nan, "id", "toks", "score", 10L)
+  }
+
   it should "reject bad fraction sets and reserved columns" in {
     an[IllegalArgumentException] should be thrownBy
       Sampling.assignSplits(corpus, "id", Seq("a" -> 0.5, "b" -> 0.4))
