@@ -231,16 +231,29 @@ object Sampling {
     val tok = F.col(tokensCol).cast("long")
     val sc = F.col(scoreCol).cast("double")
 
-    // hygiene + totals in one pass
-    val head = df.agg(
+    // The refinement walk re-aggregates its candidate set O(log) times;
+    // doing that against the raw input would recompute the (often
+    // expensive) score expression per pass. Cache the narrow
+    // (id, tokens, score) projection instead — 16-24 bytes/row, the one
+    // thing that IS cacheable at corpus scale — and leave the full-width
+    // input untouched until the single final filter/join. Lineage stays
+    // intact, so the lazy result remains valid after the unpersist.
+    val proj = df.select(id, F.col(tokensCol), F.col(scoreCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // hygiene + totals + score range in one pass (also builds the cache)
+    val head = proj.agg(
       F.count(F.lit(1)).as("n"),
       F.coalesce(F.sum(tok), F.lit(0L)).as("t"),
       F.coalesce(F.sum(F.when(tok.isNull || tok < 0L || sc.isNull ||
-        F.isnan(sc), 1L).otherwise(0L)), F.lit(0L)).as("bad")).head()
+        F.isnan(sc), 1L).otherwise(0L)), F.lit(0L)).as("bad"),
+      F.min(sc).as("smin"), F.max(sc).as("smax")).head()
     require(head.getLong(2) == 0L,
       s"selectTopByBudget: null/negative $tokensCol or null/NaN $scoreCol")
-    if (head.getLong(0) == 0L) return df
-    if (head.getLong(1) <= budget) return df // everything fits
+    if (head.getLong(0) == 0L || head.getLong(1) <= budget) {
+      proj.unpersist(blocking = false)
+      return df // empty, or everything fits
+    }
 
     /** Refine one ordering level over `value` within candidate predicate
       * `base`, walking buckets of [lo, hi] in take-order (`asc` = take
@@ -260,7 +273,7 @@ object Sampling {
         val raw = if (asc) (value - lo) / width else (F.lit(hi) - value) / width
         val b = F.least(F.greatest(F.floor(raw), F.lit(0)),
           F.lit(refineBuckets - 1L)).cast("int")
-        val agg = df.filter(slice)
+        val agg = proj.filter(slice)
           .groupBy(b.as("__b"))
           .agg(F.sum(tok).as("__t"), F.count(F.lit(1)).as("__c"))
           .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
@@ -297,9 +310,8 @@ object Sampling {
       (kept, budget0 - remaining, slice)
     }
 
-    val sStats = df.agg(F.min(sc), F.max(sc)).head()
     val (keptS, usedS, sliceS) =
-      walk(sc, asc = false, sStats.getDouble(0), sStats.getDouble(1),
+      walk(sc, asc = false, head.getDouble(3), head.getDouble(4),
         F.lit(true), budget)
     var remaining = budget - usedS
     var kept = keptS
@@ -309,11 +321,10 @@ object Sampling {
     // ulp-narrow: at most a handful of representable score values — take
     // whole values while they fit, then refine by id INSIDE the single
     // boundary value (order there is id-ascending by definition)
-    val sliceRows = terminal match {
-      case _ => df.filter(terminal).agg(F.count(F.lit(1))).head().getLong(0)
-    }
+    val sliceRows =
+      proj.filter(terminal).agg(F.count(F.lit(1))).head().getLong(0)
     if (sliceRows > sliceCap) {
-      val vals = df.filter(terminal).groupBy(sc.as("__s"))
+      val vals = proj.filter(terminal).groupBy(sc.as("__s"))
         .agg(F.sum(tok).as("__t"), F.count(F.lit(1)).as("__c"))
         .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
         .sortBy(v => -v._1)
@@ -328,7 +339,7 @@ object Sampling {
           val vSlice = terminal && sc === v
           if (c <= sliceCap) terminal = vSlice
           else {
-            val idStats = df.filter(vSlice)
+            val idStats = proj.filter(vSlice)
               .agg(F.min(id.cast("double")), F.max(id.cast("double"))).head()
             val (k2, u2, s2) = walk(id.cast("double"), asc = true,
               idStats.getDouble(0), idStats.getDouble(1), vSlice, remaining)
@@ -344,10 +355,11 @@ object Sampling {
     // strictly-better rows' tokens plus its own fit the budget
     val w = Window.orderBy(sc.desc, id.asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val keptIds = df.filter(terminal)
+    val keptIds = proj.filter(terminal)
       .withColumn("__cum", F.sum(tok).over(w))
       .filter(F.col("__cum") <= remaining)
       .select(id.as("__keep_id"))
+    proj.unpersist(blocking = false)
     df.filter(kept)
       .unionByName(df.join(keptIds, id === F.col("__keep_id"), "left_semi"))
   }
