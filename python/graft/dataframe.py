@@ -463,6 +463,14 @@ class TimeSeriesDataFrame(DataFrame):
         return self._with(_api(self).capPerDomain(
             self._jdf, id_col, url_col, n, seed))
 
+    def temperature_rates(self, strata_col, alpha, target_rows):
+        """Temperature-flattened per-stratum sampling rates (share ~
+        n^alpha, alpha in {1.0, 0.5, 0.25}) as a dict for
+        :meth:`sample_by_rates`."""
+        jr = _api(self).temperatureRates(
+            self._jdf, strata_col, float(alpha), int(target_rows))
+        return {row[0]: float(row[1]) for row in jr}
+
     def select_top_by_budget(self, id_col, tokens_col, score_col, budget):
         """Fill a token budget with the best-scored rows: keep exactly the
         greedy prefix of the (score desc, id asc) order whose running

@@ -640,3 +640,14 @@ def test_select_top_by_budget(spark):
         if cum <= 300:
             ref.append(i)
     assert got == sorted(ref)
+
+
+def test_temperature_rates(spark):
+    rows = ([(i, "big") for i in range(80)] + [(i, "small") for i in range(80, 100)])
+    d = TimeSeriesDataFrame(spark.createDataFrame(rows, "id long, src string"))
+    r1 = d.temperature_rates("src", 1.0, 50)
+    assert abs(r1["big"] - 0.5) < 1e-12 and abs(r1["small"] - 0.5) < 1e-12
+    r05 = d.temperature_rates("src", 0.5, 50)
+    assert r05["small"] > r05["big"]
+    kept = d.sample_by_rates("src", "id", r05).count()
+    assert 20 <= kept <= 80

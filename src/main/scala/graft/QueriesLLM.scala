@@ -428,6 +428,16 @@ object QueriesLLM {
             F.element_at(F.col("codes"), j + 1).as(s"code_$j")): _*)
         .orderBy("vec_id")
     }),
+    // Temperature-flattened mix (alpha = 1/T = 0.5): per-source rates
+    // proportional to sqrt(n_s), targeting a quarter of the corpus —
+    // sqrt-exact arithmetic so the oracle reproduces the exact rates.
+    "sample_temperature" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val rates = Sampling.temperatureRates(d, "source", alpha = 0.5,
+        targetRows = d.count() / 4)
+      Sampling.sampleByRates(d, "source", "doc_id", rates)
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
     // Budget-constrained selection: fill half the corpus' character budget
     // with the highest-quality docs. The library walks range refinements
     // (O(log) aggregations) instead of globally sorting the corpus; the
@@ -1194,6 +1204,19 @@ object QueriesLLM {
          SELECT vec_id, label FROM embeddings JOIN keep ON vec_id = keep.id
          ORDER BY vec_id"""
     },
+    "sample_temperature" ->
+      s"""$hashUnitCte,
+         c AS (SELECT source AS s, count(*) AS n FROM documents GROUP BY source),
+         tot AS (SELECT list_sum(list(sqrt(CAST(n AS DOUBLE)) ORDER BY s)) AS t
+                 FROM c),
+         r AS (SELECT s,
+             least(1.0,
+               CAST((SELECT count(*) // 4 FROM documents) AS DOUBLE)
+                 * sqrt(CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * (SELECT t FROM tot))) AS rate
+           FROM c)
+         SELECT doc_id, source FROM h JOIN r ON h.source = r.s
+         WHERE u < rate ORDER BY doc_id""",
     "select_budget" ->
       s"""WITH q AS (SELECT doc_id, source, n_chars,
              $qualityExprSql AS q FROM documents),

@@ -106,6 +106,38 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** Temperature-flattened per-stratum sampling rates — the standard
+    * multilingual/source rebalancing step: stratum s gets expected share
+    * ∝ n_s^alpha (alpha = 1/T < 1 flattens the mix toward uniform), so
+    * the rate is `min(1, targetRows · w_s / (n_s · Σ w_t))` with
+    * `w_s = n_s^alpha`. Returns stratum → rate, ready for
+    * [[sampleByRates]]; strata with null keys are ignored (no stable
+    * rate key). Alpha is restricted to {1.0, 0.5, 0.25}: those exponents
+    * evaluate as sqrt compositions, which are IEEE-correctly-rounded and
+    * therefore bit-identical on every engine — a pow() mirror could flip
+    * a hash-threshold comparison. Σ w_t folds over strata sorted by name
+    * so the sum is reproducible too. One counting aggregation; the
+    * result is |strata| model parameters, never data. */
+  def temperatureRates(df: DataFrame, strataCol: String, alpha: Double,
+                       targetRows: Long): Map[String, Double] = {
+    require(targetRows >= 0, s"targetRows must be >= 0, got $targetRows")
+    val w: Double => Double = alpha match {
+      case 1.0 => identity
+      case 0.5 => math.sqrt
+      case 0.25 => x => math.sqrt(math.sqrt(x))
+      case a => throw new IllegalArgumentException(
+        s"alpha must be one of 1.0, 0.5, 0.25 (sqrt-exact), got $a")
+    }
+    val counts = df.groupBy(F.col(strataCol)).agg(F.count(F.lit(1)).as("n"))
+      .collect()
+      .flatMap(r => Option(r.get(0)).map(k => k.toString -> r.getLong(1)))
+      .sortBy(_._1)
+    val total = counts.foldLeft(0.0) { case (acc, (_, n)) => acc + w(n.toDouble) }
+    counts.map { case (k, n) =>
+      k -> math.min(1.0, targetRows.toDouble * w(n.toDouble) / (n.toDouble * total))
+    }.toMap
+  }
+
   /** Deterministic fixed quota per stratum: the `n` rows of each stratum
     * with the smallest hash values (hash order = a stable pseudo-random
     * order; ties broken by id).

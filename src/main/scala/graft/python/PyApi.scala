@@ -422,6 +422,14 @@ object PyApi {
     graft.llm.Similarity.cosineDupPairs(df, idCol, vecCol, cents(centroids),
       threshold, nprobe)
 
+  /** stratum -> rate pairs as a 2-column list (py4j-friendly). */
+  def temperatureRates(df: DataFrame, strataCol: String, alpha: Double,
+                       targetRows: Long): JList[JList[Object]] =
+    graft.llm.Sampling.temperatureRates(df, strataCol, alpha, targetRows)
+      .toSeq.sortBy(_._1)
+      .map { case (k, v) => Seq[Object](k,
+        java.lang.Double.valueOf(v)).asJava }.asJava
+
   def selectTopByBudget(df: DataFrame, idCol: String, tokensCol: String,
                         scoreCol: String, budget: Long): DataFrame =
     graft.llm.Sampling.selectTopByBudget(df, idCol, tokensCol, scoreCol,

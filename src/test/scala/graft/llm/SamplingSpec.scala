@@ -276,6 +276,41 @@ class SamplingSpec extends SparkTestBase {
     full shouldBe small
   }
 
+  behavior of "temperatureRates"
+
+  private lazy val skewed = (
+    (0 until 800).map(i => (i.toLong, "big")) ++
+    (800 until 950).map(i => (i.toLong, "mid")) ++
+    (950 until 1000).map(i => (i.toLong, "small"))).toDF("id", "src")
+
+  it should "be proportional at alpha 1 and flatten toward uniform below it" in {
+    val r1 = Sampling.temperatureRates(skewed, "src", alpha = 1.0,
+      targetRows = 500)
+    // w = n: every stratum's rate collapses to target / N
+    r1.values.foreach(r => approx(r, 0.5, 1e-12))
+    val r05 = Sampling.temperatureRates(skewed, "src", alpha = 0.5,
+      targetRows = 500)
+    r05("small") should be > r05("mid")
+    r05("mid") should be > r05("big")
+    r05("small") shouldBe 1.0 // sqrt-flattening upsamples the tail to cap
+    r05("big") should be < 0.5 // and downsamples the head vs proportional
+    // rates feed sampleByRates directly; kept counts track n_s * r_s
+    val kept = Sampling.sampleByRates(skewed, "src", "id", r05)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    kept("small") shouldBe 50 // rate 1.0 keeps the whole stratum
+    kept("big").toDouble shouldBe (800.0 * r05("big") +- 80.0)
+  }
+
+  it should "reject non-sqrt-exact alphas and ignore null strata" in {
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.temperatureRates(skewed, "src", alpha = 0.3, targetRows = 10)
+    val withNull = skewed.withColumn("src",
+      F.when(F.col("id") < 5, F.lit(null: String)).otherwise(F.col("src")))
+    val r = Sampling.temperatureRates(withNull, "src", 0.5, 100)
+    r.keySet shouldBe Set("big", "mid", "small")
+  }
+
   behavior of "selectTopByBudget"
 
   private val budgetRows = (0L until 200L)
