@@ -111,7 +111,13 @@ object QueriesLLM {
     }),
     "ann_ivf_topk" -> ((s, dir) => {
       val e = embs(s, dir)
-      val centroids = e.filter(F.col("vec_id") < 16).orderBy("vec_id")
+      // Coarse cells scale as max(16, ceil(2·√N)) — the recommended IVF
+      // configuration (see ivfTopK's scaladoc): a FIXED cell count makes
+      // per-cell candidate lists grow linearly with the corpus, turning
+      // each probe into a fractional linear scan. The oracle derives the
+      // identical count from count(*).
+      val cells = math.max(16L, math.ceil(2.0 * math.sqrt(e.count().toDouble)).toLong)
+      val centroids = e.filter(F.col("vec_id") < cells).orderBy("vec_id")
         .select("embedding").collect()
         .map(_.getSeq[Float](0).toSeq).toSeq
       Similarity.ivfTopK(e.filter(F.col("vec_id") < 10), e, "vec_id", "embedding",
@@ -454,7 +460,10 @@ object QueriesLLM {
     // end from the stored (id, cell, codes) form.
     "ann_ivfpq_topk" -> ((s, dir) => {
       val e = embs(s, dir)
-      val coarse = e.filter(F.col("vec_id") < 16).orderBy("vec_id")
+      // Coarse cells scale as max(16, ceil(2·√N)) — same rationale and
+      // oracle mirror as ann_ivf_topk (and the ivfPqTopK scaladoc).
+      val cells = math.max(16L, math.ceil(2.0 * math.sqrt(e.count().toDouble)).toLong)
+      val coarse = e.filter(F.col("vec_id") < cells).orderBy("vec_id")
         .select("embedding").collect()
         .map(_.getSeq[Float](0).toSeq).toSeq
       val books = Similarity.pqTrain(e, "vec_id", "embedding",
@@ -825,7 +834,8 @@ object QueriesLLM {
       def cos(x: String, y: String) =
         s"list_dot_product($x, $y) / (sqrt(list_dot_product($x, $x)) * sqrt(list_dot_product($y, $y)))"
       s"""WITH cents AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS c
-             FROM embeddings WHERE vec_id < 16),
+             FROM embeddings
+             WHERE vec_id < (SELECT greatest(16, CAST(ceil(2*sqrt(count(*))) AS BIGINT)) FROM embeddings)),
          n AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS v FROM embeddings),
          nc AS (SELECT n_id, v, cell FROM (
              SELECT n_id, v, cell, row_number() OVER (PARTITION BY n_id
@@ -1241,7 +1251,8 @@ object QueriesLLM {
            JOIN fcb_2 f2 ON f2.cell = a2_2.cell
            JOIN fcb_3 f3 ON f3.cell = a2_3.cell),
          cents AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS c
-             FROM embeddings WHERE vec_id < 16),
+             FROM embeddings
+             WHERE vec_id < (SELECT greatest(16, CAST(ceil(2*sqrt(count(*))) AS BIGINT)) FROM embeddings)),
          nv AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS v FROM embeddings),
          nc AS (SELECT n_id, cell FROM (
              SELECT n_id, cell, row_number() OVER (PARTITION BY n_id

@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{functions => F}
 
 /**
@@ -35,6 +34,26 @@ object Similarity {
     org.apache.spark.sql.graft.GraftColumns.cosineSim(a, b)
 
   /**
+   * Shared scale-safe top-k finisher for every search operator: ranks a
+   * scored candidate frame (q_id, n_id, cosine, ...) down to each query's
+   * k best via [[TopKAgg]] — a bounded size-k buffer per q_id, combined
+   * map-side, so shuffle volume is k × partitions × |queries| rows rather
+   * than every scored candidate, and no task ever sorts a query's full
+   * candidate list (for brute-force search that list is the whole corpus —
+   * a single-task ~10¹¹-row sort per query at 100 TB under the
+   * `row_number` window finisher this replaced). Ordering is identical to
+   * that window: cosine DESC, n_id ASC. Output: (q_id, n_id, rank, cosine).
+   */
+  private def topKRank(scored: DataFrame, k: Int): DataFrame = {
+    val top = TopKAgg.topKUdaf(k, scored.schema("n_id").dataType)
+    scored.groupBy("q_id")
+      .agg(top(F.col("n_id"), F.col("cosine")).as("top"))
+      .select(F.col("q_id"), F.posexplode(F.col("top.hits")).as(Seq("pos", "hit")))
+      .select(F.col("q_id"), F.col("hit.n_id").as("n_id"),
+        (F.col("pos") + 1).as("rank"), F.col("hit.cosine").as("cosine"))
+  }
+
+  /**
    * Exact top-k neighbors for each query vector. `queries` must be small
    * (it is broadcast); `corpus` streams. Self-matches (same id) excluded.
    * Output: (q_id, n_id, rank, cosine).
@@ -45,10 +64,7 @@ object Similarity {
     val c = corpus.select(F.col(idCol).as("n_id"), F.col(vecCol).as("n_vec"))
     val scored = c.join(F.broadcast(q), F.col("q_id") =!= F.col("n_id"))
       .withColumn("cosine", cosine(F.col("q_vec"), F.col("n_vec")))
-    val w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc, F.col("n_id"))
-    scored.withColumn("rank", F.row_number().over(w))
-      .filter(F.col("rank") <= k)
-      .select("q_id", "n_id", "rank", "cosine")
+    topKRank(scored, k)
   }
 
   private def flat(centroids: Seq[Seq[Float]]): (Array[Double], Int) = {
@@ -189,6 +205,12 @@ object Similarity {
    * the bytes each. Candidate generation is an equi-join on cell id
    * against broadcast probes; nothing driver-side but the model
    * parameters (centroids + codebooks).
+   *
+   * Sizing: the coarse cell count must GROW with the corpus — cells ≈
+   * 2·√N keeps per-cell candidate lists at ~√N/2 so probed work is
+   * Θ(nprobe·√N) per query; a FIXED cell count degrades to scanning
+   * nprobe/|cells| of the whole corpus per query. Derive the count from
+   * a cheap `count(*)` (the registry recipes and their oracles both do).
    */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                 vecCol: String, coarse: Seq[Seq[Float]],
@@ -201,14 +223,22 @@ object Similarity {
       coarse)
   }
 
-  /** [[ivfPqTopK]] over the stored (id, cell, codes) index frame — the
-    * search path that never reads a raw corpus vector. */
+  /** [[ivfPqTopK]] over the stored index frame — the search path that
+    * never reads a raw corpus vector. The index frame's schema is named
+    * explicitly: `indexIdCol` (default `id`), `indexCellCol` (default
+    * `cell`), `indexCodesCol` (default `codes`) — the (id, cell, codes)
+    * layout [[ivfPqTopK]] builds; callers storing the index under their
+    * own column names pass them here rather than renaming the frame. */
   def ivfPqTopKEncoded(queries: DataFrame, index: DataFrame, idCol: String,
                        vecCol: String, codebooks: Seq[Seq[Seq[Float]]],
                        k: Int, nprobe: Int,
-                       coarse: Seq[Seq[Float]]): DataFrame = {
-    val c = index.select(F.col("id").as("n_id"), F.col("cell"),
-      pqDecode(F.col("codes"), codebooks).as("n_vec"))
+                       coarse: Seq[Seq[Float]],
+                       indexIdCol: String = "id",
+                       indexCellCol: String = "cell",
+                       indexCodesCol: String = "codes"): DataFrame = {
+    val c = index.select(F.col(indexIdCol).as("n_id"),
+      F.col(indexCellCol).as("cell"),
+      pqDecode(F.col(indexCodesCol), codebooks).as("n_vec"))
     val q = queries.select(F.col(idCol).as("q_id"),
         F.col(vecCol).cast("array<double>").as("q_vec"))
       .withColumn("cell",
@@ -216,10 +246,7 @@ object Similarity {
     val scored = c.join(F.broadcast(q), Seq("cell"))
       .filter(F.col("q_id") =!= F.col("n_id"))
       .withColumn("cosine", cosine(F.col("q_vec"), F.col("n_vec")))
-    val w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc, F.col("n_id"))
-    scored.withColumn("rank", F.row_number().over(w))
-      .filter(F.col("rank") <= k)
-      .select("q_id", "n_id", "rank", "cosine")
+    topKRank(scored, k)
   }
 
   /**
@@ -395,15 +422,16 @@ object Similarity {
       F.col(vecCol).cast("array<double>").as("q_vec"))
     val scored = c.join(F.broadcast(q), F.col("q_id") =!= F.col("n_id"))
       .withColumn("cosine", cosine(F.col("q_vec"), F.col("n_vec")))
-    val w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc, F.col("n_id"))
-    scored.withColumn("rank", F.row_number().over(w))
-      .filter(F.col("rank") <= k)
-      .select("q_id", "n_id", "rank", "cosine")
+    topKRank(scored, k)
   }
 
   /**
    * IVF-style ANN: corpus assigned to cells once; each query probes its
-   * `nprobe` best cells and ranks only those candidates.
+   * `nprobe` best cells and ranks only those candidates. Sizing guidance:
+   * at corpus size N, cells ≈ 2·√N balances the per-query probe work
+   * against cell population (a FIXED cell count makes per-cell candidate
+   * lists grow linearly with the corpus — quadratic total search work);
+   * derive the count from a cheap `count(*)` as the registry recipes do.
    * Output: (q_id, n_id, rank, cosine).
    */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
@@ -415,9 +443,6 @@ object Similarity {
     val scored = c.join(F.broadcast(q), Seq("cell"))
       .filter(F.col("q_id") =!= F.col("n_id"))
       .withColumn("cosine", cosine(F.col("q_vec"), F.col("n_vec")))
-    val w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc, F.col("n_id"))
-    scored.withColumn("rank", F.row_number().over(w))
-      .filter(F.col("rank") <= k)
-      .select("q_id", "n_id", "rank", "cosine")
+    topKRank(scored, k)
   }
 }

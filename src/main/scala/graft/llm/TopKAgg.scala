@@ -1,0 +1,105 @@
+package graft.llm
+
+import scala.reflect.ClassTag
+import scala.reflect.runtime.universe.TypeTag
+
+import org.apache.spark.sql.{Encoder, Encoders, Row}
+import org.apache.spark.sql.expressions.{Aggregator, UserDefinedFunction}
+import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.types._
+
+/** One ranked neighbor: (id, score). Field names become the output struct
+  * field names, so downstream `.select("hit.n_id", "hit.cosine")` works. */
+final case class TopHit[T](n_id: T, cosine: Double)
+
+/** Aggregator OUT wrapper (a Product, so `Encoders.product` applies; the
+  * hits land in column `top.hits` as `array<struct<n_id, cosine>>`). */
+final case class TopHits[T](hits: Seq[TopHit[T]])
+
+/** Bounded aggregation buffer: parallel arrays of capacity k holding the
+  * current best `size` entries, ordered best-first (score DESC, id ASC).
+  * The arrays are mutated in place between serializations — only the
+  * ≤ k-entry state ever crosses a shuffle boundary. */
+final case class TopKBuf[T](size: Int, ids: Array[T], scores: Array[Double])
+
+/**
+ * Bounded top-k-by-score aggregation — the scale-safe finisher for every
+ * similarity search operator. A `row_number() OVER (PARTITION BY q_id
+ * ORDER BY score DESC)` finisher shuffles EVERY scored candidate and sorts
+ * each query's full candidate list in one task (for brute-force search the
+ * candidate list is the whole corpus — one task sorting ~10¹¹ rows per
+ * query at 100 TB). This aggregator instead keeps a size-k ordered buffer
+ * per group on the map side (Spark plans `udaf` Aggregators as
+ * ObjectHashAggregate with partial merge), so shuffle volume drops from
+ * |candidates| rows to k × partitions × |queries| and no single task ever
+ * holds more than k entries per query.
+ *
+ * Ordering matches the window it replaced exactly: score DESC, id ASC on
+ * ties — a total order (ids are unique), so results are bit-identical to
+ * the `row_number` form. Rows with a null id or null score are skipped;
+ * NaN scores are ranked last (a sorting window would rank them first —
+ * Spark and DuckDB both treat NaN as the largest double — but a NaN
+ * cosine means a zero-norm vector, which is a caller contract violation).
+ */
+object TopKAgg {
+
+  /** A two-argument udaf `(id, score) -> struct(hits: array<struct<n_id,
+    * cosine>>)` keeping the k best (score DESC, id ASC) entries.
+    * Dispatches on the id column's type (integral or string). */
+  def topKUdaf(k: Int, idType: DataType): UserDefinedFunction = idType match {
+    case LongType    => make[Long](k, idType)
+    case IntegerType => make[Int](k, idType)
+    case StringType  => make[String](k, idType)
+    case other => throw new IllegalArgumentException(
+      s"top-k id column must be long, int or string; got $other")
+  }
+
+  private def make[T: Ordering: ClassTag: TypeTag](
+      k: Int, idType: DataType): UserDefinedFunction =
+    udaf(new TopKAgg[T](k), Encoders.row(StructType(Seq(
+      StructField("n_id", idType), StructField("cosine", DoubleType)))))
+}
+
+private[llm] class TopKAgg[T](k: Int)(
+    implicit ord: Ordering[T], ct: ClassTag[T], tt: TypeTag[T])
+    extends Aggregator[Row, TopKBuf[T], TopHits[T]] {
+  require(k >= 1, "k must be >= 1")
+
+  /** Strict total order: does (s1, i1) outrank (s2, i2)? */
+  private def better(s1: Double, i1: T, s2: Double, i2: T): Boolean =
+    s1 > s2 || (s1 == s2 && ord.lt(i1, i2))
+
+  def zero: TopKBuf[T] = TopKBuf(0, new Array[T](k), new Array[Double](k))
+
+  /** In-place insertion into the ordered buffer; O(1) reject once the
+    * buffer is full and the candidate is below the current floor — the
+    * common case on a big scan. */
+  private def insert(b: TopKBuf[T], id: T, s: Double): TopKBuf[T] = {
+    if (b.size == k && !better(s, id, b.scores(k - 1), b.ids(k - 1))) b
+    else {
+      var i = math.min(b.size, k - 1)
+      while (i > 0 && better(s, id, b.scores(i - 1), b.ids(i - 1))) {
+        b.scores(i) = b.scores(i - 1); b.ids(i) = b.ids(i - 1); i -= 1
+      }
+      b.scores(i) = s; b.ids(i) = id
+      if (b.size == k) b else b.copy(size = b.size + 1)
+    }
+  }
+
+  def reduce(b: TopKBuf[T], r: Row): TopKBuf[T] =
+    if (r == null || r.isNullAt(0) || r.isNullAt(1)) b
+    else insert(b, r.getAs[T](0), r.getDouble(1))
+
+  def merge(a: TopKBuf[T], b: TopKBuf[T]): TopKBuf[T] = {
+    var out = a
+    var i = 0
+    while (i < b.size) { out = insert(out, b.ids(i), b.scores(i)); i += 1 }
+    out
+  }
+
+  def finish(b: TopKBuf[T]): TopHits[T] =
+    TopHits((0 until b.size).map(i => TopHit(b.ids(i), b.scores(i))))
+
+  def bufferEncoder: Encoder[TopKBuf[T]] = Encoders.product[TopKBuf[T]]
+  def outputEncoder: Encoder[TopHits[T]] = Encoders.product[TopHits[T]]
+}

@@ -263,6 +263,27 @@ class PlanShapeSpec extends SparkTestBase {
       (0L until 1000L).toArray
   }
 
+  it should "plan similarity top-k as a bounded aggregation, never a per-query window" in {
+    val vecs = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val queries = vecs.filter(F.col("vec_id") < 2)
+    val bf = graft.llm.Similarity.bruteForceTopK(
+      queries, vecs, "vec_id", "embedding", 2)
+    // the scored relation must NEVER be globally windowed per query: that
+    // shape sorts each query's whole candidate list (the corpus, for brute
+    // force) in ONE task — the bounded-k Aggregator replaces it
+    plan(bf).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    } shouldBe empty
+    exchanges(bf) shouldBe 1 // the k-bounded q_id aggregation only
+    plan(bf).toString should include("ObjectHashAggregate")
+    val ivf = graft.llm.Similarity.ivfTopK(queries, vecs, "vec_id",
+      "embedding", Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)), k = 2, nprobe = 2)
+    plan(ivf).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    } shouldBe empty
+  }
+
   it should "plan duplicateSpans' final span aggregate on the window's partitioning" in {
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("id", "text")
     val spans = graft.llm.Dedup.duplicateSpans(docs, "id", "text", 3)

@@ -328,6 +328,32 @@ class DedupSpec extends SparkTestBase {
     ivf.map(_.toSeq) shouldBe bf.map(_.toSeq)
   }
 
+  it should "rank identically across partition layouts and support string ids" in {
+    // the bounded-k Aggregator finisher must be invariant to partition
+    // layout (map-side buffers merge in arbitrary order) and must apply
+    // the same (cosine DESC, id ASC) tie order for string ids
+    val many = (0 until 100).map(i =>
+      (i.toLong, Seq(math.cos(i * 0.1).toFloat, math.sin(i * 0.1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = many.filter($"vec_id" < 3)
+    val a = Similarity.bruteForceTopK(q, many, "vec_id", "embedding", 7)
+      .orderBy("q_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    a.length shouldBe 21
+    val b = Similarity.bruteForceTopK(q, many.repartition(8), "vec_id",
+      "embedding", 7)
+      .orderBy("q_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    b shouldBe a
+    val s = many.select(F.format_string("id%03d", $"vec_id").as("vec_id"),
+      $"embedding")
+    val out = Similarity.bruteForceTopK(s.filter($"vec_id" === "id000"), s,
+      "vec_id", "embedding", 5)
+      .orderBy("rank").collect()
+    out.map(_.getString(1)) shouldBe
+      a.filter(_._1 == 0L).take(5).map(t => f"id${t._2}%03d")
+  }
+
   it should "find embedding near-duplicates via cell buckets" in {
     val vs = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.001f)), (2L, Seq(0.0f, 1.0f)))
