@@ -602,20 +602,25 @@ object QueriesLLM {
              ELSE 'zh' END"""
   }
 
-  /** DuckDB mirror of Sampling.hashUnit (same bounded-integer avalanche
-    * arithmetic, seed 42; 2654435803 = 42 + the Knuth constant). */
-  private val hashUnitCte = """WITH h AS (
+  /** DuckDB mirror of Sampling.hashUnit at effective seed `seed` (same
+    * bounded-integer avalanche arithmetic; the second lane adds the Knuth
+    * constant 2654435761). The threshold samplers share seed 42; the
+    * salted operators (assignSplits, shufflePositions) pass
+    * 42 + their op salt — see Sampling.SplitSalt / ShuffleSalt. */
+  private def hashUnitCteSeed(seed: Long) = s"""WITH h AS (
            SELECT doc_id, source, n_chars,
-             (doc_id + 42) % 4294967296 AS a0,
+             (doc_id + $seed) % 4294967296 AS a0,
              xor(a0, a0 >> 16) * 73244475 % 4294967296 AS a1,
              xor(a1, a1 >> 16) * 73244475 % 4294967296 AS a2,
              xor(a2, a2 >> 16) AS h1,
-             (doc_id + 2654435803) % 4294967296 AS b0,
+             (doc_id + ${seed + 2654435761L}) % 4294967296 AS b0,
              xor(b0, b0 >> 16) * 73244475 % 4294967296 AS b1,
              xor(b1, b1 >> 16) * 73244475 % 4294967296 AS b2,
              xor(b2, b2 >> 16) AS h2,
              ((h1 % 2147483648) * 4294967296 + h2) / 9.223372036854776e18 AS u
            FROM documents)"""
+
+  private val hashUnitCte = hashUnitCteSeed(42L)
 
   /** Recursive-CTE mirror of packSequences' bucketed greedy fill (budget
     * 1000, 8 buckets, seed 42) over document size expression `sizeExpr` —
@@ -1124,7 +1129,7 @@ object QueriesLLM {
               AND stop_hits >= 2 AND brace_pos = 0 AND lorem_pos = 0 AS keep
           FROM f ORDER BY doc_id""",
     "shuffle_positions" ->
-      s"""$hashUnitCte
+      s"""${hashUnitCteSeed(42L + Sampling.ShuffleSalt)}
           SELECT doc_id, row_number() OVER (ORDER BY u, doc_id) - 1 AS shuffle_pos
           FROM h ORDER BY doc_id""",
     "dup_spans" ->
@@ -1169,7 +1174,7 @@ object QueriesLLM {
          SELECT t.doc_id, md5(COALESCE(a.txt, '')) AS stripped_md5
          FROM t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""",
     "sample_split" ->
-      s"""$hashUnitCte
+      s"""${hashUnitCteSeed(42L + Sampling.SplitSalt)}
           SELECT doc_id,
             CASE WHEN u < 0.75 THEN 'train'
                  WHEN u < 0.875 THEN 'validation'

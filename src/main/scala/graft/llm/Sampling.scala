@@ -23,9 +23,34 @@ object Sampling {
 
   /** Deterministic uniform draw in [0, 1) from (id, seed) — the engine's
     * shared portable hash ([[graft.PortableHash]]). Exposed so callers can
-    * build custom acceptance rules on the same randomness. */
+    * build custom acceptance rules on the same randomness.
+    *
+    * Chaining contract: the THRESHOLD samplers ([[sampleByHash]],
+    * [[sampleByRates]], [[sampleByWeight]], [[quotaPerStratum]]) all read
+    * this one draw per (id, seed) BY DESIGN — chaining two of them on the
+    * same id and seed yields the intersection (min-threshold) sample, the
+    * documented nesting semantics, never an independent product; pass
+    * distinct seeds when independent decisions are wanted. The
+    * NON-threshold operators ([[assignSplits]], [[shufflePositions]])
+    * instead mix a fixed per-operator salt ([[SplitSalt]],
+    * [[ShuffleSalt]]) into their seed, because correlation with a prior
+    * threshold sample is always a bug there (e.g. `sampleByHash(p = 0.5)`
+    * survivors all have u < 0.5, which an unsalted 0.75/0.125/0.125 split
+    * would route entirely into 'train', silently emptying the eval
+    * splits). */
   def hashUnit(id: Column, seed: Long): Column =
     graft.PortableHash.hashUnit(id, seed)
+
+  /** Seed salt mixed into [[assignSplits]]' draw so split assignment is
+    * decorrelated from any threshold sample taken with the same base
+    * seed (see the chaining contract on [[hashUnit]]). Mirrored by the
+    * oracle SQL. */
+  val SplitSalt = 4000037L
+
+  /** Seed salt mixed into [[shufflePositions]]' sort key — same
+    * decorrelation rationale as [[SplitSalt]] (an unsalted shuffle would
+    * front-load every prior sample's survivors). */
+  val ShuffleSalt = 5000011L
 
   /** Seeded Bernoulli sample: keep rows with `hashUnit(id) < rate`.
     * Deterministic, order-independent, and monotone in `rate` (nested
@@ -69,7 +94,12 @@ object Sampling {
     * independent, reproducible engine-to-engine, and stable under corpus
     * growth (a row's split never changes when other rows arrive — the
     * property that keeps eval sets uncontaminated across corpus versions).
-    * One scan, no shuffle; the when-chain is pure codegen'd arithmetic. */
+    * The draw is salted with [[SplitSalt]], so assignment is independent
+    * of any threshold sample taken with the same base seed (see the
+    * chaining contract on [[hashUnit]]). Rows with a NULL id get a NULL
+    * split — not a silent seat in the last (typically eval) split — so
+    * callers must handle or filter them explicitly. One scan, no shuffle;
+    * the when-chain is pure codegen'd arithmetic. */
   def assignSplits(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
                    seed: Long = 42L): DataFrame = {
     require(splits.nonEmpty, "assignSplits needs at least one split")
@@ -78,14 +108,15 @@ object Sampling {
       s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
     require(!df.columns.contains("split"),
       "assignSplits: input already has a split column")
-    val u = hashUnit(F.col(idCol), seed)
+    val u = hashUnit(F.col(idCol), seed + SplitSalt)
     val bounds = splits.scanLeft(0.0)(_ + _._2).tail
     val assigned = splits.init.zip(bounds.init).foldLeft(Option.empty[Column]) {
       case (acc, ((name, _), hi)) =>
         val cond = u < hi
         Some(acc.fold(F.when(cond, name))(_.when(cond, name)))
     }.fold(F.lit(splits.last._1))(_.otherwise(splits.last._1))
-    df.withColumn("split", assigned)
+    df.withColumn("split",
+      F.when(F.col(idCol).isNotNull, assigned))
   }
 
   /** Per-stratum rates (a training mix): rows in stratum s survive with
@@ -369,15 +400,25 @@ object Sampling {
         case None => terminal = F.lit(false)
         case Some((v, c)) =>
           val vSlice = terminal && sc === v
-          if (c <= sliceCap) terminal = vSlice
+          // the id-refinement walk buckets on id cast to double, which
+          // only exists for numeric ids (ANSI mode raises on a string
+          // cast; an all-null cast would NPE the min/max below) — for any
+          // other id type hand the whole boundary-value slice to the
+          // exact window: slower than certified-small, but correct
+          val idNumeric = df.schema(idCol).dataType
+            .isInstanceOf[org.apache.spark.sql.types.NumericType]
+          if (c <= sliceCap || !idNumeric) terminal = vSlice
           else {
             val idStats = proj.filter(vSlice)
               .agg(F.min(id.cast("double")), F.max(id.cast("double"))).head()
-            val (k2, u2, s2) = walk(id.cast("double"), asc = true,
-              idStats.getDouble(0), idStats.getDouble(1), vSlice, remaining)
-            kept = kept || k2
-            remaining -= u2
-            terminal = s2
+            if (idStats.isNullAt(0) || idStats.isNullAt(1)) terminal = vSlice
+            else {
+              val (k2, u2, s2) = walk(id.cast("double"), asc = true,
+                idStats.getDouble(0), idStats.getDouble(1), vSlice, remaining)
+              kept = kept || k2
+              remaining -= u2
+              terminal = s2
+            }
           }
       }
     }
@@ -478,7 +519,9 @@ object Sampling {
       "shufflePositions: input already has a shuffle_pos column")
     require(!df.columns.contains("__u"),
       "shufflePositions: __u is reserved by this operator")
-    val sorted = df.withColumn("__u", hashUnit(F.col(idCol), seed))
+    // ShuffleSalt decorrelates the order from threshold samples on the
+    // same base seed (see the chaining contract on hashUnit)
+    val sorted = df.withColumn("__u", hashUnit(F.col(idCol), seed + ShuffleSalt))
       .orderBy(F.col("__u").asc, F.col(idCol).asc)
     val outSchema = org.apache.spark.sql.types.StructType(
       df.schema.fields :+ org.apache.spark.sql.types.StructField(

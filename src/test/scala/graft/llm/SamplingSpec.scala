@@ -224,9 +224,10 @@ class SamplingSpec extends SparkTestBase {
     val rows = out.select("id", "shuffle_pos")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     rows.map(_._2).sorted shouldBe (0L until 1000L).toArray
-    // position order == (hashUnit, id) order
+    // position order == (salted hashUnit, id) order
     val expected = corpus
-      .select(F.col("id"), Sampling.hashUnit(F.col("id"), 42L).as("u"))
+      .select(F.col("id"),
+        Sampling.hashUnit(F.col("id"), 42L + Sampling.ShuffleSalt).as("u"))
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
       .sortBy { case (id, u) => (u, id) }.map(_._1)
     rows.sortBy(_._2).map(_._1) shouldBe expected
@@ -261,6 +262,29 @@ class SamplingSpec extends SparkTestBase {
       Seq("train" -> 0.75, "validation" -> 0.125, "test" -> 0.125))
       .select("id", "split").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap shouldBe a
+  }
+
+  it should "stay decorrelated from a prior threshold sample (SplitSalt)" in {
+    // the silent eval-set hazard: without the salt, sampleByHash(0.5)
+    // survivors all have u < 0.5, so a 0.75/0.125/0.125 split would put
+    // every one of them in 'train' and leave validation/test empty
+    val sampled = Sampling.sampleByHash(corpus, "id", 0.5)
+    val out = Sampling.assignSplits(sampled, "id",
+      Seq("train" -> 0.75, "validation" -> 0.125, "test" -> 0.125))
+    val byName = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byName.keySet shouldBe Set("train", "validation", "test")
+    val n = byName.values.sum.toDouble
+    byName("validation").toDouble / n should be(0.125 +- 0.06)
+    byName("test").toDouble / n should be(0.125 +- 0.06)
+  }
+
+  it should "assign a null split to null-id rows, never the last split" in {
+    val withNull = Seq(Some(1L), Some(2L), None).toDF("id")
+    val out = Sampling.assignSplits(withNull, "id",
+      Seq("train" -> 0.75, "test" -> 0.25)).collect()
+    out.count(_.isNullAt(1)) shouldBe 1
+    out.filter(!_.isNullAt(0)).foreach(r => r.getString(1) should not be null)
   }
 
   it should "keep a row's split stable when the corpus grows" in {
@@ -347,6 +371,15 @@ class SamplingSpec extends SparkTestBase {
       refineBuckets = 4, sliceCap = 8)
       .select("id").as[Long].collect().sorted.toSeq
     ids shouldBe (0L until 10L)
+    // same degenerate-tie shape with STRING ids: the id-refinement walk
+    // can't bucket a non-numeric id (cast -> null) and must hand the
+    // boundary-value slice to the exact window instead of NPE-ing
+    val flatS = (0L until 100L).map(i => (f"id$i%03d", 3L, 1.0))
+      .toDF("id", "toks", "score")
+    val idsS = Sampling.selectTopByBudget(flatS, "id", "toks", "score", 30L,
+      refineBuckets = 4, sliceCap = 8)
+      .select("id").as[String].collect().sorted.toSeq
+    idsS shouldBe (0L until 10L).map(i => f"id$i%03d")
   }
 
   it should "short-circuit when everything fits and reject bad inputs" in {
