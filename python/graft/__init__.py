@@ -19,8 +19,9 @@ Scala classes must be on the driver classpath, e.g.::
 from .dataframe import TimeSeriesDataFrame, lsh_planes
 from .functions import udf
 from .readwriter import read
-from . import summarizers, clocks, multimodal, functions, readwriter, windows
+from . import summarizers, clocks, multimodal, functions, readwriter, \
+    text, windows
 
 __all__ = ["TimeSeriesDataFrame", "lsh_planes", "udf", "read",
            "summarizers", "clocks", "multimodal", "functions", "readwriter",
-           "windows"]
+           "text", "windows"]

@@ -548,6 +548,27 @@ class TimeSeriesDataFrame(DataFrame):
             queries._jdf, self._jdf, id_col, vec_col,
             self._jcentroids(coarse), self._jbooks(codebooks), k, nprobe))
 
+    def ivf_pq_encode(self, id_col, vec_col, coarse, codebooks):
+        """Encode the corpus (self) to the stored (id, cell, codes) IVF-PQ
+        index layout — one narrow scan; the frame ivf_pq_topk_encoded
+        searches."""
+        return self._with(_api(self).ivfPqEncode(
+            self._jdf, id_col, vec_col,
+            self._jcentroids(coarse), self._jbooks(codebooks)))
+
+    def ivf_pq_topk_encoded(self, queries, id_col, vec_col, codebooks, k,
+                            coarse, nprobe=2, index_id_col="id",
+                            index_cell_col="cell", index_codes_col="codes"):
+        """IVF-PQ top-k over the STORED (id, cell, codes) index (self) —
+        the search path that never reads a raw corpus vector: candidates
+        are routed by coarse cell and ranked from m codes each.
+        ``index_*_col`` name the stored columns when they differ from the
+        ivf_pq_encode defaults."""
+        return self._with(_api(self).ivfPqTopKEncoded(
+            queries._jdf, self._jdf, id_col, vec_col,
+            self._jbooks(codebooks), k, nprobe, self._jcentroids(coarse),
+            index_id_col, index_cell_col, index_codes_col))
+
     def kmeans_assign(self, id_col, vec_col, k, iters):
         """Deterministic quantized k-means: (id, cell) assignments."""
         return self._with(_api(self).kmeansAssign(

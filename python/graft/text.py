@@ -1,0 +1,62 @@
+"""Scalar text-statistic column functions (mirrors the per-document kernels
+of graft.llm.TextStats as pyspark ``Column`` expressions).
+
+These are the building blocks of corpus-level reports: compose them under
+ordinary pyspark ``groupBy``/``agg``::
+
+    from graft import text
+    report = (docs
+        .select("source",
+                text.token_count("text").alias("nt"),
+                text.bpe_token_count("text").alias("nb"),
+                text.lang_id("text").alias("lang"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("nt").alias("n_tokens"),
+             F.sum("nb").alias("n_bpe_tokens"),
+             F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+              .alias("n_en")))
+
+Each function accepts a column name or a pyspark ``Column`` and returns a
+``Column`` backed by the engine's single-pass JVM kernel (codegen'd — no
+Python UDF, no row shipping).
+"""
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.classic.column import Column
+
+__all__ = ["lang_id", "quality_score", "token_count", "bpe_token_count"]
+
+
+def _jcol(col):
+    if isinstance(col, str):
+        col = F.col(col)
+    return col._jc
+
+
+def _api():
+    return SparkSession.getActiveSession()._jvm.graft.python.PyApi
+
+
+def lang_id(text):
+    """Heuristic language id ('en'/'es'/'de'/'fr'/'zh') from stopword and
+    script n-gram evidence — one kernel pass per row."""
+    return Column(_api().langIdCol(_jcol(text)))
+
+
+def quality_score(text):
+    """Composite document quality score (length / punctuation / stopword
+    ratios), as used by select_top_by_budget recipes."""
+    return Column(_api().qualityScoreCol(_jcol(text)))
+
+
+def token_count(text):
+    """Whitespace token count (int)."""
+    return Column(_api().tokenCountCol(_jcol(text)))
+
+
+def bpe_token_count(text):
+    """BPE-ish token count: runs of letters, runs of digits, single other
+    non-space chars (int)."""
+    return Column(_api().bpeTokenCountCol(_jcol(text)))

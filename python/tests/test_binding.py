@@ -627,6 +627,79 @@ def test_ivf_pq_topk(spark):
     assert ivfpq == full
 
 
+def test_ivf_pq_topk_encoded_stored_codes(spark):
+    # the 100 TB search path: encode once to (id, cell, codes), search the
+    # stored frame without ever touching a raw corpus vector — results
+    # must equal the raw-vector ivf_pq_topk
+    rows = [
+        (0, [1.0, 0.01, 0.02, 1.0]),
+        (1, [0.02, 1.0, 1.0, 0.03]),
+        (2, [0.9, 0.05, 0.01, 0.8]),
+        (3, [0.03, 0.8, 1.1, 0.0]),
+        (4, [1.1, 0.0, 0.05, 0.9])]
+    d = TimeSeriesDataFrame(spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"))
+    q = TimeSeriesDataFrame(spark.createDataFrame(
+        rows[:1], "vec_id long, embedding array<float>"))
+    books = d.pq_train("vec_id", "embedding", m=2, k=2, iters=2)
+    coarse = [[1.0, 0.0, 0.0, 1.0], [0.0, 1.0, 1.0, 0.0]]
+    stored = d.ivf_pq_encode("vec_id", "embedding", coarse, books)
+    assert set(stored.columns) == {"id", "cell", "codes"}
+    raw = [tuple(r) for r in d.ivf_pq_topk(q, "vec_id", "embedding",
+           coarse, books, k=4, nprobe=2).orderBy("rank").collect()]
+    enc = [tuple(r) for r in stored.ivf_pq_topk_encoded(
+           q, "vec_id", "embedding", books, k=4, coarse=coarse, nprobe=2)
+           .orderBy("rank").collect()]
+    assert enc == raw
+    # caller-named index columns resolve too
+    renamed = TimeSeriesDataFrame(
+        stored.withColumnRenamed("id", "doc")
+              .withColumnRenamed("codes", "pq"))
+    enc2 = [tuple(r) for r in renamed.ivf_pq_topk_encoded(
+            q, "vec_id", "embedding", books, k=4, coarse=coarse, nprobe=2,
+            index_id_col="doc", index_codes_col="pq")
+            .orderBy("rank").collect()]
+    assert enc2 == raw
+
+
+def test_text_column_functions_corpus_report(spark):
+    from pyspark.sql import functions as F
+    from graft import text
+    rows = [
+        (0, "s0", "the cat sat on the mat with the hat and the bat"),
+        (1, "s0", "el perro y el gato en la casa con la mesa y una silla"),
+        (2, "s1", "the quick brown fox jumps over the lazy dog again ok"),
+        (3, "s1", "x9 %% {{ !! zz 12 34"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # column functions compose under plain pyspark groupBy/agg — the
+    # corpus_report aggregation built end-to-end in Python
+    report = (docs
+              .select("source",
+                      text.token_count("text").alias("nt"),
+                      text.bpe_token_count("text").alias("nb"),
+                      text.lang_id("text").alias("lang"))
+              .groupBy("source")
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("nt").alias("n_tokens"),
+                   F.sum("nb").alias("n_bpe_tokens"),
+                   F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+                    .alias("n_en"))
+              .orderBy("source").collect())
+    by_src = {r["source"]: r for r in report}
+    assert by_src["s0"]["n_docs"] == 2
+    assert by_src["s0"]["n_tokens"] == 12 + 14  # whitespace tokens
+    assert by_src["s0"]["n_en"] == 1            # the es doc is not en
+    assert by_src["s1"]["n_en"] >= 1            # fox doc is en; symbol soup
+    #                                             falls back to the default
+    # bpe >= whitespace tokens always; strictly greater for the symbol doc
+    assert by_src["s1"]["n_bpe_tokens"] > by_src["s1"]["n_tokens"]
+    # quality_score: clean English prose beats symbol soup
+    qs = {r["doc_id"]: r["q"] for r in docs.select(
+        "doc_id", text.quality_score("text").alias("q")).collect()}
+    assert qs[2] > qs[3]
+
+
 def test_select_top_by_budget(spark):
     rows = [(i, (i * 37 % 23) + 1, float((i * 31) % 10) / 3.0)
             for i in range(100)]

@@ -362,6 +362,19 @@ object PyApi {
   def topKTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
     graft.llm.TextStats.topKTokens(df, textCol, k)
 
+  // Scalar text-stat COLUMN functions (py4j ships Column handles like any
+  // other JVM object): the building blocks a Python caller composes under
+  // ordinary pyspark groupBy/agg — e.g. the corpus_report aggregation —
+  // without a per-operator DataFrame method.
+  def langIdCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.llm.TextStats.langId(text)
+  def qualityScoreCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.llm.TextStats.qualityScore(text)
+  def tokenCountCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.llm.TextStats.tokenCount(text)
+  def bpeTokenCountCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.llm.TextStats.bpeTokenCount(text)
+
   def chunkTokens(df: DataFrame, idCol: String, textCol: String,
                   chunkSize: Int, stride: Int): DataFrame =
     graft.llm.TextStats.chunkTokens(df, idCol, textCol, chunkSize, stride)
@@ -502,6 +515,30 @@ object PyApi {
                 k: Int, nprobe: Int): DataFrame =
     graft.llm.Similarity.ivfPqTopK(queries, corpus, idCol, vecCol,
       cents(coarse), books(codebooks), k, nprobe)
+
+  /** IVF-PQ search over the STORED (id, cell, codes) index frame — the
+    * 100 TB path that never reads a raw corpus vector. Empty/null index
+    * column names default to id/cell/codes. */
+  def ivfPqTopKEncoded(queries: DataFrame, index: DataFrame, idCol: String,
+                       vecCol: String,
+                       codebooks: JList[JList[JList[java.lang.Double]]],
+                       k: Int, nprobe: Int,
+                       coarse: JList[JList[java.lang.Double]],
+                       indexIdCol: String, indexCellCol: String,
+                       indexCodesCol: String): DataFrame =
+    graft.llm.Similarity.ivfPqTopKEncoded(queries, index, idCol, vecCol,
+      books(codebooks), k, nprobe, cents(coarse),
+      opt(indexIdCol).getOrElse("id"), opt(indexCellCol).getOrElse("cell"),
+      opt(indexCodesCol).getOrElse("codes"))
+
+  /** Corpus PQ+cell encoding to the stored (id, cell, codes) layout
+    * ivfPqTopKEncoded searches — one narrow codegen'd scan. */
+  def ivfPqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+                  coarse: JList[JList[java.lang.Double]],
+                  codebooks: JList[JList[JList[java.lang.Double]]]): DataFrame =
+    corpus.select(F.col(idCol).as("id"),
+      graft.llm.Similarity.cellOf(F.col(vecCol), cents(coarse)).as("cell"),
+      graft.llm.Similarity.pqCodes(F.col(vecCol), books(codebooks)).as("codes"))
 
   /** Deterministic quantized k-means; returns the (id, cell) assignments. */
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
