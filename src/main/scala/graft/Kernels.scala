@@ -842,4 +842,49 @@ object Kernels {
     }
     -1L
   }
+
+  /**
+   * Registrable domain (eTLD+1) of a lowercased host under a
+   * caller-supplied public-suffix set: the LONGEST label-boundary tail of
+   * the host found in `suffixes` keeps one extra label; a host whose tail
+   * matches no listed suffix falls back to the public-suffix-list
+   * prevailing `*` rule (the bare TLD is the suffix → last two labels);
+   * a host that IS a listed suffix, or has a single label, passes through
+   * unchanged. One right-to-left label walk per row — no split array, no
+   * per-candidate substring until a lookup is due, and lookups are bounded
+   * by `maxSuffixLabels` (the deepest listed suffix).
+   */
+  def registrableDomain(host: org.apache.spark.unsafe.types.UTF8String,
+                        suffixes: java.util.HashSet[String],
+                        maxSuffixLabels: Int): org.apache.spark.unsafe.types.UTF8String = {
+    val s = host.toString
+    val n = s.length
+    // label start offsets, right to left: starts(k) = start of the tail
+    // with k+1 labels (bounded by maxSuffixLabels + 1 — deeper tails can
+    // never match and the +1 label is the registrable one)
+    var bestStart = -1 // start of the matched suffix tail
+    var labels = 0
+    var secondStart = -1
+    var i = n - 1
+    while (i >= -1 && labels <= maxSuffixLabels) {
+      if (i == -1 || s.charAt(i) == '.') {
+        val start = i + 1
+        labels += 1
+        if (labels == 2) secondStart = start
+        if (labels <= maxSuffixLabels &&
+          suffixes.contains(s.substring(start, n))) bestStart = start
+      }
+      i -= 1
+    }
+    if (bestStart > 0) {
+      // extend the matched suffix by one label to its left
+      var j = bestStart - 2
+      while (j >= 0 && s.charAt(j) != '.') j -= 1
+      org.apache.spark.unsafe.types.UTF8String.fromString(s.substring(j + 1))
+    } else if (bestStart == 0) host // the whole host is a listed suffix
+    else if (secondStart >= 0) {
+      // unlisted TLD: PSL `*` rule — last two labels (whole host if 2)
+      org.apache.spark.unsafe.types.UTF8String.fromString(s.substring(secondStart))
+    } else host // single label
+  }
 }

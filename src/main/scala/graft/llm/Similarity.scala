@@ -67,6 +67,31 @@ object Similarity {
     topKRank(scored, k)
   }
 
+  /**
+   * (corpus size, the `cap` smallest-id (id, vector) rows) in ONE
+   * aggregation job — the pre-pass for recipes that size their cell count
+   * as f(N) and seed centroids from the smallest ids (IVF search, flat-IVF
+   * dedup). Stacking `count(*)` and the bounded [[SeedsAgg]] collection in
+   * one `agg` halves the pre-pipeline corpus scans (a separate count job
+   * plus a filtered seed-collect job each read the corpus once). The
+   * seed list is id-ascending; callers slice the k ≤ `cap` seeds they
+   * need after deriving k from the count. `cap` bounds every partial
+   * buffer (map-side combinable), so the job collects model parameters,
+   * never data.
+   */
+  def countAndSeeds(df: DataFrame, idCol: String, vecCol: String,
+                    cap: Int = 4096): (Long, Seq[(Long, Seq[Float])]) = {
+    val seeds = SeedsAgg.seedsUdaf(cap)
+    val row = df.select(F.col(idCol).cast("long").as("id"),
+        F.col(vecCol).cast("array<float>").as("vec"))
+      .agg(F.count(F.lit(1)).as("n"),
+        seeds(F.col("id"), F.col("vec")).as("seeds"))
+      .head()
+    (row.getLong(0),
+      row.getStruct(1).getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getLong(0), r.getSeq[Float](1))))
+  }
+
   private def flat(centroids: Seq[Seq[Float]]): (Array[Double], Int) = {
     val dim = centroids.head.length
     require(centroids.forall(_.length == dim), "centroids must share one dimension")

@@ -60,6 +60,68 @@ object TopKAgg {
       StructField("n_id", idType), StructField("cosine", DoubleType)))))
 }
 
+/** One collected seed row: (id, vector). */
+final case class SeedHit(id: Long, vec: Seq[Float])
+
+/** Aggregator OUT wrapper for [[SeedsAgg]]. */
+final case class SeedHits(hits: Seq[SeedHit])
+
+/** Bounded buffer of the `cap` smallest-id rows, ascending. */
+final case class SeedBuf(size: Int, ids: Array[Long], vecs: Array[Array[Float]])
+
+/**
+ * Bounded smallest-id row collection — the seed-gathering half of the
+ * "count + seed vectors in ONE corpus scan" pattern used by the √N-cell
+ * recipes (IVF cells, flat-IVF dedup cells): stacked beside `count(*)` in
+ * a single `agg(...)`, it returns the `cap` smallest-id (id, vector)
+ * pairs while the same pass counts the corpus, replacing the separate
+ * count job + filtered seed-collect job (two full scans) with one. Same
+ * bounded map-side-combinable shape as [[TopKAgg]]: no partial buffer
+ * ever exceeds `cap` entries.
+ */
+object SeedsAgg {
+  def seedsUdaf(cap: Int): UserDefinedFunction =
+    udaf(new SeedsAgg(cap), Encoders.row(StructType(Seq(
+      StructField("id", LongType),
+      StructField("vec", ArrayType(FloatType))))))
+}
+
+private[llm] class SeedsAgg(cap: Int)
+    extends Aggregator[Row, SeedBuf, SeedHits] {
+  require(cap >= 1, "cap must be >= 1")
+
+  def zero: SeedBuf = SeedBuf(0, new Array[Long](cap), new Array[Array[Float]](cap))
+
+  private def insert(b: SeedBuf, id: Long, vec: Array[Float]): SeedBuf = {
+    if (b.size == cap && id >= b.ids(cap - 1)) b
+    else {
+      var i = math.min(b.size, cap - 1)
+      while (i > 0 && id < b.ids(i - 1)) {
+        b.ids(i) = b.ids(i - 1); b.vecs(i) = b.vecs(i - 1); i -= 1
+      }
+      b.ids(i) = id; b.vecs(i) = vec
+      if (b.size == cap) b else b.copy(size = b.size + 1)
+    }
+  }
+
+  def reduce(b: SeedBuf, r: Row): SeedBuf =
+    if (r == null || r.isNullAt(0) || r.isNullAt(1)) b
+    else insert(b, r.getLong(0), r.getSeq[Float](1).toArray)
+
+  def merge(a: SeedBuf, b: SeedBuf): SeedBuf = {
+    var out = a
+    var i = 0
+    while (i < b.size) { out = insert(out, b.ids(i), b.vecs(i)); i += 1 }
+    out
+  }
+
+  def finish(b: SeedBuf): SeedHits =
+    SeedHits((0 until b.size).map(i => SeedHit(b.ids(i), b.vecs(i).toSeq)))
+
+  def bufferEncoder: Encoder[SeedBuf] = Encoders.product[SeedBuf]
+  def outputEncoder: Encoder[SeedHits] = Encoders.product[SeedHits]
+}
+
 private[llm] class TopKAgg[T](k: Int)(
     implicit ord: Ordering[T], ct: ClassTag[T], tt: TypeTag[T])
     extends Aggregator[Row, TopKBuf[T], TopHits[T]] {

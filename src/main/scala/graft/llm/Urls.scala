@@ -35,6 +35,21 @@ object Urls {
     * public-suffix list — deterministic and SQL-mirrorable. */
   val SecondLevelLabels = Seq("co", "com", "net", "org", "gov", "ac", "edu")
 
+  /** Registrable domain (eTLD+1) under a caller-supplied public-suffix
+    * set — e.g. (a subset of) the Mozilla public suffix list: the longest
+    * listed label-boundary tail of the host is the suffix and the domain
+    * keeps one extra label (`foo.bar.ne.jp` with `ne.jp` listed ⇒
+    * `bar.ne.jp`); hosts matching no listed suffix fall back to the PSL
+    * prevailing `*` rule (last two labels); a host that IS a suffix, or a
+    * single label, passes through. One hashed-set label walk per row
+    * (codegen'd kernel) — the suffix set rides the closure as model
+    * parameters, so list size doesn't change the plan shape. The
+    * zero-argument overload below stays the default for oracle
+    * portability. */
+  def registrableDomain(hostCol: Column, suffixes: Seq[String]): Column =
+    org.apache.spark.sql.graft.GraftColumns.registrableDomainPsl(
+      hostCol, suffixes)
+
   /** Heuristic registrable domain (eTLD+1): the last two labels of the
     * host, or the last three when the penultimate label is a well-known
     * registry label ([[SecondLevelLabels]]). Hosts with fewer labels pass
@@ -79,11 +94,14 @@ object Urls {
     * Delegates to [[Sampling.quotaPerStratum]]'s two-pass threshold
     * selection, so hot domains never serialize through one task. */
   def capPerDomain(df: DataFrame, idCol: String, urlCol: String, n: Int,
-                   seed: Long = 42L): DataFrame = {
+                   seed: Long = 42L,
+                   suffixes: Seq[String] = Seq.empty): DataFrame = {
     require(!df.columns.contains("url_domain"),
       "capPerDomain: input already has a url_domain column")
-    val withD = df.withColumn("url_domain",
-      registrableDomain(host(F.col(urlCol))))
+    val dom =
+      if (suffixes.isEmpty) registrableDomain(host(F.col(urlCol)))
+      else registrableDomain(host(F.col(urlCol)), suffixes)
+    val withD = df.withColumn("url_domain", dom)
     Sampling.quotaPerStratum(withD, Seq("url_domain"), idCol, n, seed)
       .drop("url_domain")
   }

@@ -86,6 +86,11 @@ object GraftColumns {
                      cjkLabel: Option[String]): Column =
     col(StopwordLangId(ex(text), langWords, cjkLabel))
 
+  /** Registrable domain under a caller-supplied public-suffix set
+    * (longest listed label-boundary tail + 1 label). */
+  def registrableDomainPsl(host: Column, suffixes: Seq[String]): Column =
+    col(RegistrableDomainPsl(ex(host), suffixes))
+
   /** Fused PII scrub struct `(redacted, n_emails, n_phones, n_ips)` —
     * staged email/phone/IPv4 redaction + per-stage counts in one kernel
     * call; semantics identical to the staged `Pii.redact`/`Pii.counts`
@@ -493,6 +498,35 @@ case class StopwordLangId(child: Expression,
  * pass count and removing the regex engine's per-position prefix scans is
  * the difference between linear and superlinear cost in token run length.
  */
+/** Registrable domain (eTLD+1) under a caller-supplied public-suffix set —
+  * one right-to-left label walk per row against a hashed suffix set
+  * (graft.Kernels.registrableDomain); lookups bounded by the deepest
+  * listed suffix. */
+case class RegistrableDomainPsl(child: Expression, suffixes: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(suffixes.nonEmpty, "suffix set must be non-empty")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  @transient private lazy val sufSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    suffixes.foreach(x => s.add(x.toLowerCase(java.util.Locale.ROOT)))
+    s
+  }
+  @transient private lazy val maxLabels: Int =
+    suffixes.map(_.count(_ == '.') + 1).max
+  override protected def nullSafeEval(input: Any): Any =
+    graft.Kernels.registrableDomain(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], sufSet, maxLabels)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("sufSet", sufSet, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.Kernels.registrableDomain($c, $setRef, $maxLabels);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): RegistrableDomainPsl =
+    copy(child = newChild)
+}
+
 case class PiiScrub(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)

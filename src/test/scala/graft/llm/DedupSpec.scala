@@ -354,6 +354,25 @@ class DedupSpec extends SparkTestBase {
       a.filter(_._1 == 0L).take(5).map(t => f"id${t._2}%03d")
   }
 
+  it should "gather corpus count and seed vectors in ONE aggregation job" in {
+    val many = (0L until 60L).map(i => (i, Seq(i.toFloat, 1.0f)))
+      .toDF("vec_id", "embedding").repartition(6)
+    spark.sparkContext.setJobGroup("seeds-one-job", "countAndSeeds", false)
+    val (n, seeds) =
+      try Similarity.countAndSeeds(many, "vec_id", "embedding", cap = 10)
+      finally spark.sparkContext.clearJobGroup()
+    n shouldBe 60L
+    seeds.map(_._1) shouldBe (0L until 10L)
+    seeds.head._2 shouldBe Seq(0.0f, 1.0f)
+    // listener-asserted: the pre-pass is one job, not count + collect
+    val tracker = spark.sparkContext.statusTracker
+    val deadline = System.currentTimeMillis + 5000
+    while (tracker.getJobIdsForGroup("seeds-one-job").length < 1 &&
+      System.currentTimeMillis < deadline) Thread.sleep(50)
+    Thread.sleep(200) // let any unexpected second job surface
+    tracker.getJobIdsForGroup("seeds-one-job").length shouldBe 1
+  }
+
   it should "find embedding near-duplicates via cell buckets" in {
     val vs = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.001f)), (2L, Seq(0.0f, 1.0f)))

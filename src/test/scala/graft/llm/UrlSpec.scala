@@ -38,6 +38,32 @@ class UrlSpec extends SparkTestBase {
       "site.org", "localhost")
   }
 
+  it should "honor a caller-supplied public-suffix set, incl. multi-label registries" in {
+    val psl = Seq("com", "co.uk", "ne.jp", "gob.mx", "com.au", "org")
+    def dom(hosts: String*) = hosts.map(Tuple1(_)).toDF("h")
+      .select(Urls.registrableDomain($"h", psl)).as[String].collect()
+    // multi-label registries the 7-label heuristic mis-groups
+    dom("foo.bar.ne.jp") shouldBe Array("bar.ne.jp")
+    dom("servicios.gob.mx") shouldBe Array("servicios.gob.mx") // already eTLD+1
+    dom("a.b.servicios.gob.mx") shouldBe Array("servicios.gob.mx")
+    dom("shop.example.com.au") shouldBe Array("example.com.au")
+    // longest listed suffix wins over its shorter tail ('com' vs 'com.au')
+    dom("x.example.com") shouldBe Array("example.com")
+    // unlisted TLD: PSL prevailing * rule -> last two labels
+    dom("deep.sub.example.dev") shouldBe Array("example.dev")
+    // a host that IS a suffix, and single labels, pass through
+    dom("ne.jp") shouldBe Array("ne.jp")
+    dom("localhost") shouldBe Array("localhost")
+    // null host stays null
+    Seq(Tuple1("nope")).toDF("u")
+      .select(Urls.registrableDomain(Urls.host($"u"), psl))
+      .collect().head.isNullAt(0) shouldBe true
+    // case-insensitive suffix set
+    Seq(Tuple1("A.B.NE.JP")).toDF("h")
+      .select(Urls.registrableDomain(F.lower($"h"), psl)).as[String]
+      .collect() shouldBe Array("b.ne.jp")
+  }
+
   behavior of "normalize"
 
   it should "lowercase, strip fragments and one trailing slash" in {
