@@ -1,0 +1,373 @@
+#!/usr/bin/env python3
+"""Linear-shaped scale oracles for the queries whose DuckDB reference SQL
+is quadratic (all-pairs Jaccard joins, closed-form EMA self-joins) and
+therefore infeasible on derived 10x+ datasets.
+
+Each check verifies the ENGINE DUMP (the parquet graft.Verify wrote) against
+invariants that are exact and computable in time linear (or near-linear) in
+the corpus:
+
+- pair families (dedup_minhash_lsh, near_dup_jaccard):
+    soundness  — every emitted pair's Jaccard is recomputed from the source
+                 documents and must match the reported value and clear the
+                 threshold (linear in |pairs|);
+    completeness — for a deterministic ~1% document sample, the TRUE pair
+                 set is computed exactly (candidates via shared
+                 shingles/block membership) and must equal the dump's pairs
+                 touching the sample (linear in N x sample).
+- component families (dedup_clusters, dedup_keep_docs):
+    exact recursive-CTE connected components over the engine's OWN
+    dedup_minhash_lsh pair dump (itself verified above) — linear in
+    |V| + |E| iterations, never an all-pairs join. Conditional on the pair
+    dump, which is what makes it scale-shaped.
+- per-row EMA families (ema_rows_es_current_core, ema_rows_ewma_legacy,
+    skew_ema_rows_ewma):
+    full sequential recomputation of the per-key recurrence in float64
+    (one pass over every key's rows — the closed-form telescopes, so the
+    recurrence IS the linear algorithm), compared at the dumped 4-decimal
+    rounding with a 2e-4 absolute guard for summation-order drift.
+
+Used by scripts/selfcheck.py --scale-invariants; the sf0.01 driver gate is
+untouched (these queries keep their exact quadratic oracles there).
+"""
+import glob
+import math
+import os
+
+import numpy as np
+import pandas as pd
+
+# queries this module replaces at scale, in dependency order
+SCALE_INVARIANT = [
+    "dedup_minhash_lsh", "near_dup_jaccard",
+    "dedup_clusters", "dedup_keep_docs",
+    "ema_rows_es_current_core", "ema_rows_ewma_legacy", "skew_ema_rows_ewma",
+]
+
+_SHINGLES = """
+    SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents {pred})
+"""
+
+_J = ("CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+      "CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)")
+
+
+def _dump(out_dir, name, con, view):
+    files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+    if not files:
+        return f"{name}: no dump parquet found"
+    flist = ", ".join(f"'{f}'" for f in files)
+    con.execute(f"CREATE OR REPLACE VIEW {view} AS "
+                f"SELECT * FROM read_parquet([{flist}])")
+    return None
+
+
+def check_dedup_minhash_lsh(con, out_dir):
+    err = _dump(out_dir, "dedup_minhash_lsh", con, "got_mh")
+    if err:
+        return err
+    # structural: canonical ordering, no duplicates
+    bad = con.execute(
+        "SELECT count(*) FROM got_mh WHERE id_a >= id_b").fetchone()[0]
+    if bad:
+        return f"{bad} pairs with id_a >= id_b"
+    dup = con.execute(
+        "SELECT count(*) - count(DISTINCT (id_a, id_b)) FROM got_mh"
+    ).fetchone()[0]
+    if dup:
+        return f"{dup} duplicate pairs"
+    # soundness: recompute J for every emitted pair
+    sh = _SHINGLES.format(
+        pred="WHERE doc_id IN (SELECT id_a FROM got_mh "
+             "UNION SELECT id_b FROM got_mh)")
+    bad = con.execute(f"""
+        WITH d AS ({sh})
+        SELECT count(*) FROM got_mh p
+        JOIN d a ON a.doc_id = p.id_a JOIN d b ON b.doc_id = p.id_b
+        WHERE {_J} < 0.5 OR abs({_J} - p.jaccard) > 1e-9""").fetchone()[0]
+    if bad:
+        return f"{bad} emitted pairs fail exact-Jaccard recheck"
+    # completeness on a deterministic ~1% sample: true pairs of sampled
+    # docs (candidates must share a shingle when J >= 0.5) == dump pairs
+    # touching the sample
+    n_cand = con.execute(f"""
+        WITH d AS ({_SHINGLES.format(pred='')}),
+        s AS (SELECT * FROM d WHERE doc_id % 97 = 3),
+        sg AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        ag AS (SELECT doc_id, unnest(sh) AS g FROM d)
+        SELECT count(*) FROM sg JOIN ag USING (g)
+        WHERE sg.doc_id <> ag.doc_id""").fetchone()[0]
+    if n_cand > 50_000_000:
+        return f"completeness candidate blowup ({n_cand} rows) — shingle " \
+               "frequencies are no longer rare; sample check not run"
+    con.execute(f"""
+        CREATE OR REPLACE TABLE mh_truth AS
+        WITH d AS ({_SHINGLES.format(pred='')}),
+        s AS (SELECT * FROM d WHERE doc_id % 97 = 3),
+        sg AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        ag AS (SELECT doc_id, unnest(sh) AS g FROM d),
+        cand AS (SELECT DISTINCT least(sg.doc_id, ag.doc_id) AS ca,
+                        greatest(sg.doc_id, ag.doc_id) AS cb
+                 FROM sg JOIN ag USING (g) WHERE sg.doc_id <> ag.doc_id)
+        SELECT ca, cb FROM cand
+        JOIN d a ON a.doc_id = ca JOIN d b ON b.doc_id = cb
+        WHERE {_J} >= 0.5""")
+    missing, extra = con.execute("""
+        WITH gotp AS (SELECT id_a AS ca, id_b AS cb FROM got_mh
+                      WHERE id_a % 97 = 3 OR id_b % 97 = 3)
+        SELECT
+          (SELECT count(*) FROM
+             (SELECT ca, cb FROM mh_truth EXCEPT SELECT ca, cb FROM gotp)),
+          (SELECT count(*) FROM
+             (SELECT ca, cb FROM gotp EXCEPT SELECT ca, cb FROM mh_truth))
+        """).fetchone()
+    if missing or extra:
+        return f"sampled completeness: {missing} true pairs missing, " \
+               f"{extra} unexpected pairs"
+    return None
+
+
+def check_near_dup_jaccard(con, out_dir):
+    err = _dump(out_dir, "near_dup_jaccard", con, "got_nj")
+    if err:
+        return err
+    ws = ("SELECT source, doc_id, list_sort(list_distinct("
+          "string_split(text, ' '))) AS sh FROM documents")
+    # soundness: block + J recheck per emitted pair
+    bad = con.execute(f"""
+        WITH d AS ({ws})
+        SELECT count(*) FROM got_nj p
+        JOIN d a ON a.doc_id = p.id_a JOIN d b ON b.doc_id = p.id_b
+        WHERE a.source <> p.block OR b.source <> p.block
+           OR {_J} < 0.5 OR abs({_J} - p.jaccard) > 1e-9""").fetchone()[0]
+    if bad:
+        return f"{bad} emitted pairs fail block/Jaccard recheck"
+    # completeness: sampled docs x their ENTIRE source block, exact
+    j_sd = _J.replace("a.sh", "s.sh").replace("b.sh", "d.sh")
+    con.execute(f"""
+        CREATE OR REPLACE TABLE nj_truth AS
+        WITH d AS ({ws}),
+        s AS (SELECT * FROM d WHERE doc_id % 199 = 3)
+        SELECT DISTINCT least(s.doc_id, d.doc_id) AS ca,
+               greatest(s.doc_id, d.doc_id) AS cb
+        FROM s JOIN d ON d.source = s.source AND d.doc_id <> s.doc_id
+        WHERE {j_sd} >= 0.5""")
+    missing, extra = con.execute("""
+        WITH gotp AS (SELECT DISTINCT id_a AS ca, id_b AS cb FROM got_nj
+                      WHERE id_a % 199 = 3 OR id_b % 199 = 3)
+        SELECT
+          (SELECT count(*) FROM
+             (SELECT ca, cb FROM nj_truth EXCEPT SELECT ca, cb FROM gotp)),
+          (SELECT count(*) FROM
+             (SELECT ca, cb FROM gotp EXCEPT SELECT ca, cb FROM nj_truth))
+        """).fetchone()
+    if missing or extra:
+        return f"sampled completeness: {missing} true pairs missing, " \
+               f"{extra} unexpected pairs"
+    return None
+
+
+def _components(con, out_dir):
+    """Exact components over the engine's verified minhash pair dump."""
+    err = _dump(out_dir, "dedup_minhash_lsh", con, "edges_mh")
+    if err:
+        return err
+    con.execute("""
+        CREATE OR REPLACE TABLE comp_ref AS
+        WITH RECURSIVE
+        und AS (SELECT id_a AS s, id_b AS d FROM edges_mh
+                UNION ALL SELECT id_b, id_a FROM edges_mh),
+        comp(id, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT u.d, c.lbl FROM comp c JOIN und u ON u.s = c.id)
+        SELECT id AS doc_id, min(lbl) AS cluster_id FROM comp GROUP BY id""")
+    return None
+
+
+def check_dedup_clusters(con, out_dir):
+    err = _dump(out_dir, "dedup_clusters", con, "got_cl")
+    if err:
+        return err
+    err = _components(con, out_dir)
+    if err:
+        return err
+    n_bad, n_got, n_ref = con.execute("""
+        SELECT
+          (SELECT count(*) FROM got_cl g JOIN comp_ref r USING (doc_id)
+             WHERE g.cluster_id <> r.cluster_id),
+          (SELECT count(*) FROM got_cl),
+          (SELECT count(*) FROM comp_ref)""").fetchone()
+    if n_got != n_ref:
+        return f"row count {n_got} != expected {n_ref}"
+    if n_bad:
+        return f"{n_bad} rows with wrong cluster label (vs components of " \
+               "the verified pair dump)"
+    return None
+
+
+def check_dedup_keep_docs(con, out_dir):
+    err = _dump(out_dir, "dedup_keep_docs", con, "got_kd")
+    if err:
+        return err
+    err = _components(con, out_dir)
+    if err:
+        return err
+    missing, extra = con.execute("""
+        WITH keep AS (SELECT doc_id FROM comp_ref WHERE doc_id = cluster_id)
+        SELECT
+          (SELECT count(*) FROM keep
+             WHERE doc_id NOT IN (SELECT doc_id FROM got_kd)),
+          (SELECT count(*) FROM got_kd
+             WHERE doc_id NOT IN (SELECT doc_id FROM keep))""").fetchone()
+    if missing or extra:
+        return f"keep set: {missing} representatives missing, " \
+               f"{extra} non-representatives kept"
+    return None
+
+
+# ------------------------------------------------------------------ EMA
+
+_K = math.log(1.0 - 0.05)
+_DAY = 86400000000000.0
+
+
+def _events(sf_dir):
+    df = pd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    # pandas surfaces the ns-precision parquet timestamps at us precision;
+    # the engine truncates ns -> us too (time div 1000 * 1000), so the
+    # int64 us value * 1000 IS the engine's time column
+    t = df["ts"].astype("int64") * 1000
+    return pd.DataFrame({
+        "time": t, "event_id": df["event_id"],
+        "event_type": df["event_type"], "user_id": df["user_id"],
+        "value": df["value"].astype("float64")})
+
+
+def _ewma_rows(ev, key_col):
+    """y(t) = sum_{r.t <= t} x_r * exp(k*(t - t_r)/day), per key — the
+    recurrence form (telescoping product), tie-correct: rows sharing a
+    timestamp all receive the tied group's full sum."""
+    out = np.empty(len(ev))
+    ev = ev.reset_index(drop=True)
+    for _, g in ev.groupby(key_col, dropna=False, sort=False):
+        idx = g.index.to_numpy()
+        order = np.lexsort((g["event_id"].to_numpy(), g["time"].to_numpy()))
+        t = g["time"].to_numpy()[order]
+        x = g["value"].to_numpy()[order]
+        y = np.empty(len(t))
+        s = 0.0
+        i = 0
+        prev_t = None
+        while i < len(t):
+            j = i
+            while j < len(t) and t[j] == t[i]:
+                j += 1
+            if prev_t is not None:
+                s *= math.exp(_K * (t[i] - prev_t) / _DAY)
+            s += x[i:j].sum()
+            y[i:j] = s
+            prev_t = t[i]
+            i = j
+        out[idx[order]] = y
+    return pd.Series(out, index=ev.index)
+
+
+def _es_rows_current_core(ev, key_col, priming=1.0):
+    """Per-row ES (current interpolation, core convention) with priming:
+    same closed form as the sf0.01 oracle, evaluated as the linear
+    recurrence ps_i = ps_{i-1}*d_i + (1-d_i)*x_i (and likewise the
+    normalizer), priming decayed from the key's first timestamp."""
+    out = np.empty(len(ev))
+    ev = ev.reset_index(drop=True)
+    pd_term = 1.0 - math.exp(_K * priming)
+    for _, g in ev.groupby(key_col, dropna=False, sort=False):
+        idx = g.index.to_numpy()
+        order = np.lexsort((g["event_id"].to_numpy(), g["time"].to_numpy()))
+        t = g["time"].to_numpy()[order]
+        x = g["value"].to_numpy()[order]
+        y = np.empty(len(t))
+        tmin, x0 = t[0], x[0]
+        ps = 0.0
+        asum = 0.0
+        prev_t = None
+        i = 0
+        while i < len(t):
+            j = i
+            while j < len(t) and t[j] == t[i]:
+                j += 1
+            if prev_t is not None:
+                d = math.exp(_K * (t[i] - prev_t) / _DAY)
+                ps *= d
+                asum *= d
+                ps += (1.0 - d) * x[i:j].sum()
+                asum += (1.0 - d) * (j - i)
+            decay0 = math.exp(_K * (t[i] - tmin) / _DAY)
+            num = pd_term * x0 * decay0 + ps
+            den = pd_term * decay0 + asum
+            y[i:j] = num / den
+            prev_t = t[i]
+            i = j
+        out[idx[order]] = y
+    return pd.Series(out, index=ev.index)
+
+
+def _check_ema(sf_dir, out_dir, name, key_col, compute, val_col):
+    files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+    if not files:
+        return f"{name}: no dump parquet found"
+    got = pd.concat([pd.read_parquet(f) for f in files])
+    ev = _events(sf_dir)
+    if key_col == "skew_key":
+        ev["skew_key"] = np.where(ev["user_id"] % 2 == 0, 0,
+                                  ev["user_id"] % 50 + 1).astype("int64")
+    ref = ev.copy()
+    ref["__ref"] = compute(ev, key_col)
+    m = got.merge(ref[["event_id", "__ref"]], on="event_id", how="left")
+    if m["__ref"].isna().any():
+        return f"{int(m['__ref'].isna().sum())} dump rows missing in source"
+    if len(m) != len(ev):
+        return f"row count {len(m)} != {len(ev)}"
+    diff = (m[val_col] - m["__ref"].round(4)).abs()
+    bad = int((diff > 2e-4).sum())
+    if bad:
+        w = m.loc[diff.idxmax()]
+        return (f"{bad} rows beyond 2e-4 of the sequential recurrence "
+                f"(worst: event_id {w['event_id']} got {w[val_col]} "
+                f"ref {round(w['__ref'], 4)})")
+    return None
+
+
+def check_ema_rows_es_current_core(con, out_dir, sf_dir):
+    return _check_ema(sf_dir, out_dir, "ema_rows_es_current_core",
+                      "event_type", _es_rows_current_core, "value_ema")
+
+
+def check_ema_rows_ewma_legacy(con, out_dir, sf_dir):
+    return _check_ema(sf_dir, out_dir, "ema_rows_ewma_legacy",
+                      "event_type", _ewma_rows, "value_ewma")
+
+
+def check_skew_ema_rows_ewma(con, out_dir, sf_dir):
+    return _check_ema(sf_dir, out_dir, "skew_ema_rows_ewma",
+                      "skew_key", _ewma_rows, "value_ewma")
+
+
+def run(name, con, out_dir, sf_dir):
+    """Dispatch one scale-invariant check; returns None on pass, else an
+    error description."""
+    fns = {
+        "dedup_minhash_lsh": lambda: check_dedup_minhash_lsh(con, out_dir),
+        "near_dup_jaccard": lambda: check_near_dup_jaccard(con, out_dir),
+        "dedup_clusters": lambda: check_dedup_clusters(con, out_dir),
+        "dedup_keep_docs": lambda: check_dedup_keep_docs(con, out_dir),
+        "ema_rows_es_current_core":
+            lambda: check_ema_rows_es_current_core(con, out_dir, sf_dir),
+        "ema_rows_ewma_legacy":
+            lambda: check_ema_rows_ewma_legacy(con, out_dir, sf_dir),
+        "skew_ema_rows_ewma":
+            lambda: check_skew_ema_rows_ewma(con, out_dir, sf_dir),
+    }
+    return fns[name]()

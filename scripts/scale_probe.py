@@ -116,7 +116,13 @@ def main():
         vout = os.path.join(args.workdir, f"verify_{args.rep}x")
         sh(["sbt", "-batch", f"runMain graft.Verify {derived} {vout}"],
            SPARK_GRAFT_CPUS=args.cpus)
-        sh([sys.executable, "scripts/selfcheck.py", derived, vout])
+        # full registry, zero trims: the quadratic-oracle families run
+        # their linear-shaped invariant checks (scripts/scale_oracles.py)
+        # and float columns get an ulp guard for DuckDB's own
+        # summation-order drift on enlarged inputs
+        sh([sys.executable, "scripts/selfcheck.py", derived, vout,
+            "--scale-invariants", "--rel-tol", "1e-12"],
+           SELFCHECK_PROGRESS="1")
 
     # 3. same-binary baseline point
     head = git_head()

@@ -2,17 +2,44 @@
 """Dev-only self-check mimicking the driver's correctness gate:
 runs DuckDB on oracle_sql.json and compares against the parquet dumps
 produced by graft.Verify (columns sorted by name, rows sorted, exact
-value equality). Usage: selfcheck.py <sfDir> <verifyOutDir>."""
+value equality).
+
+Usage: selfcheck.py <sfDir> <verifyOutDir> [--scale-invariants]
+                    [--rel-tol X]
+
+--scale-invariants  replace the quadratic-oracle queries (the dedup pair /
+                    component families and the per-row EMA family, see
+                    scripts/scale_oracles.py) with exact linear-shaped
+                    invariant checks — the mode scripts/scale_probe.py
+                    uses on derived 10x+ data, where the all-pairs SQL
+                    oracles are infeasible. The driver's sf0.01 gate never
+                    sets this.
+--rel-tol X         compare float columns with relative tolerance X
+                    instead of exact equality (scale runs only: DuckDB's
+                    own summation order shifts by a few ulp on enlarged
+                    inputs). Default 0 = exact.
+"""
 import sys, json, glob, os
 import duckdb
 import pandas as pd
 import numpy as np
 
-sf_dir, out_dir = sys.argv[1], sys.argv[2]
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+sf_dir, out_dir = args[0], args[1]
+scale_mode = "--scale-invariants" in sys.argv
+rel_tol = 0.0
+if "--rel-tol" in sys.argv:
+    rel_tol = float(sys.argv[sys.argv.index("--rel-tol") + 1])
+
 con = duckdb.connect()
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     t = os.path.basename(p).replace(".parquet", "")
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+scale_oracles = None
+if scale_mode:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import scale_oracles
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fail, ok, skip = [], [], []
@@ -23,6 +50,23 @@ for name in sorted(os.listdir(out_dir)):
         continue
     files = glob.glob(f"{d}/*.parquet")
     got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
+    if scale_mode and name in scale_oracles.SCALE_INVARIANT:
+        if progress:
+            import time
+            t0 = time.time()
+            print(f"[selfcheck] {name} (scale invariant) ...", flush=True)
+        try:
+            err = scale_oracles.run(name, con, out_dir, sf_dir)
+        except Exception as e:
+            err = f"invariant check error: {e}"
+        if progress:
+            print(f"[selfcheck] {name} invariant {time.time() - t0:.1f}s",
+                  flush=True)
+        if err:
+            fail.append((name, f"[scale-invariant] {err}"))
+        else:
+            ok.append(name)
+        continue
     if name not in oracle:
         skip.append((name, len(got)))
         continue
@@ -55,7 +99,12 @@ for name in sorted(os.listdir(out_dir)):
             mismatch = f"dtype differ on {c}: {gv.dtype} vs {e[c].dtype}"
             break
         eqnan = gv.isna() & ev.isna()
-        neq = ~(eqnan | (gv == ev))
+        eq = eqnan | (gv == ev)
+        if rel_tol > 0.0 and gv.dtype.kind == "f":
+            close = (gv - ev).abs() <= rel_tol * np.maximum(
+                gv.abs(), ev.abs())
+            eq = eq | (close & ~gv.isna() & ~ev.isna())
+        neq = ~eq
         if neq.any():
             i = neq.idxmax()
             mismatch = f"col {c}: {int(neq.sum())}/{len(gv)} differ; first at row {i}: got {gv[i]!r} exp {ev[i]!r}"
