@@ -446,6 +446,15 @@ class TimeSeriesDataFrame(DataFrame):
         """Append n_emails / n_ips / n_phones match counts."""
         return self._with(_api(self).piiCounts(self._jdf, text_col))
 
+    def with_url_parts_psl(self, url_col, suffixes):
+        """with_url_parts with the registrable domain resolved against a
+        caller-supplied public-suffix set (e.g. a subset of the Mozilla
+        public suffix list: ["co.uk", "ne.jp", "gob.mx", ...]): the
+        longest listed label-boundary tail keeps one extra label; unlisted
+        TLDs fall back to the last two labels."""
+        return self._with(_api(self).withUrlPartsPsl(
+            self._jdf, url_col, _jlist(self.sparkSession, list(suffixes))))
+
     def with_url_parts(self, url_col):
         """Append url_host (lowercased authority, no userinfo/port),
         url_domain (heuristic registrable domain) and url_norm (lowercase,

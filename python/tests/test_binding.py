@@ -700,6 +700,15 @@ def test_text_column_functions_corpus_report(spark):
     assert qs[2] > qs[3]
 
 
+def test_with_url_parts_psl(spark):
+    d = TimeSeriesDataFrame(spark.createDataFrame(
+        [(1, "https://foo.bar.ne.jp/x"), (2, "https://Shop.Example.COM.AU/y")],
+        "id long, url string"))
+    out = {r["id"]: r["url_domain"] for r in d.with_url_parts_psl(
+        "url", ["com", "ne.jp", "com.au"]).collect()}
+    assert out == {1: "bar.ne.jp", 2: "example.com.au"}
+
+
 def test_select_top_by_budget(spark):
     rows = [(i, (i * 37 % 23) + 1, float((i * 31) % 10) / 3.0)
             for i in range(100)]

@@ -101,8 +101,11 @@ for name in sorted(os.listdir(out_dir)):
         eqnan = gv.isna() & ev.isna()
         eq = eqnan | (gv == ev)
         if rel_tol > 0.0 and gv.dtype.kind == "f":
-            close = (gv - ev).abs() <= rel_tol * np.maximum(
-                gv.abs(), ev.abs())
+            # scale floor of 1.0: near-cancelled quantities (a correlation
+            # of ~4e-8 is a difference of huge sums) carry ulp-level
+            # ABSOLUTE error regardless of their own magnitude
+            scale = np.maximum(np.maximum(gv.abs(), ev.abs()), 1.0)
+            close = (gv - ev).abs() <= rel_tol * scale
             eq = eq | (close & ~gv.isna() & ~ev.isna())
         neq = ~eq
         if neq.any():

@@ -464,6 +464,21 @@ object PyApi {
         F.col("n_tokens").cast("double"))
   }
 
+  /** Append url_host / url_domain / url_norm with the registrable domain
+    * resolved against a caller-supplied public-suffix set (empty/null
+    * list = the 7-label heuristic). */
+  def withUrlPartsPsl(df: DataFrame, urlCol: String,
+                      suffixes: JList[String]): DataFrame = {
+    val h = graft.llm.Urls.host(F.col(urlCol))
+    val dom =
+      if (suffixes == null || suffixes.isEmpty)
+        graft.llm.Urls.registrableDomain(h)
+      else graft.llm.Urls.registrableDomain(h, seq(suffixes))
+    df.withColumn("url_host", h)
+      .withColumn("url_domain", dom)
+      .withColumn("url_norm", graft.llm.Urls.normalize(F.col(urlCol)))
+  }
+
   /** Append url_host / url_domain / url_norm extracted from a URL column
     * (one codegen'd scan). */
   def withUrlParts(df: DataFrame, urlCol: String): DataFrame = {
