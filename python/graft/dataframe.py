@@ -336,6 +336,12 @@ class TimeSeriesDataFrame(DataFrame):
         return self._with(_api(self).dedupByClusters(
             self._jdf, id_col, pairs._jdf, a_col, b_col))
 
+    def dedup_by_clusters_keep_best(self, pairs, id_col, score_col):
+        """Keep the HIGHEST-``score_col`` member per pair-graph component
+        (ties -> smallest id) — the 'keep the best copy' dedup policy."""
+        return self._with(_api(self).dedupByClustersKeepBest(
+            self._jdf, id_col, pairs._jdf, score_col))
+
     def sample_by_hash(self, id_col, rate, seed=42):
         """Deterministic seeded Bernoulli sample (portable hash; nested
         across rates, partition-independent)."""
@@ -436,6 +442,26 @@ class TimeSeriesDataFrame(DataFrame):
         no_braces / no_lorem) plus their conjunction ``keep``."""
         return self._with(_api(self).hardFilter(
             self._jdf, text_col, min_words, max_words))
+
+    def blocklist_audit(self, text_col, words):
+        """Append ``n_blocked`` (count of blocklisted tokens, one kernel
+        pass) and ``keep`` (= no hits) — the C4-style word blocklist."""
+        return self._with(_api(self).blocklistAudit(
+            self._jdf, text_col, _jlist(self.sparkSession, list(words))))
+
+    def quality_buckets(self, strata_col, score_col, f1=1.0 / 3, f2=2.0 / 3):
+        """Append ``bucket`` = head/middle/tail by exact per-stratum R-7
+        quantile cutpoints of ``score_col`` (CCNet-style mix step)."""
+        return self._with(_api(self).qualityBuckets(
+            self._jdf, strata_col, score_col, float(f1), float(f2)))
+
+    def filter_blocked_domains(self, url_col, blocked, suffixes=()):
+        """Drop rows whose registrable domain is blocklisted; URL-less
+        rows survive. ``suffixes`` optionally resolves domains against a
+        public-suffix set."""
+        return self._with(_api(self).filterBlockedDomains(
+            self._jdf, url_col, _jlist(self.sparkSession, list(blocked)),
+            _jlist(self.sparkSession, list(suffixes))))
 
     def pii_redact(self, text_col):
         """Replace emails / IPv4s / phone numbers in ``text_col`` with

@@ -700,6 +700,31 @@ def test_text_column_functions_corpus_report(spark):
     assert qs[2] > qs[3]
 
 
+def test_round10_pipeline_ops(spark):
+    # blocklist audit + quality buckets + keep-best dedup + domain filter
+    docs = TimeSeriesDataFrame(spark.createDataFrame(
+        [(1, "s", "a bad word", 0.2), (2, "s", "clean text", 0.9),
+         (3, "s", "more clean", 0.5)],
+        "id long, src string, text string, q double"))
+    audited = {r["id"]: (r["n_blocked"], r["keep"])
+               for r in docs.blocklist_audit("text", ["bad"]).collect()}
+    assert audited == {1: (1, False), 2: (0, True), 3: (0, True)}
+    buckets = {r["id"]: r["bucket"]
+               for r in docs.quality_buckets("src", "q").collect()}
+    assert buckets[2] == "head" and buckets[1] == "tail"
+    pairs = TimeSeriesDataFrame(spark.createDataFrame(
+        [(1, 2)], "id_a long, id_b long"))
+    best = sorted(r["id"] for r in
+                  docs.dedup_by_clusters_keep_best(pairs, "id", "q").collect())
+    assert best == [2, 3]
+    urls = TimeSeriesDataFrame(spark.createDataFrame(
+        [(1, "https://bad.com/x"), (2, "https://ok.org/y"), (3, "nope")],
+        "id long, url string"))
+    kept = sorted(r["id"] for r in
+                  urls.filter_blocked_domains("url", ["bad.com"]).collect())
+    assert kept == [2, 3]
+
+
 def test_with_url_parts_psl(spark):
     d = TimeSeriesDataFrame(spark.createDataFrame(
         [(1, "https://foo.bar.ne.jp/x"), (2, "https://Shop.Example.COM.AU/y")],

@@ -534,6 +534,41 @@ object QueriesLLM {
         .select("q_id", "n_id", "rank")
         .orderBy("q_id", "rank")
     }),
+    // Quality-aware dedup: among near-duplicates keep the BEST copy
+    // (highest quality score, ties -> smallest id) instead of the
+    // smallest id — the real-pipeline representative policy.
+    "dedup_keep_best" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minHashDedupPairs(d, "doc_id", "text",
+        numHashes = 128, bands = 16, shingleSize = 3, threshold = 0.5)
+      Dedup.dedupByClustersKeepBest(
+        d.withColumn("q", TextStats.qualityScore(F.col("text"))),
+        "doc_id", pairs, "q")
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+    // C4-style token blocklist audit: per-doc hit count + keep flag,
+    // one kernel pass (the stopword-counting kernel with the blocklist
+    // as its word set).
+    "doc_blocklist" -> ((s, dir) => {
+      val hits = TextStats.blocklistHits(F.col("text"),
+        Seq("slow", "stale", "merge"))
+      docs(s, dir).select(F.col("doc_id"), hits.as("n_blocked"),
+        (hits === 0).as("keep")).orderBy("doc_id")
+    }),
+    // Web-corpus domain blocklist over the constructed URLs: rows on
+    // blocked registrable domains drop, everything else (including
+    // URL-less rows) survives.
+    "url_blocklist" -> ((s, dir) =>
+      Urls.filterBlockedDomains(docs(s, dir).withColumn("url", docUrl),
+          "url", Seq("site3.com", "site7.co.uk", "site12.com"))
+        .select("doc_id", "source").orderBy("doc_id")),
+    // CCNet-style per-source quality tertiles: head/middle/tail by exact
+    // R-7 quantile cutpoints within each source.
+    "quality_buckets" -> ((s, dir) =>
+      TextStats.qualityBuckets(
+          docs(s, dir).withColumn("q", TextStats.qualityScore(F.col("text"))),
+          "source", "q")
+        .select("doc_id", "source", "bucket").orderBy("doc_id")),
     // Asymmetric-distance top-k over the PQ-compressed corpus: queries
     // stay exact, corpus side is its codebook reconstruction — the scan
     // reads m codes instead of the raw vector (the 100 TB story).
@@ -971,6 +1006,56 @@ object QueriesLLM {
       """SELECT token, count(*) AS cnt FROM (
            SELECT unnest(string_split(text, ' ')) AS token FROM documents)
          GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE
+         d AS (
+           SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+               for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         e0 AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM d a JOIN d b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.5),
+         und AS (SELECT id_a AS src, id_b AS dst FROM e0
+                 UNION ALL SELECT id_b, id_a FROM e0),
+         comp(id, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT u.dst, c.lbl FROM comp c JOIN und u ON u.src = c.id),
+         lab AS (SELECT id, min(lbl) AS lbl FROM comp GROUP BY id),
+         q AS (SELECT doc_id, $qualityExprSql AS q FROM documents),
+         best AS (SELECT id FROM (
+             SELECT lab.id, row_number() OVER (PARTITION BY lab.lbl
+               ORDER BY q.q DESC, lab.id ASC) AS rn
+             FROM lab JOIN q ON q.doc_id = lab.id) WHERE rn = 1)
+         SELECT doc_id, source FROM documents JOIN best ON doc_id = best.id
+         ORDER BY doc_id""",
+    "doc_blocklist" ->
+      """SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '),
+           t -> t IN ('slow', 'stale', 'merge'))) AS INTEGER) AS n_blocked,
+         len(list_filter(string_split(text, ' '),
+           t -> t IN ('slow', 'stale', 'merge'))) = 0 AS keep
+         FROM documents ORDER BY doc_id""",
+    "url_blocklist" -> {
+      val dom = domainSql(hostSql(docUrlSql))
+      s"""WITH d AS (SELECT doc_id, source, $dom AS dom FROM documents)
+         SELECT doc_id, source FROM d
+         WHERE dom IS NULL
+            OR dom NOT IN ('site3.com', 'site7.co.uk', 'site12.com')
+         ORDER BY doc_id"""
+    },
+    "quality_buckets" ->
+      s"""WITH q AS (SELECT doc_id, source, $qualityExprSql AS q FROM documents),
+         c AS (SELECT source, quantile_cont(q, 1.0/3) AS c1,
+                 quantile_cont(q, 2.0/3) AS c2
+               FROM q GROUP BY source)
+         SELECT doc_id, q.source,
+           CASE WHEN q.q >= c.c2 THEN 'head'
+                WHEN q.q >= c.c1 THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM q JOIN c ON q.source = c.source ORDER BY doc_id""",
     "near_dup_jaccard" ->
       """WITH d AS (SELECT source, doc_id,
             list_sort(list_distinct(string_split(text, ' '))) AS ws FROM documents)

@@ -312,6 +312,31 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** [[dedupByClusters]] with a QUALITY-AWARE representative: per
+    * connected component, keep the member with the highest `scoreCol`
+    * (ties → smallest id) instead of the smallest id — the real-pipeline
+    * policy ("among near-duplicates, keep the best copy"). Scale shape
+    * is unchanged: one [[dupClusters]] pass over ids only, then a
+    * map-side-combinable `max_by` per cluster over the (id, score)
+    * projection and a semi-join back; the corpus is never sorted and
+    * never rides the cluster computation. Null scores lose to any
+    * non-null score (and among all-null clusters the smallest id wins). */
+  def dedupByClustersKeepBest(df: DataFrame, idCol: String, pairs: DataFrame,
+                              scoreCol: String,
+                              aCol: String = "id_a",
+                              bCol: String = "id_b"): DataFrame = {
+    val labeled = dupClusters(df.select(idCol), pairs, idCol, aCol, bCol)
+      .join(df.select(F.col(idCol), F.col(scoreCol).cast("double").as("__s")),
+        Seq(idCol))
+    // max_by over (score, -id): highest score wins, ties take the
+    // smallest id; nulls-first struct ordering makes null scores lose
+    val keep = labeled.groupBy("cluster_id")
+      .agg(F.max_by(F.col(idCol),
+        F.struct(F.col("__s"), (-F.col(idCol)).as("__negid"))).as(idCol))
+      .select(idCol)
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** Exact n-gram (word-set) Jaccard similarity pairs within a blocking key
     * (e.g. source): a grouped self-join, the exact blocked-comparison
     * baseline. Exact semantics by default: every row of every block

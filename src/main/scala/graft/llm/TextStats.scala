@@ -161,6 +161,15 @@ object TextStats {
     flags :+ ("keep" -> flags.map(_._2).reduce(_ && _))
   }
 
+  /** Count of whitespace tokens found in `words` (case-sensitive) — the
+    * C4-style "bad words" blocklist signal, one kernel pass per row (the
+    * same single-pass token-statistics kernel the stopword counter uses,
+    * with the blocklist as the word set). Pair with `=== 0` for the keep
+    * decision, or report the count for auditing. */
+  def blocklistHits(text: Column, words: Seq[String]): Column =
+    org.apache.spark.sql.graft.GraftColumns.docTokenStats(text, words)
+      .getField("n_stop")
+
   /** [[hardFilterFlags]] applied to a corpus frame: input columns plus one
     * boolean column per rule and `keep`. */
   def hardFilter(df: org.apache.spark.sql.DataFrame, textCol: String,
@@ -274,4 +283,38 @@ object TextStats {
       .groupBy("token").agg(F.count(F.lit(1)).as("cnt"))
       .orderBy(F.col("cnt").desc, F.col("token"))
       .limit(k)
+
+  /**
+   * CCNet-style per-stratum quality bucketing: append a `bucket` column
+   * labeling each row `head` (score ≥ the stratum's `f2` quantile),
+   * `middle` (≥ `f1`) or `tail`, with exact R-7 (linear-interpolation)
+   * quantile cutpoints computed WITHIN the row's stratum — the standard
+   * "keep the best third per language/source" mix step.
+   *
+   * Scale shape: one aggregation computes the 2·|strata| cutpoints
+   * (model parameters, broadcast back), one codegen'd scan labels the
+   * corpus; no sort, no window. The exact percentile buffers each
+   * stratum's scores in the cutpoint aggregation (same caveat as
+   * `Summarizers.quantile`) — swap in approx_percentile there if strata
+   * outgrow executor memory; labeling is unchanged. Null scores get a
+   * null bucket; null strata form their own stratum (null-safe join).
+   */
+  def qualityBuckets(df: org.apache.spark.sql.DataFrame, strataCol: String,
+                     scoreCol: String, f1: Double = 1.0 / 3,
+                     f2: Double = 2.0 / 3): org.apache.spark.sql.DataFrame = {
+    require(f1 >= 0 && f2 >= f1 && f2 <= 1, s"need 0 <= f1 <= f2 <= 1")
+    require(!df.columns.contains("bucket"),
+      "qualityBuckets: input already has a bucket column")
+    val sc = F.col(scoreCol).cast("double")
+    val cuts = df.groupBy(F.col(strataCol).as("__qb_s"))
+      .agg(F.percentile(sc, F.lit(f1)).as("__qb_c1"),
+        F.percentile(sc, F.lit(f2)).as("__qb_c2"))
+    df.join(F.broadcast(cuts), F.col(strataCol) <=> F.col("__qb_s"), "left")
+      .withColumn("bucket",
+        F.when(sc.isNotNull,
+          F.when(sc >= F.col("__qb_c2"), "head")
+            .when(sc >= F.col("__qb_c1"), "middle")
+            .otherwise("tail")))
+      .drop("__qb_s", "__qb_c1", "__qb_c2")
+  }
 }

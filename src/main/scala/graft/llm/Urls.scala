@@ -93,6 +93,22 @@ object Urls {
     * smallest-hash winners) — the "no domain dominates the mix" guard.
     * Delegates to [[Sampling.quotaPerStratum]]'s two-pass threshold
     * selection, so hot domains never serialize through one task. */
+  /** Drop rows whose registrable domain is on a blocklist — the standard
+    * web-corpus domain filter. Rows without a parseable URL host (null
+    * domain) SURVIVE: a missing URL is not evidence of a blocked source,
+    * and silent drops there would eat every non-web document. Pure
+    * codegen'd scan; pass `suffixes` to resolve domains against a public
+    * suffix set (default = the heuristic [[registrableDomain]]). */
+  def filterBlockedDomains(df: DataFrame, urlCol: String,
+                           blocked: Seq[String],
+                           suffixes: Seq[String] = Seq.empty): DataFrame = {
+    require(blocked.nonEmpty, "filterBlockedDomains: empty blocklist")
+    val dom =
+      if (suffixes.isEmpty) registrableDomain(host(F.col(urlCol)))
+      else registrableDomain(host(F.col(urlCol)), suffixes)
+    df.filter(dom.isNull || !dom.isin(blocked.map(x => x: Any): _*))
+  }
+
   def capPerDomain(df: DataFrame, idCol: String, urlCol: String, n: Int,
                    seed: Long = 42L,
                    suffixes: Seq[String] = Seq.empty): DataFrame = {

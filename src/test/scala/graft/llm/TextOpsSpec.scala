@@ -143,6 +143,44 @@ class TextOpsSpec extends SparkTestBase {
       .foreach(f => out(0).getAs[Boolean](f) shouldBe true)
   }
 
+  behavior of "blocklistHits"
+
+  it should "count blocklisted tokens case-sensitively in one pass" in {
+    val d = Seq(
+      (1L, "a bad day with bad words"),
+      (2L, "all clean here"),
+      (3L, "Bad is not bad")) // case-sensitive: only lowercase counts
+      .toDF("doc_id", "text")
+    val out = d.select($"doc_id",
+      TextStats.blocklistHits($"text", Seq("bad", "worse")).as("n"))
+      .orderBy("doc_id").collect().map(_.getInt(1))
+    out shouldBe Array(2, 0, 1)
+  }
+
+  behavior of "qualityBuckets"
+
+  it should "bucket per stratum by exact quantile cutpoints" in {
+    // scores 1..9 per stratum: tertile cuts at R-7 interpolation; 'b' is
+    // shifted so cutpoints are clearly per-stratum
+    val rows = (1 to 9).map(i => (i.toLong, "a", i.toDouble)) ++
+      (1 to 9).map(i => (i.toLong + 100, "b", i + 100.0))
+    val out = TextStats.qualityBuckets(rows.toDF("id", "src", "q"),
+      "src", "q")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // R-7 cuts for 1..9 at 1/3 and 2/3: c1 = 3.6667, c2 = 6.3333
+    (1 to 3).foreach(i => out(i.toLong) shouldBe "tail")
+    (4 to 6).foreach(i => out(i.toLong) shouldBe "middle")
+    (7 to 9).foreach(i => out(i.toLong) shouldBe "head")
+    (107 to 109).foreach(i => out(i.toLong) shouldBe "head")
+    // null score -> null bucket; null stratum is its own group
+    val withNull = Seq((1L, Some("a"), Some(1.0)), (2L, Some("a"), None),
+      (3L, None: Option[String], Some(5.0))).toDF("id", "src", "q")
+    val nb = TextStats.qualityBuckets(withNull, "src", "q")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    nb(2L) shouldBe None
+    nb(3L) shouldBe Some("head") // sole member of the null stratum
+  }
+
   behavior of "Pii"
 
   it should "count and redact emails, IPv4 addresses and phone numbers" in {

@@ -76,6 +76,25 @@ class UrlSpec extends SparkTestBase {
     out.toSet shouldBe Set("https://a.com/path")
   }
 
+  behavior of "filterBlockedDomains"
+
+  it should "drop blocked registrable domains and keep URL-less rows" in {
+    val d = Seq(
+      (1L, "https://www.bad.com/x"),
+      (2L, "https://sub.bad.com/y"),      // same registrable domain
+      (3L, "https://good.org/z"),
+      (4L, "not a url"),                  // null host -> survives
+      (5L, "https://evil.ne.jp/w"))
+      .toDF("id", "url")
+    Urls.filterBlockedDomains(d, "url", Seq("bad.com"))
+      .select("id").as[Long].collect().sorted shouldBe Array(3L, 4L, 5L)
+    // with a public-suffix set, ne.jp groups at three labels
+    Urls.filterBlockedDomains(d, "url", Seq("evil.ne.jp"),
+        suffixes = Seq("com", "org", "ne.jp"))
+      .select("id").as[Long].collect().sorted shouldBe
+      Array(1L, 2L, 3L, 4L)
+  }
+
   behavior of "dedupByUrl"
 
   it should "keep the smallest id per normalized URL" in {
