@@ -463,6 +463,27 @@ class TimeSeriesDataFrame(DataFrame):
             self._jdf, url_col, _jlist(self.sparkSession, list(blocked)),
             _jlist(self.sparkSession, list(suffixes))))
 
+    def unigram_model(self, text_col, top_k):
+        """Train a bounded unigram LM: ([(token, lp_micro)], oov_lp_micro)
+        with quantized integer micro-nat logprobs (order-independent exact
+        score sums)."""
+        jm = _api(self).unigramModel(self._jdf, text_col, top_k)
+        return [(p[0], int(p[1])) for p in jm[0]], int(jm[1])
+
+    def unigram_score(self, text_col, model, oov_lp):
+        """Append ``lp_micro``: the document's unigram LM score in integer
+        micro-nats (CCNet-style corpus-likeness signal; more negative =
+        less corpus-like)."""
+        jvm = self.sparkSession._jvm
+        jv = jvm.java.util.ArrayList()
+        for t, l in model:
+            jp = jvm.java.util.ArrayList()
+            jp.add(t)
+            jp.add(int(l))
+            jv.add(jp)
+        return self._with(_api(self).unigramScore(
+            self._jdf, text_col, jv, int(oov_lp)))
+
     def pii_redact(self, text_col):
         """Replace emails / IPv4s / phone numbers in ``text_col`` with
         <EMAIL> / <IP> / <PHONE> tokens (portable regexes, one scan)."""

@@ -725,6 +725,19 @@ def test_round10_pipeline_ops(spark):
     assert kept == [2, 3]
 
 
+def test_unigram_model_and_score(spark):
+    import math
+    d = TimeSeriesDataFrame(spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "id long, text string"))
+    model, oov = d.unigram_model("text", 2)
+    q = lambda p: round(math.log(p) * 1e6)
+    assert model == [("a", q(3 / 5)), ("b", q(1 / 5))]
+    assert oov == q(1 / 5)
+    scores = {r["id"]: r["lp_micro"]
+              for r in d.unigram_score("text", model, oov).collect()}
+    assert scores == {1: 2 * q(3 / 5) + q(1 / 5), 2: q(3 / 5) + q(1 / 5)}
+
+
 def test_with_url_parts_psl(spark):
     d = TimeSeriesDataFrame(spark.createDataFrame(
         [(1, "https://foo.bar.ne.jp/x"), (2, "https://Shop.Example.COM.AU/y")],

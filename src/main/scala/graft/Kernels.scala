@@ -844,6 +844,40 @@ object Kernels {
   }
 
   /**
+   * Unigram language-model score of single-space-tokenized text, in
+   * integer MICRO-NATS: Σ over tokens of `lp(token)` (the model's
+   * quantized log-probability, `round(ln(p)·1e6)` as long), with
+   * `defaultLp` for out-of-vocabulary tokens. Integer accumulation makes
+   * the score bit-identical on any engine and any summation order — the
+   * property that lets a SQL oracle (or a second cluster) reproduce the
+   * exact value, where double summation would drift by ulps in a
+   * different order. One token walk per row, no allocation beyond the
+   * substring lookups.
+   */
+  def unigramScore(u: org.apache.spark.unsafe.types.UTF8String,
+                   lp: java.util.HashMap[String, java.lang.Long],
+                   defaultLp: Long, maxTokenLen: Int): Long = {
+    val s = u.toString
+    val n = s.length
+    var total = 0L
+    var tokStart = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        var v = defaultLp
+        if (i - tokStart <= maxTokenLen) {
+          val hit = lp.get(s.substring(tokStart, i))
+          if (hit != null) v = hit.longValue()
+        }
+        total += v
+        tokStart = i + 1
+      }
+      i += 1
+    }
+    total
+  }
+
+  /**
    * Registrable domain (eTLD+1) of a lowercased host under a
    * caller-supplied public-suffix set: the LONGEST label-boundary tail of
    * the host found in `suffixes` keeps one extra label; a host whose tail

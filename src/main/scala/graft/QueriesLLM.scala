@@ -534,6 +534,16 @@ object QueriesLLM {
         .select("q_id", "n_id", "rank")
         .orderBy("q_id", "rank")
     }),
+    // CCNet-style unigram LM scoring: train a 50-token model on the
+    // corpus (quantized integer micro-nat logprobs -> order-independent
+    // exact sums), score every document with the OOV floor for the tail.
+    "doc_unigram_lp" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val (model, oov) = TextStats.unigramModel(d, "text", topK = 50)
+      d.select(F.col("doc_id"),
+          TextStats.unigramScore(F.col("text"), model, oov).as("lp_micro"))
+        .orderBy("doc_id")
+    }),
     // Quality-aware dedup: among near-duplicates keep the BEST copy
     // (highest quality score, ties -> smallest id) instead of the
     // smallest id — the real-pipeline representative policy.
@@ -1031,6 +1041,22 @@ object QueriesLLM {
              FROM lab JOIN q ON q.doc_id = lab.id) WHERE rn = 1)
          SELECT doc_id, source FROM documents JOIN best ON doc_id = best.id
          ORDER BY doc_id""",
+    "doc_unigram_lp" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+           FROM documents),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+         vc AS (SELECT t, count(*) AS c FROM tok
+                GROUP BY t ORDER BY c DESC, t LIMIT 50),
+         lp AS (SELECT t,
+             CAST(round(ln(CAST(c AS DOUBLE) / (SELECT n FROM tot))
+               * 1000000.0) AS BIGINT) AS l
+           FROM vc),
+         oov AS (SELECT CAST(round(ln(1.0 / (SELECT n FROM tot))
+               * 1000000.0) AS BIGINT) AS l)
+         SELECT doc_id,
+           CAST(sum(COALESCE(lp.l, (SELECT l FROM oov))) AS BIGINT) AS lp_micro
+         FROM tok LEFT JOIN lp ON tok.t = lp.t
+         GROUP BY doc_id ORDER BY doc_id""",
     "doc_blocklist" ->
       """SELECT doc_id,
          CAST(len(list_filter(string_split(text, ' '),

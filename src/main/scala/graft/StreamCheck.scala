@@ -308,6 +308,21 @@ object StreamCheck {
       (runStream("sc_stateless", ev, 4)(build), build(evDF).collect().toSeq)
     }
 
+    record("stateless_quality_kernels") {
+      // round-10 kernels on the firehose: blocklist hits + unigram LM
+      // score are pure per-row kernels (the model rides the closure as
+      // broadcast parameters), so streaming output must equal the batch
+      // run row for row
+      val model = Seq("click" -> -100000L, "view" -> -250000L)
+      val build = (df: DataFrame) => df
+        .withColumn("n_blocked",
+          graft.llm.TextStats.blocklistHits(F.col("event_type"), Seq("click")))
+        .withColumn("lp_micro",
+          graft.llm.TextStats.unigramScore(F.col("event_type"), model,
+            oovLp = -900000L))
+      (runStream("sc_kernels", ev, 4)(build), build(evDF).collect().toSeq)
+    }
+
     record("future_left_join_stream") {
       val stream = runJoinStream("sc_future_asof", clicks, purchasesDeduped, 4)(
         (l, r) => StreamingOps.futureLeftJoinStream(l, r, tolerance = "6h",

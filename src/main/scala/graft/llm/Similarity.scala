@@ -78,6 +78,15 @@ object Similarity {
    * need after deriving k from the count. `cap` bounds every partial
    * buffer (map-side combinable), so the job collects model parameters,
    * never data.
+   *
+   * Byte trade-off vs the two-job split (metadata-cheap `count()` +
+   * id-pruned seed collect): this form reads the (id, vec) projection
+   * once. Prefer the split when seed ids are CLUSTERED in storage (the
+   * filtered collect then prunes whole row groups and reads almost
+   * nothing); prefer this one-job form when ids are scattered (pruning
+   * buys nothing and the filtered scan decodes the id column everywhere
+   * anyway) or when per-job scheduling overhead dominates, as it does for
+   * recipe pre-passes over already-cached or soon-to-be-scanned corpora.
    */
   def countAndSeeds(df: DataFrame, idCol: String, vecCol: String,
                     cap: Int = 4096): (Long, Seq[(Long, Seq[Float])]) = {

@@ -285,6 +285,46 @@ object TextStats {
       .limit(k)
 
   /**
+   * Train a bounded unigram language model on a corpus: the `topK`
+   * most-frequent whitespace tokens (ties → token asc, the [[topKTokens]]
+   * order) with quantized log-probabilities `round(ln(count/total)·1e6)`
+   * in integer MICRO-NATS, plus the out-of-vocabulary floor
+   * `round(ln(1/total)·1e6)`. `total` counts EVERY token (not just the
+   * kept vocabulary), so probabilities are true corpus frequencies.
+   *
+   * Quantization is the portability design (same as the quantized
+   * k-means): scores are integer SUMS of these values, bit-identical on
+   * any engine and any summation order — a float logprob sum would drift
+   * by ulps across summation orders and break exact cross-engine checks.
+   *
+   * Scale shape: one token-count aggregation (map-side combinable) with a
+   * driver-merged top-k — the model is `topK` parameters, never data.
+   * Returns (vocab logprobs, oovLp).
+   */
+  def unigramModel(df: org.apache.spark.sql.DataFrame, textCol: String,
+                   topK: Int): (Seq[(String, Long)], Long) = {
+    require(topK >= 1, "topK must be >= 1")
+    val counted = df.select(F.explode(tokens(F.col(textCol))).as("token"))
+      .groupBy("token").agg(F.count(F.lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = counted.agg(F.sum("cnt")).head().getLong(0)
+    val vocab = counted.orderBy(F.col("cnt").desc, F.col("token"))
+      .limit(topK).collect()
+      .map(r => r.getString(0) ->
+        math.round(math.log(r.getLong(1).toDouble / total.toDouble) * 1e6))
+    counted.unpersist(blocking = false)
+    (vocab.toSeq, math.round(math.log(1.0 / total.toDouble) * 1e6))
+  }
+
+  /** Unigram LM score of a document in integer micro-nats (Σ quantized
+    * token logprobs; OOV tokens take the floor) — one kernel pass per
+    * row. More negative = less corpus-like; divide by [[tokenCount]] and
+    * `exp(-x/1e6)` for a perplexity. The CCNet-style quality signal. */
+  def unigramScore(text: Column, model: Seq[(String, Long)],
+                   oovLp: Long): Column =
+    org.apache.spark.sql.graft.GraftColumns.unigramScore(text, model, oovLp)
+
+  /**
    * CCNet-style per-stratum quality bucketing: append a `bucket` column
    * labeling each row `head` (score ≥ the stratum's `f2` quantile),
    * `middle` (≥ `f1`) or `tail`, with exact R-7 (linear-interpolation)

@@ -427,6 +427,31 @@ object PyApi {
                      f1: Double, f2: Double): DataFrame =
     graft.llm.TextStats.qualityBuckets(df, strataCol, scoreCol, f1, f2)
 
+  /** Bounded unigram LM: returns [vocab as a list of [token, lpMicro]
+    * pairs, oovLpMicro]. */
+  def unigramModel(df: DataFrame, textCol: String,
+                   topK: Int): JList[Object] = {
+    val (m, oov) = graft.llm.TextStats.unigramModel(df, textCol, topK)
+    val vocab = new java.util.ArrayList[Object]()
+    m.foreach { case (t, l) =>
+      val p = new java.util.ArrayList[Object]()
+      p.add(t); p.add(java.lang.Long.valueOf(l)); vocab.add(p)
+    }
+    val out = new java.util.ArrayList[Object]()
+    out.add(vocab); out.add(java.lang.Long.valueOf(oov))
+    out
+  }
+
+  /** Append lp_micro: the integer micro-nat unigram score. */
+  def unigramScore(df: DataFrame, textCol: String,
+                   vocab: JList[JList[Object]], oovLp: Long): DataFrame = {
+    val model = vocab.asScala.toSeq.map(p =>
+      (p.get(0).asInstanceOf[String],
+        p.get(1).asInstanceOf[java.lang.Number].longValue()))
+    df.withColumn("lp_micro",
+      graft.llm.TextStats.unigramScore(F.col(textCol), model, oovLp))
+  }
+
   def piiRedact(df: DataFrame, textCol: String): DataFrame =
     df.withColumn(textCol,
       graft.llm.Pii.scrub(F.col(textCol)).getField("redacted"))

@@ -86,6 +86,12 @@ object GraftColumns {
                      cjkLabel: Option[String]): Column =
     col(StopwordLangId(ex(text), langWords, cjkLabel))
 
+  /** Integer micro-nat unigram LM score against a (token, quantized
+    * logprob) model; OOV tokens take `defaultLp`. */
+  def unigramScore(text: Column, model: Seq[(String, Long)],
+                   defaultLp: Long): Column =
+    col(UnigramScore(ex(text), model, defaultLp))
+
   /** Registrable domain under a caller-supplied public-suffix set
     * (longest listed label-boundary tail + 1 label). */
   def registrableDomainPsl(host: Column, suffixes: Seq[String]): Column =
@@ -498,6 +504,35 @@ case class StopwordLangId(child: Expression,
  * pass count and removing the regex engine's per-position prefix scans is
  * the difference between linear and superlinear cost in token run length.
  */
+/** Integer micro-nat unigram LM score (graft.Kernels.unigramScore): one
+  * token walk per row against a hashed (token -> quantized logprob)
+  * model; OOV tokens take `defaultLp`. */
+case class UnigramScore(child: Expression, model: Seq[(String, Long)],
+                        defaultLp: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  @transient private lazy val lpMap: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    model.foreach { case (t, v) => m.put(t, java.lang.Long.valueOf(v)) }
+    m
+  }
+  @transient private lazy val maxTokenLen: Int =
+    if (model.isEmpty) 0 else model.map(_._1.length).max
+  override protected def nullSafeEval(input: Any): Any =
+    graft.Kernels.unigramScore(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      lpMap, defaultLp, maxTokenLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapRef = ctx.addReferenceObj("lpMap", lpMap, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.Kernels.unigramScore($c, $mapRef, ${defaultLp}L, $maxTokenLen);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): UnigramScore =
+    copy(child = newChild)
+}
+
 /** Registrable domain (eTLD+1) under a caller-supplied public-suffix set —
   * one right-to-left label walk per row against a hashed suffix set
   * (graft.Kernels.registrableDomain); lookups bounded by the deepest

@@ -284,6 +284,25 @@ class PlanShapeSpec extends SparkTestBase {
     } shouldBe empty
   }
 
+  it should "plan quality bucketing as one cutpoint agg + broadcast label scan" in {
+    val docs = Seq((1L, "a", 0.1), (2L, "a", 0.9), (3L, "b", 0.5))
+      .toDF("id", "src", "q")
+    val out = graft.llm.TextStats.qualityBuckets(docs, "src", "q")
+    // cutpoints: one partial/final aggregation exchange; labeling: a
+    // broadcast join back — never a sort or per-stratum window
+    exchanges(out) shouldBe 1
+    globalSorts(out) shouldBe 0
+    cartesians(out) shouldBe 0
+    plan(out).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    } shouldBe empty
+    // blocklist + unigram kernels stay pure scans
+    val scan = docs.select(
+      graft.llm.TextStats.blocklistHits(F.col("src"), Seq("x")),
+      graft.llm.TextStats.unigramScore(F.col("src"), Seq("a" -> -1L), -2L))
+    exchanges(scan) shouldBe 0
+  }
+
   it should "plan duplicateSpans' final span aggregate on the window's partitioning" in {
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("id", "text")
     val spans = graft.llm.Dedup.duplicateSpans(docs, "id", "text", 3)

@@ -157,6 +157,27 @@ class TextOpsSpec extends SparkTestBase {
     out shouldBe Array(2, 0, 1)
   }
 
+  behavior of "unigramModel / unigramScore"
+
+  it should "train quantized logprobs and score with the OOV floor" in {
+    val d = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val (model, oov) = TextStats.unigramModel(d, "text", topK = 2)
+    // tokens: a:3, b:1, c:1, total 5; top-2 = a, then b (count tie -> asc)
+    def q(p: Double) = math.round(math.log(p) * 1e6)
+    model shouldBe Seq("a" -> q(3.0 / 5), "b" -> q(1.0 / 5))
+    oov shouldBe q(1.0 / 5)
+    val scores = d.select($"doc_id",
+      TextStats.unigramScore($"text", model, oov).as("lp"))
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    scores(0) shouldBe 2 * q(3.0 / 5) + q(1.0 / 5)       // a a b
+    scores(1) shouldBe q(3.0 / 5) + q(1.0 / 5)           // a + OOV c
+    // integer sums are partition-order independent by construction
+    val scores8 = d.repartition(8).select($"doc_id",
+      TextStats.unigramScore($"text", model, oov).as("lp"))
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    scores8 shouldBe scores
+  }
+
   behavior of "qualityBuckets"
 
   it should "bucket per stratum by exact quantile cutpoints" in {
