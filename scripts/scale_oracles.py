@@ -40,7 +40,7 @@ import pandas as pd
 # queries this module replaces at scale, in dependency order
 SCALE_INVARIANT = [
     "dedup_minhash_lsh", "near_dup_jaccard",
-    "dedup_clusters", "dedup_keep_docs",
+    "dedup_clusters", "dedup_keep_docs", "dedup_keep_best",
     "ema_rows_es_current_core", "ema_rows_ewma_legacy", "skew_ema_rows_ewma",
 ]
 
@@ -228,6 +228,36 @@ def check_dedup_keep_docs(con, out_dir):
     return None
 
 
+def check_dedup_keep_best(con, out_dir):
+    """Exact keep-best check from two independently verified dumps: the
+    minhash pair list (components) and doc_quality (the scores, whose own
+    oracle is linear and runs exactly at scale)."""
+    err = _dump(out_dir, "dedup_keep_best", con, "got_kb")
+    if err:
+        return err
+    err = _dump(out_dir, "doc_quality", con, "got_dq")
+    if err:
+        return err
+    err = _components(con, out_dir)
+    if err:
+        return err
+    missing, extra = con.execute("""
+        WITH best AS (
+          SELECT doc_id FROM (
+            SELECT r.doc_id, row_number() OVER (PARTITION BY r.cluster_id
+              ORDER BY q.quality DESC, r.doc_id ASC) AS rn
+            FROM comp_ref r JOIN got_dq q USING (doc_id)) WHERE rn = 1)
+        SELECT
+          (SELECT count(*) FROM best
+             WHERE doc_id NOT IN (SELECT doc_id FROM got_kb)),
+          (SELECT count(*) FROM got_kb
+             WHERE doc_id NOT IN (SELECT doc_id FROM best))""").fetchone()
+    if missing or extra:
+        return f"keep-best set: {missing} best-copies missing, " \
+               f"{extra} non-best kept"
+    return None
+
+
 # ------------------------------------------------------------------ EMA
 
 _K = math.log(1.0 - 0.05)
@@ -363,6 +393,7 @@ def run(name, con, out_dir, sf_dir):
         "near_dup_jaccard": lambda: check_near_dup_jaccard(con, out_dir),
         "dedup_clusters": lambda: check_dedup_clusters(con, out_dir),
         "dedup_keep_docs": lambda: check_dedup_keep_docs(con, out_dir),
+        "dedup_keep_best": lambda: check_dedup_keep_best(con, out_dir),
         "ema_rows_es_current_core":
             lambda: check_ema_rows_es_current_core(con, out_dir, sf_dir),
         "ema_rows_ewma_legacy":

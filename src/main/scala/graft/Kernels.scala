@@ -878,6 +878,32 @@ object Kernels {
   }
 
   /**
+   * Heuristic registrable domain of a lowercased host (the zero-config
+   * default): last two labels, or last three when the penultimate label
+   * is a registry second-level label ([[graft.llm.Urls.SecondLevelLabels]]);
+   * single-label hosts pass through. Semantics identical to the
+   * split/element_at Column form it replaces — the kernel exists so the
+   * host subtree is evaluated ONCE per row (a filter predicate built on
+   * the expression form re-evaluates the regex-heavy host extraction per
+   * split() occurrence; FilterExec codegen has no subexpression
+   * elimination).
+   */
+  def registrableDomainHeuristic(host: org.apache.spark.unsafe.types.UTF8String,
+                                 labels: java.util.HashSet[String]): org.apache.spark.unsafe.types.UTF8String = {
+    val s = host.toString
+    val last = s.lastIndexOf('.')
+    if (last < 0) return host // single label
+    val prev = s.lastIndexOf('.', last - 1)
+    val penult = s.substring(prev + 1, last)
+    if (prev >= 0 && labels.contains(penult)) {
+      val prev2 = s.lastIndexOf('.', prev - 1)
+      org.apache.spark.unsafe.types.UTF8String.fromString(s.substring(prev2 + 1))
+    } else {
+      org.apache.spark.unsafe.types.UTF8String.fromString(s.substring(prev + 1))
+    }
+  }
+
+  /**
    * Registrable domain (eTLD+1) of a lowercased host under a
    * caller-supplied public-suffix set: the LONGEST label-boundary tail of
    * the host found in `suffixes` keeps one extra label; a host whose tail

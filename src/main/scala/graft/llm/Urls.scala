@@ -53,18 +53,12 @@ object Urls {
   /** Heuristic registrable domain (eTLD+1): the last two labels of the
     * host, or the last three when the penultimate label is a well-known
     * registry label ([[SecondLevelLabels]]). Hosts with fewer labels pass
-    * through unchanged. */
-  def registrableDomain(hostCol: Column): Column = {
-    val parts = F.split(hostCol, "\\.")
-    val n = F.size(parts)
-    def lastK(k: Int) =
-      F.array_join(F.slice(parts, n - k + 1, F.lit(k)), ".")
-    F.when(n >= 3 &&
-        F.element_at(parts, -2).isin(SecondLevelLabels.map(x => x: Any): _*),
-        lastK(3))
-      .when(n >= 2, lastK(2))
-      .otherwise(hostCol)
-  }
+    * through unchanged. One kernel call per row, so the (regex-heavy)
+    * host child is evaluated once even inside filter predicates, where
+    * codegen has no subexpression elimination. */
+  def registrableDomain(hostCol: Column): Column =
+    org.apache.spark.sql.graft.GraftColumns.registrableDomainHeuristic(
+      hostCol, SecondLevelLabels)
 
   /** Canonical URL for exact dedup: lowercase the whole URL (hosts are
     * case-insensitive; lowercasing paths too is the usual dedup-recall
@@ -103,10 +97,15 @@ object Urls {
                            blocked: Seq[String],
                            suffixes: Seq[String] = Seq.empty): DataFrame = {
     require(blocked.nonEmpty, "filterBlockedDomains: empty blocklist")
+    require(!blocked.contains(""), "filterBlockedDomains: empty-string entry")
     val dom =
       if (suffixes.isEmpty) registrableDomain(host(F.col(urlCol)))
       else registrableDomain(host(F.col(urlCol)), suffixes)
-    df.filter(dom.isNull || !dom.isin(blocked.map(x => x: Any): _*))
+    // single occurrence of the domain subtree: coalesce folds the
+    // null-survives rule into one isin (codegen evaluates a filter
+    // predicate's subtrees once per occurrence, with no elimination)
+    df.filter(!F.coalesce(dom, F.lit(""))
+      .isin(blocked.map(x => x: Any): _*))
   }
 
   def capPerDomain(df: DataFrame, idCol: String, urlCol: String, n: Int,

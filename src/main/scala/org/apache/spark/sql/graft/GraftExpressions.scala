@@ -86,6 +86,11 @@ object GraftColumns {
                      cjkLabel: Option[String]): Column =
     col(StopwordLangId(ex(text), langWords, cjkLabel))
 
+  /** Heuristic registrable domain (single kernel call; host child
+    * evaluated once per row). */
+  def registrableDomainHeuristic(host: Column, labels: Seq[String]): Column =
+    col(RegistrableDomainHeuristic(ex(host), labels))
+
   /** Integer micro-nat unigram LM score against a (token, quantized
     * logprob) model; OOV tokens take `defaultLp`. */
   def unigramScore(text: Column, model: Seq[(String, Long)],
@@ -530,6 +535,31 @@ case class UnigramScore(child: Expression, model: Seq[(String, Long)],
       s"${ev.value} = graft.Kernels.unigramScore($c, $mapRef, ${defaultLp}L, $maxTokenLen);")
   }
   override protected def withNewChildInternal(newChild: Expression): UnigramScore =
+    copy(child = newChild)
+}
+
+/** Heuristic registrable domain (last 2 labels, or 3 under a registry
+  * second-level label) — one kernel call per row, so the host child is
+  * evaluated once (graft.Kernels.registrableDomainHeuristic). */
+case class RegistrableDomainHeuristic(child: Expression, labels: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  @transient private lazy val labelSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    labels.foreach(s.add)
+    s
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    graft.Kernels.registrableDomainHeuristic(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], labelSet)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("labelSet", labelSet, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.Kernels.registrableDomainHeuristic($c, $setRef);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): RegistrableDomainHeuristic =
     copy(child = newChild)
 }
 
