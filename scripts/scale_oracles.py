@@ -169,8 +169,16 @@ def check_near_dup_jaccard(con, out_dir):
     return None
 
 
+_comp_done = set()
+
+
 def _components(con, out_dir):
-    """Exact components over the engine's verified minhash pair dump."""
+    """Exact components over the engine's verified minhash pair dump
+    (computed once per (connection, out_dir); three check functions
+    share the comp_ref table)."""
+    key = (id(con), out_dir)
+    if key in _comp_done:
+        return None
     err = _dump(out_dir, "dedup_minhash_lsh", con, "edges_mh")
     if err:
         return err
@@ -184,6 +192,7 @@ def _components(con, out_dir):
           UNION
           SELECT u.d, c.lbl FROM comp c JOIN und u ON u.s = c.id)
         SELECT id AS doc_id, min(lbl) AS cluster_id FROM comp GROUP BY id""")
+    _comp_done.add(key)
     return None
 
 
@@ -361,7 +370,9 @@ def _check_ema(sf_dir, out_dir, name, key_col, compute, val_col):
     if len(m) != len(ev):
         return f"row count {len(m)} != {len(ev)}"
     diff = (m[val_col] - m["__ref"].round(4)).abs()
-    bad = int((diff > 2e-4).sum())
+    # ~(x <= tol) so NaN in the dump (or the recompute) counts as BAD —
+    # `diff > tol` is False for NaN and would wave a corrupted dump through
+    bad = int((~(diff <= 2e-4)).sum())
     if bad:
         w = m.loc[diff.idxmax()]
         return (f"{bad} rows beyond 2e-4 of the sequential recurrence "

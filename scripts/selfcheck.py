@@ -19,17 +19,21 @@ Usage: selfcheck.py <sfDir> <verifyOutDir> [--scale-invariants]
                     own summation order shifts by a few ulp on enlarged
                     inputs). Default 0 = exact.
 """
+import argparse
 import sys, json, glob, os
 import duckdb
 import pandas as pd
 import numpy as np
 
-args = [a for a in sys.argv[1:] if not a.startswith("--")]
-sf_dir, out_dir = args[0], args[1]
-scale_mode = "--scale-invariants" in sys.argv
-rel_tol = 0.0
-if "--rel-tol" in sys.argv:
-    rel_tol = float(sys.argv[sys.argv.index("--rel-tol") + 1])
+_ap = argparse.ArgumentParser()
+_ap.add_argument("sf_dir")
+_ap.add_argument("out_dir")
+_ap.add_argument("--scale-invariants", action="store_true")
+_ap.add_argument("--rel-tol", type=float, default=0.0)
+_args = _ap.parse_args()
+sf_dir, out_dir = _args.sf_dir, _args.out_dir
+scale_mode = _args.scale_invariants
+rel_tol = _args.rel_tol
 
 con = duckdb.connect()
 for p in glob.glob(f"{sf_dir}/*.parquet"):
@@ -48,8 +52,6 @@ for name in sorted(os.listdir(out_dir)):
     d = os.path.join(out_dir, name)
     if not os.path.isdir(d):
         continue
-    files = glob.glob(f"{d}/*.parquet")
-    got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
     if scale_mode and name in scale_oracles.SCALE_INVARIANT:
         if progress:
             import time
@@ -67,6 +69,8 @@ for name in sorted(os.listdir(out_dir)):
         else:
             ok.append(name)
         continue
+    files = glob.glob(f"{d}/*.parquet")
+    got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
     if name not in oracle:
         skip.append((name, len(got)))
         continue
@@ -89,8 +93,13 @@ for name in sorted(os.listdir(out_dir)):
     if len(got) != len(exp):
         fail.append((name, f"row count differ: got {len(got)} exp {len(exp)}"))
         continue
-    g = got.sort_values(list(got.columns)).reset_index(drop=True)
-    e = exp.sort_values(list(exp.columns)).reset_index(drop=True)
+    # Sort by non-float columns FIRST: in --rel-tol mode, a float column
+    # that happens to sort first (e.g. 'cosine' before 'id_a') would order
+    # rows by the very values allowed to drift by ulps, misaligning row
+    # pairs between got and exp exactly when the tolerance is needed.
+    sort_cols = sorted(got.columns, key=lambda c: (got[c].dtype.kind == "f", c))
+    g = got.sort_values(sort_cols).reset_index(drop=True)
+    e = exp.sort_values(sort_cols).reset_index(drop=True)
     mismatch = None
     for c in g.columns:
         gv, ev = g[c], e[c]

@@ -316,11 +316,14 @@ object Dedup {
     * connected component, keep the member with the highest `scoreCol`
     * (ties → smallest id) instead of the smallest id — the real-pipeline
     * policy ("among near-duplicates, keep the best copy"). Scale shape
-    * is unchanged: one [[dupClusters]] pass over ids only, then a
-    * map-side-combinable `max_by` per cluster over the (id, score)
-    * projection and a semi-join back; the corpus is never sorted and
-    * never rides the cluster computation. Null scores lose to any
-    * non-null score (and among all-null clusters the smallest id wins). */
+    * is unchanged: one [[dupClusters]] pass over ids only, then two
+    * map-side-combinable aggregations on the cluster key over the
+    * (id, score) projection and a semi-join back; the corpus is never
+    * sorted and never rides the cluster computation. Works for any
+    * orderable id type (numeric or string). Null scores lose to any
+    * non-null score (and among all-null clusters the smallest id wins);
+    * NaN scores win over finite ones (Spark's max total order) —
+    * deterministic, but feed real scores. */
   def dedupByClustersKeepBest(df: DataFrame, idCol: String, pairs: DataFrame,
                               scoreCol: String,
                               aCol: String = "id_a",
@@ -328,11 +331,16 @@ object Dedup {
     val labeled = dupClusters(df.select(idCol), pairs, idCol, aCol, bCol)
       .join(df.select(F.col(idCol), F.col(scoreCol).cast("double").as("__s")),
         Seq(idCol))
-    // max_by over (score, -id): highest score wins, ties take the
-    // smallest id; nulls-first struct ordering makes null scores lose
-    val keep = labeled.groupBy("cluster_id")
-      .agg(F.max_by(F.col(idCol),
-        F.struct(F.col("__s"), (-F.col(idCol)).as("__negid"))).as(idCol))
+    // per-cluster max score, then min id among the rows achieving it —
+    // two aggregations on the SAME cluster_id key (the join + second
+    // groupBy reuse the first exchange's partitioning), and min(id) works
+    // for any orderable id type, numeric or string. max ignores nulls, so
+    // null scores lose; an all-null cluster has a null max and the
+    // null-safe filter keeps its (all-null) rows for the min-id pick.
+    val best = labeled.groupBy("cluster_id").agg(F.max("__s").as("__ms"))
+    val keep = labeled.join(best, Seq("cluster_id"))
+      .filter(F.col("__s") <=> F.col("__ms"))
+      .groupBy("cluster_id").agg(F.min(idCol).as(idCol))
       .select(idCol)
     df.join(keep, Seq(idCol), "left_semi")
   }

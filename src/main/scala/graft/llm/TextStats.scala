@@ -307,7 +307,10 @@ object TextStats {
     val counted = df.select(F.explode(tokens(F.col(textCol))).as("token"))
       .groupBy("token").agg(F.count(F.lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val total = counted.agg(F.sum("cnt")).head().getLong(0)
+    val totalRow = counted.agg(F.sum("cnt")).head()
+    require(!totalRow.isNullAt(0) && totalRow.getLong(0) > 0L,
+      "unigramModel: corpus has no tokens")
+    val total = totalRow.getLong(0)
     val vocab = counted.orderBy(F.col("cnt").desc, F.col("token"))
       .limit(topK).collect()
       .map(r => r.getString(0) ->

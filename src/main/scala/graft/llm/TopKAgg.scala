@@ -49,9 +49,15 @@ object TopKAgg {
   def topKUdaf(k: Int, idType: DataType): UserDefinedFunction = idType match {
     case LongType    => make[Long](k, idType)
     case IntegerType => make[Int](k, idType)
+    case ShortType   => make[Short](k, idType)
+    case ByteType    => make[Byte](k, idType)
+    case DoubleType  => make[Double](k, idType)
+    case FloatType   => make[Float](k, idType)
     case StringType  => make[String](k, idType)
     case other => throw new IllegalArgumentException(
-      s"top-k id column must be long, int or string; got $other")
+      s"top-k id column must be an integral, floating or string type; " +
+        s"got $other — cast the id column (e.g. decimal/binary ids to " +
+        "string) before searching")
   }
 
   private def make[T: Ordering: ClassTag: TypeTag](

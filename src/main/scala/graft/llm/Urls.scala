@@ -83,10 +83,6 @@ object Urls {
         "left_semi")
   }
 
-  /** Cap each registrable domain's row count at `n` (deterministic
-    * smallest-hash winners) — the "no domain dominates the mix" guard.
-    * Delegates to [[Sampling.quotaPerStratum]]'s two-pass threshold
-    * selection, so hot domains never serialize through one task. */
   /** Drop rows whose registrable domain is on a blocklist — the standard
     * web-corpus domain filter. Rows without a parseable URL host (null
     * domain) SURVIVE: a missing URL is not evidence of a blocked source,
@@ -108,6 +104,10 @@ object Urls {
       .isin(blocked.map(x => x: Any): _*))
   }
 
+  /** Cap each registrable domain's row count at `n` (deterministic
+    * smallest-hash winners) — the "no domain dominates the mix" guard.
+    * Delegates to [[Sampling.quotaPerStratum]]'s two-pass threshold
+    * selection, so hot domains never serialize through one task. */
   def capPerDomain(df: DataFrame, idCol: String, urlCol: String, n: Int,
                    seed: Long = 42L,
                    suffixes: Seq[String] = Seq.empty): DataFrame = {

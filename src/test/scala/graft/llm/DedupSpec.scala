@@ -242,6 +242,13 @@ class DedupSpec extends SparkTestBase {
     Dedup.dedupByClustersKeepBest(withNull, "doc_id",
         Seq((1L, 2L)).toDF("id_a", "id_b"), "q")
       .collect().map(_.getLong(0)) shouldBe Array(1L)
+    // string ids work too (ties -> lexicographically smallest id)
+    val s = Seq(("a", 0.1), ("b", 0.9), ("c", 0.9), ("z", 0.0))
+      .toDF("doc_id", "q")
+    Dedup.dedupByClustersKeepBest(s, "doc_id",
+        Seq(("a", "b"), ("b", "c")).toDF("id_a", "id_b"), "q")
+      .orderBy("doc_id").collect().map(_.getString(0)) shouldBe
+      Array("b", "z")
   }
 
   behavior of "kmeansCells"
