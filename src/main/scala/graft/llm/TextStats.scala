@@ -338,20 +338,26 @@ object TextStats {
    * (model parameters, broadcast back), one codegen'd scan labels the
    * corpus; no sort, no window. The exact percentile buffers each
    * stratum's scores in the cutpoint aggregation (same caveat as
-   * `Summarizers.quantile`) — swap in approx_percentile there if strata
-   * outgrow executor memory; labeling is unchanged. Null scores get a
-   * null bucket; null strata form their own stratum (null-safe join).
+   * `Summarizers.quantile`); pass `approxAccuracy > 0` to use Spark's
+   * bounded-memory approx_percentile sketch for the cutpoints instead
+   * (O(accuracy) state per stratum, map-side combinable — the 100 TB
+   * path; rank error ≈ 1/accuracy, labeling unchanged). Null scores get
+   * a null bucket; null strata form their own stratum (null-safe join).
    */
   def qualityBuckets(df: org.apache.spark.sql.DataFrame, strataCol: String,
                      scoreCol: String, f1: Double = 1.0 / 3,
-                     f2: Double = 2.0 / 3): org.apache.spark.sql.DataFrame = {
+                     f2: Double = 2.0 / 3,
+                     approxAccuracy: Int = 0): org.apache.spark.sql.DataFrame = {
     require(f1 >= 0 && f2 >= f1 && f2 <= 1, s"need 0 <= f1 <= f2 <= 1")
     require(!df.columns.contains("bucket"),
       "qualityBuckets: input already has a bucket column")
     val sc = F.col(scoreCol).cast("double")
+    def cut(p: Double) =
+      if (approxAccuracy > 0)
+        F.approx_percentile(sc, F.lit(p), F.lit(approxAccuracy)).cast("double")
+      else F.percentile(sc, F.lit(p))
     val cuts = df.groupBy(F.col(strataCol).as("__qb_s"))
-      .agg(F.percentile(sc, F.lit(f1)).as("__qb_c1"),
-        F.percentile(sc, F.lit(f2)).as("__qb_c2"))
+      .agg(cut(f1).as("__qb_c1"), cut(f2).as("__qb_c2"))
     df.join(F.broadcast(cuts), F.col(strataCol) <=> F.col("__qb_s"), "left")
       .withColumn("bucket",
         F.when(sc.isNotNull,

@@ -200,6 +200,19 @@ class TextOpsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
     nb(2L) shouldBe None
     nb(3L) shouldBe Some("head") // sole member of the null stratum
+    // the bounded-sketch cutpoint path returns DATA values (no R-7
+    // interpolation), so boundary labels may shift by one rank — assert
+    // the invariant that holds: buckets are score-monotone per stratum
+    // and all three appear
+    val approx = TextStats.qualityBuckets(rows.toDF("id", "src", "q"),
+      "src", "q", approxAccuracy = 10000)
+      .collect().map(r => (r.getString(1), r.getDouble(2), r.getString(3)))
+    approx.groupBy(_._1).values.foreach { g =>
+      def scores(b: String) = g.filter(_._3 == b).map(_._2)
+      Seq("tail", "middle", "head").foreach(b => scores(b) should not be empty)
+      scores("head").min should be >= scores("middle").max
+      scores("middle").min should be >= scores("tail").max
+    }
   }
 
   behavior of "Pii"
