@@ -24,7 +24,15 @@ Python UDF, no row shipping).
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.classic.column import Column
+
+# The JVM-handle Column constructor moved to pyspark.sql.classic.column in
+# PySpark 4 (classic, non-Connect mode — the only mode that can wrap a raw
+# JVM Column, which these kernel bindings require). Fall back to the
+# pre-4.0 location so the module imports on 3.5 too.
+try:
+    from pyspark.sql.classic.column import Column
+except ImportError:  # PySpark < 4.0
+    from pyspark.sql.column import Column
 
 __all__ = ["lang_id", "quality_score", "token_count", "bpe_token_count"]
 

@@ -44,12 +44,25 @@ object Sampling {
   /** Seed salt mixed into [[assignSplits]]' draw so split assignment is
     * decorrelated from any threshold sample taken with the same base
     * seed (see the chaining contract on [[hashUnit]]). Mirrored by the
-    * oracle SQL. */
+    * oracle SQL.
+    *
+    * UPGRADE BOUNDARY: the salts were introduced after the first release
+    * of these operators, so an unchanged (id, seed) maps to a DIFFERENT
+    * split/shuffle position than under the pre-salt code — corpora built
+    * against the pre-salt version get reassigned on upgrade. The
+    * "a row's split never changes" stability promise holds within a salt
+    * era, not across it. Because the salt is mixed ADDITIVELY into the
+    * seed (`seed + SplitSalt`), pinned pipelines that must reproduce
+    * pre-salt assignments can pass `seed - SplitSalt`
+    * (resp. `seed - ShuffleSalt`) — the draw is then bit-identical to the
+    * old release; new pipelines should accept the one-time reassignment
+    * for the decorrelation guarantee. */
   val SplitSalt = 4000037L
 
   /** Seed salt mixed into [[shufflePositions]]' sort key — same
-    * decorrelation rationale as [[SplitSalt]] (an unsalted shuffle would
-    * front-load every prior sample's survivors). */
+    * decorrelation rationale and upgrade-boundary / reproduction note as
+    * [[SplitSalt]] (an unsalted shuffle would front-load every prior
+    * sample's survivors). */
   val ShuffleSalt = 5000011L
 
   /** Seeded Bernoulli sample: keep rows with `hashUnit(id) < rate`.

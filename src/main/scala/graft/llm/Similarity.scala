@@ -87,9 +87,27 @@ object Similarity {
    * buys nothing and the filtered scan decodes the id column everywhere
    * anyway) or when per-job scheduling overhead dominates, as it does for
    * recipe pre-passes over already-cached or soon-to-be-scanned corpora.
+   *
+   * The id column must be an integral type (byte/short/int/long) — a
+   * string or decimal id would silently become null under the long cast
+   * and be skipped by the seed collection, returning a correct count with
+   * a partial seed list; that failure mode is rejected up front instead.
+   * Seed ids are additionally assumed NON-NEGATIVE by callers that use
+   * "all ids < k are among the cap smallest" as a coverage guard
+   * (`QueriesLLM.sqrtCells`); negative ids still collect correctly here
+   * but break that caller-side fallback reasoning.
    */
   def countAndSeeds(df: DataFrame, idCol: String, vecCol: String,
                     cap: Int = 4096): (Long, Seq[(Long, Seq[Float])]) = {
+    import org.apache.spark.sql.types._
+    df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"countAndSeeds id column '$idCol' must be integral " +
+          s"(byte/short/int/long); got $other — cast or re-key the id " +
+          "column before seeding (a lossy silent cast would yield a " +
+          "partial seed list)")
+    }
     val seeds = SeedsAgg.seedsUdaf(cap)
     val row = df.select(F.col(idCol).cast("long").as("id"),
         F.col(vecCol).cast("array<float>").as("vec"))

@@ -34,12 +34,17 @@ final case class TopKBuf[T](size: Int, ids: Array[T], scores: Array[Double])
  * |candidates| rows to k × partitions × |queries| and no single task ever
  * holds more than k entries per query.
  *
- * Ordering matches the window it replaced exactly: score DESC, id ASC on
- * ties — a total order (ids are unique), so results are bit-identical to
- * the `row_number` form. Rows with a null id or null score are skipped;
- * NaN scores are ranked last (a sorting window would rank them first —
- * Spark and DuckDB both treat NaN as the largest double — but a NaN
- * cosine means a zero-norm vector, which is a caller contract violation).
+ * Ordering matches the window it replaced exactly for non-NaN scores:
+ * score DESC, id ASC on ties — a total order (ids are unique), so results
+ * are bit-identical to the `row_number` form. Rows with a null id or null
+ * score are skipped. NaN scores ARE ranked — strictly below every real
+ * score (including -Infinity), NaN-vs-NaN ties broken by id ASC — so the
+ * order stays total and the result is partition-invariant even when a
+ * zero-norm corpus vector yields a NaN cosine. This is the one deliberate
+ * deviation from a sorting window, which would rank NaN FIRST (Spark and
+ * DuckDB both treat NaN as the largest double); a NaN cosine means a
+ * zero-norm vector, i.e. a caller contract violation, so "worst match"
+ * is the useful ranking for it.
  */
 object TopKAgg {
 
@@ -133,9 +138,16 @@ private[llm] class TopKAgg[T](k: Int)(
     extends Aggregator[Row, TopKBuf[T], TopHits[T]] {
   require(k >= 1, "k must be >= 1")
 
-  /** Strict total order: does (s1, i1) outrank (s2, i2)? */
+  /** Strict total order: does (s1, i1) outrank (s2, i2)? Primitive `>`/
+    * `==` for the non-NaN fast path (bit-identical to the row_number
+    * window this replaced), with NaN pinned below every real score —
+    * NaN-vs-NaN falls through to the id tiebreak — so the order stays
+    * total and merge results cannot depend on partial-buffer arrival
+    * order. */
   private def better(s1: Double, i1: T, s2: Double, i2: T): Boolean =
-    s1 > s2 || (s1 == s2 && ord.lt(i1, i2))
+    if (s1.isNaN || s2.isNaN) {
+      if (s1.isNaN && s2.isNaN) ord.lt(i1, i2) else s2.isNaN
+    } else s1 > s2 || (s1 == s2 && ord.lt(i1, i2))
 
   def zero: TopKBuf[T] = TopKBuf(0, new Array[T](k), new Array[Double](k))
 

@@ -108,6 +108,35 @@ class AqeParitySpec extends SparkTestBase {
         .repartition(4)
       graft.llm.Dedup.dupClusters(ids, pairs, "doc_id")
     })
+    // round-10 groupBy-shaped operators: AQE re-plans their exchanges
+    // (coalescing, broadcast conversion) — results must not move
+    val docs = (0L until 120L).map { i =>
+      (i, s"s${i % 4}",
+        s"w${i % 9} w${i % 5} the of w${i % 3} and w${i % 7} w${i % 2}",
+        math.sin(i * 0.61) * 10 + (i % 6))
+    }.toDF("id", "source", "text", "score").repartition(5)
+    val dupPairs = (0L until 40L).map(i => (3 * i, 3 * i + 1))
+      .toDF("id_a", "id_b").repartition(4)
+    parity("dedupByClustersKeepBest")(() =>
+      graft.llm.Dedup.dedupByClustersKeepBest(docs, "id", dupPairs, "score"))
+    parity("qualityBuckets/exact")(() =>
+      graft.llm.TextStats.qualityBuckets(docs, "source", "score"))
+    parity("qualityBuckets/sketch")(() =>
+      graft.llm.TextStats.qualityBuckets(docs, "source", "score",
+        approxAccuracy = 1000))
+    parity("unigramModel+Score")(() => {
+      val (model, total) = graft.llm.TextStats.unigramModel(docs, "text", 8)
+      val oov = math.round(math.log(0.5 / total.toDouble) * 1e6)
+      docs.select(F2.col("id"),
+        graft.llm.TextStats.unigramScore(F2.col("text"), model, oov).as("lp"))
+    })
+    parity("blocklist+psl")(() => {
+      val urls = (0L until 90L)
+        .map(i => (i, s"https://a${i % 5}.b${i % 3}.example.co.uk/p/$i"))
+        .toDF("id", "url").repartition(6)
+      graft.llm.Urls.filterBlockedDomains(urls, "url",
+        blocked = Seq("b1.example.co.uk"), suffixes = Seq("co.uk", "uk"))
+    })
   }
 
   private val F2 = org.apache.spark.sql.functions

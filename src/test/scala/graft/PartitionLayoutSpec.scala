@@ -152,4 +152,50 @@ class PartitionLayoutSpec extends SparkTestBase {
     invariant("addLagSum")(() =>
       WindowOps.addLagSum(data, "v", "1d", "12h", Seq("k")))
   }
+
+  it should "produce identical keep-best / bucket / LM / blocklist results" in {
+    // the round-10 groupBy-shaped operators: keep-best dedup (two aggs on
+    // one cluster_id partitioning), quality buckets (cutpoint agg +
+    // broadcast-back label scan), the unigram-LM train/score pair (token
+    // agg + driver-merged top-k model), and the blocklist/PSL scans
+    val docs = (0L until 120L).map { i =>
+      (i, s"s${i % 4}",
+        s"w${i % 9} w${i % 5} the of w${i % 3} and w${i % 7} w${i % 2}",
+        math.sin(i * 0.61) * 10 + (i % 6))
+    }.toDF("id", "source", "text", "score").repartition(5)
+    val pairs = (0L until 40L).map(i => (3 * i, 3 * i + 1))
+      .toDF("id_a", "id_b").repartition(4)
+    invariant("dedupByClustersKeepBest")(() =>
+      graft.llm.Dedup.dedupByClustersKeepBest(docs, "id", pairs, "score"))
+    invariant("qualityBuckets/exact")(() =>
+      graft.llm.TextStats.qualityBuckets(docs, "source", "score"))
+    invariant("qualityBuckets/sketch")(() =>
+      graft.llm.TextStats.qualityBuckets(docs, "source", "score",
+        approxAccuracy = 1000))
+    invariant("unigramModel+Score")(() => {
+      // trains INSIDE the closure: the token aggregation and the
+      // micro-nat top-k model must themselves be layout-invariant
+      val (model, total) = graft.llm.TextStats.unigramModel(docs, "text", 8)
+      val oov = math.round(math.log(0.5 / total.toDouble) * 1e6)
+      docs.select(org.apache.spark.sql.functions.col("id"),
+        graft.llm.TextStats.unigramScore(
+          org.apache.spark.sql.functions.col("text"), model, oov).as("lp"))
+    })
+    invariant("blocklistHits")(() =>
+      docs.select(org.apache.spark.sql.functions.col("id"),
+        graft.llm.TextStats.blocklistHits(
+          org.apache.spark.sql.functions.col("text"),
+          Seq("w1", "w2", "the")).as("hits")))
+    val urls = (0L until 90L)
+      .map(i => (i, s"https://a${i % 5}.b${i % 3}.example.co.uk/p/$i"))
+      .toDF("id", "url").repartition(6)
+    invariant("registrableDomain/psl")(() =>
+      urls.select(org.apache.spark.sql.functions.col("id"),
+        graft.llm.Urls.registrableDomain(
+          graft.llm.Urls.host(org.apache.spark.sql.functions.col("url")),
+          Seq("co.uk", "uk", "com")).as("dom")))
+    invariant("filterBlockedDomains")(() =>
+      graft.llm.Urls.filterBlockedDomains(urls, "url",
+        blocked = Seq("b1.example.co.uk"), suffixes = Seq("co.uk", "uk")))
+  }
 }
