@@ -449,11 +449,18 @@ class TimeSeriesDataFrame(DataFrame):
         return self._with(_api(self).blocklistAudit(
             self._jdf, text_col, _jlist(self.sparkSession, list(words))))
 
-    def quality_buckets(self, strata_col, score_col, f1=1.0 / 3, f2=2.0 / 3):
-        """Append ``bucket`` = head/middle/tail by exact per-stratum R-7
-        quantile cutpoints of ``score_col`` (CCNet-style mix step)."""
+    def quality_buckets(self, strata_col, score_col, f1=1.0 / 3, f2=2.0 / 3,
+                        approx_accuracy=0):
+        """Append ``bucket`` = head/middle/tail by per-stratum quantile
+        cutpoints of ``score_col`` (CCNet-style mix step). Cutpoints are
+        exact R-7 by default; pass ``approx_accuracy > 0`` to compute them
+        with the bounded-memory approx_percentile sketch instead (rank
+        error ~ 1/accuracy, O(accuracy) state per stratum — the 100 TB
+        path; the exact path buffers each stratum's scores in one
+        aggregation buffer)."""
         return self._with(_api(self).qualityBuckets(
-            self._jdf, strata_col, score_col, float(f1), float(f2)))
+            self._jdf, strata_col, score_col, float(f1), float(f2),
+            int(approx_accuracy)))
 
     def filter_blocked_domains(self, url_col, blocked, suffixes=()):
         """Drop rows whose registrable domain is blocklisted; URL-less

@@ -712,6 +712,14 @@ def test_round10_pipeline_ops(spark):
     buckets = {r["id"]: r["bucket"]
                for r in docs.quality_buckets("src", "q").collect()}
     assert buckets[2] == "head" and buckets[1] == "tail"
+    # sketch-cutpoint path (the bounded-memory 100 TB form): the sketch
+    # returns a SAMPLE element as the cutpoint (no R-7 interpolation), so
+    # the floor row may land one bucket higher than the exact path; the
+    # top row is unambiguous and the floor row can never be head
+    sk = {r["id"]: r["bucket"]
+          for r in docs.quality_buckets("src", "q",
+                                        approx_accuracy=10000).collect()}
+    assert sk[2] == "head" and sk[1] in ("tail", "middle")
     pairs = TimeSeriesDataFrame(spark.createDataFrame(
         [(1, 2)], "id_a long, id_b long"))
     best = sorted(r["id"] for r in

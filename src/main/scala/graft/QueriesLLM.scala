@@ -579,6 +579,43 @@ object QueriesLLM {
           docs(s, dir).withColumn("q", TextStats.qualityScore(F.col("text"))),
           "source", "q")
         .select("doc_id", "source", "bucket").orderBy("doc_id")),
+    // Driver-visible check of the bounded-sketch cutpoint path (the
+    // documented 100 TB form of qualityBuckets): label the corpus twice —
+    // exact R-7 cutpoints and approx_percentile(accuracy) cutpoints — and
+    // assert per (stratum, bucket) that the sketch's bucket count is
+    // within the sketch's rank-error bound of the exact count. The bound
+    // is 2·(⌈n/accuracy⌉ + max_atom + 2): one ⌈εn⌉+atom+2 window per
+    // cutpoint (GK rank error ≤ εn, a tied-score atom can sit astride
+    // either cutpoint, ±2 for the R-7 interpolation position), and the
+    // middle bucket is bounded by BOTH cutpoints. The oracle predicts
+    // `within_bound = true` over the full stratum × bucket grid — an
+    // invariant that holds for ANY valid GK sketch state, so the row hash
+    // is deterministic even though the sketch's merge order is not.
+    "quality_buckets_sketch" -> ((s, dir) => {
+      import s.implicits._
+      val acc = 100
+      val d = docs(s, dir)
+        .select(F.col("doc_id"), F.col("source"),
+          TextStats.qualityScore(F.col("text")).as("q"))
+      val exact = TextStats.qualityBuckets(d, "source", "q")
+        .groupBy("source", "bucket").agg(F.count(F.lit(1)).as("n_e"))
+      val sketch = TextStats
+        .qualityBuckets(d, "source", "q", approxAccuracy = acc)
+        .groupBy("source", "bucket").agg(F.count(F.lit(1)).as("n_s"))
+      val strata = d.groupBy("source", "q").agg(F.count(F.lit(1)).as("na"))
+        .groupBy("source")
+        .agg(F.max("na").as("max_atom"), F.sum("na").as("n_rows"))
+      val grid = strata.crossJoin(
+        Seq("head", "middle", "tail").toDF("bucket"))
+      grid.join(exact, Seq("source", "bucket"), "left")
+        .join(sketch, Seq("source", "bucket"), "left")
+        .select(F.col("source"), F.col("bucket"), F.col("n_rows"),
+          (F.abs(F.coalesce(F.col("n_s"), F.lit(0L)) -
+              F.coalesce(F.col("n_e"), F.lit(0L))) <=
+            F.lit(2L) * (F.ceil(F.col("n_rows").cast("double") / acc) +
+              F.col("max_atom") + F.lit(2L))).as("within_bound"))
+        .orderBy("source", "bucket")
+    }),
     // Asymmetric-distance top-k over the PQ-compressed corpus: queries
     // stay exact, corpus side is its codebook reconstruction — the scan
     // reads m codes instead of the raw vector (the 100 TB story).
@@ -1082,6 +1119,15 @@ object QueriesLLM {
                 WHEN q.q >= c.c1 THEN 'middle'
                 ELSE 'tail' END AS bucket
          FROM q JOIN c ON q.source = c.source ORDER BY doc_id""",
+    // the invariant holds for any valid sketch state, so the oracle is
+    // the constant-true stratum × bucket grid (plus the stratum size,
+    // which pins the grid to the real corpus)
+    "quality_buckets_sketch" ->
+      """SELECT s.source, b.bucket, s.n_rows, true AS within_bound
+         FROM (SELECT source, count(*) AS n_rows FROM documents
+               GROUP BY source) s
+         CROSS JOIN (SELECT unnest(['head','middle','tail']) AS bucket) b
+         ORDER BY s.source, b.bucket""",
     "near_dup_jaccard" ->
       """WITH d AS (SELECT source, doc_id,
             list_sort(list_distinct(string_split(text, ' '))) AS ws FROM documents)

@@ -424,8 +424,9 @@ object PyApi {
       seq(suffixes))
 
   def qualityBuckets(df: DataFrame, strataCol: String, scoreCol: String,
-                     f1: Double, f2: Double): DataFrame =
-    graft.llm.TextStats.qualityBuckets(df, strataCol, scoreCol, f1, f2)
+                     f1: Double, f2: Double, approxAccuracy: Int): DataFrame =
+    graft.llm.TextStats.qualityBuckets(df, strataCol, scoreCol, f1, f2,
+      approxAccuracy)
 
   /** Bounded unigram LM: returns [vocab as a list of [token, lpMicro]
     * pairs, oovLpMicro]. */
