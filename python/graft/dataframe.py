@@ -462,6 +462,22 @@ class TimeSeriesDataFrame(DataFrame):
             self._jdf, strata_col, score_col, float(f1), float(f2),
             int(approx_accuracy)))
 
+    def strip_boilerplate(self, id_col, group_col, text_col, min_docs=2):
+        """Delete every line of ``text_col`` that repeats across at least
+        ``min_docs`` distinct documents of the same ``group_col`` group
+        (CCNet/RefinedWeb-style per-domain line dedup); surviving lines
+        keep their order, fully-boilerplate docs become empty strings."""
+        return self._with(_api(self).stripBoilerplate(
+            self._jdf, id_col, group_col, text_col, int(min_docs)))
+
+    def tfidf_top_terms(self, id_col, text_col, k):
+        """Top-``k`` terms per document by tf-idf with integer micro-nat
+        idf quantization (bit-exact ranking on any engine), finished by
+        the bounded-k heap aggregation. Returns (id, term, rank,
+        score_micro)."""
+        return self._with(_api(self).tfidfTopTerms(
+            self._jdf, id_col, text_col, int(k)))
+
     def filter_blocked_domains(self, url_col, blocked, suffixes=()):
         """Drop rows whose registrable domain is blocklisted; URL-less
         rows survive. ``suffixes`` optionally resolves domains against a

@@ -733,6 +733,24 @@ def test_round10_pipeline_ops(spark):
     assert kept == [2, 3]
 
 
+def test_round11_boilerplate_and_tfidf(spark):
+    docs = TimeSeriesDataFrame(spark.createDataFrame(
+        [(1, "d", "NAV\nbody one"), (2, "d", "NAV\nbody two"),
+         (3, "d", "solo text")],
+        "id long, dom string, text string"))
+    stripped = {r["id"]: r["text"]
+                for r in docs.strip_boilerplate("id", "dom", "text",
+                                                min_docs=2).collect()}
+    assert stripped == {1: "body one", 2: "body two", 3: "solo text"}
+    top = [(r["id"], r["rank"], r["term"])
+           for r in docs.tfidf_top_terms("id", "text", 1)
+                        .orderBy("id").collect()]
+    # terms split on single spaces, so "NAV\nbody" is one (shared, low-idf)
+    # token; each doc's unique word wins its top slot ("solo" < "text" on
+    # the doc-3 tie)
+    assert top == [(1, 1, "one"), (2, 1, "two"), (3, 1, "solo")]
+
+
 def test_unigram_model_and_score(spark):
     import math
     d = TimeSeriesDataFrame(spark.createDataFrame(

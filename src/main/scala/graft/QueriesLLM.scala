@@ -616,6 +616,27 @@ object QueriesLLM {
               F.col("max_atom") + F.lit(2L))).as("within_bound"))
         .orderBy("source", "bucket")
     }),
+    // Line-level boilerplate removal: constructed nav/footer lines (a
+    // per-(doc_id%7) nav menu + a per-source copyright footer wrapped
+    // around the real text, the docUrl construction pattern) are stripped
+    // wherever they repeat across >= 5 distinct documents of a source,
+    // with surviving lines preserved in order.
+    "strip_boilerplate" -> ((s, dir) => {
+      val d = docs(s, dir).select(F.col("doc_id"), F.col("source"),
+        F.concat(F.lit("NAV home|about site"),
+          F.pmod(F.col("doc_id"), F.lit(7L)).cast("string"),
+          F.lit("\n"), F.col("text"),
+          F.lit("\ncopyright "), F.col("source")).as("text"))
+      TextStats.stripBoilerplate(d, "doc_id", "source", "text", minDocs = 5)
+        .select("doc_id", "text").orderBy("doc_id")
+    }),
+    // Per-document top-5 tf-idf terms through the bounded-k heap finisher
+    // with STRING ids (the string branch of TopKAgg, driver-visible):
+    // integer micro-nat idf quantization makes tf·idf an exact integer,
+    // so ranking is bit-identical to the oracle's window form.
+    "tfidf_top_terms" -> ((s, dir) =>
+      TextStats.tfidfTopTerms(docs(s, dir), "doc_id", "text", k = 5)
+        .orderBy("doc_id", "rank")),
     // Asymmetric-distance top-k over the PQ-compressed corpus: queries
     // stay exact, corpus side is its codebook reconstruction — the scan
     // reads m codes instead of the raw vector (the 100 TB story).
@@ -1119,6 +1140,41 @@ object QueriesLLM {
                 WHEN q.q >= c.c1 THEN 'middle'
                 ELSE 'tail' END AS bucket
          FROM q JOIN c ON q.source = c.source ORDER BY doc_id""",
+    "strip_boilerplate" ->
+      """WITH d AS (SELECT doc_id, source,
+           'NAV home|about site' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+             text || chr(10) || 'copyright ' || source AS text
+           FROM documents),
+         l AS (SELECT doc_id, source,
+                 unnest(string_split(text, chr(10))) AS line FROM d),
+         b AS (SELECT source, line FROM (
+                 SELECT source, line, count(DISTINCT doc_id) AS nd
+                 FROM l GROUP BY 1, 2) WHERE nd >= 5),
+         bl AS (SELECT source, list(line) AS bad FROM b GROUP BY source)
+         SELECT d.doc_id,
+           array_to_string(list_filter(string_split(d.text, chr(10)),
+             x -> coalesce(NOT list_contains(bl.bad, x), true)), chr(10))
+             AS text
+         FROM d LEFT JOIN bl ON d.source = bl.source
+         ORDER BY d.doc_id""",
+    "tfidf_top_terms" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+         tt AS (SELECT doc_id, term, count(*) AS tf FROM t
+                WHERE term <> '' GROUP BY 1, 2),
+         df_ AS (SELECT term, count(DISTINCT doc_id) AS df FROM t
+                 WHERE term <> '' GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         s AS (SELECT tt.doc_id, tt.term, tt.tf *
+                 CAST(round(ln((n.n + 1.0) / (df_.df + 1.0)) * 1e6 + 1e6)
+                      AS BIGINT) AS score_micro
+               FROM tt JOIN df_ USING (term) CROSS JOIN n),
+         r AS (SELECT doc_id, term, score_micro,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score_micro DESC, term) AS INTEGER) AS rank
+               FROM s)
+         SELECT doc_id, term, rank, score_micro FROM r WHERE rank <= 5
+         ORDER BY doc_id, rank""",
     // the invariant holds for any valid sketch state, so the oracle is
     // the constant-true stratum × bucket grid (plus the stratum size,
     // which pins the grid to the real corpus)

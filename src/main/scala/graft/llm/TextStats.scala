@@ -366,4 +366,91 @@ object TextStats {
             .otherwise("tail")))
       .drop("__qb_s", "__qb_c1", "__qb_c2")
   }
+
+  /**
+   * Line-level boilerplate removal (the CCNet/RefinedWeb line-dedup pass):
+   * within each group (typically the registrable domain or source), a LINE
+   * is boilerplate when it occurs in at least `minDocs` distinct documents
+   * of the group — navigation menus, cookie banners, copyright footers —
+   * and every occurrence of such a line is deleted from `textCol`,
+   * preserving the order of the surviving lines. Documents reduced to
+   * nothing keep their row with an empty string (callers chain a hard
+   * min-length filter). Rows with a null text pass through unchanged.
+   *
+   * Scale shape: one line explode (linear in corpus bytes), one
+   * (group, line) aggregation whose distinct-doc count is a two-phase
+   * hash agg, one equi-join of the lines against the boilerplate set on
+   * the same (group, line) key, and one per-document reassembly agg
+   * bounded by document size. No window, no sort wider than a document,
+   * no driver-side state — the boilerplate set stays distributed (at
+   * 100 TB the per-domain line table is far beyond a broadcast).
+   */
+  def stripBoilerplate(df: DataFrame, idCol: String, groupCol: String,
+                       textCol: String, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = df
+      .select(F.col(idCol), F.col(groupCol).as("__bp_g"),
+        F.posexplode(F.split(F.col(textCol), "\n")).as(Seq("__bp_p", "__bp_l")))
+    val boiler = lines
+      .groupBy(F.col("__bp_g"), F.col("__bp_l"))
+      .agg(F.count_distinct(F.col(idCol)).as("__bp_nd"))
+      .filter(F.col("__bp_nd") >= minDocs)
+      .select(F.col("__bp_g"), F.col("__bp_l"), F.lit(true).as("__bp_bad"))
+    val rebuilt = lines
+      .join(boiler, Seq("__bp_g", "__bp_l"), "left")
+      .filter(F.col("__bp_bad").isNull)
+      .groupBy(F.col(idCol))
+      .agg(F.array_join(
+        F.transform(
+          F.array_sort(F.collect_list(F.struct(F.col("__bp_p"), F.col("__bp_l")))),
+          s => s.getField("__bp_l")), "\n").as("__bp_t"))
+    df.join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol,
+        F.when(F.col(textCol).isNull, F.col(textCol))
+          .otherwise(F.coalesce(F.col("__bp_t"), F.lit(""))))
+      .drop("__bp_t")
+  }
+
+  /**
+   * Per-document top-`k` terms by tf-idf — the classic keyword/topic
+   * signal of a corpus report. tf = the term's count within the document;
+   * idf = `ln((N + 1) / (df + 1)) + 1` (smoothed; N = corpus rows, df =
+   * distinct documents containing the term), QUANTIZED to integer
+   * micro-nats exactly like [[unigramModel]] so the score
+   * `tf · idf_micro` is an exact integer — bit-identical ranking on any
+   * engine and any summation order. Empty tokens are ignored; ties break
+   * term-ascending. Output: (id, term, rank, score_micro), rank 1..k by
+   * score DESC.
+   *
+   * Scale shape: one token explode, one (id, term) tf agg, one term df
+   * agg (two-phase), an equi-join on term, and the bounded [[TopKAgg]]
+   * finisher per document (shuffle = k × partitions × |docs| rows, never
+   * a per-document sort). N rides in as a 1-row broadcast cross join —
+   * no driver collect in the plan.
+   */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = df
+      .select(F.col(idCol).as("__tf_id"),
+        F.explode(tokens(F.col(textCol))).as("term"))
+      .filter(F.col("term") =!= "")
+    val tf = toks.groupBy("__tf_id", "term").agg(F.count(F.lit(1)).as("__tf"))
+    val dfreq = toks.groupBy("term")
+      .agg(F.count_distinct(F.col("__tf_id")).as("__df"))
+    val n = df.select(F.count(F.lit(1)).as("__n"))
+    val scored = tf.join(dfreq, Seq("term")).crossJoin(F.broadcast(n))
+      .withColumn("__idf_micro",
+        F.round(F.log((F.col("__n") + 1.0) / (F.col("__df") + 1.0)) * 1e6 + 1e6)
+          .cast("long"))
+      .select(F.col("__tf_id").as("q_id"), F.col("term").as("n_id"),
+        (F.col("__tf") * F.col("__idf_micro")).cast("double").as("cosine"))
+    val top = TopKAgg.topKUdaf(k, org.apache.spark.sql.types.StringType)
+    scored.groupBy("q_id")
+      .agg(top(F.col("n_id"), F.col("cosine")).as("top"))
+      .select(F.col("q_id"), F.posexplode(F.col("top.hits")).as(Seq("pos", "hit")))
+      .select(F.col("q_id").as(idCol), F.col("hit.n_id").as("term"),
+        (F.col("pos") + 1).as("rank"),
+        F.col("hit.cosine").cast("long").as("score_micro"))
+  }
 }

@@ -428,6 +428,14 @@ object PyApi {
     graft.llm.TextStats.qualityBuckets(df, strataCol, scoreCol, f1, f2,
       approxAccuracy)
 
+  def stripBoilerplate(df: DataFrame, idCol: String, groupCol: String,
+                       textCol: String, minDocs: Int): DataFrame =
+    graft.llm.TextStats.stripBoilerplate(df, idCol, groupCol, textCol, minDocs)
+
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame =
+    graft.llm.TextStats.tfidfTopTerms(df, idCol, textCol, k)
+
   /** Bounded unigram LM: returns [vocab as a list of [token, lpMicro]
     * pairs, oovLpMicro]. */
   def unigramModel(df: DataFrame, textCol: String,

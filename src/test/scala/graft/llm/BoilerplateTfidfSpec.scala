@@ -1,0 +1,84 @@
+package graft.llm
+
+import graft.SparkTestBase
+import org.apache.spark.sql.{functions => F}
+
+/** Unit semantics for the round-11 corpus operators: line-level
+  * boilerplate removal and bounded per-document tf-idf top terms. */
+class BoilerplateTfidfSpec extends SparkTestBase {
+  import spark.implicits._
+
+  behavior of "stripBoilerplate"
+
+  private def corpus = Seq(
+    (1L, "d1", "NAV\nbody one\nfooter"),
+    (2L, "d1", "NAV\nbody two\nfooter"),
+    (3L, "d1", "NAV\nfooter"),
+    (4L, "d1", "unique text"),
+    (5L, "d2", "NAV\nother domain"),
+    (6L, "d2", null: String)
+  ).toDF("id", "dom", "text")
+
+  it should "remove lines repeated across >= minDocs docs of a group, in order" in {
+    val out = TextStats.stripBoilerplate(corpus, "id", "dom", "text", minDocs = 2)
+      .select("id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(1L) shouldBe "body one"
+    out(2L) shouldBe "body two"
+    out(3L) shouldBe "" // every line boilerplate -> empty doc, row kept
+    out(4L) shouldBe "unique text"
+    // d2 has only one NAV doc: below threshold there, so it survives —
+    // boilerplate is per-group, never global
+    out(5L) shouldBe "NAV\nother domain"
+    out(6L) shouldBe null
+  }
+
+  it should "respect the minDocs threshold" in {
+    val d = Seq((1L, "g", "NAV\nbody one\nfooter"),
+      (2L, "g", "NAV\nbody two\nfooter"), (3L, "g", "NAV\nsolo"))
+      .toDF("id", "dom", "text")
+    val out = TextStats.stripBoilerplate(d, "id", "dom", "text", minDocs = 3)
+      .select("id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // NAV appears in all 3 docs -> stripped; footer only in 2 -> kept
+    out(1L) shouldBe "body one\nfooter"
+    out(3L) shouldBe "solo"
+  }
+
+  it should "preserve surviving-line order and non-text columns" in {
+    val d = Seq((1L, "g", "keep a\nBP\nkeep b\nBP\nkeep c", 7.5),
+      (2L, "g", "BP\nx", 1.0), (3L, "g", "BP", 2.0))
+      .toDF("id", "dom", "text", "w")
+    val out = TextStats.stripBoilerplate(d, "id", "dom", "text", minDocs = 3)
+      .orderBy("id").collect()
+    out(0).getString(2) shouldBe "keep a\nkeep b\nkeep c"
+    out(0).getDouble(3) shouldBe 7.5
+    out.length shouldBe 3
+  }
+
+  behavior of "tfidfTopTerms"
+
+  it should "rank terms by exact integer tf-idf with term-ascending ties" in {
+    val d = Seq((1L, "a a b"), (2L, "a c"), (3L, "b b c c d"))
+      .toDF("id", "text")
+    def idf(df: Int): Long =
+      math.round((math.log(4.0 / (df + 1)) + 1.0) * 1e6)
+    val out = TextStats.tfidfTopTerms(d, "id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) ->
+        (r.getString(1), r.getLong(3))).toMap
+    out((1L, 1)) shouldBe ("a", 2 * idf(2))
+    out((1L, 2)) shouldBe ("b", idf(2))
+    // doc 2: a and c tie at idf(2) -> term-ascending puts a first
+    out((2L, 1)) shouldBe ("a", idf(2))
+    out((2L, 2)) shouldBe ("c", idf(2))
+    // doc 3: b and c tie at 2*idf(2) -> term-ascending puts b first
+    out((3L, 1)) shouldBe ("b", 2 * idf(2))
+    out((3L, 2)) shouldBe ("c", 2 * idf(2))
+  }
+
+  it should "ignore empty tokens and docs with no tokens" in {
+    val d = Seq((1L, "x  y"), (2L, ""), (3L, null: String)).toDF("id", "text")
+    val out = TextStats.tfidfTopTerms(d, "id", "text", k = 3)
+    out.select("id").distinct().collect().map(_.getLong(0)).sorted shouldBe
+      Array(1L)
+    out.filter(F.col("term") === "").count() shouldBe 0L
+  }
+}
