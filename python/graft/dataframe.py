@@ -470,6 +470,13 @@ class TimeSeriesDataFrame(DataFrame):
         return self._with(_api(self).stripBoilerplate(
             self._jdf, id_col, group_col, text_col, int(min_docs)))
 
+    def dedup_paragraphs(self, id_col, text_col, min_chars=1):
+        """Corpus-global exact paragraph dedup, keep-first: a paragraph
+        (blank-line separated) of >= ``min_chars`` chars appearing in
+        several documents survives only in the lowest-id one."""
+        return self._with(_api(self).dedupParagraphs(
+            self._jdf, id_col, text_col, int(min_chars)))
+
     def tfidf_top_terms(self, id_col, text_col, k):
         """Top-``k`` terms per document by tf-idf with integer micro-nat
         idf quantization (bit-exact ranking on any engine), finished by

@@ -749,6 +749,13 @@ def test_round11_boilerplate_and_tfidf(spark):
     # token; each doc's unique word wins its top slot ("solo" < "text" on
     # the doc-3 tie)
     assert top == [(1, 1, "one"), (2, 1, "two"), (3, 1, "solo")]
+    paras = TimeSeriesDataFrame(spark.createDataFrame(
+        [(1, "keep me\n\nSHARED BLOCK"), (2, "SHARED BLOCK\n\nother")],
+        "id long, text string"))
+    deduped = {r["id"]: r["text"]
+               for r in paras.dedup_paragraphs("id", "text",
+                                               min_chars=4).collect()}
+    assert deduped == {1: "keep me\n\nSHARED BLOCK", 2: "other"}
 
 
 def test_unigram_model_and_score(spark):

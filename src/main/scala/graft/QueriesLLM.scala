@@ -630,6 +630,23 @@ object QueriesLLM {
       TextStats.stripBoilerplate(d, "doc_id", "source", "text", minDocs = 5)
         .select("doc_id", "text").orderBy("doc_id")
     }),
+    // Corpus-global exact paragraph dedup (keep-first): a PROMO paragraph
+    // shared by every doc_id%11 class and a CONTACT paragraph on even ids
+    // are appended to the real text; each duplicated paragraph (including
+    // the bodies of exact-duplicate docs) must survive only in its
+    // lowest-id document.
+    "dedup_paragraphs" -> ((s, dir) => {
+      val d = docs(s, dir).select(F.col("doc_id"),
+        F.concat(F.col("text"),
+          F.lit("\n\nPROMO subscribe to site"),
+          F.pmod(F.col("doc_id"), F.lit(11L)).cast("string"),
+          F.when(F.pmod(F.col("doc_id"), F.lit(2L)) === 0,
+            F.concat(F.lit("\n\nCONTACT mail room "),
+              F.pmod(F.col("doc_id"), F.lit(7L)).cast("string")))
+            .otherwise(F.lit(""))).as("text"))
+      TextStats.dedupParagraphs(d, "doc_id", "text", minChars = 4)
+        .select("doc_id", "text").orderBy("doc_id")
+    }),
     // Per-document top-5 tf-idf terms through the bounded-k heap finisher
     // with STRING ids (the string branch of TopKAgg, driver-visible):
     // integer micro-nat idf quantization makes tf·idf an exact integer,
@@ -1156,6 +1173,31 @@ object QueriesLLM {
              x -> coalesce(NOT list_contains(bl.bad, x), true)), chr(10))
              AS text
          FROM d LEFT JOIN bl ON d.source = bl.source
+         ORDER BY d.doc_id""",
+    "dedup_paragraphs" ->
+      """WITH d AS (SELECT doc_id,
+           text || chr(10) || chr(10) || 'PROMO subscribe to site' ||
+             CAST(doc_id % 11 AS VARCHAR) ||
+             CASE WHEN doc_id % 2 = 0
+               THEN chr(10) || chr(10) || 'CONTACT mail room ' ||
+                 CAST(doc_id % 7 AS VARCHAR)
+               ELSE '' END AS text
+           FROM documents),
+         p AS (SELECT doc_id,
+                 unnest(string_split(text, chr(10) || chr(10))) AS para
+               FROM d),
+         g AS (SELECT para, min(doc_id) AS keep_id FROM p
+               WHERE length(para) >= 4
+               GROUP BY para HAVING count(DISTINCT doc_id) >= 2),
+         dl AS (SELECT p.doc_id, list(DISTINCT p.para) AS drop_list
+                FROM p JOIN g ON p.para = g.para AND p.doc_id <> g.keep_id
+                GROUP BY p.doc_id)
+         SELECT d.doc_id,
+           array_to_string(list_filter(
+             string_split(d.text, chr(10) || chr(10)),
+             x -> coalesce(NOT list_contains(dl.drop_list, x), true)),
+             chr(10) || chr(10)) AS text
+         FROM d LEFT JOIN dl ON d.doc_id = dl.doc_id
          ORDER BY d.doc_id""",
     "tfidf_top_terms" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -412,6 +412,54 @@ object TextStats {
   }
 
   /**
+   * Corpus-global exact paragraph dedup (keep-first): a paragraph
+   * (`textCol` split on blank lines, i.e. "\n\n") of at least `minChars`
+   * characters that occurs in two or more distinct documents survives
+   * ONLY in the lowest-id document; every occurrence elsewhere is
+   * deleted, with the survivors keeping their order. This is the
+   * inter-document exact-duplication pass between whole-document dedup
+   * (too coarse: one changed footer defeats it) and n-gram span removal
+   * ([[Dedup]]`.stripDuplicateSpans`, finer but lossier) — quoted blocks,
+   * license headers, syndicated intros. Paragraphs shorter than
+   * `minChars` neither count as duplicates nor get deleted. Contrast
+   * [[stripBoilerplate]]: that pass is group-scoped and deletes every
+   * occurrence; this one is global and keeps the canonical copy.
+   *
+   * Scale shape: one paragraph explode, one paragraph-keyed aggregation
+   * (min doc id + distinct-doc count, two-phase), one equi-join back on
+   * the paragraph key, one per-document reassembly agg bounded by
+   * document size. The paragraph table stays distributed — no broadcast,
+   * no window, no sort.
+   */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+                      minChars: Int = 1): DataFrame = {
+    require(minChars >= 1, s"minChars must be >= 1, got $minChars")
+    val paras = df
+      .select(F.col(idCol).as("__pd_id"),
+        F.posexplode(F.split(F.col(textCol), "\n\n")).as(Seq("__pd_p", "__pd_t")))
+    val dups = paras
+      .filter(F.length(F.col("__pd_t")) >= minChars)
+      .groupBy(F.col("__pd_t"))
+      .agg(F.min(F.col("__pd_id")).as("__pd_keep"),
+        F.count_distinct(F.col("__pd_id")).as("__pd_nd"))
+      .filter(F.col("__pd_nd") >= 2)
+      .select(F.col("__pd_t"), F.col("__pd_keep"))
+    val rebuilt = paras
+      .join(dups, Seq("__pd_t"), "left")
+      .filter(F.col("__pd_keep").isNull || F.col("__pd_keep") === F.col("__pd_id"))
+      .groupBy(F.col("__pd_id"))
+      .agg(F.array_join(
+        F.transform(
+          F.array_sort(F.collect_list(F.struct(F.col("__pd_p"), F.col("__pd_t")))),
+          s => s.getField("__pd_t")), "\n\n").as("__pd_out"))
+    df.join(rebuilt, F.col(idCol) === F.col("__pd_id"), "left")
+      .withColumn(textCol,
+        F.when(F.col(textCol).isNull, F.col(textCol))
+          .otherwise(F.coalesce(F.col("__pd_out"), F.lit(""))))
+      .drop("__pd_id", "__pd_out")
+  }
+
+  /**
    * Per-document top-`k` terms by tf-idf — the classic keyword/topic
    * signal of a corpus report. tf = the term's count within the document;
    * idf = `ln((N + 1) / (df + 1)) + 1` (smoothed; N = corpus rows, df =

@@ -436,6 +436,10 @@ object PyApi {
                     k: Int): DataFrame =
     graft.llm.TextStats.tfidfTopTerms(df, idCol, textCol, k)
 
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+                      minChars: Int): DataFrame =
+    graft.llm.TextStats.dedupParagraphs(df, idCol, textCol, minChars)
+
   /** Bounded unigram LM: returns [vocab as a list of [token, lpMicro]
     * pairs, oovLpMicro]. */
   def unigramModel(df: DataFrame, textCol: String,

@@ -130,6 +130,21 @@ class AqeParitySpec extends SparkTestBase {
       docs.select(F2.col("id"),
         graft.llm.TextStats.unigramScore(F2.col("text"), model, oov).as("lp"))
     })
+    val paraDocs = (0L until 100L).map { i =>
+      (i, s"d${i % 3}",
+        s"body ${i % 17} unique\n\nSHARED ${i % 6} PARA\n\nfoot ${i % 4}")
+    }.toDF("id", "dom", "text").repartition(5)
+    parity("stripBoilerplate")(() =>
+      graft.llm.TextStats.stripBoilerplate(paraDocs, "id", "dom", "text",
+        minDocs = 5))
+    parity("dedupParagraphs")(() =>
+      graft.llm.TextStats.dedupParagraphs(paraDocs, "id", "text",
+        minChars = 4))
+    parity("tfidfTopTerms")(() =>
+      graft.llm.TextStats.tfidfTopTerms(
+        paraDocs.select(F2.col("id"),
+          F2.translate(F2.col("text"), "\n", " ").as("text")),
+        "id", "text", k = 3))
     parity("blocklist+psl")(() => {
       val urls = (0L until 90L)
         .map(i => (i, s"https://a${i % 5}.b${i % 3}.example.co.uk/p/$i"))

@@ -197,5 +197,22 @@ class PartitionLayoutSpec extends SparkTestBase {
     invariant("filterBlockedDomains")(() =>
       graft.llm.Urls.filterBlockedDomains(urls, "url",
         blocked = Seq("b1.example.co.uk"), suffixes = Seq("co.uk", "uk")))
+    // round-11 corpus operators: explode + agg + join-back + reassembly
+    val paraDocs = (0L until 100L).map { i =>
+      (i, s"d${i % 3}",
+        s"body ${i % 17} unique\n\nSHARED ${i % 6} PARA\n\nfoot ${i % 4}")
+    }.toDF("id", "dom", "text").repartition(5)
+    invariant("stripBoilerplate")(() =>
+      graft.llm.TextStats.stripBoilerplate(paraDocs, "id", "dom", "text",
+        minDocs = 5))
+    invariant("dedupParagraphs")(() =>
+      graft.llm.TextStats.dedupParagraphs(paraDocs, "id", "text",
+        minChars = 4))
+    invariant("tfidfTopTerms")(() =>
+      graft.llm.TextStats.tfidfTopTerms(
+        paraDocs.select(org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.translate(
+            org.apache.spark.sql.functions.col("text"), "\n", " ").as("text")),
+        "id", "text", k = 3))
   }
 }

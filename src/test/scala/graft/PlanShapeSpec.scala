@@ -303,6 +303,27 @@ class PlanShapeSpec extends SparkTestBase {
     exchanges(scan) shouldBe 0
   }
 
+  it should "plan boilerplate removal and tf-idf without windows or cartesians" in {
+    val docs = Seq((1L, "g", "NAV\nbody"), (2L, "g", "NAV\nmore"))
+      .toDF("id", "dom", "text")
+    val bp = graft.llm.TextStats.stripBoilerplate(docs, "id", "dom", "text")
+    // explode + (group, line) distinct-doc agg + join + per-doc reassembly:
+    // shuffles only, never a window, a global sort, or an all-pairs join
+    plan(bp).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    } shouldBe empty
+    globalSorts(bp) shouldBe 0
+    cartesians(bp) shouldBe 0
+    val tf = graft.llm.TextStats.tfidfTopTerms(docs, "id", "text", k = 3)
+    // the per-document ranking must be the bounded-k heap aggregation
+    // (string-id branch), never a row_number window over all terms
+    plan(tf).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    } shouldBe empty
+    plan(tf).toString should include("ObjectHashAggregate")
+    globalSorts(tf) shouldBe 0
+  }
+
   it should "plan duplicateSpans' final span aggregate on the window's partitioning" in {
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("id", "text")
     val spans = graft.llm.Dedup.duplicateSpans(docs, "id", "text", 3)

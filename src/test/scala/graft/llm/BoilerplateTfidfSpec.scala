@@ -54,6 +54,46 @@ class BoilerplateTfidfSpec extends SparkTestBase {
     out.length shouldBe 3
   }
 
+  behavior of "dedupParagraphs"
+
+  it should "keep a duplicated paragraph only in its lowest-id document" in {
+    val d = Seq(
+      (1L, "alpha text\n\nSHARED PARA\n\nmore alpha"),
+      (2L, "beta text\n\nSHARED PARA"),
+      (3L, "SHARED PARA\n\ngamma"),
+      (4L, null: String)
+    ).toDF("id", "text")
+    val out = TextStats.dedupParagraphs(d, "id", "text", minChars = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(1L) shouldBe "alpha text\n\nSHARED PARA\n\nmore alpha"
+    out(2L) shouldBe "beta text"
+    out(3L) shouldBe "gamma"
+    out(4L) shouldBe null
+  }
+
+  it should "not count or delete paragraphs below minChars; keep intra-doc repeats" in {
+    val d = Seq(
+      (1L, "ab\n\nlong unique one"),
+      (2L, "ab\n\nlong unique two"),
+      (3L, "TWICE HERE\n\nTWICE HERE")
+    ).toDF("id", "text")
+    val out = TextStats.dedupParagraphs(d, "id", "text", minChars = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // "ab" is under minChars: duplicated across docs yet untouched
+    out(1L) shouldBe "ab\n\nlong unique one"
+    out(2L) shouldBe "ab\n\nlong unique two"
+    // repeated within ONE doc only: not a cross-doc duplicate
+    out(3L) shouldBe "TWICE HERE\n\nTWICE HERE"
+  }
+
+  it should "empty a document whose every paragraph is claimed elsewhere" in {
+    val d = Seq((1L, "SAME PARA"), (2L, "SAME PARA")).toDF("id", "text")
+    val out = TextStats.dedupParagraphs(d, "id", "text", minChars = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(1L) shouldBe "SAME PARA"
+    out(2L) shouldBe ""
+  }
+
   behavior of "tfidfTopTerms"
 
   it should "rank terms by exact integer tf-idf with term-ascending ties" in {
