@@ -484,8 +484,15 @@ object TextStats {
         F.explode(tokens(F.col(textCol))).as("term"))
       .filter(F.col("term") =!= "")
     val tf = toks.groupBy("__tf_id", "term").agg(F.count(F.lit(1)).as("__tf"))
-    val dfreq = toks.groupBy("term")
-      .agg(F.count_distinct(F.col("__tf_id")).as("__df"))
+    // document frequency re-derived FROM the tf aggregate: its rows are
+    // distinct (doc, term), so count(*) per term = distinct docs — this
+    // plans as a plain two-phase distinct + count rather than a
+    // count_distinct Expand. Catalyst prunes the unused count from this
+    // branch, which defeats ReuseExchange (the two (id, term) aggregates
+    // differ), so the corpus IS tokenized twice; the alternative — an
+    // explicit persist of the (doc, term) table — would trade a second
+    // linear scan for a data-sized cache, the wrong trade at 100 TB.
+    val dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).as("__df"))
     val n = df.select(F.count(F.lit(1)).as("__n"))
     val scored = tf.join(dfreq, Seq("term")).crossJoin(F.broadcast(n))
       .withColumn("__idf_micro",

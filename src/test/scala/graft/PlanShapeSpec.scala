@@ -322,6 +322,14 @@ class PlanShapeSpec extends SparkTestBase {
     } shouldBe empty
     plan(tf).toString should include("ObjectHashAggregate")
     globalSorts(tf) shouldBe 0
+    // the df branch re-derives document frequency from the tf aggregate:
+    // no count_distinct Expand anywhere in the plan, and exactly the two
+    // token explodes (tf branch + pruned distinct branch; Catalyst's
+    // aggregate pruning defeats exchange reuse — documented on the op)
+    plan(tf).toString should not include "Expand"
+    plan(tf).collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }.size shouldBe 3 // 2 token explodes + the final posexplode of hits
   }
 
   it should "plan duplicateSpans' final span aggregate on the window's partitioning" in {
