@@ -140,6 +140,27 @@ class TSDataFrameReader:
             out = out.keep_columns(*self._cols)
         return out
 
+    def jsonl(self, path):
+        """Read a JSON-lines corpus (one JSON document per line — the
+        standard LLM-corpus interchange format). Canonizes and
+        time-orders only when the configured time column exists in the
+        data; document corpora without one pass through untouched, with
+        ``columns(...)`` applied as a plain projection."""
+        ok, ov = self._okv(self._opts)
+        jdf = self._api().fromJsonl(
+            self._spark._jsparkSession, path, self._time, self._unit,
+            ok, ov)
+        out = TimeSeriesDataFrame(DataFrame(jdf, self._spark))
+        if "time" in out.columns:
+            b, e = self._bounds()
+            out = self._ranged(out, b, e)
+            if self._cols:
+                out = out.keep_columns(*self._cols)
+        elif self._cols:
+            out = TimeSeriesDataFrame(
+                DataFrame(jdf, self._spark).select(*self._cols))
+        return out
+
     def dataframe(self, df, begin=None, end=None, timezone="UTC"):
         """Ingest an existing DataFrame (≙ reader.dataframe): canonize the
         configured time column, then apply the configured (or per-call)

@@ -363,6 +363,25 @@ def test_fluent_reader_parquet_range_expand_columns(spark, tmp_path):
     assert sorted(r["time"] for r in wide.collect()) == [5, 10, 15, 20]
 
 
+def test_fluent_reader_jsonl(spark, tmp_path):
+    import graft
+    p = str(tmp_path / "jl")
+    spark.createDataFrame([(1, "hello\nworld"), (2, "plain")],
+                          "doc_id long, text string") \
+        .write.mode("overwrite").json(p)
+    # timeless corpus: passes through, columns() is a plain projection
+    docs = graft.read(spark).columns("doc_id").jsonl(p)
+    assert docs.columns == ["doc_id"]
+    assert sorted(r["doc_id"] for r in docs.collect()) == [1, 2]
+    # timed corpus: canonized + ranged
+    t = str(tmp_path / "jt")
+    spark.createDataFrame([(5, "a"), (15, "b"), (25, "c")],
+                          "time long, v string") \
+        .write.mode("overwrite").json(t)
+    ts = graft.read(spark).range(10, 20).jsonl(t)
+    assert [r["v"] for r in ts.collect()] == ["b"]
+
+
 def test_fluent_reader_dataframe_and_clock(spark):
     import graft
     df = spark.createDataFrame([(1, 1.0), (5, 2.0), (9, 3.0)],

@@ -51,6 +51,17 @@ object QueriesSources {
         "event_id" -> LongType, "user_id" -> LongType)
         .orderBy("time", "event_id")
     }),
+    // JSONL roundtrip: the documents corpus written as JSON-lines (the
+    // dominant LLM-corpus interchange format) and read back with an
+    // explicit schema (single-pass — no inference sampling scan).
+    "jsonl_roundtrip" -> ((s, dir) => {
+      val tmp = scratchDir("graft_jsonl_")
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "source", "text")
+      d.write.mode("overwrite").json(tmp)
+      Sources.fromJsonl(s, tmp, Some(d.schema))
+        .select("doc_id", "source", "text").orderBy("doc_id")
+    }),
     // fromParquet with column list + [begin, end) time range: projection
     // and range filter reach the scan (asserted in PlanShapeSpec).
     "from_parquet_pruned" -> ((s, dir) => {
@@ -112,6 +123,8 @@ object QueriesSources {
     "csv_roundtrip" ->
       """SELECT epoch_ns(ts) AS time, event_id, user_id, value FROM events
          ORDER BY time, event_id""",
+    "jsonl_roundtrip" ->
+      """SELECT doc_id, source, text FROM documents ORDER BY doc_id""",
     "from_parquet_pruned" ->
       s"""SELECT epoch_ns(ts) AS time, event_id, value FROM events
           WHERE epoch_ns(ts) >= ${T0 + 5 * DAY} AND epoch_ns(ts) < ${T0 + 15 * DAY}

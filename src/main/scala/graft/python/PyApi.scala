@@ -95,6 +95,14 @@ object PyApi {
                            mode: String): Unit =
     Sources.writeTimePartitioned(df, path, granularity, mode)
 
+  /** JSONL corpus read; canonizes `timeCol` only when that column exists
+    * in the data (document corpora usually have no time axis). */
+  def fromJsonl(spark: SparkSession, path: String, timeCol: String,
+                unitToNanos: Long, optKeys: JList[String],
+                optVals: JList[String]): DataFrame =
+    Sources.fromJsonl(spark, path, None, timeCol, unitToNanos,
+      seq(optKeys).zip(seq(optVals)).toMap)
+
   def fromTimePartitioned(spark: SparkSession, path: String,
                           granularity: String, columns: JList[String],
                           beginNanos: java.lang.Long,

@@ -35,6 +35,29 @@ object Sources {
     if (sorted) canon else TimeSeriesOps.orderByTime(canon)
   }
 
+  /** JSON-lines source — the dominant interchange format of LLM
+    * training-data corpora (one JSON document per line). With an explicit
+    * schema the read is a single pass; without one Spark SAMPLES the
+    * input to infer types, an extra scan that is fine interactively and
+    * wrong at 100 TB — pass a schema there. If `timeCol` names a column
+    * present in the data the frame is canonized to nanos and
+    * time-ordered like the CSV source; document corpora typically have
+    * no time column and pass through untouched. `options` reach Spark's
+    * JSON reader (multiLine, compression, dropFieldIfAllNull, ...). */
+  def fromJsonl(spark: SparkSession, path: String,
+                schema: Option[StructType] = None,
+                timeCol: String = null, unitToNanos: Long = 1L,
+                options: Map[String, String] = Map.empty): DataFrame = {
+    val r = spark.read.options(options)
+    val df = schema match {
+      case Some(s) => r.schema(s).json(path)
+      case None => r.json(path)
+    }
+    if (timeCol != null && df.columns.contains(timeCol))
+      TimeSeriesOps.orderByTime(TimeSeriesOps.canonize(df, timeCol, unitToNanos))
+    else df
+  }
+
   /** Parquet scan with optional column list and [begin, end) time range
     * (≙ fromParquet). Both the projection and the range filter reach the
     * parquet reader (PushedFilters / ReadSchema) via Catalyst. `options`
@@ -181,6 +204,28 @@ object Sources {
         sorted = false, options = opts -- Seq("header", "delimiter"))
       val ranged = rangeFilter(df, expandedBegin, expandedEnd)
       if (cols.nonEmpty) TimeSeriesOps.keepColumns(ranged, cols: _*) else ranged
+    }
+
+    /** Read a JSON-lines corpus with the configured options/columns; the
+      * time range applies only when the builder's time column exists in
+      * the data (document corpora usually have none). */
+    def jsonl(path: String): org.apache.spark.sql.DataFrame = {
+      val raw = fromJsonl(spark, path, None, null, 1L, opts)
+      // the builder's configured time column existing in the data is the
+      // "this corpus has a time axis" signal: only then canonize and
+      // apply the range (a range against an un-canonized column would
+      // silently compare raw units to nanos)
+      if (raw.columns.contains(timeCol)) {
+        val canon = TimeSeriesOps.orderByTime(
+          TimeSeriesOps.canonize(raw, timeCol, unitToNanos))
+        val ranged = rangeFilter(canon, expandedBegin, expandedEnd)
+        if (cols.nonEmpty) TimeSeriesOps.keepColumns(ranged, cols: _*)
+        else ranged
+      } else {
+        // timeless corpus: plain projection (keepColumns would force the
+        // nonexistent time column into it)
+        if (cols.nonEmpty) raw.select(cols.map(F.col): _*) else raw
+      }
     }
   }
 

@@ -221,6 +221,33 @@ class TimeSeriesOpsSpec extends SparkTestBase {
     TimeSeriesOps.parseDuration("1d") shouldBe 86400000000000L
   }
 
+  behavior of "fromJsonl"
+
+  it should "roundtrip a document corpus and range-filter a timed one" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    try {
+      // document-shaped (no time axis): passes through untouched
+      val docs = Seq((1L, "hello\nworld"), (2L, "x \"quoted\" y"))
+        .toDF("doc_id", "text")
+      docs.write.mode("overwrite").json(s"$dir/docs")
+      val back = Sources.fromJsonl(spark, s"$dir/docs", Some(docs.schema))
+        .orderBy("doc_id").collect()
+      back.map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L)
+      back(0).getString(1) shouldBe "hello\nworld"
+      back(1).getString(1) shouldBe "x \"quoted\" y"
+      // timed corpus: canonized + range via the builder terminal
+      Seq((5L, "a"), (15L, "b"), (25L, "c")).toDF("time", "v")
+        .write.mode("overwrite").json(s"$dir/timed")
+      Sources.read(spark).range(10L, 20L).jsonl(s"$dir/timed")
+        .select("v").as[String].collect().toSeq shouldBe Seq("b")
+      // builder on the doc corpus: no time column, no range, columns kept
+      Sources.read(spark).columns("doc_id").jsonl(s"$dir/docs")
+        .columns.toSeq shouldBe Seq("doc_id")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   behavior of "ReadBuilder.expand"
 
   it should "widen the read range on both parquet and csv paths" in {
