@@ -514,6 +514,40 @@ class TimeSeriesDataFrame(DataFrame):
         return self._with(_api(self).unigramScore(
             self._jdf, text_col, jv, int(oov_lp)))
 
+    def _jlp(self, model):
+        jvm = self.sparkSession._jvm
+        jv = jvm.java.util.ArrayList()
+        for t, l in model:
+            jp = jvm.java.util.ArrayList()
+            jp.add(t)
+            jp.add(int(l))
+            jv.add(jp)
+        return jv
+
+    def bigram_model(self, text_col, top_k, top_b):
+        """Train a bounded bigram LM: ([("w1 w2", lp_micro)],
+        [(token, lp_micro)], oov_lp_micro) — conditional micro-nat
+        logprobs over the top_b adjacent pairs plus the top_k unigram
+        vocab."""
+        jm = _api(self).bigramModel(self._jdf, text_col, int(top_k),
+                                    int(top_b))
+        bi = [(p[0], p[1]) for p in jm[0]]
+        uni = [(p[0], p[1]) for p in jm[1]]
+        return bi, uni, jm[2]
+
+    def bigram_score(self, text_col, bi_model, uni_model, backoff_lp,
+                     oov_lp):
+        """Append ``lp_micro``: the document's bigram LM score with
+        stupid-backoff to the unigram model, in integer micro-nats."""
+        return self._with(_api(self).bigramScore(
+            self._jdf, text_col, self._jlp(bi_model), self._jlp(uni_model),
+            int(backoff_lp), int(oov_lp)))
+
+    @staticmethod
+    def stupid_backoff_lp(spark):
+        """The standard stupid-backoff discount round(ln(0.4)*1e6)."""
+        return spark._jvm.graft.python.PyApi.stupidBackoffLp()
+
     def pii_redact(self, text_col):
         """Replace emails / IPv4s / phone numbers in ``text_col`` with
         <EMAIL> / <IP> / <PHONE> tokens (portable regexes, one scan)."""

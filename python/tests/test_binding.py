@@ -777,6 +777,22 @@ def test_round11_boilerplate_and_tfidf(spark):
     assert deduped == {1: "keep me\n\nSHARED BLOCK", 2: "other"}
 
 
+def test_bigram_model_and_score(spark):
+    import math
+    d = TimeSeriesDataFrame(spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x")], "id long, text string"))
+    bi, uni, oov = d.bigram_model("text", top_k=3, top_b=2)
+    q = lambda p: round(math.log(p) * 1e6)
+    assert dict(bi) == {"a b": q(3 / 3), "b a": q(1 / 3)}
+    assert oov == q(1 / 8)
+    back = TimeSeriesDataFrame.stupid_backoff_lp(spark)
+    assert back == q(0.4)
+    got = {r["id"]: r["lp_micro"]
+           for r in d.bigram_score("text", bi, uni, back, oov).collect()}
+    assert got[1] == q(1 / 3) + back + q(1 / 8)
+    assert got[2] == back + q(1 / 8)
+
+
 def test_unigram_model_and_score(spark):
     import math
     d = TimeSeriesDataFrame(spark.createDataFrame(

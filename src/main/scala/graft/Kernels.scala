@@ -878,6 +878,53 @@ object Kernels {
   }
 
   /**
+   * Bigram language-model score with stupid-backoff, in integer
+   * MICRO-NATS: Σ over ADJACENT token pairs of `biLp("w1 w2")` when the
+   * pair is in the bigram model, else `backoffLp + uniLp(w2)` (or
+   * `backoffLp + defaultLp` for OOV w2) — the CCNet-style n-gram quality
+   * signal one order up from [[unigramScore]], with the same
+   * bit-identical integer accumulation contract. The pair key is the raw
+   * substring spanning both tokens (they are single-space separated, so
+   * `"w1 w2"` IS that substring — no concatenation, no allocation beyond
+   * the lookups). Documents with fewer than two tokens score 0. One
+   * token walk per row.
+   */
+  def bigramScore(u: org.apache.spark.unsafe.types.UTF8String,
+                  biLp: java.util.HashMap[String, java.lang.Long],
+                  uniLp: java.util.HashMap[String, java.lang.Long],
+                  backoffLp: Long, defaultLp: Long,
+                  maxUniLen: Int, maxBiLen: Int): Long = {
+    val s = u.toString
+    val n = s.length
+    var total = 0L
+    var prevStart = -1
+    var tokStart = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        if (prevStart >= 0) {
+          var hit: java.lang.Long = null
+          if (i - prevStart <= maxBiLen)
+            hit = biLp.get(s.substring(prevStart, i))
+          if (hit != null) total += hit.longValue()
+          else {
+            var uv = defaultLp
+            if (i - tokStart <= maxUniLen) {
+              val uh = uniLp.get(s.substring(tokStart, i))
+              if (uh != null) uv = uh.longValue()
+            }
+            total += backoffLp + uv
+          }
+        }
+        prevStart = tokStart
+        tokStart = i + 1
+      }
+      i += 1
+    }
+    total
+  }
+
+  /**
    * Heuristic registrable domain of a lowercased host (the zero-config
    * default): last two labels, or last three when the penultimate label
    * is a registry second-level label ([[graft.llm.Urls.SecondLevelLabels]]);

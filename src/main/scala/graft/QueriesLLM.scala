@@ -544,6 +544,18 @@ object QueriesLLM {
           TextStats.unigramScore(F.col("text"), model, oov).as("lp_micro"))
         .orderBy("doc_id")
     }),
+    // Bigram LM with stupid-backoff: conditional micro-nat logprobs over
+    // the top-200 adjacent pairs, backing off to the top-50 unigram
+    // vocab — the n-gram quality signal one order above doc_unigram_lp.
+    "doc_bigram_lp" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val (bi, uni, oov) = TextStats.bigramModel(d, "text",
+        topK = 50, topB = 200)
+      d.select(F.col("doc_id"),
+          TextStats.bigramScore(F.col("text"), bi, uni,
+            TextStats.StupidBackoffLp, oov).as("lp_micro"))
+        .orderBy("doc_id")
+    }),
     // Quality-aware dedup: among near-duplicates keep the BEST copy
     // (highest quality score, ties -> smallest id) instead of the
     // smallest id — the real-pipeline representative policy.
@@ -1132,6 +1144,41 @@ object QueriesLLM {
            CAST(sum(COALESCE(lp.l, (SELECT l FROM oov))) AS BIGINT) AS lp_micro
          FROM tok LEFT JOIN lp ON tok.t = lp.t
          GROUP BY doc_id ORDER BY doc_id""",
+    "doc_bigram_lp" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+           FROM documents),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+         uc AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+         uni AS (SELECT t,
+             CAST(round(ln(CAST(c AS DOUBLE) / (SELECT n FROM tot))
+               * 1000000.0) AS BIGINT) AS l
+           FROM (SELECT t, c FROM uc ORDER BY c DESC, t LIMIT 50)),
+         oov AS (SELECT CAST(round(ln(1.0 / (SELECT n FROM tot))
+               * 1000000.0) AS BIGINT) AS l),
+         bg AS (SELECT doc_id,
+             unnest([ws[i] || ' ' || ws[i + 1] for i in range(1, len(ws))])
+               AS b
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents)),
+         bc AS (SELECT b, count(*) AS c FROM bg
+                GROUP BY b ORDER BY c DESC, b LIMIT 200),
+         bi AS (SELECT bc.b,
+             CAST(round(ln(CAST(bc.c AS DOUBLE) / CAST(uc.c AS DOUBLE))
+               * 1000000.0) AS BIGINT) AS l
+           FROM bc JOIN uc ON uc.t = string_split(bc.b, ' ')[1]),
+         scored AS (SELECT bg.doc_id,
+             CASE WHEN bi.l IS NOT NULL THEN bi.l
+                  WHEN uni.l IS NOT NULL
+                    THEN ${TextStats.StupidBackoffLp} + uni.l
+                  ELSE ${TextStats.StupidBackoffLp} + (SELECT l FROM oov)
+             END AS v
+           FROM bg LEFT JOIN bi ON bg.b = bi.b
+                   LEFT JOIN uni ON string_split(bg.b, ' ')[2] = uni.t)
+         SELECT d.doc_id, CAST(coalesce(s.v, 0) AS BIGINT) AS lp_micro
+         FROM documents d LEFT JOIN
+           (SELECT doc_id, sum(v) AS v FROM scored GROUP BY doc_id) s
+           ON d.doc_id = s.doc_id
+         ORDER BY d.doc_id""",
     "doc_blocklist" ->
       """SELECT doc_id,
          CAST(len(list_filter(string_split(text, ' '),

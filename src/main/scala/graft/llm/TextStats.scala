@@ -328,6 +328,68 @@ object TextStats {
     org.apache.spark.sql.graft.GraftColumns.unigramScore(text, model, oovLp)
 
   /**
+   * Train a bounded bigram language model: the [[unigramModel]] vocab
+   * (topK tokens) plus the `topB` most-frequent ADJACENT token pairs
+   * (ties → pair asc) with quantized CONDITIONAL log-probabilities
+   * `round(ln(count(w1 w2)/count(w1))·1e6)` — count(w1) is the w1 token's
+   * full corpus count, so the ratio is the true conditional frequency.
+   * Same integer micro-nat portability contract as [[unigramModel]].
+   *
+   * Scale shape: one token-count aggregation and one pair-count
+   * aggregation (both map-side combinable, the pair table keyed by the
+   * 2-gram string), a driver-merged top-B, and one bounded filtered
+   * collect of the ≤ topB distinct w1 counts — model parameters
+   * throughout, never data. Returns (bigram logprobs, unigram vocab,
+   * oovLp); pair `backoffLp` with them via [[StupidBackoffLp]] or your
+   * own discount.
+   */
+  def bigramModel(df: org.apache.spark.sql.DataFrame, textCol: String,
+                  topK: Int, topB: Int)
+      : (Seq[(String, Long)], Seq[(String, Long)], Long) = {
+    require(topK >= 1 && topB >= 1, "topK and topB must be >= 1")
+    val counted = df.select(F.explode(tokens(F.col(textCol))).as("token"))
+      .groupBy("token").agg(F.count(F.lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totalRow = counted.agg(F.sum("cnt")).head()
+    require(!totalRow.isNullAt(0) && totalRow.getLong(0) > 0L,
+      "bigramModel: corpus has no tokens")
+    val total = totalRow.getLong(0)
+    val vocab = counted.orderBy(F.col("cnt").desc, F.col("token"))
+      .limit(topK).collect()
+      .map(r => r.getString(0) ->
+        math.round(math.log(r.getLong(1).toDouble / total.toDouble) * 1e6))
+    val pairs = df.select(F.explode(ngrams(F.col(textCol), 2)).as("bg"))
+      .groupBy("bg").agg(F.count(F.lit(1)).as("cnt"))
+      .orderBy(F.col("cnt").desc, F.col("bg"))
+      .limit(topB).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val w1s = pairs.map(_._1.takeWhile(_ != ' ')).distinct.toSeq
+    val w1Counts = counted
+      .filter(F.col("token").isin(w1s: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    counted.unpersist(blocking = false)
+    val bi = pairs.map { case (bg, c) =>
+      bg -> math.round(
+        math.log(c.toDouble / w1Counts(bg.takeWhile(_ != ' ')).toDouble) * 1e6)
+    }
+    (bi.toSeq, vocab.toSeq, math.round(math.log(1.0 / total.toDouble) * 1e6))
+  }
+
+  /** Standard stupid-backoff discount `round(ln(0.4)·1e6)` micro-nats. */
+  val StupidBackoffLp: Long = math.round(math.log(0.4) * 1e6)
+
+  /** Bigram LM score with stupid-backoff in integer micro-nats: Σ over
+    * adjacent pairs of the model's conditional logprob, backing off to
+    * `backoffLp + unigram(w2)` (OOV w2 → `backoffLp + oovLp`); documents
+    * with fewer than two tokens score 0. One token walk per row — the
+    * n-gram quality signal one order above [[unigramScore]]. */
+  def bigramScore(text: Column, biModel: Seq[(String, Long)],
+                  uniModel: Seq[(String, Long)], backoffLp: Long,
+                  oovLp: Long): Column =
+    org.apache.spark.sql.graft.GraftColumns.bigramScore(
+      text, biModel, uniModel, backoffLp, oovLp)
+
+  /**
    * CCNet-style per-stratum quality bucketing: append a `bucket` column
    * labeling each row `head` (score ≥ the stratum's `f2` quantile),
    * `middle` (≥ `f1`) or `tail`, with exact R-7 (linear-interpolation)

@@ -473,6 +473,40 @@ object PyApi {
       graft.llm.TextStats.unigramScore(F.col(textCol), model, oovLp))
   }
 
+  private def lpPairs(m: JList[JList[Object]]): Seq[(String, Long)] =
+    m.asScala.toSeq.map(p =>
+      (p.get(0).asInstanceOf[String],
+        p.get(1).asInstanceOf[java.lang.Number].longValue()))
+
+  /** Bounded bigram LM: returns [bigram pairs, unigram pairs, oovLpMicro]
+    * with each pair list as [token(s), lpMicro]. */
+  def bigramModel(df: DataFrame, textCol: String, topK: Int,
+                  topB: Int): JList[Object] = {
+    val (bi, uni, oov) =
+      graft.llm.TextStats.bigramModel(df, textCol, topK, topB)
+    def jl(m: Seq[(String, Long)]): java.util.ArrayList[Object] = {
+      val l = new java.util.ArrayList[Object]()
+      m.foreach { case (t, v) =>
+        val p = new java.util.ArrayList[Object]()
+        p.add(t); p.add(java.lang.Long.valueOf(v)); l.add(p)
+      }
+      l
+    }
+    val out = new java.util.ArrayList[Object]()
+    out.add(jl(bi)); out.add(jl(uni)); out.add(java.lang.Long.valueOf(oov))
+    out
+  }
+
+  def bigramScore(df: DataFrame, textCol: String,
+                  biModel: JList[JList[Object]],
+                  uniModel: JList[JList[Object]],
+                  backoffLp: Long, oovLp: Long): DataFrame =
+    df.withColumn("lp_micro",
+      graft.llm.TextStats.bigramScore(F.col(textCol), lpPairs(biModel),
+        lpPairs(uniModel), backoffLp, oovLp))
+
+  def stupidBackoffLp(): Long = graft.llm.TextStats.StupidBackoffLp
+
   def piiRedact(df: DataFrame, textCol: String): DataFrame =
     df.withColumn(textCol,
       graft.llm.Pii.scrub(F.col(textCol)).getField("redacted"))

@@ -97,6 +97,13 @@ object GraftColumns {
                    defaultLp: Long): Column =
     col(UnigramScore(ex(text), model, defaultLp))
 
+  /** Integer micro-nat bigram LM score with stupid-backoff to the
+    * unigram model; OOV w2 takes `defaultLp`. */
+  def bigramScore(text: Column, biModel: Seq[(String, Long)],
+                  uniModel: Seq[(String, Long)], backoffLp: Long,
+                  defaultLp: Long): Column =
+    col(BigramScore(ex(text), biModel, uniModel, backoffLp, defaultLp))
+
   /** Registrable domain under a caller-supplied public-suffix set
     * (longest listed label-boundary tail + 1 label). */
   def registrableDomainPsl(host: Column, suffixes: Seq[String]): Column =
@@ -535,6 +542,46 @@ case class UnigramScore(child: Expression, model: Seq[(String, Long)],
       s"${ev.value} = graft.Kernels.unigramScore($c, $mapRef, ${defaultLp}L, $maxTokenLen);")
   }
   override protected def withNewChildInternal(newChild: Expression): UnigramScore =
+    copy(child = newChild)
+}
+
+/** Integer micro-nat bigram LM score with stupid-backoff
+  * (graft.Kernels.bigramScore): adjacent-pair lookups against a hashed
+  * ("w1 w2" -> quantized conditional logprob) model, backing off to
+  * `backoffLp` + the unigram model (or `defaultLp` for OOV). */
+case class BigramScore(child: Expression, biModel: Seq[(String, Long)],
+                       uniModel: Seq[(String, Long)],
+                       backoffLp: Long, defaultLp: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  @transient private lazy val biMap: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    biModel.foreach { case (t, v) => m.put(t, java.lang.Long.valueOf(v)) }
+    m
+  }
+  @transient private lazy val uniMap: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    uniModel.foreach { case (t, v) => m.put(t, java.lang.Long.valueOf(v)) }
+    m
+  }
+  @transient private lazy val maxUniLen: Int =
+    if (uniModel.isEmpty) 0 else uniModel.map(_._1.length).max
+  @transient private lazy val maxBiLen: Int =
+    if (biModel.isEmpty) 0 else biModel.map(_._1.length).max
+  override protected def nullSafeEval(input: Any): Any =
+    graft.Kernels.bigramScore(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      biMap, uniMap, backoffLp, defaultLp, maxUniLen, maxBiLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val biRef = ctx.addReferenceObj("biMap", biMap, "java.util.HashMap")
+    val uniRef = ctx.addReferenceObj("uniMap", uniMap, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.Kernels.bigramScore($c, $biRef, $uniRef, " +
+        s"${backoffLp}L, ${defaultLp}L, $maxUniLen, $maxBiLen);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BigramScore =
     copy(child = newChild)
 }
 

@@ -181,6 +181,14 @@ class PartitionLayoutSpec extends SparkTestBase {
         graft.llm.TextStats.unigramScore(
           org.apache.spark.sql.functions.col("text"), model, oov).as("lp"))
     })
+    invariant("bigramModel+Score")(() => {
+      val (bi, uni, oov) = graft.llm.TextStats.bigramModel(docs, "text",
+        topK = 6, topB = 12)
+      docs.select(org.apache.spark.sql.functions.col("id"),
+        graft.llm.TextStats.bigramScore(
+          org.apache.spark.sql.functions.col("text"), bi, uni,
+          graft.llm.TextStats.StupidBackoffLp, oov).as("lp"))
+    })
     invariant("blocklistHits")(() =>
       docs.select(org.apache.spark.sql.functions.col("id"),
         graft.llm.TextStats.blocklistHits(

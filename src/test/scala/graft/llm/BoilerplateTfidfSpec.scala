@@ -114,6 +114,35 @@ class BoilerplateTfidfSpec extends SparkTestBase {
     out((3L, 2)) shouldBe ("c", 2 * idf(2))
   }
 
+  behavior of "bigramModel / bigramScore"
+
+  it should "match hand-computed stupid-backoff micro-nat scores" in {
+    val d = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("id", "text")
+    val (bi, uni, oov) = TextStats.bigramModel(d, "text", topK = 3, topB = 2)
+    // tokens: a:3 b:3 c:1 x:1 (total 8); bigrams: "a b":3 "b a":1 "b c":1
+    // "b x":1 -> top-2 = "a b", "b a" (count desc, pair asc)
+    def q(p: Double): Long = math.round(math.log(p) * 1e6)
+    bi.toMap shouldBe Map("a b" -> q(3.0 / 3), "b a" -> q(1.0 / 3))
+    uni.toMap shouldBe Map("a" -> q(3.0 / 8), "b" -> q(3.0 / 8),
+      "c" -> q(1.0 / 8))
+    oov shouldBe q(1.0 / 8)
+    val back = TextStats.StupidBackoffLp
+    val got = d.select(F.col("id"),
+        TextStats.bigramScore(F.col("text"), bi, uni, back, oov).as("lp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc1: (a b)=0, (b a), (a b)=0, (b c)-> back+uni(c)
+    got(1L) shouldBe q(1.0 / 3) + back + q(1.0 / 8)
+    // doc2: (a b)=0, (b x)-> back+oov (x not in top-3 vocab)
+    got(2L) shouldBe back + q(1.0 / 8)
+    // fewer than two tokens -> 0; null -> null
+    val edge = Seq((1L, "solo"), (2L, null: String)).toDF("id", "text")
+      .select(F.col("id"),
+        TextStats.bigramScore(F.col("text"), bi, uni, back, oov).as("lp"))
+      .collect()
+    edge(0).getLong(1) shouldBe 0L
+    edge(1).isNullAt(1) shouldBe true
+  }
+
   it should "ignore empty tokens and docs with no tokens" in {
     val d = Seq((1L, "x  y"), (2L, ""), (3L, null: String)).toDF("id", "text")
     val out = TextStats.tfidfTopTerms(d, "id", "text", k = 3)
