@@ -314,12 +314,19 @@ object StreamCheck {
       // broadcast parameters), so streaming output must equal the batch
       // run row for row
       val model = Seq("click" -> -100000L, "view" -> -250000L)
+      // bigram model over a synthetic two-token text (the round-11
+      // kernel: a fixed model is pure broadcast parameters too)
+      val bi = Seq("click view" -> -50000L)
       val build = (df: DataFrame) => df
         .withColumn("n_blocked",
           graft.llm.TextStats.blocklistHits(F.col("event_type"), Seq("click")))
         .withColumn("lp_micro",
           graft.llm.TextStats.unigramScore(F.col("event_type"), model,
             oovLp = -900000L))
+        .withColumn("bg_micro",
+          graft.llm.TextStats.bigramScore(
+            F.concat(F.col("event_type"), F.lit(" view")), bi, model,
+            graft.llm.TextStats.StupidBackoffLp, -900000L))
       (runStream("sc_kernels", ev, 4)(build), build(evDF).collect().toSeq)
     }
 
