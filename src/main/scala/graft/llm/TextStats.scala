@@ -430,6 +430,35 @@ object TextStats {
   }
 
   /**
+   * [[qualityBuckets]] over an EXPENSIVE score expression: evaluates the
+   * score ONCE by persisting the narrow (inputCols + score) projection —
+   * without this the cutpoint pass and the label pass each re-evaluate
+   * `score` over the raw input (two full text scans + two quality-kernel
+   * runs for a text-derived score). Within the single action that
+   * consumes the result, the cutpoint aggregation (built first, as the
+   * broadcast side) populates the cache and the label scan reads from
+   * it. Pick `inputCols` as the columns the caller needs downstream
+   * (id + strata, typically) — the cache holds exactly those plus one
+   * double per row, NOT the raw text. The persist is left registered
+   * (the output is lazy, so there is no safe point to release it
+   * here); Spark's LRU evicts it under memory pressure, and callers
+   * running many of these in one session can `unpersist` via
+   * `spark.catalog` or re-derive. Output: inputCols + `bucket`.
+   */
+  def qualityBucketsComputed(df: org.apache.spark.sql.DataFrame,
+                             strataCol: String, score: Column,
+                             inputCols: Seq[String],
+                             f1: Double = 1.0 / 3, f2: Double = 2.0 / 3,
+                             approxAccuracy: Int = 0)
+      : org.apache.spark.sql.DataFrame = {
+    val narrow = df.select(
+      (inputCols.map(F.col) :+ score.cast("double").as("__qb_score")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    qualityBuckets(narrow, strataCol, "__qb_score", f1, f2, approxAccuracy)
+      .drop("__qb_score")
+  }
+
+  /**
    * Line-level boilerplate removal (the CCNet/RefinedWeb line-dedup pass):
    * within each group (typically the registrable domain or source), a LINE
    * is boilerplate when it occurs in at least `minDocs` distinct documents

@@ -114,6 +114,27 @@ class BoilerplateTfidfSpec extends SparkTestBase {
     out((3L, 2)) shouldBe ("c", 2 * idf(2))
   }
 
+  behavior of "qualityBucketsComputed"
+
+  it should "match qualityBuckets on the same computed score" in {
+    val d = Seq((1L, "s", "low"), (2L, "s", "medium text here"),
+      (3L, "s", "a much longer and better piece of text"))
+      .toDF("id", "src", "text")
+    val score = F.length(F.col("text")).cast("double")
+    val direct = TextStats.qualityBuckets(
+        d.withColumn("q", score), "src", "q")
+      .select("id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val computed = TextStats.qualityBucketsComputed(
+        d, "src", score, Seq("id", "src"))
+      .select("id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    computed shouldBe direct
+    computed(3L) shouldBe "head"
+    TextStats.qualityBucketsComputed(d, "src", score, Seq("id", "src"))
+      .columns.toSeq shouldBe Seq("id", "src", "bucket")
+  }
+
   behavior of "bigramModel / bigramScore"
 
   it should "match hand-computed stupid-backoff micro-nat scores" in {
