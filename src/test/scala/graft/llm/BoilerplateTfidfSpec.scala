@@ -114,6 +114,60 @@ class BoilerplateTfidfSpec extends SparkTestBase {
     out((3L, 2)) shouldBe ("c", 2 * idf(2))
   }
 
+  behavior of "random-corpus parity with brute-force references"
+
+  it should "match a brute-force stripBoilerplate on seeded random corpora" in {
+    val rnd = new scala.util.Random(110817L)
+    val lines = Array("", "NAV", "footer (c)", "body x", "body y", "unique",
+      "  spaced  ", "tail")
+    val rows = (0L until 60L).map { i =>
+      val n = 1 + rnd.nextInt(5)
+      (i, "g" + rnd.nextInt(2),
+        Seq.fill(n)(lines(rnd.nextInt(lines.length))).mkString("\n"))
+    }
+    val minDocs = 3
+    // brute force: per (group, line), count distinct docs; delete lines
+    // at or above the threshold from every doc of the group
+    val byGroup = rows.groupBy(_._2).view.mapValues { rs =>
+      rs.flatMap(r => r._3.split("\n", -1).distinct.map(l => (r._1, l)))
+        .groupBy(_._2).view.mapValues(_.map(_._1).distinct.size)
+        .filter(_._2 >= minDocs).keySet
+    }.toMap
+    val want = rows.map { case (id, g, t) =>
+      id -> t.split("\n", -1).filterNot(byGroup(g)).mkString("\n")
+    }.toMap
+    val got = TextStats.stripBoilerplate(
+        rows.toDF("id", "dom", "text").repartition(7), "id", "dom", "text",
+        minDocs)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    got shouldBe want
+  }
+
+  it should "match a brute-force dedupParagraphs on seeded random corpora" in {
+    val rnd = new scala.util.Random(220817L)
+    val paras = Array("", "ab", "SHARED ONE", "SHARED TWO", "solo piece",
+      "another body", "x")
+    val rows = (0L until 60L).map { i =>
+      val n = 1 + rnd.nextInt(4)
+      (i, Seq.fill(n)(paras(rnd.nextInt(paras.length))).mkString("\n\n"))
+    }
+    val minChars = 3
+    val keepId = rows
+      .flatMap(r => r._2.split("\n\n", -1).distinct
+        .filter(_.length >= minChars).map(p => (p, r._1)))
+      .groupBy(_._1).view
+      .mapValues(v => (v.map(_._2).distinct.size, v.map(_._2).min))
+      .filter(_._2._1 >= 2).mapValues(_._2).toMap
+    val want = rows.map { case (id, t) =>
+      id -> t.split("\n\n", -1)
+        .filter(p => keepId.get(p).forall(_ == id)).mkString("\n\n")
+    }.toMap
+    val got = TextStats.dedupParagraphs(
+        rows.toDF("id", "text").repartition(5), "id", "text", minChars)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got shouldBe want
+  }
+
   behavior of "qualityBucketsComputed"
 
   it should "match qualityBuckets on the same computed score" in {
