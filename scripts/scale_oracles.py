@@ -37,12 +37,18 @@ import os
 import numpy as np
 import pandas as pd
 
-# queries this module replaces at scale, in dependency order
+import scale_oracles_emb
+
+# queries this module replaces at scale, in dependency order. The
+# embedding-search family (scale_oracles_emb) joined in round 11: their
+# DuckDB oracles are Theta(N^1.5) SQL — the IVF assignment join alone
+# materializes ~5.7e9 rows at 100x — while the corpus as BYTES fits in
+# numpy, so those checks recompute the full search independently there.
 SCALE_INVARIANT = [
     "dedup_minhash_lsh", "near_dup_jaccard",
     "dedup_clusters", "dedup_keep_docs", "dedup_keep_best",
     "ema_rows_es_current_core", "ema_rows_ewma_legacy", "skew_ema_rows_ewma",
-]
+] + scale_oracles_emb.SCALE_INVARIANT_EMB
 
 _SHINGLES = """
     SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
@@ -412,4 +418,6 @@ def run(name, con, out_dir, sf_dir):
         "skew_ema_rows_ewma":
             lambda: check_skew_ema_rows_ewma(con, out_dir, sf_dir),
     }
-    return fns[name]()
+    if name in fns:
+        return fns[name]()
+    return scale_oracles_emb.run(name, out_dir, sf_dir)

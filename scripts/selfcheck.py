@@ -30,10 +30,16 @@ _ap.add_argument("sf_dir")
 _ap.add_argument("out_dir")
 _ap.add_argument("--scale-invariants", action="store_true")
 _ap.add_argument("--rel-tol", type=float, default=0.0)
+_ap.add_argument("--oracle-infeasible", default="",
+                 help="comma-separated query names whose ORACLE (not the "
+                      "engine) is super-linear SQL at this scale point; "
+                      "recorded as an explicit documented skip, never "
+                      "silently dropped")
 _args = _ap.parse_args()
 sf_dir, out_dir = _args.sf_dir, _args.out_dir
 scale_mode = _args.scale_invariants
 rel_tol = _args.rel_tol
+oracle_infeasible = {q for q in _args.oracle_infeasible.split(",") if q}
 
 con = duckdb.connect()
 for p in glob.glob(f"{sf_dir}/*.parquet"):
@@ -48,9 +54,15 @@ if scale_mode:
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fail, ok, skip = [], [], []
 progress = os.environ.get("SELFCHECK_PROGRESS") == "1"
+infeasible_hit = []
 for name in sorted(os.listdir(out_dir)):
     d = os.path.join(out_dir, name)
     if not os.path.isdir(d):
+        continue
+    if name in oracle_infeasible:
+        n_rows = sum(len(pd.read_parquet(f))
+                     for f in glob.glob(f"{d}/*.parquet"))
+        infeasible_hit.append((name, n_rows))
         continue
     if scale_mode and name in scale_oracles.SCALE_INVARIANT:
         if progress:
@@ -131,6 +143,12 @@ print(f"SKIP(no-oracle) {len(skip)}: {' '.join(n for n,_ in skip)}")
 for n, c in skip:
     if c == 0:
         print(f"  WARN {n}: 0 rows")
+if infeasible_hit:
+    print(f"SKIP(oracle-infeasible) {len(infeasible_hit)}: "
+          + " ".join(f"{n}({c} rows)" for n, c in infeasible_hit))
+    for n, c in infeasible_hit:
+        if c == 0:
+            print(f"  WARN {n}: 0 rows")
 print(f"FAIL {len(fail)}:")
 for n, m in fail:
     print(f"  {n}: {m}")
