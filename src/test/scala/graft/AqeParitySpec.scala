@@ -145,6 +145,13 @@ class AqeParitySpec extends SparkTestBase {
         paraDocs.select(F2.col("id"),
           F2.translate(F2.col("text"), "\n", " ").as("text")),
         "id", "text", k = 3))
+    parity("bigramModel+Score")(() => {
+      val (bi, uni, oov) = graft.llm.TextStats.bigramModel(docs, "text",
+        topK = 6, topB = 12)
+      docs.select(F2.col("id"),
+        graft.llm.TextStats.bigramScore(F2.col("text"), bi, uni,
+          graft.llm.TextStats.StupidBackoffLp, oov).as("lp"))
+    })
     parity("blocklist+psl")(() => {
       val urls = (0L until 90L)
         .map(i => (i, s"https://a${i % 5}.b${i % 3}.example.co.uk/p/$i"))
