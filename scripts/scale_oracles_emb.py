@@ -358,8 +358,83 @@ def check_emb_dedup_keep(out_dir, sf_dir):
     return None
 
 
+def _mix32(x):
+    """The engine's 32-bit avalanche mix exactly as the SQL oracles write
+    it: two xorshift-multiply rounds + a final xorshift (PortableHash)."""
+    x = x % (1 << 32)
+    x = ((x ^ (x >> 16)) * 73244475) % (1 << 32)
+    x = ((x ^ (x >> 16)) * 73244475) % (1 << 32)
+    return x ^ (x >> 16)
+
+
+_HASH_MULT = 2654435761
+
+
+def _hash_unit(ids, seed):
+    a = _mix32(ids + seed)
+    b = _mix32(ids + seed + _HASH_MULT)
+    return ((a % (1 << 31)) * (1 << 32) + b) / 9.223372036854776e18
+
+
+def _check_pack(out_dir, sf_dir, name, sizes_fn,
+                budget=1000, num_buckets=8, seed=42):
+    """Exact sequential recomputation of Sampling.packSequences — the
+    DuckDB oracle is a per-row recursive CTE, fine at 10x and effectively
+    quadratic at 100x; the greedy fill IS the linear algorithm, so this
+    runs it directly over the (bucket, hashUnit, id)-sorted rows."""
+    dump = _dump_df(out_dir, name)
+    if dump is None:
+        return "no dump parquet found"
+    df = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "n_chars"])
+    ids = df["doc_id"].to_numpy().astype(np.int64)
+    sz = sizes_fn(ids, df["n_chars"].to_numpy().astype(np.int64))
+    bucket = _mix32(ids + seed) % num_buckets
+    u = _hash_unit(ids, seed + _HASH_MULT)
+    order = np.lexsort((ids, u, bucket))
+    pack_id = np.empty(len(ids), dtype=np.int64)
+    pack_off = np.empty(len(ids), dtype=np.int64)
+    cur_b, pid, fill = -1, 0, 0
+    for r in order:
+        b = bucket[r]
+        if b != cur_b:
+            cur_b, pid, fill = b, 0, 0
+        t = sz[r]
+        if fill > 0 and fill + t > budget:
+            pid += 1
+            fill = 0
+        pack_id[r], pack_off[r] = pid, fill
+        fill += t
+    mine = pd.DataFrame({"doc_id": ids, "pack_bucket": bucket,
+                         "pack_id": pack_id, "pack_offset": pack_off})
+    got = dump[["doc_id", "pack_bucket", "pack_id", "pack_offset"]] \
+        .sort_values("doc_id").reset_index(drop=True).astype(np.int64)
+    mine = mine.sort_values("doc_id").reset_index(drop=True)
+    if len(got) != len(mine):
+        return f"row count {len(got)} vs {len(mine)}"
+    for c in mine.columns:
+        neq = got[c].to_numpy() != mine[c].to_numpy()
+        if neq.any():
+            i = int(np.argmax(neq))
+            return (f"col {c}: {int(neq.sum())} differ; first doc_id "
+                    f"{got['doc_id'][i]}: got {got[c][i]} exp {mine[c][i]}")
+    return None
+
+
+def check_pack_sequences(out_dir, sf_dir):
+    return _check_pack(out_dir, sf_dir, "pack_sequences",
+                       lambda ids, n_chars: n_chars)
+
+
+def check_skew_pack_sequences(out_dir, sf_dir):
+    return _check_pack(out_dir, sf_dir, "skew_pack_sequences",
+                       lambda ids, n_chars:
+                       np.where(ids % 2 == 0, 900, ids % 97 + 1))
+
+
 SCALE_INVARIANT_EMB = ["ann_ivf_topk", "ann_ivfpq_topk", "ann_ivfpq_qscale",
-                       "emb_near_dup", "emb_dedup_keep"]
+                       "emb_near_dup", "emb_dedup_keep",
+                       "pack_sequences", "skew_pack_sequences"]
 
 
 def run(name, out_dir, sf_dir):
@@ -369,5 +444,8 @@ def run(name, out_dir, sf_dir):
         "ann_ivfpq_qscale": lambda: check_ann_ivfpq_qscale(out_dir, sf_dir),
         "emb_near_dup": lambda: check_emb_near_dup(out_dir, sf_dir),
         "emb_dedup_keep": lambda: check_emb_dedup_keep(out_dir, sf_dir),
+        "pack_sequences": lambda: check_pack_sequences(out_dir, sf_dir),
+        "skew_pack_sequences":
+            lambda: check_skew_pack_sequences(out_dir, sf_dir),
     }
     return fns[name]()
