@@ -432,9 +432,98 @@ def check_skew_pack_sequences(out_dir, sf_dir):
                        np.where(ids % 2 == 0, 900, ids % 97 + 1))
 
 
+def check_strip_spans(out_dir, sf_dir):
+    """Conditional on the (verified) dup_spans dump — the same design as
+    the component checks: replay Dedup.stripDuplicateSpans directly
+    (keep token i iff no span has start <= i < end, rejoin on single
+    spaces, md5 the result). The DuckDB oracle rebuilds token-by-token
+    with window SQL and OOMs at 100x; this is the linear replay."""
+    import hashlib
+    dump = _dump_df(out_dir, "strip_spans")
+    spans = _dump_df(out_dir, "dup_spans")
+    if dump is None or spans is None:
+        return "missing strip_spans or dup_spans dump"
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    span_map = {}
+    for d, s, e in zip(spans["doc_id"], spans["start_pos"],
+                       spans["end_pos"]):
+        span_map.setdefault(int(d), []).append((int(s), int(e)))
+    got = dict(zip(dump["doc_id"].astype(int), dump["stripped_md5"]))
+    if len(got) != len(docs):
+        return f"dump rows {len(got)} vs corpus {len(docs)}"
+    bad = 0
+    first = None
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        did = int(did)
+        sp = span_map.get(did)
+        if sp is None:
+            out = text
+        else:
+            toks = text.split(" ")
+            out = " ".join(t for i, t in enumerate(toks)
+                           if not any(s <= i < e for s, e in sp))
+        md5 = hashlib.md5(out.encode("utf-8")).hexdigest()
+        if got.get(did) != md5:
+            bad += 1
+            if first is None:
+                first = (did, got.get(did), md5)
+    if bad:
+        return f"{bad} md5 mismatches, first {first}"
+    return None
+
+
+def check_summarize_corr_pairs(out_dir, sf_dir):
+    """Independent float64 recomputation of the grouped pairwise
+    correlations + t-stats (numpy pairwise summation, ~1e-15 relative on
+    the power sums). The l_linenumber/l_orderkey pair is statistically
+    zero (r ~ 4e-10 at 100x), so its value is PURE summation-order noise:
+    engine, DuckDB, and numpy legitimately disagree in absolute terms
+    that grow with n. Bounds reflect that: correlations within
+    max(1e-11, 1e-9*|value|); t-stats (r scaled by ~sqrt(n)) within
+    max(4e-12*sqrt(n), 1e-9*|value|). The observed engine drift is
+    ~3e-15 on r / ~3e-11 on t at n = 6e7 — two to three orders inside
+    these bounds — while any real estimator defect (wrong moment, wrong
+    n) lands far outside them."""
+    dump = _dump_df(out_dir, "summarize_corr_pairs")
+    if dump is None:
+        return "no dump parquet found"
+    cols = ["l_returnflag", "l_quantity", "l_linenumber", "l_orderkey"]
+    li = pd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=cols)
+    pairs = [("l_quantity", "l_linenumber"), ("l_quantity", "l_orderkey"),
+             ("l_linenumber", "l_orderkey")]
+    for flag, g in li.groupby("l_returnflag"):
+        row = dump[dump["l_returnflag"] == flag]
+        if len(row) != 1:
+            return f"group {flag}: {len(row)} dump rows"
+        row = row.iloc[0]
+        n = float(len(g))
+        for xc, yc in pairs:
+            x = g[xc].to_numpy().astype(np.float64)
+            y = g[yc].to_numpy().astype(np.float64)
+            mx, my = x.sum() / n, y.sum() / n
+            r = ((x * y).sum() / n - mx * my) / (
+                math.sqrt((x * x).sum() / n - mx * mx) *
+                math.sqrt((y * y).sum() / n - my * my))
+            t = r * math.sqrt((n - 2.0) / (1.0 - r * r))
+            for col, mine, tol in (
+                    (f"{xc}_{yc}_correlation", r,
+                     max(1e-11, 1e-9 * abs(r))),
+                    (f"{xc}_{yc}_correlationTStat", t,
+                     max(4e-12 * math.sqrt(n), 1e-9 * abs(t)))):
+                got = float(row[col])
+                if abs(got - mine) > tol:
+                    return (f"group {flag} {col}: got {got!r} vs "
+                            f"recomputed {mine!r} (|diff| "
+                            f"{abs(got - mine):.2e} > tol {tol:.2e})")
+    return None
+
+
 SCALE_INVARIANT_EMB = ["ann_ivf_topk", "ann_ivfpq_topk", "ann_ivfpq_qscale",
                        "emb_near_dup", "emb_dedup_keep",
-                       "pack_sequences", "skew_pack_sequences"]
+                       "pack_sequences", "skew_pack_sequences",
+                       "strip_spans", "summarize_corr_pairs"]
 
 
 def run(name, out_dir, sf_dir):
@@ -447,5 +536,8 @@ def run(name, out_dir, sf_dir):
         "pack_sequences": lambda: check_pack_sequences(out_dir, sf_dir),
         "skew_pack_sequences":
             lambda: check_skew_pack_sequences(out_dir, sf_dir),
+        "strip_spans": lambda: check_strip_spans(out_dir, sf_dir),
+        "summarize_corr_pairs":
+            lambda: check_summarize_corr_pairs(out_dir, sf_dir),
     }
     return fns[name]()

@@ -1238,8 +1238,8 @@ object QueriesLLM {
                  FROM l GROUP BY 1, 2) WHERE nd >= 5),
          bl AS (SELECT source, list(line) AS bad FROM b GROUP BY source)
          SELECT d.doc_id,
-           array_to_string(list_filter(string_split(d.text, chr(10)),
-             x -> coalesce(NOT list_contains(bl.bad, x), true)), chr(10))
+           coalesce(array_to_string(list_filter(string_split(d.text, chr(10)),
+             x -> coalesce(NOT list_contains(bl.bad, x), true)), chr(10)), '')
              AS text
          FROM d LEFT JOIN bl ON d.source = bl.source
          ORDER BY d.doc_id""",
@@ -1262,10 +1262,10 @@ object QueriesLLM {
                 FROM p JOIN g ON p.para = g.para AND p.doc_id <> g.keep_id
                 GROUP BY p.doc_id)
          SELECT d.doc_id,
-           array_to_string(list_filter(
+           coalesce(array_to_string(list_filter(
              string_split(d.text, chr(10) || chr(10)),
              x -> coalesce(NOT list_contains(dl.drop_list, x), true)),
-             chr(10) || chr(10)) AS text
+             chr(10) || chr(10)), '') AS text
          FROM d LEFT JOIN dl ON d.doc_id = dl.doc_id
          ORDER BY d.doc_id""",
     "tfidf_top_terms" ->
