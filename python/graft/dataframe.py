@@ -477,6 +477,15 @@ class TimeSeriesDataFrame(DataFrame):
         return self._with(_api(self).dedupParagraphs(
             self._jdf, id_col, text_col, int(min_chars)))
 
+    def corpus_diff(self, new_df, id_col, text_col):
+        """Classify every id across two corpus versions (self = old) as
+        added / removed / changed / unchanged by content hash — the
+        incremental-reprocessing primitive."""
+        other = new_df._jdf if isinstance(new_df, TimeSeriesDataFrame) \
+            else new_df._jdf
+        return self._with(_api(self).corpusDiff(
+            self._jdf, other, id_col, text_col))
+
     def tfidf_top_terms(self, id_col, text_col, k):
         """Top-``k`` terms per document by tf-idf with integer micro-nat
         idf quantization (bit-exact ranking on any engine), finished by

@@ -775,6 +775,13 @@ def test_round11_boilerplate_and_tfidf(spark):
                for r in paras.dedup_paragraphs("id", "text",
                                                min_chars=4).collect()}
     assert deduped == {1: "keep me\n\nSHARED BLOCK", 2: "other"}
+    old_v = TimeSeriesDataFrame(spark.createDataFrame(
+        [(1, "same"), (2, "was")], "id long, text string"))
+    new_v = TimeSeriesDataFrame(spark.createDataFrame(
+        [(1, "same"), (2, "now"), (3, "new")], "id long, text string"))
+    diff = {r["id"]: r["status"]
+            for r in old_v.corpus_diff(new_v, "id", "text").collect()}
+    assert diff == {1: "unchanged", 2: "changed", 3: "added"}
 
 
 def test_bigram_model_and_score(spark):

@@ -109,6 +109,20 @@ object QueriesLLM {
       Dedup.dupClusters(d.select("doc_id"), pairs, "doc_id")
         .orderBy("doc_id")
     }),
+    // Corpus version diff: old = corpus minus the doc_id%7==3 slice,
+    // new = corpus minus the doc_id%5==1 slice with the %11==2 docs
+    // edited — every id classified added/removed/changed/unchanged by
+    // content hash, the incremental-reprocessing primitive.
+    "corpus_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val oldV = d.filter(F.pmod(F.col("doc_id"), F.lit(7L)) =!= 3)
+      val newV = d.filter(F.pmod(F.col("doc_id"), F.lit(5L)) =!= 1)
+        .withColumn("text",
+          F.when(F.pmod(F.col("doc_id"), F.lit(11L)) === 2,
+            F.concat(F.col("text"), F.lit(" EDIT")))
+            .otherwise(F.col("text")))
+      Dedup.corpusDiff(oldV, newV, "doc_id", "text").orderBy("doc_id")
+    }),
     // The full dedup decision: corpus minus non-representative cluster
     // members (what a training pipeline actually feeds downstream).
     "dedup_keep_docs" -> ((s, dir) => {
@@ -1243,6 +1257,20 @@ object QueriesLLM {
              AS text
          FROM d LEFT JOIN bl ON d.source = bl.source
          ORDER BY d.doc_id""",
+    "corpus_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS h FROM documents
+                    WHERE doc_id % 7 <> 3),
+         n AS (SELECT doc_id,
+                 md5(CASE WHEN doc_id % 11 = 2 THEN text || ' EDIT'
+                          ELSE text END) AS h
+               FROM documents WHERE doc_id % 5 <> 1)
+         SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.h = n.h THEN 'unchanged'
+                ELSE 'changed' END AS status
+         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+         ORDER BY doc_id""",
     "dedup_paragraphs" ->
       """WITH d AS (SELECT doc_id,
            text || chr(10) || chr(10) || 'PROMO subscribe to site' ||

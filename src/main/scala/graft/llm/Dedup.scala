@@ -345,6 +345,31 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /**
+   * Corpus version diff: classify every document id across two corpus
+   * versions as `added` (only in `newDf`), `removed` (only in `oldDf`),
+   * `changed` (both, different content hash) or `unchanged` — the
+   * versioning primitive behind incremental reprocessing ("re-run the
+   * pipeline only on added+changed") and eval-set drift audits. Content
+   * equality is md5 of `textCol`; null texts hash to null and compare
+   * null-safe (two nulls = unchanged). One full outer equi-join on id,
+   * hash computed in the scan on each side — no corpus ever collects.
+   * Output: (id, status) for every id in either version.
+   */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val o = oldDf.select(F.col(idCol).as("__cd_id"),
+      F.md5(F.col(textCol)).as("__cd_oh"), F.lit(true).as("__cd_o"))
+    val n = newDf.select(F.col(idCol).as("__cd_id"),
+      F.md5(F.col(textCol)).as("__cd_nh"), F.lit(true).as("__cd_n"))
+    o.join(n, Seq("__cd_id"), "full_outer")
+      .select(F.col("__cd_id").as(idCol),
+        F.when(F.col("__cd_o").isNull, "added")
+          .when(F.col("__cd_n").isNull, "removed")
+          .when(F.col("__cd_oh") <=> F.col("__cd_nh"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Exact n-gram (word-set) Jaccard similarity pairs within a blocking key
     * (e.g. source): a grouped self-join, the exact blocked-comparison
     * baseline. Exact semantics by default: every row of every block

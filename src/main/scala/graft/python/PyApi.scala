@@ -448,6 +448,10 @@ object PyApi {
                       minChars: Int): DataFrame =
     graft.llm.TextStats.dedupParagraphs(df, idCol, textCol, minChars)
 
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                 textCol: String): DataFrame =
+    graft.llm.Dedup.corpusDiff(oldDf, newDf, idCol, textCol)
+
   /** Bounded unigram LM: returns [vocab as a list of [token, lpMicro]
     * pairs, oovLpMicro]. */
   def unigramModel(df: DataFrame, textCol: String,

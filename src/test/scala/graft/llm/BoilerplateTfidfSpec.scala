@@ -114,6 +114,19 @@ class BoilerplateTfidfSpec extends SparkTestBase {
     out((3L, 2)) shouldBe ("c", 2 * idf(2))
   }
 
+  behavior of "corpusDiff"
+
+  it should "classify added/removed/changed/unchanged by content hash" in {
+    val oldV = Seq((1L, "same"), (2L, "will change"), (3L, "goes away"),
+      (5L, null: String)).toDF("id", "text")
+    val newV = Seq((1L, "same"), (2L, "changed!"), (4L, "brand new"),
+      (5L, null: String)).toDF("id", "text")
+    val out = Dedup.corpusDiff(oldV, newV, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out shouldBe Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "unchanged") // null texts compare null-safe
+  }
+
   behavior of "random-corpus parity with brute-force references"
 
   it should "match a brute-force stripBoilerplate on seeded random corpora" in {
