@@ -994,4 +994,190 @@ object Kernels {
       org.apache.spark.unsafe.types.UTF8String.fromString(s.substring(secondStart))
     } else host // single label
   }
+
+  /** True when s[at..] starts (case-insensitively) with `name` followed by
+    * a non-word char or end — the `\b` boundary of `<script\b` / `<style\b`. */
+  @inline private def tagNameAt(s: String, at: Int, name: String): Boolean = {
+    if (!s.regionMatches(true, at, name, 0, name.length)) return false
+    val j = at + name.length
+    if (j >= s.length) return true
+    val c = s.charAt(j)
+    !((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_')
+  }
+
+  /** Index just past the `>` of the next `</name[ \t\n\r\f]*>` (case-
+    * insensitive) at or after `from`, or -1 — the non-greedy
+    * `.*?</name\s*>` tail of the script/style block regex. */
+  private def closeTagEnd(s: String, from: Int, name: String): Int = {
+    val n = s.length
+    var i = s.indexOf('<', from)
+    while (i >= 0) {
+      if (i + 1 < n && s.charAt(i + 1) == '/' &&
+          s.regionMatches(true, i + 2, name, 0, name.length)) {
+        var j = i + 2 + name.length
+        while (j < n && (s.charAt(j) == ' ' || s.charAt(j) == '\t' ||
+          s.charAt(j) == '\n' || s.charAt(j) == '\r' || s.charAt(j) == '\f')) j += 1
+        if (j < n && s.charAt(j) == '>') return j + 1
+      }
+      i = s.indexOf('<', i + 1)
+    }
+    -1
+  }
+
+  private val MarkupEntities: Array[(String, Char)] = Array(
+    ("&amp;", '&'), ("&lt;", '<'), ("&gt;", '>'),
+    ("&quot;", '"'), ("&#39;", '\''), ("&nbsp;", ' '))
+
+  /**
+   * WET-style markup-to-text extraction in one left-to-right scan, with
+   * semantics EXACTLY reproducible as a regexp_replace/replace chain so
+   * the DuckDB oracle can replay it:
+   *  1. `(?is)<script\b[^>]*>.*?</script[ \t\n\r\f]*>` -> one space
+   *     (likewise `<style...>`); an UNTERMINATED block never matches the
+   *     non-greedy regex, so only its open tag strips (step 2) and the
+   *     body survives as text — the scanner mirrors that fallback.
+   *  2. every remaining `<[^>]*>` tag -> one space; a `<` with no later
+   *     `>` survives literally (the regex can't match it).
+   *  3. the six standard entities decode left-to-right, first match wins
+   *     (`&amp;` -> `&`, `&lt;` `&gt;` `&quot;` `&#39;` `&nbsp;`);
+   *     decoded chars are literal text, never re-parsed as markup.
+   *  4. runs of `[ \t\n\r\f]` collapse to one space; leading/trailing
+   *     space trims.
+   * One pass, no regex engine, linear in input bytes.
+   */
+  def stripMarkup(u: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val s = u.toString
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var pendingSpace = false
+    @inline def emit(c: Char): Unit = {
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f') {
+        pendingSpace = true
+      } else {
+        if (pendingSpace && sb.length > 0) sb.append(' ')
+        pendingSpace = false
+        sb.append(c)
+      }
+    }
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        val close = s.indexOf('>', i)
+        if (close < 0) { emit(c); i += 1 } // unterminated tag: literal
+        else {
+          var next = close + 1
+          if (tagNameAt(s, i + 1, "script")) {
+            val end = closeTagEnd(s, close + 1, "script")
+            if (end > 0) next = end
+          } else if (tagNameAt(s, i + 1, "style")) {
+            val end = closeTagEnd(s, close + 1, "style")
+            if (end > 0) next = end
+          }
+          emit(' ')
+          i = next
+        }
+      } else if (c == '&') {
+        var k = 0
+        var matched = false
+        while (k < MarkupEntities.length && !matched) {
+          val ent = MarkupEntities(k)._1
+          if (s.regionMatches(false, i, ent, 0, ent.length)) {
+            emit(MarkupEntities(k)._2); i += ent.length; matched = true
+          }
+          k += 1
+        }
+        if (!matched) { emit('&'); i += 1 }
+      } else { emit(c); i += 1 }
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+
+  /**
+   * Encoding-quality counters in one code-point scan:
+   * (n_chars, n_replacement, n_control) where n_chars counts Unicode code
+   * points (= DuckDB `length()`), n_replacement counts U+FFFD, and
+   * n_control counts C0 controls other than tab/newline/CR plus DEL
+   * (`[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]`) — the standard mojibake /
+   * binary-contamination signal for web corpora.
+   */
+  def encodingStats(u: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = u.toString
+    val n = s.length
+    var chars = 0
+    var repl = 0
+    var ctrl = 0
+    var i = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      chars += 1
+      if (cp == 0xFFFD) repl += 1
+      else if ((cp < 0x20 && cp != '\t' && cp != '\n' && cp != '\r') || cp == 0x7F)
+        ctrl += 1
+      i += Character.charCount(cp)
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](chars, repl, ctrl))
+  }
+
+  /**
+   * The Gopher/MassiveText quality counters hardFilterFlags doesn't already
+   * cover, in one scan: words are single-space splits (corpus convention),
+   * lines are `\n` splits. Returns
+   * (n_words, n_alpha_words, n_symbols, n_lines, n_bullet_lines,
+   *  n_ellipsis_lines) where an alpha word contains >= 1 ASCII letter,
+   * symbols = `#` occurrences + non-overlapping `...` matches (counted
+   * left-to-right like RE2 regexp_extract_all), a bullet line starts with
+   * `- `, `* `, or `•`, and an ellipsis line ends with `...`.
+   * Integer outputs on purpose: the rule thresholds compare via integer
+   * cross-multiplication so the flags are bit-stable in any engine.
+   */
+  def gopherStats(u: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = u.toString
+    val n = s.length
+    var nWords = 0
+    var nAlpha = 0
+    var nSym = 0
+    var nLines = 0
+    var nBullet = 0
+    var nEllipsis = 0
+    var wordHasAlpha = false
+    var lineStart = 0
+    var dotRun = 0 // run length of '.' ending at current char
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == ' ') {
+        nWords += 1
+        if (wordHasAlpha) nAlpha += 1
+        wordHasAlpha = false
+      } else if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) {
+        wordHasAlpha = true
+      }
+      if (c == '#') nSym += 1
+      if (c == '.') { dotRun += 1; if (dotRun == 3) { nSym += 1; dotRun = 0 } }
+      else dotRun = 0
+      if (c == '\n' || i == n - 1) {
+        val end = if (c == '\n') i else i + 1
+        nLines += 1
+        val len = end - lineStart
+        if (len >= 2 && (s.charAt(lineStart) == '-' || s.charAt(lineStart) == '*') &&
+            s.charAt(lineStart + 1) == ' ') nBullet += 1
+        else if (len >= 1 && s.charAt(lineStart) == '•') nBullet += 1
+        if (len >= 3 && s.charAt(end - 1) == '.' && s.charAt(end - 2) == '.' &&
+            s.charAt(end - 3) == '.') nEllipsis += 1
+        lineStart = i + 1
+      }
+      i += 1
+    }
+    // the word after the final space (split semantics: n_words = spaces+1)
+    nWords += 1
+    if (wordHasAlpha) nAlpha += 1
+    if (n == 0) nLines = 1 // split('', '\n') is one empty line
+    // a trailing '\n' leaves one empty final line (split semantics)
+    else if (s.charAt(n - 1) == '\n') nLines += 1
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nWords, nAlpha, nSym, nLines, nBullet, nEllipsis))
+  }
 }

@@ -85,6 +85,28 @@ object QueriesLLM {
       Dedup.minHashDedupPairs(docs(s, dir), "doc_id", "text",
         numHashes = 128, bands = 16, shingleSize = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
+    // Incremental dedup of a "new crawl" (odd doc_ids) against the
+    // existing corpus (even doc_ids): one digest-keyed left-anti join on
+    // the normalized token-set key — the shape that holds when the
+    // existing side is the 100 TB one.
+    "dedup_against_exact" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.dedupAgainstExact(d.filter(F.col("doc_id") % 2 === 1),
+          d.filter(F.col("doc_id") % 2 === 0), "text")
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+    // Same split, NEAR-dup form: banded-LSH candidates against the
+    // existing half, exact merge-walk Jaccard verify, incoming survivors
+    // out. Threshold 0.5 — same recall note as dedup_minhash_lsh (the J
+    // gap below 0.9 is empty on this corpus, so LSH output = exact truth
+    // and the oracle can recompute it as the all-cross-pairs SQL).
+    "dedup_against_minhash" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.dedupAgainstMinHash(d.filter(F.col("doc_id") % 2 === 1),
+          d.filter(F.col("doc_id") % 2 === 0), "doc_id", "text",
+          threshold = 0.5)
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
     // Portable two-lane sketch (SQL-mirrorable hash) so the full pipeline —
     // token hash, majority vote, 16-bit banding, hamming filter — is
     // verified against the DuckDB oracle; uncapped buckets so the oracle's
@@ -598,6 +620,42 @@ object QueriesLLM {
       Urls.filterBlockedDomains(docs(s, dir).withColumn("url", docUrl),
           "url", Seq("site3.com", "site7.co.uk", "site12.com"))
         .select("doc_id", "source").orderBy("doc_id")),
+    // WET-style text extraction from constructed HTML: the markup-strip
+    // kernel drops the style/script blocks, strips tags to spaces, decodes
+    // entities, and collapses whitespace — one codegen'd scan; the oracle
+    // replays the identical regexp/replace chain on the same construction.
+    "strip_markup" -> ((s, dir) => {
+      val html = F.concat(
+        F.lit("<html><head><style type=\"text/css\">body { color: #fff; }" +
+          "</style><SCRIPT src=\"x.js\">var i = 0; if (i < 2) { i++; }" +
+          "</script ></head><body><h1>"),
+        F.col("source"),
+        F.lit("</h1>\n<p>"), F.col("text"),
+        F.lit("</p>\t<p>&lt;raw&gt; tail&nbsp;&amp;&nbsp;end</p></body></html>"))
+      docs(s, dir).select(F.col("doc_id"),
+        TextStats.stripMarkup(html).as("clean")).orderBy("doc_id")
+    }),
+    // Mojibake / binary-contamination audit: U+FFFD and control chars are
+    // injected for doc_id % 7 = 0 so the keep rule (<= 1 bad char per
+    // mille) actually fires; all-integer outputs, one kernel scan.
+    "doc_encoding" -> ((s, dir) => {
+      val t = F.concat(F.col("text"),
+        F.when(F.col("doc_id") % 7 === 0, F.lit("\uFFFD\u0001"))
+          .otherwise(F.lit("")))
+      val st = TextStats.encodingStats(t)
+      docs(s, dir).select(F.col("doc_id"),
+        st.getField("n_chars").as("n_chars"),
+        st.getField("n_replacement").as("n_replacement"),
+        st.getField("n_control").as("n_control"),
+        TextStats.encodingKeep(t).as("keep")).orderBy("doc_id")
+    }),
+    // The published Gopher/MassiveText quality-rule bundle as auditable
+    // flags (words, mean word length, symbol ratio, bullet/ellipsis lines,
+    // alpha-word fraction, stopword presence) + the conjunction keep.
+    "gopher_flags" -> ((s, dir) =>
+      TextStats.gopherFilter(docs(s, dir), "text")
+        .select("doc_id", "words_ok", "mwl_ok", "symbol_ok", "bullet_ok",
+          "ellipsis_ok", "alpha_ok", "stop_ok", "keep").orderBy("doc_id")),
     // CCNet-style per-source quality tertiles: head/middle/tail by exact
     // R-7 quantile cutpoints within each source.
     "quality_buckets" -> ((s, dir) =>
@@ -987,6 +1045,31 @@ object QueriesLLM {
            AS dup_key,
          min(doc_id) AS keep_id, count(*) AS n_dupes
          FROM documents GROUP BY 1 ORDER BY keep_id""",
+    "dedup_against_exact" ->
+      """WITH k AS (SELECT doc_id, source,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             AS k
+         FROM documents)
+         SELECT doc_id, source FROM k
+         WHERE doc_id % 2 = 1
+           AND k NOT IN (SELECT k FROM k WHERE doc_id % 2 = 0)
+         ORDER BY doc_id""",
+    "dedup_against_minhash" -> {
+      val isz = "len(list_intersect(a.sh, b.sh))"
+      val j = s"CAST($isz AS DOUBLE) / CAST(len(a.sh) + len(b.sh) - $isz AS DOUBLE)"
+      s"""WITH d AS (
+           SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+               for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         dropped AS (
+           SELECT DISTINCT a.doc_id
+           FROM d a JOIN d b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+           WHERE $j >= 0.5)
+         SELECT doc_id, source FROM documents
+         WHERE doc_id % 2 = 1
+           AND doc_id NOT IN (SELECT doc_id FROM dropped)
+         ORDER BY doc_id"""
+    },
     "doc_fingerprint" ->
       "SELECT doc_id, md5(text) AS md5 FROM documents ORDER BY doc_id",
     "doc_fingerprint_rolling" ->
@@ -1218,6 +1301,74 @@ object QueriesLLM {
             OR dom NOT IN ('site3.com', 'site7.co.uk', 'site12.com')
          ORDER BY doc_id"""
     },
+    // replays graft.Kernels.stripMarkup as the regexp/replace chain its
+    // doc pins (script/style blocks, tags, entities, whitespace collapse)
+    // on the identical constructed-HTML input.
+    "strip_markup" ->
+      """WITH h AS (SELECT doc_id,
+           '<html><head><style type="text/css">body { color: #fff; }' ||
+           '</style><SCRIPT src="x.js">var i = 0; if (i < 2) { i++; }' ||
+           '</script ></head><body><h1>' || source || '</h1>' || chr(10) ||
+           '<p>' || text || '</p>' || chr(9) ||
+           '<p>&lt;raw&gt; tail&nbsp;&amp;&nbsp;end</p></body></html>' AS h
+         FROM documents)
+         SELECT doc_id, trim(regexp_replace(
+           replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(h, '(?is)<script\b[^>]*>.*?</script[ \t\n\r\f]*>', ' ', 'g'),
+                 '(?is)<style\b[^>]*>.*?</style[ \t\n\r\f]*>', ' ', 'g'),
+               '<[^>]*>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '), '&amp;', '&'),
+           '[ \t\n\r\f]+', ' ', 'g'), ' ') AS clean
+         FROM h ORDER BY doc_id""",
+    "doc_encoding" ->
+      """WITH t AS (SELECT doc_id,
+           text || CASE WHEN doc_id % 7 = 0 THEN chr(65533) || chr(1)
+                        ELSE '' END AS t
+         FROM documents)
+         SELECT doc_id,
+           CAST(length(t) AS INTEGER) AS n_chars,
+           CAST(length(t) - length(replace(t, chr(65533), '')) AS INTEGER)
+             AS n_replacement,
+           CAST(len(regexp_extract_all(t,
+             '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]')) AS INTEGER) AS n_control,
+           (length(t) - length(replace(t, chr(65533), ''))
+             + len(regexp_extract_all(t, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]')))
+             * 1000 <= length(t) * 1 AS keep
+         FROM t ORDER BY doc_id""",
+    "gopher_flags" ->
+      """WITH g AS (SELECT doc_id,
+           len(string_split(text, ' ')) AS nw,
+           len(list_filter(string_split(text, ' '),
+               t -> regexp_matches(t, '[A-Za-z]'))) AS na,
+           (length(text) - length(replace(text, '#', '')))
+             + len(regexp_extract_all(text, '\.\.\.')) AS ns,
+           len(string_split(text, chr(10))) AS nl,
+           len(list_filter(string_split(text, chr(10)),
+               l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '•%')) AS nb,
+           len(list_filter(string_split(text, chr(10)),
+               l -> l LIKE '%...')) AS ne,
+           len(list_filter(string_split(text, ' '),
+               t -> t IN ('the','be','to','of','and','that','have','with')))
+             AS nstop,
+           length(text) AS nc
+         FROM documents)
+         SELECT doc_id,
+           nw >= 50 AND nw <= 100000 AS words_ok,
+           ((CAST(nc AS DOUBLE) - (nw - 1)) / nw) >= 3.0
+             AND ((CAST(nc AS DOUBLE) - (nw - 1)) / nw) <= 10.0 AS mwl_ok,
+           ns * 10 <= nw AS symbol_ok,
+           nb * 10 <= nl * 9 AS bullet_ok,
+           ne * 10 <= nl * 3 AS ellipsis_ok,
+           na * 10 >= nw * 8 AS alpha_ok,
+           nstop >= 2 AS stop_ok,
+           nw >= 50 AND nw <= 100000
+             AND ((CAST(nc AS DOUBLE) - (nw - 1)) / nw) >= 3.0
+             AND ((CAST(nc AS DOUBLE) - (nw - 1)) / nw) <= 10.0
+             AND ns * 10 <= nw AND nb * 10 <= nl * 9 AND ne * 10 <= nl * 3
+             AND na * 10 >= nw * 8 AND nstop >= 2 AS keep
+         FROM g ORDER BY doc_id""",
     "quality_buckets" ->
       s"""WITH q AS (SELECT doc_id, source, $qualityExprSql AS q FROM documents),
          c AS (SELECT source, quantile_cont(q, 1.0/3) AS c1,

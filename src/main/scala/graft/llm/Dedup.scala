@@ -370,6 +370,78 @@ object Dedup {
           .otherwise("changed").as("status"))
   }
 
+  /**
+   * Incremental exact dedup — the new-crawl-versus-existing-corpus shape:
+   * drop incoming rows whose content digest already exists in `existing`,
+   * returning the surviving incoming rows unchanged. With
+   * `normalize = true` the digest is over the sorted distinct token set
+   * (same key as [[exactDedup]]), catching reorderings/repetitions.
+   *
+   * 100 TB shape: ONE left-anti hash join keyed on the md5 digest — both
+   * sides partition on the digest, the existing corpus (usually the big
+   * side) is never broadcast and never collected, and the digest projects
+   * in each side's scan so only 16-byte keys shuffle, not text.
+   */
+  def dedupAgainstExact(incoming: DataFrame, existing: DataFrame,
+                        textCol: String, normalize: Boolean = true): DataFrame = {
+    def key(c: Column) =
+      if (normalize) F.md5(F.array_join(normalizedTokens(c), " "))
+      else F.md5(c)
+    incoming.join(
+      existing.select(key(F.col(textCol)).as("__da_key")).distinct(),
+      key(incoming(textCol)) === F.col("__da_key"), "left_anti")
+  }
+
+  /**
+   * Incremental NEAR dedup via banded MinHash-LSH: an incoming row drops
+   * when it shares at least one LSH band bucket with an existing row AND
+   * the exact merge-walk Jaccard of their hashed shingle sets clears
+   * `threshold`. Returns the surviving incoming rows unchanged.
+   *
+   * 100 TB shape: both corpora shuffle on (band, bucket) — neither side
+   * broadcasts; the existing side aggregates per bucket to a capped
+   * sorted id array (`maxBucketSize` smallest, the [[minHashDedupPairs]]
+   * truncation contract: candidates beyond the cap in a pathologically
+   * hot bucket are silently not compared), so candidate fan-out per
+   * bucket is bounded. Verification joins fetch only candidate rows'
+   * shingle sets. Same recall note as [[minHashDedupPairs]]: band
+   * parameters set the J-threshold detection curve.
+   */
+  def dedupAgainstMinHash(incoming: DataFrame, existing: DataFrame,
+                          idCol: String, textCol: String,
+                          numHashes: Int = 128, bands: Int = 16,
+                          shingleSize: Int = 3, threshold: Double = 0.7,
+                          maxBucketSize: Int = 64): DataFrame = {
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands must divide numHashes (got numHashes=$numHashes bands=$bands)")
+    val rowsPerBand = numHashes / bands
+    def sides(df: DataFrame, idAs: String, hsAs: String) =
+      df.select(F.col(idCol).as(idAs),
+        hashedShingles(F.col(textCol), shingleSize).as(hsAs))
+    def buckets(hashed: DataFrame, id: String, hs: String) = hashed
+      .select(F.col(id),
+        F.explode(lshBuckets(minHashOfHashed(F.col(hs), numHashes),
+          bands, rowsPerBand)).as("bk"))
+      .select(F.col(id), F.col("bk.band").as("band"), F.col("bk.bucket").as("bucket"))
+    val inHashed = sides(incoming, "__in_id", "__in_hs")
+    val exHashed = sides(existing, "__ex_id", "__ex_hs")
+    // existing side: capped sorted id list per bucket (bounded fan-out)
+    val exBuckets = buckets(exHashed, "__ex_id", "__ex_hs")
+      .groupBy("band", "bucket")
+      .agg(F.slice(F.array_sort(F.collect_list(F.col("__ex_id"))),
+        1, maxBucketSize).as("ex_ids"))
+    val cands = buckets(inHashed, "__in_id", "__in_hs")
+      .join(exBuckets, Seq("band", "bucket"))
+      .select(F.col("__in_id"), F.explode(F.col("ex_ids")).as("__ex_id"))
+      .distinct()
+    val verified = cands
+      .join(inHashed, Seq("__in_id"))
+      .join(exHashed, Seq("__ex_id"))
+      .filter(sortedJaccard(F.col("__in_hs"), F.col("__ex_hs")) >= threshold)
+      .select(F.col("__in_id")).distinct()
+    incoming.join(verified, incoming(idCol) === F.col("__in_id"), "left_anti")
+  }
+
   /** Exact n-gram (word-set) Jaccard similarity pairs within a blocking key
     * (e.g. source): a grouped self-join, the exact blocked-comparison
     * baseline. Exact semantics by default: every row of every block

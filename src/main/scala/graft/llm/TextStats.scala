@@ -178,6 +178,82 @@ object TextStats {
     hardFilterFlags(F.col(textCol), minWords, maxWords)
       .foldLeft(df) { case (d, (name, c)) => d.withColumn(name, c) }
 
+  /** WET-style markup-to-text extraction: script/style blocks drop, tags
+    * strip to spaces, the six standard entities decode, whitespace
+    * collapses, result trims — one codegen'd kernel scan per row with
+    * semantics exactly replayable as a regexp/replace chain (the oracle
+    * does). The standard first step on raw crawled HTML before any other
+    * text op. */
+  def stripMarkup(text: Column): Column =
+    org.apache.spark.sql.graft.GraftColumns.stripMarkup(text)
+
+  /** Encoding-quality counters struct `(n_chars, n_replacement,
+    * n_control)` — Unicode code points, U+FFFD replacement chars, and
+    * disallowed control chars (`[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]`) — the
+    * standard mojibake / binary-contamination signal. One kernel scan. */
+  def encodingStats(text: Column): Column =
+    org.apache.spark.sql.graft.GraftColumns.encodingStats(text)
+
+  /** Per-mille encoding keep rule on [[encodingStats]]: keep when bad
+    * chars (replacement + control) are at most `maxBadPerMille` per 1000
+    * chars — integer cross-multiplication, bit-stable in any engine.
+    * Empty text keeps. */
+  def encodingKeep(text: Column, maxBadPerMille: Int = 1): Column = {
+    val st = encodingStats(text)
+    val bad = st.getField("n_replacement") + st.getField("n_control")
+    bad * 1000 <= st.getField("n_chars") * maxBadPerMille
+  }
+
+  /** The Gopher stopword list (Rae et al. 2021): a document must contain
+    * at least two of these to pass the `stop_ok` rule. */
+  val GopherStop: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Raw Gopher quality counters struct `(n_words, n_alpha_words,
+    * n_symbols, n_lines, n_bullet_lines, n_ellipsis_lines)` — one kernel
+    * scan (see graft.Kernels.gopherStats for the exact definitions). */
+  def gopherStats(text: Column): Column =
+    org.apache.spark.sql.graft.GraftColumns.gopherStats(text)
+
+  /** The published Gopher/MassiveText document-quality rule bundle as
+    * named boolean flags plus their conjunction `keep`:
+    *  - `words_ok`: 50 <= words <= 100000
+    *  - `mwl_ok`: mean word length in [3, 10]
+    *  - `symbol_ok`: symbol-to-word ratio (`#` + `...`) <= 0.1
+    *  - `bullet_ok`: <= 90% of lines start with a bullet
+    *  - `ellipsis_ok`: <= 30% of lines end with `...`
+    *  - `alpha_ok`: >= 80% of words contain an alphabetic char
+    *  - `stop_ok`: >= 2 of the eight Gopher stopwords appear
+    * All ratio rules compare via integer cross-multiplication so flags
+    * hash identically in any engine; emitted as flags (not a filter) so a
+    * pipeline can audit WHY documents fall out, like [[hardFilterFlags]].
+    * Two kernel scans per row (gopherStats + the token-stats kernel for
+    * mean word length / stopwords). */
+  def gopherFlags(text: Column, minWords: Int = 50, maxWords: Int = 100000)
+      : Seq[(String, Column)] = {
+    val g = gopherStats(text)
+    val nW = g.getField("n_words")
+    val nL = g.getField("n_lines")
+    val mtl = meanTokenLength(text)
+    val flags = Seq(
+      "words_ok" -> (nW >= minWords && nW <= maxWords),
+      "mwl_ok" -> (mtl >= 3.0 && mtl <= 10.0),
+      "symbol_ok" -> (g.getField("n_symbols") * 10 <= nW),
+      "bullet_ok" -> (g.getField("n_bullet_lines") * 10 <= nL * 9),
+      "ellipsis_ok" -> (g.getField("n_ellipsis_lines") * 10 <= nL * 3),
+      "alpha_ok" -> (g.getField("n_alpha_words") * 10 >= nW * 8),
+      "stop_ok" -> (stats(text, GopherStop).getField("n_stop") >= 2))
+    flags :+ ("keep" -> flags.map(_._2).reduce(_ && _))
+  }
+
+  /** [[gopherFlags]] applied to a corpus frame: input columns plus one
+    * boolean column per rule and `keep`. */
+  def gopherFilter(df: org.apache.spark.sql.DataFrame, textCol: String,
+                   minWords: Int = 50, maxWords: Int = 100000)
+      : org.apache.spark.sql.DataFrame =
+    gopherFlags(F.col(textCol), minWords, maxWords)
+      .foldLeft(df) { case (d, (name, c)) => d.withColumn(name, c) }
+
   /** Word n-grams as space-joined strings; empty array when the document
     * has fewer than `n` tokens (no partial n-grams). Pure higher-order
     * expression — stays in whole-stage codegen. */

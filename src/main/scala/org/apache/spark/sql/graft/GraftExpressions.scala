@@ -115,6 +115,15 @@ object GraftColumns {
     * regexp columns it accelerates. */
   def piiScrub(text: Column): Column = col(PiiScrub(ex(text)))
 
+  /** See [[MarkupStrip]]. */
+  def stripMarkup(text: Column): Column = col(MarkupStrip(ex(text)))
+
+  /** See [[EncodingStats]]. */
+  def encodingStats(text: Column): Column = col(EncodingStats(ex(text)))
+
+  /** See [[GopherStats]]. */
+  def gopherStats(text: Column): Column = col(GopherStats(ex(text)))
+
   /** Σ aᵢ·bᵢ of two numeric arrays in double precision. */
   def dotProduct(a: Column, b: Column): Column = col(DotProductExpr(ex(a), ex(b)))
 
@@ -659,6 +668,74 @@ object PiiScrub {
     StructField("n_emails", IntegerType, nullable = false),
     StructField("n_phones", IntegerType, nullable = false),
     StructField("n_ips", IntegerType, nullable = false)))
+}
+
+/** WET-style markup-to-text extraction (graft.Kernels.stripMarkup): one
+  * scan dropping script/style blocks, stripping tags to spaces, decoding
+  * the six standard entities, and collapsing whitespace — semantics
+  * replayable as a regexp_replace/replace chain (see the kernel doc). */
+case class MarkupStrip(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    graft.Kernels.stripMarkup(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.Kernels.stripMarkup($c);")
+  override protected def withNewChildInternal(newChild: Expression): MarkupStrip =
+    copy(child = newChild)
+}
+
+/** Encoding-quality counters (graft.Kernels.encodingStats): code points,
+  * U+FFFD replacement chars, and disallowed control chars in one scan. */
+case class EncodingStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = EncodingStats.schema
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    graft.Kernels.encodingStats(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.Kernels.encodingStats($c);")
+  override protected def withNewChildInternal(newChild: Expression): EncodingStats =
+    copy(child = newChild)
+}
+
+object EncodingStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_replacement", IntegerType, nullable = false),
+    StructField("n_control", IntegerType, nullable = false)))
+}
+
+/** Gopher/MassiveText quality counters (graft.Kernels.gopherStats):
+  * words / alpha words / symbols / lines / bullet lines / ellipsis lines
+  * in one scan, all integers so threshold flags are bit-stable. */
+case class GopherStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = GopherStats.schema
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    graft.Kernels.gopherStats(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.Kernels.gopherStats($c);")
+  override protected def withNewChildInternal(newChild: Expression): GopherStats =
+    copy(child = newChild)
+}
+
+object GopherStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_alpha_words", IntegerType, nullable = false),
+    StructField("n_symbols", IntegerType, nullable = false),
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("n_bullet_lines", IntegerType, nullable = false),
+    StructField("n_ellipsis_lines", IntegerType, nullable = false)))
 }
 
 /**

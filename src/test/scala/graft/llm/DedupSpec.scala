@@ -625,6 +625,76 @@ class DedupSpec extends SparkTestBase {
       Similarity.pqTrain(pqVecs, "vec_id", "embedding", m = 3, k = 2, iters = 1)
   }
 
+  behavior of "dedupAgainstExact"
+
+  it should "drop incoming rows whose digest exists in the corpus" in {
+    val existing = Seq((10L, "alpha beta gamma"), (11L, "delta epsilon"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "alpha beta gamma"), // exact dup -> drops
+      (2L, "gamma beta alpha alpha"), // same token SET -> drops (normalized)
+      (3L, "completely new words")).toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainstExact(incoming, existing, "text")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    kept shouldBe Seq(3L)
+  }
+
+  it should "honor normalize = false (raw text digest)" in {
+    val existing = Seq((10L, "alpha beta")).toDF("doc_id", "text")
+    val incoming = Seq((1L, "alpha beta"), (2L, "beta alpha"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainstExact(incoming, existing, "text",
+        normalize = false)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    kept shouldBe Seq(2L) // reordering survives a raw-digest check
+  }
+
+  it should "keep everything against an empty corpus" in {
+    val existing = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val incoming = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    Dedup.dedupAgainstExact(incoming, existing, "text").count() shouldBe 2L
+  }
+
+  behavior of "dedupAgainstMinHash"
+
+  private val baseDoc = (0 until 40).map(i => s"tok$i").mkString(" ")
+
+  it should "drop near-duplicates of existing docs and keep the rest" in {
+    val nearDup = baseDoc + " extra tail" // J >> 0.7 vs baseDoc
+    val fresh = (100 until 140).map(i => s"other$i").mkString(" ")
+    val existing = Seq((10L, baseDoc)).toDF("doc_id", "text")
+    val incoming = Seq((1L, nearDup), (2L, fresh)).toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainstMinHash(incoming, existing, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    kept shouldBe Seq(2L)
+  }
+
+  it should "not drop below the Jaccard threshold" in {
+    // half the shingles differ -> J ~ 0.33, under the 0.7 default
+    val halfNew = ((0 until 20).map(i => s"tok$i") ++
+      (0 until 20).map(i => s"new$i")).mkString(" ")
+    val existing = Seq((10L, baseDoc)).toDF("doc_id", "text")
+    val incoming = Seq((1L, halfNew)).toDF("doc_id", "text")
+    Dedup.dedupAgainstMinHash(incoming, existing, "doc_id", "text")
+      .count() shouldBe 1L
+  }
+
+  it should "not confuse overlapping id spaces across corpora" in {
+    // incoming id 10 equals an existing id but the TEXT is fresh: survives
+    val existing = Seq((10L, baseDoc)).toDF("doc_id", "text")
+    val incoming = Seq((10L, "unrelated fresh words here now"))
+      .toDF("doc_id", "text")
+    Dedup.dedupAgainstMinHash(incoming, existing, "doc_id", "text")
+      .count() shouldBe 1L
+  }
+
+  it should "reject band counts that do not divide numHashes" in {
+    val d = Seq((1L, "a b")).toDF("doc_id", "text")
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.dedupAgainstMinHash(d, d, "doc_id", "text",
+        numHashes = 128, bands = 7)
+  }
+
   behavior of "oovCounts"
 
   it should "count tokens outside the vocabulary in one pass" in {
