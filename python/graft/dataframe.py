@@ -443,6 +443,35 @@ class TimeSeriesDataFrame(DataFrame):
         return self._with(_api(self).hardFilter(
             self._jdf, text_col, min_words, max_words))
 
+    def gopher_filter(self, text_col, min_words=50, max_words=100000):
+        """The published Gopher/MassiveText quality-rule bundle as audit
+        flags (words_ok / mwl_ok / symbol_ok / bullet_ok / ellipsis_ok /
+        alpha_ok / stop_ok) plus their conjunction ``keep`` — one integer
+        counter kernel pass, bit-stable thresholds."""
+        return self._with(_api(self).gopherFilter(
+            self._jdf, text_col, min_words, max_words))
+
+    def dedup_against_exact(self, existing, text_col, normalize=True):
+        """Incremental exact dedup: drop rows of this frame whose content
+        digest (normalized token set by default) already exists in
+        ``existing``. One digest-keyed left-anti join — the existing side
+        is never broadcast or collected."""
+        other = existing._jdf
+        return self._with(_api(self).dedupAgainstExact(
+            self._jdf, other, text_col, bool(normalize)))
+
+    def dedup_against_minhash(self, existing, id_col, text_col,
+                              num_hashes=128, bands=16, shingle_size=3,
+                              threshold=0.7, max_bucket_size=64):
+        """Incremental NEAR dedup: drop rows sharing an LSH band bucket
+        with an ``existing`` row whose exact shingle-set Jaccard clears
+        ``threshold``. Both corpora shuffle on (band, bucket); existing
+        buckets cap at ``max_bucket_size`` candidates."""
+        other = existing._jdf
+        return self._with(_api(self).dedupAgainstMinHash(
+            self._jdf, other, id_col, text_col, num_hashes, bands,
+            shingle_size, float(threshold), max_bucket_size))
+
     def blocklist_audit(self, text_col, words):
         """Append ``n_blocked`` (count of blocklisted tokens, one kernel
         pass) and ``keep`` (= no hits) — the C4-style word blocklist."""

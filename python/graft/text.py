@@ -34,7 +34,8 @@ try:
 except ImportError:  # PySpark < 4.0
     from pyspark.sql.column import Column
 
-__all__ = ["lang_id", "quality_score", "token_count", "bpe_token_count"]
+__all__ = ["lang_id", "quality_score", "token_count", "bpe_token_count",
+           "strip_markup", "encoding_stats", "encoding_keep", "gopher_stats"]
 
 
 def _jcol(col):
@@ -68,3 +69,29 @@ def bpe_token_count(text):
     """BPE-ish token count: runs of letters, runs of digits, single other
     non-space chars (int)."""
     return Column(_api().bpeTokenCountCol(_jcol(text)))
+
+
+def strip_markup(text):
+    """WET-style markup-to-text extraction: drop script/style blocks,
+    strip tags to spaces, decode the six standard entities, collapse
+    whitespace — one kernel scan (string)."""
+    return Column(_api().stripMarkupCol(_jcol(text)))
+
+
+def encoding_stats(text):
+    """Encoding-quality counters struct ``(n_chars, n_replacement,
+    n_control)`` — code points, U+FFFD chars, disallowed control chars."""
+    return Column(_api().encodingStatsCol(_jcol(text)))
+
+
+def encoding_keep(text, max_bad_per_mille=1):
+    """True when bad chars (replacement + control) are at most
+    ``max_bad_per_mille`` per 1000 chars — integer arithmetic (bool)."""
+    return Column(_api().encodingKeepCol(_jcol(text), max_bad_per_mille))
+
+
+def gopher_stats(text):
+    """Gopher quality counters struct ``(n_words, n_alpha_words,
+    n_symbols, n_lines, n_bullet_lines, n_ellipsis_lines)`` in one scan;
+    see also ``TimeSeriesDataFrame.gopher_filter`` for the rule flags."""
+    return Column(_api().gopherStatsCol(_jcol(text)))

@@ -277,6 +277,50 @@ def test_hard_filter_and_pii(spark):
     assert red[1]["text"] == "mail me at <EMAIL> from <IP> or <PHONE> ok"
 
 
+def test_gopher_filter(spark):
+    docs = TimeSeriesDataFrame.from_df(spark.createDataFrame(
+        [(0, 1, "the quick brown fox and that lazy dog with style " * 6),
+         (0, 2, "too short")],
+        "time long, doc_id long, text string"))
+    gf = docs.gopher_filter("text").orderBy("doc_id").collect()
+    assert gf[0]["words_ok"] is True and gf[0]["alpha_ok"] is True
+    assert gf[0]["stop_ok"] is True and gf[0]["keep"] is True
+    assert gf[1]["words_ok"] is False and gf[1]["keep"] is False
+
+
+def test_dedup_against(spark):
+    existing = TimeSeriesDataFrame.from_df(spark.createDataFrame(
+        [(0, 10, "alpha beta gamma delta epsilon zeta eta theta")],
+        "time long, doc_id long, text string"))
+    incoming = TimeSeriesDataFrame.from_df(spark.createDataFrame(
+        [(0, 1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (0, 2, "alpha beta gamma delta epsilon zeta eta theta iota"),
+         (0, 3, "completely different fresh words appear right here")],
+        "time long, doc_id long, text string"))
+    exact = incoming.dedup_against_exact(existing, "text")
+    assert sorted(r["doc_id"] for r in exact.collect()) == [2, 3]
+    near = incoming.dedup_against_minhash(existing, "doc_id", "text")
+    assert sorted(r["doc_id"] for r in near.collect()) == [3]
+
+
+def test_markup_and_encoding_columns(spark):
+    from graft import text
+    docs = spark.createDataFrame(
+        [(1, "<p>hello <b>world</b></p><script>x()</script>&amp; done"),
+         (2, "plain")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in docs.select(
+        "doc_id",
+        text.strip_markup("text").alias("clean"),
+        text.encoding_stats("text").alias("enc"),
+        text.encoding_keep("text").alias("keep"),
+        text.gopher_stats("text").alias("g")).collect()}
+    assert rows[1]["clean"] == "hello world & done"
+    assert rows[2]["enc"]["n_chars"] == 5
+    assert rows[2]["enc"]["n_control"] == 0
+    assert rows[1]["keep"] is True
+    assert rows[2]["g"]["n_words"] == 1
+
+
 def test_shuffle_positions_permutation(spark):
     docs = TimeSeriesDataFrame.from_df(spark.createDataFrame(
         [(0, i) for i in range(100)], "time long, doc_id long"))

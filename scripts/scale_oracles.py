@@ -45,7 +45,7 @@ import scale_oracles_emb
 # materializes ~5.7e9 rows at 100x — while the corpus as BYTES fits in
 # numpy, so those checks recompute the full search independently there.
 SCALE_INVARIANT = [
-    "dedup_minhash_lsh", "near_dup_jaccard",
+    "dedup_minhash_lsh", "near_dup_jaccard", "dedup_against_minhash",
     "dedup_clusters", "dedup_keep_docs", "dedup_keep_best",
     "ema_rows_es_current_core", "ema_rows_ewma_legacy", "skew_ema_rows_ewma",
 ] + scale_oracles_emb.SCALE_INVARIANT_EMB
@@ -172,6 +172,75 @@ def check_near_dup_jaccard(con, out_dir):
     if missing or extra:
         return f"sampled completeness: {missing} true pairs missing, " \
                f"{extra} unexpected pairs"
+    return None
+
+
+def check_dedup_against_minhash(con, out_dir):
+    """Linear-shaped invariants for the incremental (incoming = odd
+    doc_ids, existing = even) near-dedup: the all-cross-pairs SQL oracle
+    is quadratic, so at scale we verify (1) output structure, (2) drop
+    soundness — every dropped incoming doc really has a J >= 0.5 match in
+    the existing half, recomputed exactly over shared-shingle candidates —
+    and (3) keep completeness on a deterministic ~1% sample — no sampled
+    survivor has any J >= 0.5 existing match."""
+    err = _dump(out_dir, "dedup_against_minhash", con, "got_dam")
+    if err:
+        return err
+    bad = con.execute(
+        "SELECT count(*) FROM got_dam WHERE doc_id % 2 = 0").fetchone()[0]
+    if bad:
+        return f"{bad} even doc_ids in the incoming-survivor output"
+    dup = con.execute(
+        "SELECT count(*) - count(DISTINCT doc_id) FROM got_dam").fetchone()[0]
+    if dup:
+        return f"{dup} duplicate doc_ids"
+    orphan = con.execute("""
+        SELECT count(*) FROM got_dam g
+        WHERE NOT EXISTS (SELECT 1 FROM documents d
+                          WHERE d.doc_id = g.doc_id AND d.source = g.source)
+        """).fetchone()[0]
+    if orphan:
+        return f"{orphan} output rows not in documents"
+    sh_drop = _SHINGLES.format(
+        pred="WHERE doc_id % 2 = 1 AND doc_id NOT IN "
+             "(SELECT doc_id FROM got_dam)")
+    sh_even = _SHINGLES.format(pred="WHERE doc_id % 2 = 0")
+    unsound = con.execute(f"""
+        WITH da AS ({sh_drop}), db AS ({sh_even}),
+        ag AS (SELECT doc_id, unnest(sh) AS g FROM da),
+        bg AS (SELECT doc_id, unnest(sh) AS g FROM db),
+        cand AS (SELECT DISTINCT ag.doc_id AS ia, bg.doc_id AS ib
+                 FROM ag JOIN bg USING (g)),
+        hit AS (SELECT DISTINCT c.ia FROM cand c
+                JOIN da a ON a.doc_id = c.ia JOIN db b ON b.doc_id = c.ib
+                WHERE {_J} >= 0.5)
+        SELECT count(*) FROM da WHERE doc_id NOT IN (SELECT ia FROM hit)
+        """).fetchone()[0]
+    if unsound:
+        return f"{unsound} dropped docs with no true J>=0.5 existing match"
+    sh_sample = _SHINGLES.format(
+        pred="WHERE doc_id % 2 = 1 AND doc_id % 97 = 3 "
+             "AND doc_id IN (SELECT doc_id FROM got_dam)")
+    n_cand = con.execute(f"""
+        WITH s AS ({sh_sample}), e AS ({sh_even}),
+        sg AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        eg AS (SELECT doc_id, unnest(sh) AS g FROM e)
+        SELECT count(*) FROM sg JOIN eg USING (g)""").fetchone()[0]
+    if n_cand > 50_000_000:
+        return f"completeness candidate blowup ({n_cand} rows) — shingle " \
+               "frequencies are no longer rare; sample check not run"
+    extra = con.execute(f"""
+        WITH s AS ({sh_sample}), e AS ({sh_even}),
+        sg AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        eg AS (SELECT doc_id, unnest(sh) AS g FROM e),
+        cand AS (SELECT DISTINCT sg.doc_id AS ia, eg.doc_id AS ib
+                 FROM sg JOIN eg USING (g))
+        SELECT count(DISTINCT c.ia) FROM cand c
+        JOIN s a ON a.doc_id = c.ia JOIN e b ON b.doc_id = c.ib
+        WHERE {_J} >= 0.5""").fetchone()[0]
+    if extra:
+        return f"{extra} sampled survivors actually have a J>=0.5 " \
+               "existing match"
     return None
 
 
@@ -408,6 +477,8 @@ def run(name, con, out_dir, sf_dir):
     fns = {
         "dedup_minhash_lsh": lambda: check_dedup_minhash_lsh(con, out_dir),
         "near_dup_jaccard": lambda: check_near_dup_jaccard(con, out_dir),
+        "dedup_against_minhash":
+            lambda: check_dedup_against_minhash(con, out_dir),
         "dedup_clusters": lambda: check_dedup_clusters(con, out_dir),
         "dedup_keep_docs": lambda: check_dedup_keep_docs(con, out_dir),
         "dedup_keep_best": lambda: check_dedup_keep_best(con, out_dir),

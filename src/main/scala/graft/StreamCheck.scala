@@ -327,6 +327,17 @@ object StreamCheck {
           graft.llm.TextStats.bigramScore(
             F.concat(F.col("event_type"), F.lit(" view")), bi, model,
             graft.llm.TextStats.StupidBackoffLp, -900000L))
+        // round-11 kernels: markup strip / encoding stats / Gopher flags
+        // are pure per-row scans too
+        .withColumn("clean", graft.llm.TextStats.stripMarkup(
+          F.concat(F.lit("<p>"), F.col("event_type"),
+            F.lit("</p><script>x</script>&amp;"))))
+        .withColumn("n_ctrl",
+          graft.llm.TextStats.encodingStats(F.col("event_type"))
+            .getField("n_control"))
+        .withColumn("gopher_alpha",
+          graft.llm.TextStats.gopherFlags(F.col("event_type"))
+            .toMap.apply("alpha_ok"))
       (runStream("sc_kernels", ev, 4)(build), build(evDF).collect().toSeq)
     }
 

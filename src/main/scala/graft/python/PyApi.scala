@@ -382,6 +382,15 @@ object PyApi {
     graft.llm.TextStats.tokenCount(text)
   def bpeTokenCountCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.llm.TextStats.bpeTokenCount(text)
+  def stripMarkupCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.llm.TextStats.stripMarkup(text)
+  def encodingStatsCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.llm.TextStats.encodingStats(text)
+  def encodingKeepCol(text: org.apache.spark.sql.Column,
+                      maxBadPerMille: Int): org.apache.spark.sql.Column =
+    graft.llm.TextStats.encodingKeep(text, maxBadPerMille)
+  def gopherStatsCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.llm.TextStats.gopherStats(text)
 
   def chunkTokens(df: DataFrame, idCol: String, textCol: String,
                   chunkSize: Int, stride: Int): DataFrame =
@@ -413,6 +422,22 @@ object PyApi {
   def hardFilter(df: DataFrame, textCol: String, minWords: Int,
                  maxWords: Int): DataFrame =
     graft.llm.TextStats.hardFilter(df, textCol, minWords, maxWords)
+
+  /** The Gopher/MassiveText quality-rule bundle as flag columns + keep. */
+  def gopherFilter(df: DataFrame, textCol: String, minWords: Int,
+                   maxWords: Int): DataFrame =
+    graft.llm.TextStats.gopherFilter(df, textCol, minWords, maxWords)
+
+  def dedupAgainstExact(incoming: DataFrame, existing: DataFrame,
+                        textCol: String, normalize: Boolean): DataFrame =
+    graft.llm.Dedup.dedupAgainstExact(incoming, existing, textCol, normalize)
+
+  def dedupAgainstMinHash(incoming: DataFrame, existing: DataFrame,
+                          idCol: String, textCol: String, numHashes: Int,
+                          bands: Int, shingleSize: Int, threshold: Double,
+                          maxBucketSize: Int): DataFrame =
+    graft.llm.Dedup.dedupAgainstMinHash(incoming, existing, idCol, textCol,
+      numHashes, bands, shingleSize, threshold, maxBucketSize)
 
   /** Append n_blocked (blocklist token hits) and keep (= no hits). */
   def blocklistAudit(df: DataFrame, textCol: String,

@@ -159,6 +159,23 @@ class AqeParitySpec extends SparkTestBase {
       graft.llm.Urls.filterBlockedDomains(urls, "url",
         blocked = Seq("b1.example.co.uk"), suffixes = Seq("co.uk", "uk"))
     })
+    // round-11 cross-corpus dedup: AQE may convert either join side to a
+    // broadcast (the digest anti-join and the LSH candidate join are both
+    // eligible at this size) — the survivor set must not move
+    val existing = (0L until 60L).map { i =>
+      (i, s"base ${i % 7} words alpha beta gamma delta w${i % 11} tail")
+    }.toDF("doc_id", "text").repartition(4)
+    val incoming = (100L until 190L).map { i =>
+      val t = if (i % 3 == 0)
+        s"base ${i % 7} words alpha beta gamma delta w${i % 11} tail"
+      else s"fresh ${i % 13} content q${i % 5} r${i % 9} s${i % 4} end $i"
+      (i, t)
+    }.toDF("doc_id", "text").repartition(5)
+    parity("dedupAgainstExact")(() =>
+      graft.llm.Dedup.dedupAgainstExact(incoming, existing, "text"))
+    parity("dedupAgainstMinHash")(() =>
+      graft.llm.Dedup.dedupAgainstMinHash(incoming, existing,
+        "doc_id", "text", threshold = 0.5))
   }
 
   private val F2 = org.apache.spark.sql.functions

@@ -223,4 +223,35 @@ class PartitionLayoutSpec extends SparkTestBase {
             org.apache.spark.sql.functions.col("text"), "\n", " ").as("text")),
         "id", "text", k = 3))
   }
+
+  it should "produce identical incremental-dedup survivors across layouts" in {
+    // round-11 cross-corpus ops: a digest anti-join and an LSH-bucket
+    // candidate join + Jaccard verify + anti-join — both cross-frame
+    // shuffles whose survivor set must not depend on partitioning
+    import org.apache.spark.sql.functions.col
+    val existing = (0L until 60L).map { i =>
+      (i, s"base ${i % 7} words alpha beta gamma delta w${i % 11} tail")
+    }.toDF("doc_id", "text").repartition(4)
+    val incoming = (100L until 190L).map { i =>
+      val t = if (i % 3 == 0)
+        s"base ${i % 7} words alpha beta gamma delta w${i % 11} tail"
+      else s"fresh ${i % 13} content q${i % 5} r${i % 9} s${i % 4} end $i"
+      (i, t)
+    }.toDF("doc_id", "text").repartition(5)
+    invariant("dedupAgainstExact")(() =>
+      graft.llm.Dedup.dedupAgainstExact(incoming, existing, "text"))
+    invariant("dedupAgainstMinHash")(() =>
+      graft.llm.Dedup.dedupAgainstMinHash(incoming, existing,
+        "doc_id", "text", threshold = 0.5))
+    invariant("gopherFilter")(() =>
+      graft.llm.TextStats.gopherFilter(incoming, "text", minWords = 5))
+    invariant("stripMarkup+encoding")(() =>
+      incoming.select(col("doc_id"),
+        graft.llm.TextStats.stripMarkup(
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("<p>"), col("text"),
+            org.apache.spark.sql.functions.lit("</p>"))).as("clean"),
+        graft.llm.TextStats.encodingStats(col("text"))
+          .getField("n_chars").as("nc")))
+  }
 }

@@ -341,4 +341,43 @@ class PlanShapeSpec extends SparkTestBase {
     exchanges(spans) shouldBe 3
     cartesians(spans) shouldBe 0
   }
+
+  it should "plan markup/encoding/gopher kernels as pure codegen'd scans" in {
+    // spark.range keeps a real leaf (a local Seq constant-folds to
+    // LocalTableScan and hides the codegen span)
+    val docs = spark.range(0, 10).toDF("id")
+      .withColumn("text", F.concat(F.lit("<p>w"), F.col("id"), F.lit("</p>")))
+    val scan = docs.select(
+      graft.llm.TextStats.stripMarkup(F.col("text")),
+      graft.llm.TextStats.encodingStats(F.col("text")),
+      graft.llm.TextStats.encodingKeep(F.col("text")),
+      graft.llm.TextStats.gopherStats(F.col("text")))
+    exchanges(scan) shouldBe 0
+    val flags = graft.llm.TextStats.gopherFilter(docs, "text")
+    exchanges(flags) shouldBe 0
+    plan(flags).collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    } should not be empty
+  }
+
+  it should "plan incremental dedup without windows, sorts, or cartesians" in {
+    val existing = Seq((10L, "a b c d e f")).toDF("doc_id", "text")
+    val incoming = Seq((1L, "a b c d e f"), (2L, "q r s t u v"))
+      .toDF("doc_id", "text")
+    val ex = graft.llm.Dedup.dedupAgainstExact(incoming, existing, "text")
+    // one digest-keyed anti join, nothing else: never a window or sort,
+    // and text never shuffles (only the 16-byte digest key projects)
+    cartesians(ex) shouldBe 0
+    globalSorts(ex) shouldBe 0
+    plan(ex).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    } shouldBe empty
+    val near = graft.llm.Dedup.dedupAgainstMinHash(incoming, existing,
+      "doc_id", "text", threshold = 0.5)
+    cartesians(near) shouldBe 0
+    globalSorts(near) shouldBe 0
+    plan(near).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    } shouldBe empty
+  }
 }
