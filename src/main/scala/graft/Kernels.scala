@@ -1033,10 +1033,16 @@ object Kernels {
    * WET-style markup-to-text extraction in one left-to-right scan, with
    * semantics EXACTLY reproducible as a regexp_replace/replace chain so
    * the DuckDB oracle can replay it:
-   *  1. `(?is)<script\b[^>]*>.*?</script[ \t\n\r\f]*>` -> one space
-   *     (likewise `<style...>`); an UNTERMINATED block never matches the
-   *     non-greedy regex, so only its open tag strips (step 2) and the
-   *     body survives as text — the scanner mirrors that fallback.
+   *  1. ONE leftmost-first global pass of the alternation
+   *     `(?is)<script\b[^>]*>.*?</script[ \t\n\r\f]*>|<style\b[^>]*>.*?</style[ \t\n\r\f]*>`
+   *     -> one space per block. A single alternation, NOT script-all-
+   *     then-style-all: sequential per-tag passes diverge from a
+   *     left-to-right scan on interleaved input like
+   *     `<style>A<script>B</style>C</script>D` (alternation and the
+   *     scanner both yield `C D`; strip-all-script-first would yield
+   *     `A D`). An UNTERMINATED block never matches the non-greedy
+   *     regex, so only its open tag strips (step 2) and the body
+   *     survives as text — the scanner mirrors that fallback.
    *  2. every remaining `<[^>]*>` tag -> one space; a `<` with no later
    *     `>` survives literally (the regex can't match it).
    *  3. the six standard entities decode left-to-right, first match wins
@@ -1044,7 +1050,12 @@ object Kernels {
    *     decoded chars are literal text, never re-parsed as markup.
    *  4. runs of `[ \t\n\r\f]` collapse to one space; leading/trailing
    *     space trims.
-   * One pass, no regex engine, linear in input bytes.
+   * One pass, no regex engine, linear in input bytes — INCLUDING
+   * adversarial input: forward searches that come back empty are
+   * remembered (search positions only move right, so "no `>` after here"
+   * / "no `</script>` after here" stay true), which keeps a megabyte of
+   * bare `<` or a run of unterminated `<script>` opens at one scan
+   * instead of one scan per occurrence.
    */
   def stripMarkup(u: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
     val s = u.toString
@@ -1060,20 +1071,28 @@ object Kernels {
         sb.append(c)
       }
     }
+    // failed-search memos: i only moves right, so a miss stays a miss
+    var noGt = false          // no '>' at or after the last failed search
+    var noScriptClose = false // no '</script...>' after the last failed search
+    var noStyleClose = false  // no '</style...>' after the last failed search
     var i = 0
     while (i < n) {
       val c = s.charAt(i)
       if (c == '<') {
-        val close = s.indexOf('>', i)
-        if (close < 0) { emit(c); i += 1 } // unterminated tag: literal
+        val close = if (noGt) -1 else s.indexOf('>', i)
+        if (close < 0) { noGt = true; emit(c); i += 1 } // unterminated tag: literal
         else {
           var next = close + 1
           if (tagNameAt(s, i + 1, "script")) {
-            val end = closeTagEnd(s, close + 1, "script")
-            if (end > 0) next = end
+            if (!noScriptClose) {
+              val end = closeTagEnd(s, close + 1, "script")
+              if (end > 0) next = end else noScriptClose = true
+            }
           } else if (tagNameAt(s, i + 1, "style")) {
-            val end = closeTagEnd(s, close + 1, "style")
-            if (end > 0) next = end
+            if (!noStyleClose) {
+              val end = closeTagEnd(s, close + 1, "style")
+              if (end > 0) next = end else noStyleClose = true
+            }
           }
           emit(' ')
           i = next

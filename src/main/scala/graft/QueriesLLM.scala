@@ -1315,9 +1315,9 @@ object QueriesLLM {
          SELECT doc_id, trim(regexp_replace(
            replace(replace(replace(replace(
              regexp_replace(
-               regexp_replace(
-                 regexp_replace(h, '(?is)<script\b[^>]*>.*?</script[ \t\n\r\f]*>', ' ', 'g'),
-                 '(?is)<style\b[^>]*>.*?</style[ \t\n\r\f]*>', ' ', 'g'),
+               regexp_replace(h,
+                 '(?is)<script\b[^>]*>.*?</script[ \t\n\r\f]*>|<style\b[^>]*>.*?</style[ \t\n\r\f]*>',
+                 ' ', 'g'),
                '<[^>]*>', ' ', 'g'),
              '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '), '&amp;', '&'),
            '[ \t\n\r\f]+', ' ', 'g'), ' ') AS clean
@@ -1349,8 +1349,8 @@ object QueriesLLM {
                l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '•%')) AS nb,
            len(list_filter(string_split(text, chr(10)),
                l -> l LIKE '%...')) AS ne,
-           len(list_filter(string_split(text, ' '),
-               t -> t IN ('the','be','to','of','and','that','have','with')))
+           len(list_distinct(list_filter(string_split(text, ' '),
+               t -> t IN ('the','be','to','of','and','that','have','with'))))
              AS nstop,
            length(text) AS nc
          FROM documents)
@@ -1400,7 +1400,8 @@ object QueriesLLM {
                  unnest(string_split(text, chr(10))) AS line FROM d),
          b AS (SELECT source, line FROM (
                  SELECT source, line, count(DISTINCT doc_id) AS nd
-                 FROM l GROUP BY 1, 2) WHERE nd >= 5),
+                 FROM l WHERE trim(line) <> '' GROUP BY 1, 2)
+               WHERE nd >= 5),
          bl AS (SELECT source, list(line) AS bad FROM b GROUP BY source)
          SELECT d.doc_id,
            coalesce(array_to_string(list_filter(string_split(d.text, chr(10)),

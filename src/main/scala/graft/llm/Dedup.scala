@@ -15,7 +15,9 @@ import org.apache.spark.sql.graft.GraftColumns
  *    (id, band-bucket) pairs only — never an all-pairs crossJoin;
  *  - buckets are capped (`maxBucketSize`) so a degenerate bucket (e.g.
  *    boilerplate docs) cannot produce a quadratic pair explosion — same
- *    guardrail production LSH dedup pipelines use;
+ *    guardrail production LSH dedup pipelines use. The cap is never
+ *    silent: `strict = true` fails on the first over-cap bucket, and
+ *    [[Dedup.minHashBucketAudit]] reports per-band truncation counts;
  *  - exact-Jaccard verification joins the (small) candidate-pair set back
  *    to the corpus by id — two hash joins, each broadcastable when pairs
  *    are few.
@@ -85,15 +87,43 @@ object Dedup {
       b => F.struct(b.as("band"),
         F.xxhash64(F.slice(sig, b * rowsPerBand + 1, F.lit(rowsPerBand))).as("bucket")))
 
+  /** The `maxBucketSize` cap, made loud instead of silent: ascending ids,
+    * first `maxBucketSize` kept. With `strict = true` an over-cap bucket
+    * RAISES (task error naming the bucket size) rather than silently not
+    * comparing the overflow — the opt-in for pipelines that must certify
+    * the capped run was exhaustive. [[minHashBucketAudit]] is the
+    * non-fatal form of the same question. */
+  private def cappedBucketIds(ids: Column, maxBucketSize: Int,
+                              strict: Boolean, op: String): Column = {
+    val sorted = F.array_sort(ids)
+    val capped = F.slice(sorted, 1, maxBucketSize)
+    if (!strict) capped
+    else F.when(F.size(sorted) > maxBucketSize,
+      F.raise_error(F.concat(
+        F.lit(s"$op: LSH bucket holds "), F.size(sorted).cast("string"),
+        F.lit(s" ids > maxBucketSize=$maxBucketSize - raise maxBucketSize " +
+          "or bands, or run minHashBucketAudit and accept the truncation " +
+          "with strict=false"))))
+      .otherwise(capped)
+  }
+
   /**
    * Candidate near-duplicate pairs via banded MinHash-LSH, verified with
    * exact shingle-set Jaccard. Returns (id_a, id_b, jaccard) with
    * jaccard >= threshold, id_a < id_b.
+   *
+   * Bucket-cap contract: a bucket beyond `maxBucketSize` contributes only
+   * its `maxBucketSize` smallest ids to pair mining (bounded fan-out on
+   * degenerate buckets). The cap is auditable, never silent:
+   * `strict = true` fails the job on the first over-cap bucket, and
+   * [[minHashBucketAudit]] reports per-band truncation counts for the
+   * same parameters without failing.
    */
   def minHashDedupPairs(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 128, bands: Int = 16,
                         shingleSize: Int = 3, threshold: Double = 0.7,
-                        maxBucketSize: Int = 64): DataFrame = {
+                        maxBucketSize: Int = 64,
+                        strict: Boolean = false): DataFrame = {
     require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
       s"bands must divide numHashes (got numHashes=$numHashes bands=$bands): " +
         "a remainder would silently weaken the LSH family, and " +
@@ -109,7 +139,8 @@ object Dedup {
     // groupBy(band, bucket): one shuffle keyed on the bucket hash; the
     // bucket-size cap bounds the pair fan-out per bucket.
     val pairs = buckets.groupBy("band", "bucket")
-      .agg(F.slice(F.array_sort(F.collect_list(F.col("id"))), 1, maxBucketSize).as("ids"))
+      .agg(cappedBucketIds(F.collect_list(F.col("id")), maxBucketSize,
+        strict, "minHashDedupPairs").as("ids"))
       .filter(F.size(F.col("ids")) > 1)
       .select(F.explode(pairsOf(F.col("ids"))).as("p"))
       .select(F.col("p.a").as("id_a"), F.col("p.b").as("id_b"))
@@ -124,6 +155,46 @@ object Dedup {
       .withColumn("jaccard", sortedJaccard(F.col("sh_a"), F.col("sh_b")))
       .filter(F.col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /**
+   * Truncation audit for the LSH bucket cap — the "no silent caps" rule
+   * as a first-class output: recomputes the banded buckets of
+   * [[minHashDedupPairs]] (same parameters ⇒ identical buckets, the hash
+   * family is deterministic) and reports per band
+   * `(band, n_buckets, n_truncated_buckets, n_dropped_ids)` where
+   * `n_dropped_ids` counts ids beyond the cap — the ids capped pair
+   * mining will not compare. All-zero `n_truncated_buckets` certifies a
+   * capped run was exhaustive; a hot band says which bucket family is
+   * collapsing (usually boilerplate near-identical docs) before you
+   * trust the pair set. Also the audit for [[dedupAgainstMinHash]]'s
+   * existing-side cap (run it over `existing`).
+   *
+   * Scale shape: the same one groupBy(band,bucket) shuffle as the pair
+   * miner, then a 16-ish-row per-band rollup — safe at full corpus size,
+   * no collect, no broadcast.
+   */
+  def minHashBucketAudit(df: DataFrame, idCol: String, textCol: String,
+                         numHashes: Int = 128, bands: Int = 16,
+                         shingleSize: Int = 3,
+                         maxBucketSize: Int = 64): DataFrame = {
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands must divide numHashes (got numHashes=$numHashes bands=$bands)")
+    val rowsPerBand = numHashes / bands
+    val buckets = df
+      .select(F.col(idCol).as("id"),
+        F.explode(lshBuckets(
+          minHashSignature(F.col(textCol), numHashes, shingleSize),
+          bands, rowsPerBand)).as("bk"))
+      .select(F.col("bk.band").as("band"), F.col("bk.bucket").as("bucket"))
+    buckets.groupBy("band", "bucket").agg(F.count(F.lit(1)).as("n"))
+      .groupBy("band").agg(
+        F.count(F.lit(1)).as("n_buckets"),
+        F.sum(F.when(F.col("n") > maxBucketSize, 1L).otherwise(0L))
+          .as("n_truncated_buckets"),
+        F.sum(F.greatest(F.col("n") - maxBucketSize, F.lit(0L)))
+          .as("n_dropped_ids"))
+      .orderBy("band")
   }
 
   /** All ordered pairs (a<b) of a sorted id array, as array<struct<a,b>>. */
@@ -402,16 +473,19 @@ object Dedup {
    * broadcasts; the existing side aggregates per bucket to a capped
    * sorted id array (`maxBucketSize` smallest, the [[minHashDedupPairs]]
    * truncation contract: candidates beyond the cap in a pathologically
-   * hot bucket are silently not compared), so candidate fan-out per
-   * bucket is bounded. Verification joins fetch only candidate rows'
-   * shingle sets. Same recall note as [[minHashDedupPairs]]: band
-   * parameters set the J-threshold detection curve.
+   * hot bucket are not compared — auditable via [[minHashBucketAudit]]
+   * over `existing`, or fatal with `strict = true`), so candidate
+   * fan-out per bucket is bounded. Verification joins fetch only
+   * candidate rows' shingle sets. Same recall note as
+   * [[minHashDedupPairs]]: band parameters set the J-threshold
+   * detection curve.
    */
   def dedupAgainstMinHash(incoming: DataFrame, existing: DataFrame,
                           idCol: String, textCol: String,
                           numHashes: Int = 128, bands: Int = 16,
                           shingleSize: Int = 3, threshold: Double = 0.7,
-                          maxBucketSize: Int = 64): DataFrame = {
+                          maxBucketSize: Int = 64,
+                          strict: Boolean = false): DataFrame = {
     require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
       s"bands must divide numHashes (got numHashes=$numHashes bands=$bands)")
     val rowsPerBand = numHashes / bands
@@ -428,8 +502,8 @@ object Dedup {
     // existing side: capped sorted id list per bucket (bounded fan-out)
     val exBuckets = buckets(exHashed, "__ex_id", "__ex_hs")
       .groupBy("band", "bucket")
-      .agg(F.slice(F.array_sort(F.collect_list(F.col("__ex_id"))),
-        1, maxBucketSize).as("ex_ids"))
+      .agg(cappedBucketIds(F.collect_list(F.col("__ex_id")), maxBucketSize,
+        strict, "dedupAgainstMinHash").as("ex_ids"))
     val cands = buckets(inHashed, "__in_id", "__in_hs")
       .join(exBuckets, Seq("band", "bucket"))
       .select(F.col("__in_id"), F.explode(F.col("ex_ids")).as("__ex_id"))

@@ -205,7 +205,9 @@ object TextStats {
   }
 
   /** The Gopher stopword list (Rae et al. 2021): a document must contain
-    * at least two of these to pass the `stop_ok` rule. */
+    * at least two DISTINCT words of this list to pass the `stop_ok` rule
+    * (the published rule counts distinct list hits, not occurrences — a
+    * document of nothing but "the the the" fails it). */
   val GopherStop: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
@@ -223,12 +225,15 @@ object TextStats {
     *  - `bullet_ok`: <= 90% of lines start with a bullet
     *  - `ellipsis_ok`: <= 30% of lines end with `...`
     *  - `alpha_ok`: >= 80% of words contain an alphabetic char
-    *  - `stop_ok`: >= 2 of the eight Gopher stopwords appear
+    *  - `stop_ok`: >= 2 DISTINCT words of the eight-entry Gopher stopword
+    *    list appear (the published rule counts distinct list hits, not
+    *    occurrences — "the the" alone fails; `array_intersect` dedups)
     * All ratio rules compare via integer cross-multiplication so flags
     * hash identically in any engine; emitted as flags (not a filter) so a
     * pipeline can audit WHY documents fall out, like [[hardFilterFlags]].
     * Two kernel scans per row (gopherStats + the token-stats kernel for
-    * mean word length / stopwords). */
+    * mean word length) plus one token split for the distinct-stopword
+    * intersect. */
   def gopherFlags(text: Column, minWords: Int = 50, maxWords: Int = 100000)
       : Seq[(String, Column)] = {
     val g = gopherStats(text)
@@ -242,7 +247,8 @@ object TextStats {
       "bullet_ok" -> (g.getField("n_bullet_lines") * 10 <= nL * 9),
       "ellipsis_ok" -> (g.getField("n_ellipsis_lines") * 10 <= nL * 3),
       "alpha_ok" -> (g.getField("n_alpha_words") * 10 >= nW * 8),
-      "stop_ok" -> (stats(text, GopherStop).getField("n_stop") >= 2))
+      "stop_ok" -> (F.size(F.array_intersect(tokens(text),
+        F.array(GopherStop.map(F.lit): _*))) >= 2))
     flags :+ ("keep" -> flags.map(_._2).reduce(_ && _))
   }
 
@@ -540,9 +546,14 @@ object TextStats {
    * is boilerplate when it occurs in at least `minDocs` distinct documents
    * of the group — navigation menus, cookie banners, copyright footers —
    * and every occurrence of such a line is deleted from `textCol`,
-   * preserving the order of the surviving lines. Documents reduced to
-   * nothing keep their row with an empty string (callers chain a hard
-   * min-length filter). Rows with a null text pass through unchanged.
+   * preserving the order of the surviving lines. Empty and
+   * whitespace-only lines are EXEMPT — they are structure (the `\n\n`
+   * paragraph boundaries [[dedupParagraphs]] and friends key on), not
+   * content, and every multi-paragraph group would otherwise classify
+   * the blank line as boilerplate and flatten its documents. Documents
+   * reduced to nothing keep their row with an empty string (callers
+   * chain a hard min-length filter). Rows with a null text pass through
+   * unchanged.
    *
    * Scale shape: one line explode (linear in corpus bytes), one
    * (group, line) aggregation whose distinct-doc count is a two-phase
@@ -559,6 +570,9 @@ object TextStats {
       .select(F.col(idCol), F.col(groupCol).as("__bp_g"),
         F.posexplode(F.split(F.col(textCol), "\n")).as(Seq("__bp_p", "__bp_l")))
     val boiler = lines
+      // blank lines never enter the boilerplate set (and never reach the
+      // count agg — the filter prunes them before the shuffle)
+      .filter(F.trim(F.col("__bp_l")) =!= "")
       .groupBy(F.col("__bp_g"), F.col("__bp_l"))
       .agg(F.count_distinct(F.col(idCol)).as("__bp_nd"))
       .filter(F.col("__bp_nd") >= minDocs)

@@ -48,6 +48,20 @@ final case class TopKBuf[T](size: Int, ids: Array[T], scores: Array[Double])
  */
 object TopKAgg {
 
+  /** Unsigned UTF-8 byte order for String ids — the order a Spark
+    * UTF8String sort or a DuckDB VARCHAR window compares by. Scala's
+    * default `Ordering[String]` is UTF-16 code-unit order, which
+    * diverges for ties between ids containing supplementary code points
+    * (surrogates at 0xD800..0xDFFF) and chars in U+E000..U+FFFF; byte
+    * comparison keeps the bit-identical-to-row_number contract there
+    * too. Only tie-breaks pay the encode (equal scores). */
+  private[llm] val Utf8ByteOrdering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int =
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   /** A two-argument udaf `(id, score) -> struct(hits: array<struct<n_id,
     * cosine>>)` keeping the k best (score DESC, id ASC) entries.
     * Dispatches on the id column's type (integral or string). */
@@ -58,7 +72,8 @@ object TopKAgg {
     case ByteType    => make[Byte](k, idType)
     case DoubleType  => make[Double](k, idType)
     case FloatType   => make[Float](k, idType)
-    case StringType  => make[String](k, idType)
+    case StringType  => make[String](k, idType)(Utf8ByteOrdering,
+      implicitly[ClassTag[String]], implicitly[TypeTag[String]])
     case other => throw new IllegalArgumentException(
       s"top-k id column must be an integral, floating or string type; " +
         s"got $other — cast the id column (e.g. decimal/binary ids to " +

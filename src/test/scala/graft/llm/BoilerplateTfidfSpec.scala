@@ -32,6 +32,21 @@ class BoilerplateTfidfSpec extends SparkTestBase {
     out(6L) shouldBe null
   }
 
+  it should "exempt blank lines so paragraph boundaries survive" in {
+    // every doc in the group is multi-paragraph: without the exemption the
+    // empty line (and the spaces-only line) would clear minDocs and be
+    // deleted everywhere, collapsing the \n\n boundaries downstream
+    // paragraph ops key on
+    val d = Seq((1L, "g", "para one\n\npara two"),
+      (2L, "g", "alpha\n\nbeta"), (3L, "g", "x\n \ny"))
+      .toDF("id", "dom", "text")
+    val out = TextStats.stripBoilerplate(d, "id", "dom", "text", minDocs = 2)
+      .select("id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(1L) shouldBe "para one\n\npara two"
+    out(2L) shouldBe "alpha\n\nbeta"
+    out(3L) shouldBe "x\n \ny"
+  }
+
   it should "respect the minDocs threshold" in {
     val d = Seq((1L, "g", "NAV\nbody one\nfooter"),
       (2L, "g", "NAV\nbody two\nfooter"), (3L, "g", "NAV\nsolo"))
@@ -143,6 +158,7 @@ class BoilerplateTfidfSpec extends SparkTestBase {
     // at or above the threshold from every doc of the group
     val byGroup = rows.groupBy(_._2).view.mapValues { rs =>
       rs.flatMap(r => r._3.split("\n", -1).distinct.map(l => (r._1, l)))
+        .filter(_._2.trim.nonEmpty) // blank lines are exempt
         .groupBy(_._2).view.mapValues(_.map(_._1).distinct.size)
         .filter(_._2 >= minDocs).keySet
     }.toMap

@@ -87,6 +87,59 @@ class DedupSpec extends SparkTestBase {
       Dedup.minHashDedupPairs(docs, "doc_id", "text", numHashes = 100, bands = 16)
   }
 
+  // a hot bucket by construction: identical docs share every band bucket
+  private def hotCorpus(n: Int) =
+    (1 to n).map(i => (i.toLong, (0 until 30).map(j => s"hot$j").mkString(" ")))
+      .toDF("doc_id", "text")
+
+  it should "report over-cap buckets through minHashBucketAudit" in {
+    // 5 identical docs, cap 3: every one of the 4 band buckets holds 5 ids
+    // -> 1 truncated bucket and 2 dropped ids per band
+    val audit = Dedup.minHashBucketAudit(hotCorpus(5), "doc_id", "text",
+      numHashes = 16, bands = 4, maxBucketSize = 3)
+      .collect()
+    audit.length shouldBe 4
+    audit.foreach { r =>
+      r.getLong(1) shouldBe 1L // n_buckets
+      r.getLong(2) shouldBe 1L // n_truncated_buckets
+      r.getLong(3) shouldBe 2L // n_dropped_ids
+    }
+    // under the cap: all-zero truncation certifies the run was exhaustive
+    Dedup.minHashBucketAudit(hotCorpus(3), "doc_id", "text",
+      numHashes = 16, bands = 4, maxBucketSize = 3)
+      .collect().foreach { r =>
+        r.getLong(2) shouldBe 0L
+        r.getLong(3) shouldBe 0L
+      }
+  }
+
+  /** Spark wraps the task error differently per plan (SparkException,
+    * ExecutionException off the broadcast thread) — assert on the full
+    * cause chain. */
+  private def causeChain(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(c => Option(c.getMessage).getOrElse("")).mkString("\n")
+
+  it should "fail loudly on an over-cap bucket when strict" in {
+    val e = intercept[Exception] {
+      Dedup.minHashDedupPairs(hotCorpus(5), "doc_id", "text",
+        numHashes = 16, bands = 4, maxBucketSize = 3, strict = true)
+        .collect()
+    }
+    causeChain(e) should include("maxBucketSize=3")
+    // same corpus, non-strict: pairs mine from the capped bucket silently
+    Dedup.minHashDedupPairs(hotCorpus(5), "doc_id", "text",
+      numHashes = 16, bands = 4, maxBucketSize = 3)
+      .count() should be > 0L
+    // strict but nothing over the cap: identical to non-strict
+    Dedup.minHashDedupPairs(hotCorpus(3), "doc_id", "text",
+      numHashes = 16, bands = 4, maxBucketSize = 3, strict = true)
+      .count() shouldBe
+      Dedup.minHashDedupPairs(hotCorpus(3), "doc_id", "text",
+        numHashes = 16, bands = 4, maxBucketSize = 3)
+        .count()
+  }
+
   behavior of "simHashPairs"
 
   it should "pair identical docs at hamming 0 and keep distinct docs apart" in {
@@ -693,6 +746,28 @@ class DedupSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       Dedup.dedupAgainstMinHash(d, d, "doc_id", "text",
         numHashes = 128, bands = 7)
+  }
+
+  it should "fail loudly when the existing side overflows a bucket in strict mode" in {
+    val hot = (1 to 5)
+      .map(i => (i.toLong, (0 until 30).map(j => s"hot$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val incoming = Seq((100L, "fresh unrelated words entirely new here"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.dedupAgainstMinHash(incoming, hot, "doc_id", "text",
+        numHashes = 16, bands = 4, maxBucketSize = 3, strict = true)
+        .collect()
+    }
+    (e.toString + Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(c => Option(c.getMessage).getOrElse("")).mkString("\n")) should
+      include("dedupAgainstMinHash")
+    // non-strict on the same corpora still answers (capped, audited via
+    // minHashBucketAudit over the existing side)
+    Dedup.dedupAgainstMinHash(incoming, hot, "doc_id", "text",
+      numHashes = 16, bands = 4, maxBucketSize = 3)
+      .count() shouldBe 1L
   }
 
   behavior of "oovCounts"

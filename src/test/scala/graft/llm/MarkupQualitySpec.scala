@@ -15,11 +15,13 @@ class MarkupQualitySpec extends SparkTestBase {
     * pins — java.util.regex here, RE2 in the oracle; the pattern set is
     * kept to the common subset both interpret identically. */
   private def regexChain(c: Column): Column = {
-    val noScript = F.regexp_replace(c,
-      "(?is)<script\\b[^>]*>.*?</script[ \\t\\n\\r\\f]*>", " ")
-    val noStyle = F.regexp_replace(noScript,
-      "(?is)<style\\b[^>]*>.*?</style[ \\t\\n\\r\\f]*>", " ")
-    val noTags = F.regexp_replace(noStyle, "<[^>]*>", " ")
+    // ONE leftmost-first alternation pass over both block tags — per-tag
+    // sequential passes would diverge from the scanner on interleaved
+    // script/style input (pinned below)
+    val noBlocks = F.regexp_replace(c,
+      "(?is)<script\\b[^>]*>.*?</script[ \\t\\n\\r\\f]*>" +
+        "|<style\\b[^>]*>.*?</style[ \\t\\n\\r\\f]*>", " ")
+    val noTags = F.regexp_replace(noBlocks, "<[^>]*>", " ")
     val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (col, (e, r)) => F.replace(col, F.lit(e), F.lit(r)) }
@@ -46,7 +48,13 @@ class MarkupQualitySpec extends SparkTestBase {
       "<scripting>not a script block</scripting> kept",
       "< > <123> <a <b> nested-angle tag",
       "", "   ", "<p></p>", "&", "&amp", "&unknown; x",
-      "tag at end <br", "<script>never closed")
+      "tag at end <br", "<script>never closed",
+      // interleaved blocks: leftmost match wins, so the style block eats
+      // the script open and the orphan </script> strips as a plain tag
+      "<style>A<script>B</style>C</script>D",
+      "<script>A<style>B</script>C</style>D",
+      "x<script>no close<style>s</style>y", // style inside dead script body
+      "<script>a</script><style>b</style><script>c</script>tail")
     val df = cases.toDF("t")
     val r = df.select(
       TextStats.stripMarkup(F.col("t")).as("k"),
@@ -61,6 +69,33 @@ class MarkupQualitySpec extends SparkTestBase {
     strip("&amp;lt;") shouldBe "&lt;" // &amp; decodes first, result is literal
     strip("&amp;amp;") shouldBe "&amp;"
     strip("&lt;b&gt;x&lt;/b&gt;") shouldBe "<b>x</b>" // decoded, never re-parsed
+  }
+
+  it should "pin leftmost-first semantics on interleaved blocks" in {
+    // the case the single-alternation contract exists for: a per-tag
+    // strip-all-script-then-all-style chain would yield "A D" here
+    strip("<style>A<script>B</style>C</script>D") shouldBe "C D"
+    strip("<script>A<style>B</script>C</style>D") shouldBe "C D"
+  }
+
+  it should "stay linear on adversarial input (failed-search memo)" in {
+    // each pathological row repeats a pattern whose forward search fails:
+    // without the memo every occurrence rescans to end-of-string (O(n^2),
+    // ~minutes at 1 MB); with it the whole row is one scan (~ms). The
+    // bound is generous (10 s) to stay CI-noise-proof while still failing
+    // decisively on quadratic behavior.
+    val mb = 1 << 20
+    val cases = Seq(
+      "<" * mb,                          // bare '<' run, no '>' anywhere
+      "<script>x " * (mb / 10),          // unterminated script opens
+      "<style a> " * (mb / 10),          // unterminated style opens
+      ("<p>" * (mb / 3)) + "<script>" + ("y<style>z " * (mb / 10)))
+    val t0 = System.nanoTime()
+    val out = cases.toDF("t")
+      .select(F.length(TextStats.stripMarkup(F.col("t")))).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 10.0, f"adversarial stripMarkup took $secs%.1f s")
+    out(0).getInt(0) shouldBe mb // all-literal '<' run survives unchanged
   }
 
   it should "drop script/style blocks and collapse whitespace" in {
@@ -162,6 +197,20 @@ class MarkupQualitySpec extends SparkTestBase {
     r(1).getBoolean(5) shouldBe false
     r(2).getBoolean(2) shouldBe false // symbol ratio over 10%
     r(2).getBoolean(5) shouldBe false
+  }
+
+  it should "require two DISTINCT stopwords for stop_ok" in {
+    // the published Gopher rule counts distinct list hits, not
+    // occurrences: all-"the" text fails, "the ... and" passes
+    val d = Seq(
+      (1L, Seq.fill(60)("the").mkString(" ")), // 60 hits, 1 distinct
+      (2L, (Seq.fill(59)("the") :+ "and").mkString(" ")), // 2 distinct
+      (3L, Seq.fill(60)("zebra").mkString(" "))) // 0 hits
+      .toDF("id", "text")
+    val r = TextStats.gopherFilter(d, "text")
+      .select("id", "stop_ok").orderBy("id")
+      .as[(Long, Boolean)].collect().toSeq
+    r shouldBe Seq((1L, false), (2L, true), (3L, false))
   }
 
   it should "treat bullet/ellipsis ratios over \\n lines" in {

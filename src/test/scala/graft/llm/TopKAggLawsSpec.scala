@@ -70,6 +70,41 @@ class TopKAggLawsSpec extends SparkTestBase {
       Seq((99L, 0.9), (10L, 0.5), (20L, 0.5))
   }
 
+  it should "break String-id ties in unsigned UTF-8 byte order" in {
+    // UTF-16 code-unit order and UTF-8 byte order diverge exactly where
+    // surrogates (supplementary code points, U+10000+) meet U+E000..U+FFFF
+    // chars: UTF-16 sorts "𐀀" (U+10000) BEFORE "￿", UTF-8
+    // bytes sort it after. The string instantiation must use byte order —
+    // the order of a Spark/DuckDB row_number window over the same ties.
+    val supp = new String(Character.toChars(0x10000)) // U+10000
+    val priv = "" // BMP private-use, above surrogates in UTF-8
+    assert(Ordering.String.lt(supp, priv)) // UTF-16 order: supp first
+    assert(TopKAgg.Utf8ByteOrdering.lt(priv, supp)) // UTF-8 order: priv first
+    val agg = new TopKAgg[String](2)(TopKAgg.Utf8ByteOrdering,
+      implicitly, implicitly)
+    val rows = Seq((supp, 0.5), (priv, 0.5), ("zz", 0.5))
+    val b = rows.foldLeft(agg.zero)((b, r) => agg.reduce(b, Row(r._1, r._2)))
+    // k=2 survivors of a three-way tie: the two UTF-8-smallest ids
+    agg.finish(b).hits.map(_.n_id) shouldBe Seq("zz", priv)
+    // random ASCII/BMP/astral soup: byte order == code-point order
+    val rnd = new Random(110812L)
+    def randStr() = (0 until rnd.nextInt(6)).map { _ =>
+      rnd.nextInt(4) match {
+        case 0 => ('a' + rnd.nextInt(26)).toChar.toString
+        case 1 => "é"
+        case 2 => ""
+        case 3 => new String(Character.toChars(0x1F600 + rnd.nextInt(16)))
+      }
+    }.mkString
+    (1 to 300).foreach { _ =>
+      val a = randStr(); val c = randStr()
+      val byCp = Integer.compare(
+        a.codePoints.toArray.zipAll(c.codePoints.toArray, -1, -1)
+          .find(p => p._1 != p._2).map(p => p._1 - p._2).getOrElse(0), 0)
+      Integer.signum(TopKAgg.Utf8ByteOrdering.compare(a, c)) shouldBe byCp
+    }
+  }
+
   it should "rank NaN below every real score with a deterministic id order" in {
     val agg = new TopKAgg[Long](4)
     val rows = Seq((1L, Double.NaN), (2L, Double.NaN), (3L, Double.NaN),
