@@ -303,10 +303,15 @@ class TimeSeriesDataFrame(DataFrame):
             self._jdf, id_col, text_col, normalize))
 
     def minhash_dedup_pairs(self, id_col, text_col, num_hashes=128, bands=16,
-                            shingle_size=3, threshold=0.7, max_bucket_size=64):
+                            shingle_size=3, threshold=0.7, max_bucket_size=64,
+                            strict=False):
+        """Near-duplicate (id_a, id_b, jaccard) pairs via banded
+        MinHash-LSH + exact Jaccard verify. ``strict=True`` fails on the
+        first bucket over ``max_bucket_size`` instead of silently mining
+        only its smallest ids (see ``min_hash_bucket_audit``)."""
         return self._with(_api(self).minHashDedupPairs(
             self._jdf, id_col, text_col, num_hashes, bands, shingle_size,
-            threshold, max_bucket_size))
+            threshold, max_bucket_size, bool(strict)))
 
     def simhash_pairs(self, id_col, text_col, max_hamming=3,
                       max_bucket_size=64, portable=False):
@@ -462,15 +467,32 @@ class TimeSeriesDataFrame(DataFrame):
 
     def dedup_against_minhash(self, existing, id_col, text_col,
                               num_hashes=128, bands=16, shingle_size=3,
-                              threshold=0.7, max_bucket_size=64):
+                              threshold=0.7, max_bucket_size=64,
+                              strict=False):
         """Incremental NEAR dedup: drop rows sharing an LSH band bucket
         with an ``existing`` row whose exact shingle-set Jaccard clears
         ``threshold``. Both corpora shuffle on (band, bucket); existing
-        buckets cap at ``max_bucket_size`` candidates."""
+        buckets cap at ``max_bucket_size`` candidates. The cap is never
+        silent: ``strict=True`` fails the job on the first over-cap
+        bucket, and ``min_hash_bucket_audit`` (run over ``existing``)
+        reports per-band truncation counts without failing."""
         other = existing._jdf
         return self._with(_api(self).dedupAgainstMinHash(
             self._jdf, other, id_col, text_col, num_hashes, bands,
-            shingle_size, float(threshold), max_bucket_size))
+            shingle_size, float(threshold), max_bucket_size, bool(strict)))
+
+    def min_hash_bucket_audit(self, id_col, text_col, num_hashes=128,
+                              bands=16, shingle_size=3, max_bucket_size=64):
+        """Truncation audit for the LSH bucket cap: per band,
+        ``(band, n_buckets, n_truncated_buckets, n_dropped_ids)`` for the
+        same banded buckets ``minhash_dedup_pairs`` /
+        ``dedup_against_minhash`` would build with these parameters.
+        All-zero ``n_truncated_buckets`` certifies a capped run was
+        exhaustive. Same single-shuffle shape as the pair miner — safe at
+        full corpus size."""
+        return self._with(_api(self).minHashBucketAudit(
+            self._jdf, id_col, text_col, num_hashes, bands, shingle_size,
+            max_bucket_size))
 
     def blocklist_audit(self, text_col, words):
         """Append ``n_blocked`` (count of blocklisted tokens, one kernel
@@ -490,6 +512,25 @@ class TimeSeriesDataFrame(DataFrame):
         return self._with(_api(self).qualityBuckets(
             self._jdf, strata_col, score_col, float(f1), float(f2),
             int(approx_accuracy)))
+
+    def quality_buckets_computed(self, strata_col, score_expr, input_cols,
+                                 f1=1.0 / 3, f2=2.0 / 3, approx_accuracy=0,
+                                 eager=False):
+        """``quality_buckets`` over an EXPENSIVE score: ``score_expr`` (a
+        SQL expression string, e.g. a quality-kernel call) is evaluated
+        ONCE via a persisted narrow (``input_cols`` + score) projection
+        instead of once per pass. Output: ``input_cols`` + ``bucket``.
+
+        Cache lifetime: lazily (default) the score cache stays registered
+        — a loop of many calls should release between iterations with
+        ``spark.catalog.clearCache()``. With ``eager=True`` the labeled
+        output is materialized and the score cache released before
+        returning; the only remaining cache is the small result, released
+        with ``result.unpersist()`` when you are done with it."""
+        return self._with(_api(self).qualityBucketsComputed(
+            self._jdf, strata_col, score_expr,
+            _jlist(self.sparkSession, list(input_cols)),
+            float(f1), float(f2), int(approx_accuracy), bool(eager)))
 
     def strip_boilerplate(self, id_col, group_col, text_col, min_docs=2):
         """Delete every line of ``text_col`` that repeats across at least

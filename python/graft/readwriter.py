@@ -145,13 +145,17 @@ class TSDataFrameReader:
         standard LLM-corpus interchange format). Canonizes and
         time-orders only when the configured time column exists in the
         data; document corpora without one pass through untouched, with
-        ``columns(...)`` applied as a plain projection."""
+        ``columns(...)`` applied as a plain projection. The range filter
+        keys on whether canonization HAPPENED (reported by the JVM side),
+        never on a column merely named ``time`` — a raw un-canonized
+        column of that name must not be compared against nanos bounds."""
         ok, ov = self._okv(self._opts)
-        jdf = self._api().fromJsonl(
+        res = self._api().fromJsonlWithStatus(
             self._spark._jsparkSession, path, self._time, self._unit,
             ok, ov)
+        jdf, canonized = res[0], bool(res[1])
         out = TimeSeriesDataFrame(DataFrame(jdf, self._spark))
-        if "time" in out.columns:
+        if canonized:
             b, e = self._bounds()
             out = self._ranged(out, b, e)
             if self._cols:

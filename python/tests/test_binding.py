@@ -303,6 +303,33 @@ def test_dedup_against(spark):
     assert sorted(r["doc_id"] for r in near.collect()) == [3]
 
 
+def test_minhash_bucket_audit_and_strict(spark):
+    hot = TimeSeriesDataFrame.from_df(spark.createDataFrame(
+        [(0, i, " ".join("hot%d" % j for j in range(30)))
+         for i in range(1, 6)], "time long, doc_id long, text string"))
+    audit = hot.min_hash_bucket_audit(
+        "doc_id", "text", num_hashes=16, bands=4, max_bucket_size=3) \
+        .orderBy("band").collect()
+    # 5 identical docs, cap 3: every band has one bucket of 5 -> 2 dropped
+    assert [r["band"] for r in audit] == [0, 1, 2, 3]
+    assert all(r["n_truncated_buckets"] == 1 and r["n_dropped_ids"] == 2
+               for r in audit)
+    import pytest
+    with pytest.raises(Exception, match="maxBucketSize"):
+        hot.minhash_dedup_pairs("doc_id", "text", num_hashes=16, bands=4,
+                                max_bucket_size=3, strict=True).collect()
+
+
+def test_quality_buckets_computed(spark):
+    docs = TimeSeriesDataFrame(spark.createDataFrame(
+        [(1, "s", "x"), (2, "s", "xxxx"), (3, "s", "xxxxxxxxx")],
+        "id long, src string, text string"))
+    for eager in (False, True):
+        out = {r["id"]: r["bucket"] for r in docs.quality_buckets_computed(
+            "src", "length(text)", ["id", "src"], eager=eager).collect()}
+        assert out == {1: "tail", 2: "middle", 3: "head"}
+
+
 def test_markup_and_encoding_columns(spark):
     from graft import text
     docs = spark.createDataFrame(
@@ -424,6 +451,15 @@ def test_fluent_reader_jsonl(spark, tmp_path):
         .write.mode("overwrite").json(t)
     ts = graft.read(spark).range(10, 20).jsonl(t)
     assert [r["v"] for r in ts.collect()] == ["b"]
+    # configured time column ABSENT but a raw column literally named
+    # "time" present: no canonization happened, so the range must NOT
+    # apply (nanos bounds vs raw units would silently mis-filter)
+    raw = str(tmp_path / "jraw")
+    spark.createDataFrame([(5, "a"), (15, "b"), (25, "c")],
+                          "time long, v string") \
+        .write.mode("overwrite").json(raw)
+    untouched = graft.read(spark).time("ts").range(10, 20).jsonl(raw)
+    assert sorted(r["v"] for r in untouched.collect()) == ["a", "b", "c"]
 
 
 def test_fluent_reader_dataframe_and_clock(spark):

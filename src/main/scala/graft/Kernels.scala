@@ -1043,8 +1043,16 @@ object Kernels {
    *     `A D`). An UNTERMINATED block never matches the non-greedy
    *     regex, so only its open tag strips (step 2) and the body
    *     survives as text — the scanner mirrors that fallback.
-   *  2. every remaining `<[^>]*>` tag -> one space; a `<` with no later
-   *     `>` survives literally (the regex can't match it).
+   *  2. every remaining `<[^>]*>` tag -> one space, ON THE BLOCK-STRIPPED
+   *     text — so a tag span may cross a removed block (the block's
+   *     replacement space is a legal tag-interior char), and a `<` whose
+   *     only later `>` sat inside a removed block is unterminated. A `<`
+   *     with no later `>` survives literally (the regex can't match it).
+   *     The scanner mirrors this with a tag-state walk that treats each
+   *     completed block as an injected space: pending tag chars buffer
+   *     until the tag's `>` arrives (drop the buffer, emit one space) or
+   *     input ends (the buffered chars are literal text, entities still
+   *     decode in them — exactly the unterminated-tag tail of the chain).
    *  3. the six standard entities decode left-to-right, first match wins
    *     (`&amp;` -> `&`, `&lt;` `&gt;` `&quot;` `&#39;` `&nbsp;`);
    *     decoded chars are literal text, never re-parsed as markup.
@@ -1071,32 +1079,69 @@ object Kernels {
         sb.append(c)
       }
     }
-    // failed-search memos: i only moves right, so a miss stays a miss
+    // failed-search memos: scan positions only move right, so a miss
+    // stays a miss — a megabyte of '<' or of unterminated <script> opens
+    // costs one scan, not one scan per occurrence
     var noGt = false          // no '>' at or after the last failed search
     var noScriptClose = false // no '</script...>' after the last failed search
     var noStyleClose = false  // no '</style...>' after the last failed search
+
+    /** Index just past the script/style BLOCK starting at `at` (which
+      * points at '<'), or -1 when no complete block starts here. */
+    def blockEnd(at: Int): Int = {
+      val isScript = tagNameAt(s, at + 1, "script")
+      val isStyle = !isScript && tagNameAt(s, at + 1, "style")
+      if (!isScript && !isStyle) return -1
+      if ((isScript && noScriptClose) || (isStyle && noStyleClose) || noGt)
+        return -1
+      val close = s.indexOf('>', at) // first '>' ends the open tag ([^>]*>)
+      if (close < 0) { noGt = true; return -1 }
+      val end = closeTagEnd(s, close + 1, if (isScript) "script" else "style")
+      if (end < 0) {
+        if (isScript) noScriptClose = true else noStyleClose = true
+        -1
+      } else end
+    }
+
+    /** Literal text emit with entity decoding (used for the main text and
+      * for replaying an unterminated tag tail at end of input). */
+    def decodeEmit(t: String): Unit = {
+      var j = 0
+      while (j < t.length) {
+        val c = t.charAt(j)
+        if (c == '&') {
+          var k = 0
+          var matched = false
+          while (k < MarkupEntities.length && !matched) {
+            val ent = MarkupEntities(k)._1
+            if (t.regionMatches(false, j, ent, 0, ent.length)) {
+              emit(MarkupEntities(k)._2); j += ent.length; matched = true
+            }
+            k += 1
+          }
+          if (!matched) { emit('&'); j += 1 }
+        } else { emit(c); j += 1 }
+      }
+    }
+
+    // Tag-state walk over the block-stripped stream: blocks collapse to a
+    // space wherever they appear (inside a pending tag span too), tags
+    // buffer until their '>' (one space) or end of input (literal tail).
+    val tagBuf = new java.lang.StringBuilder
+    var inTag = false
     var i = 0
     while (i < n) {
       val c = s.charAt(i)
       if (c == '<') {
-        val close = if (noGt) -1 else s.indexOf('>', i)
-        if (close < 0) { noGt = true; emit(c); i += 1 } // unterminated tag: literal
-        else {
-          var next = close + 1
-          if (tagNameAt(s, i + 1, "script")) {
-            if (!noScriptClose) {
-              val end = closeTagEnd(s, close + 1, "script")
-              if (end > 0) next = end else noScriptClose = true
-            }
-          } else if (tagNameAt(s, i + 1, "style")) {
-            if (!noStyleClose) {
-              val end = closeTagEnd(s, close + 1, "style")
-              if (end > 0) next = end else noStyleClose = true
-            }
-          }
-          emit(' ')
-          i = next
-        }
+        val be = blockEnd(i)
+        if (be > 0) {
+          if (inTag) tagBuf.append(' ') else emit(' ')
+          i = be
+        } else if (inTag) { tagBuf.append(c); i += 1 }
+        else { inTag = true; tagBuf.setLength(0); tagBuf.append(c); i += 1 }
+      } else if (inTag) {
+        if (c == '>') { inTag = false; emit(' ') } else tagBuf.append(c)
+        i += 1
       } else if (c == '&') {
         var k = 0
         var matched = false
@@ -1110,6 +1155,7 @@ object Kernels {
         if (!matched) { emit('&'); i += 1 }
       } else { emit(c); i += 1 }
     }
+    if (inTag) decodeEmit(tagBuf.toString)
     org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
   }
 

@@ -521,23 +521,44 @@ object TextStats {
    * broadcast side) populates the cache and the label scan reads from
    * it. Pick `inputCols` as the columns the caller needs downstream
    * (id + strata, typically) — the cache holds exactly those plus one
-   * double per row, NOT the raw text. The persist is left registered
-   * (the output is lazy, so there is no safe point to release it
-   * here); Spark's LRU evicts it under memory pressure, and callers
-   * running many of these in one session can `unpersist` via
-   * `spark.catalog` or re-derive. Output: inputCols + `bucket`.
+   * double per row, NOT the raw text.
+   *
+   * Cache lifetime — two modes:
+   *  - `eager = false` (default, lazy): the output is lazy, so there is
+   *    no safe point to release the score cache here; it stays
+   *    registered (Spark's LRU evicts it under memory pressure). A
+   *    caller running MANY of these in one session should use the eager
+   *    mode, or release via `spark.catalog.clearCache()` between calls.
+   *  - `eager = true`: the labeled output is itself persisted and
+   *    materialized (one count() action fills both caches), then the
+   *    score-side cache is released before returning — after the call
+   *    the only registered cache is the small (inputCols + bucket)
+   *    RESULT, which the caller releases with `result.unpersist()` when
+   *    done. A loop of eager calls with per-iteration `unpersist()`
+   *    leaves zero residual cache (asserted in BoilerplateTfidfSpec via
+   *    `sparkContext.getPersistentRDDs`).
+   * Output: inputCols + `bucket`.
    */
   def qualityBucketsComputed(df: org.apache.spark.sql.DataFrame,
                              strataCol: String, score: Column,
                              inputCols: Seq[String],
                              f1: Double = 1.0 / 3, f2: Double = 2.0 / 3,
-                             approxAccuracy: Int = 0)
+                             approxAccuracy: Int = 0,
+                             eager: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
     val narrow = df.select(
       (inputCols.map(F.col) :+ score.cast("double").as("__qb_score")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    qualityBuckets(narrow, strataCol, "__qb_score", f1, f2, approxAccuracy)
-      .drop("__qb_score")
+    val out = qualityBuckets(narrow, strataCol, "__qb_score", f1, f2,
+      approxAccuracy).drop("__qb_score")
+    if (!eager) out
+    else {
+      val result = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      result.count() // one action: cutpoint pass fills the score cache,
+                     // label pass reads it, result lands in its own cache
+      narrow.unpersist(blocking = false)
+      result
+    }
   }
 
   /**

@@ -103,6 +103,19 @@ object PyApi {
     Sources.fromJsonl(spark, path, None, timeCol, unitToNanos,
       seq(optKeys).zip(seq(optVals)).toMap)
 
+  /** [[fromJsonl]] + canonization status as `[frame, Boolean]` (py4j
+    * array). The Python reader keys its nanos range filter on the flag —
+    * NOT on an output column named "time", which can exist un-canonized
+    * when the data carries a raw column of that name but the configured
+    * time column is absent. */
+  def fromJsonlWithStatus(spark: SparkSession, path: String, timeCol: String,
+                          unitToNanos: Long, optKeys: JList[String],
+                          optVals: JList[String]): Array[AnyRef] = {
+    val (df, canonized) = Sources.fromJsonlStatus(spark, path, None, timeCol,
+      unitToNanos, seq(optKeys).zip(seq(optVals)).toMap)
+    Array(df, java.lang.Boolean.valueOf(canonized))
+  }
+
   def fromTimePartitioned(spark: SparkSession, path: String,
                           granularity: String, columns: JList[String],
                           beginNanos: java.lang.Long,
@@ -298,9 +311,16 @@ object PyApi {
 
   def minHashDedupPairs(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int, bands: Int, shingleSize: Int,
-                        threshold: Double, maxBucketSize: Int): DataFrame =
+                        threshold: Double, maxBucketSize: Int,
+                        strict: Boolean): DataFrame =
     graft.llm.Dedup.minHashDedupPairs(df, idCol, textCol, numHashes, bands,
-      shingleSize, threshold, maxBucketSize)
+      shingleSize, threshold, maxBucketSize, strict)
+
+  def minHashBucketAudit(df: DataFrame, idCol: String, textCol: String,
+                         numHashes: Int, bands: Int, shingleSize: Int,
+                         maxBucketSize: Int): DataFrame =
+    graft.llm.Dedup.minHashBucketAudit(df, idCol, textCol, numHashes, bands,
+      shingleSize, maxBucketSize)
 
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int, maxBucketSize: Int): DataFrame =
@@ -435,9 +455,9 @@ object PyApi {
   def dedupAgainstMinHash(incoming: DataFrame, existing: DataFrame,
                           idCol: String, textCol: String, numHashes: Int,
                           bands: Int, shingleSize: Int, threshold: Double,
-                          maxBucketSize: Int): DataFrame =
+                          maxBucketSize: Int, strict: Boolean): DataFrame =
     graft.llm.Dedup.dedupAgainstMinHash(incoming, existing, idCol, textCol,
-      numHashes, bands, shingleSize, threshold, maxBucketSize)
+      numHashes, bands, shingleSize, threshold, maxBucketSize, strict)
 
   /** Append n_blocked (blocklist token hits) and keep (= no hits). */
   def blocklistAudit(df: DataFrame, textCol: String,
@@ -460,6 +480,15 @@ object PyApi {
                      f1: Double, f2: Double, approxAccuracy: Int): DataFrame =
     graft.llm.TextStats.qualityBuckets(df, strataCol, scoreCol, f1, f2,
       approxAccuracy)
+
+  /** Python entry for the single-evaluation bucket variant: the score is
+    * a SQL expression string (parsed with F.expr). */
+  def qualityBucketsComputed(df: DataFrame, strataCol: String,
+                             scoreExprSql: String, inputCols: JList[String],
+                             f1: Double, f2: Double, approxAccuracy: Int,
+                             eager: Boolean): DataFrame =
+    graft.llm.TextStats.qualityBucketsComputed(df, strataCol,
+      F.expr(scoreExprSql), seq(inputCols), f1, f2, approxAccuracy, eager)
 
   def stripBoilerplate(df: DataFrame, idCol: String, groupCol: String,
                        textCol: String, minDocs: Int): DataFrame =

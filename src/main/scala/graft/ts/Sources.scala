@@ -47,15 +47,30 @@ object Sources {
   def fromJsonl(spark: SparkSession, path: String,
                 schema: Option[StructType] = None,
                 timeCol: String = null, unitToNanos: Long = 1L,
-                options: Map[String, String] = Map.empty): DataFrame = {
+                options: Map[String, String] = Map.empty): DataFrame =
+    fromJsonlStatus(spark, path, schema, timeCol, unitToNanos, options)._1
+
+  /** [[fromJsonl]] plus whether canonization actually happened (= the
+    * configured time column existed in the raw data). Callers deciding
+    * whether a NANOS range filter is safe must key on this flag, not on
+    * the output schema: a corpus whose configured column is absent but
+    * that happens to carry a raw column literally named "time" would
+    * otherwise get nanos bounds compared against raw units. */
+  private[graft] def fromJsonlStatus(spark: SparkSession, path: String,
+                                     schema: Option[StructType] = None,
+                                     timeCol: String = null,
+                                     unitToNanos: Long = 1L,
+                                     options: Map[String, String] = Map.empty)
+      : (DataFrame, Boolean) = {
     val r = spark.read.options(options)
     val df = schema match {
       case Some(s) => r.schema(s).json(path)
       case None => r.json(path)
     }
     if (timeCol != null && df.columns.contains(timeCol))
-      TimeSeriesOps.orderByTime(TimeSeriesOps.canonize(df, timeCol, unitToNanos))
-    else df
+      (TimeSeriesOps.orderByTime(
+        TimeSeriesOps.canonize(df, timeCol, unitToNanos)), true)
+    else (df, false)
   }
 
   /** Parquet scan with optional column list and [begin, end) time range

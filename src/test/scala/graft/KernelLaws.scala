@@ -107,4 +107,101 @@ object KernelLaws extends Properties("Kernels") {
         // the oovCounts identity: n_oov = n_tokens - n_stop, never negative
         row.getInt(0) - row.getInt(3) == split.count(t => !vocab.contains(t))
     }
+
+  // ------------------------------------------------------------------
+  // r11 text kernels vs independent regex/split references on random soup
+  // (the fixture specs pin named edge cases; these close the gap to
+  // "matches on arbitrary input")
+
+  /** Markup soup: tags (terminated, unterminated, mixed-case), block
+    * open/close tags, entities (whole and truncated), whitespace classes,
+    * astral chars — concatenated in random order. */
+  private val markupSoup: Gen[String] = {
+    val frag = Gen.oneOf(
+      "<script>", "</script>", "</script \t>", "<SCRIPT a=\"1\">",
+      "<style>", "</style>", "</STYLE\n>", "<scripting>", "</styleX>",
+      "<b>", "</b>", "<br", "<", ">", "<p class='x'>",
+      "&amp;", "&lt;", "&gt;", "&quot;", "&#39;", "&nbsp;", "&", "&amp", ";",
+      "text", "a b", "\t", "\n", "\f", " ", "µ", "😀", ".", "#",
+      "if (a < b) { f(); }", "p { x: 1; }")
+    Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n, frag).map(_.mkString))
+  }
+
+  /** The regexp/replace chain the kernel doc pins, run on java.util.regex:
+    * one leftmost-first block alternation, tag strip, left-to-right
+    * first-match entity decode (alternation matcher — at most one entity
+    * matches per position, entities have distinct second chars), then
+    * whitespace collapse and space trim. */
+  private def stripMarkupRef(s: String): String = {
+    val blocks = java.util.regex.Pattern.compile(
+      "(?is)<script\\b[^>]*>.*?</script[ \\t\\n\\r\\f]*>" +
+        "|<style\\b[^>]*>.*?</style[ \\t\\n\\r\\f]*>")
+    val noBlocks = blocks.matcher(s).replaceAll(" ")
+    val noTags = noBlocks.replaceAll("<[^>]*>", " ")
+    val ents = java.util.regex.Pattern
+      .compile("&amp;|&lt;|&gt;|&quot;|&#39;|&nbsp;").matcher(noTags)
+    val sb = new StringBuffer
+    while (ents.find()) {
+      val rep = ents.group() match {
+        case "&amp;" => "\\&"; case "&lt;" => "<"; case "&gt;" => ">"
+        case "&quot;" => "\""; case "&#39;" => "'"; case "&nbsp;" => " "
+      }
+      ents.appendReplacement(sb, rep)
+    }
+    ents.appendTail(sb)
+    sb.toString.replaceAll("[ \\t\\n\\r\\f]+", " ")
+      .replaceAll("^ | $", "")
+  }
+
+  property("stripMarkup = pinned regexp/replace chain on random markup soup") =
+    forAll(markupSoup) { s =>
+      Kernels.stripMarkup(UTF8String.fromString(s)).toString == stripMarkupRef(s)
+    }
+
+  /** Char soup with controls, U+FFFD, tab/newline/CR, DEL, astral. */
+  private val charSoup: Gen[String] = {
+    val frag = Gen.oneOf("a", "Z9", "\uFFFD", "\u0000", "\u0001", "\u000B",
+      "\u000C", "\u001F", "\u007F", "\t", "\n", "\r", " ", "é",
+      "😁", "文")
+    Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, frag).map(_.mkString))
+  }
+
+  property("encodingStats = code-point/regex reference on random char soup") =
+    forAll(charSoup) { s =>
+      val row = Kernels.encodingStats(UTF8String.fromString(s))
+      val cps = s.codePoints().toArray
+      val ctrl = java.util.regex.Pattern
+        .compile("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]").matcher(s)
+      var nCtrl = 0
+      while (ctrl.find()) nCtrl += 1
+      row.getInt(0) == cps.length &&
+        row.getInt(1) == cps.count(_ == 0xFFFD) &&
+        row.getInt(2) == nCtrl
+    }
+
+  /** Line/word soup: bullets, ellipses, '#', dot runs, empty lines. */
+  private val gopherSoup: Gen[String] = {
+    val frag = Gen.oneOf("word", "the", "x1", "123", "#", "...", "..", ".",
+      "- bullet", "* item", "•tight", "-x", "* ", " ", "\n", "line...",
+      "a.b", "")
+    Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n, frag).map(_.mkString(" ")))
+  }
+
+  property("gopherStats = split/regex reference on random line soup") =
+    forAll(gopherSoup) { s =>
+      val row = Kernels.gopherStats(UTF8String.fromString(s))
+      val toks = s.split(" ", -1)
+      val lines = s.split("\n", -1)
+      val dots = java.util.regex.Pattern.compile("\\.\\.\\.").matcher(s)
+      var nDots = 0
+      while (dots.find()) nDots += 1
+      row.getInt(0) == toks.length &&
+        row.getInt(1) == toks.count(_.exists(c =>
+          (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))) &&
+        row.getInt(2) == s.count(_ == '#') + nDots &&
+        row.getInt(3) == lines.length &&
+        row.getInt(4) == lines.count(l =>
+          l.startsWith("- ") || l.startsWith("* ") || l.startsWith("•")) &&
+        row.getInt(5) == lines.count(_.endsWith("..."))
+    }
 }

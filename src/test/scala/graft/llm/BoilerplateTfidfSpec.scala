@@ -218,6 +218,27 @@ class BoilerplateTfidfSpec extends SparkTestBase {
       .columns.toSeq shouldBe Seq("id", "src", "bucket")
   }
 
+  it should "leave no residual cache across a loop of eager calls" in {
+    val d = Seq.tabulate(50)(i => (i.toLong, "s" + (i % 3), "w" * (1 + i % 7)))
+      .toDF("id", "src", "text")
+    val score = F.length(F.col("text")).cast("double")
+    val lazyLabels = TextStats.qualityBucketsComputed(
+        d, "src", score, Seq("id", "src"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    spark.catalog.clearCache() // release the lazy run's score cache
+    val before = spark.sparkContext.getPersistentRDDs.size
+    (1 to 10).foreach { _ =>
+      val r = TextStats.qualityBucketsComputed(
+        d, "src", score, Seq("id", "src"), eager = true)
+      // same labels as the lazy path, and after unpersist the session is
+      // back to its pre-call cache census — nothing accumulates
+      r.collect().map(x => x.getLong(0) -> x.getString(2)).toMap shouldBe
+        lazyLabels
+      r.unpersist(blocking = true)
+      spark.sparkContext.getPersistentRDDs.size shouldBe before
+    }
+  }
+
   behavior of "bigramModel / bigramScore"
 
   it should "match hand-computed stupid-backoff micro-nat scores" in {
