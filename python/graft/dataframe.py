@@ -409,6 +409,22 @@ class TimeSeriesDataFrame(DataFrame):
         return self._with(_api(self).ngramRepetition(
             self._jdf, id_col, text_col, n))
 
+    def repetition_signals(self, id_col, text_col):
+        """The line/paragraph half of the Gopher repetition suite:
+        duplicate line / paragraph occurrence and char fractions per
+        document (empty units excluded). One kernel scan per row, no
+        shuffle."""
+        return self._with(_api(self).repetitionSignals(
+            self._jdf, id_col, text_col))
+
+    def ngram_char_repetition(self, id_col, text_col, n):
+        """Char-weighted n-gram repetition: per document, the top n-gram's
+        char occupancy (count x gram chars over doc chars; count ties
+        break toward the longer gram) and the duplicate-gram char
+        fraction. Documents shorter than ``n`` tokens produce no row."""
+        return self._with(_api(self).ngramCharRepetition(
+            self._jdf, id_col, text_col, n))
+
     def ngram_overlap(self, bench, id_col, text_col, n,
                       broadcast_bench=True):
         """Benchmark decontamination: per training doc (self), the distinct
@@ -480,6 +496,42 @@ class TimeSeriesDataFrame(DataFrame):
         return self._with(_api(self).dedupAgainstMinHash(
             self._jdf, other, id_col, text_col, num_hashes, bands,
             shingle_size, float(threshold), max_bucket_size, bool(strict)))
+
+    def build_minhash_index(self, id_col, text_col, num_hashes=128,
+                            shingle_size=3):
+        """Persistent MinHash index of this corpus: one row per document
+        with its hashed shingle set and signature, self-describing via
+        ``mh_sig`` column metadata (num_hashes / shingle_size / hash
+        family — all survive a parquet roundtrip). Build once per corpus
+        generation and run every incremental crawl through
+        ``dedup_against_index`` — at 100 TB the existing side's sketching
+        is the dominant cost of ``dedup_against_minhash`` and the index
+        amortizes it to zero across crawls."""
+        return self._with(_api(self).buildMinHashIndex(
+            self._jdf, id_col, text_col, num_hashes, shingle_size))
+
+    def dedup_against_index(self, index, id_col, text_col, bands=16,
+                            threshold=0.7, max_bucket_size=64, strict=False):
+        """``dedup_against_minhash`` with the existing corpus represented
+        by its ``build_minhash_index`` output (in memory or read back from
+        parquet): identical survivors, no recompute of the existing side.
+        Fails fast on a missing/mismatched index hash family."""
+        return self._with(_api(self).dedupAgainstIndex(
+            self._jdf, index._jdf, id_col, text_col, bands,
+            float(threshold), max_bucket_size, bool(strict)))
+
+    def dedup_against_bloom_exact(self, existing, text_col, normalize=True,
+                                  expected_items=-1, fpp=0.03):
+        """``dedup_against_exact`` with a distributed Bloom-filter
+        prefilter of the existing digests: filter-negative rows are
+        provably new and skip the anti-join shuffle entirely; positives
+        are re-checked exactly, so survivors are identical. Sizing is
+        capped by Spark's runtime bloom-filter confs — raise them for
+        billion-document corpora; beyond the cap only the fpp (and thus
+        the prefilter's selectivity) degrades, never correctness."""
+        return self._with(_api(self).dedupAgainstBloomExact(
+            self._jdf, existing._jdf, text_col, bool(normalize),
+            int(expected_items), float(fpp)))
 
     def min_hash_bucket_audit(self, id_col, text_col, num_hashes=128,
                               bands=16, shingle_size=3, max_bucket_size=64):

@@ -926,3 +926,52 @@ def test_temperature_rates(spark):
     assert r05["small"] > r05["big"]
     kept = d.sample_by_rates("src", "id", r05).count()
     assert 20 <= kept <= 80
+
+
+def test_dedup_against_index_parquet_roundtrip(spark, tmp_path):
+    existing = TimeSeriesDataFrame.from_df(spark.createDataFrame(
+        [(0, 10, "alpha beta gamma delta epsilon zeta eta theta")],
+        "time long, doc_id long, text string"))
+    incoming = TimeSeriesDataFrame.from_df(spark.createDataFrame(
+        [(0, 1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+         (0, 2, "completely different fresh words appear right here")],
+        "time long, doc_id long, text string"))
+    path = str(tmp_path / "mh_index")
+    existing.build_minhash_index("doc_id", "text").write.parquet(path)
+    index = TimeSeriesDataFrame(spark.read.parquet(path))
+    kept = incoming.dedup_against_index(index, "doc_id", "text")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2]
+    direct = incoming.dedup_against_minhash(existing, "doc_id", "text")
+    assert (sorted(r["doc_id"] for r in kept.collect())
+            == sorted(r["doc_id"] for r in direct.collect()))
+
+
+def test_dedup_against_bloom_exact(spark):
+    existing = TimeSeriesDataFrame.from_df(spark.createDataFrame(
+        [(0, 10, "alpha beta gamma"), (0, 11, "delta epsilon")],
+        "time long, doc_id long, text string"))
+    incoming = TimeSeriesDataFrame.from_df(spark.createDataFrame(
+        [(0, 1, "gamma beta alpha"),          # normalized dup
+         (0, 2, "completely new words here")],
+        "time long, doc_id long, text string"))
+    kept = incoming.dedup_against_bloom_exact(existing, "text")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2]
+    # survivors identical to the plain anti-join even with a tiny filter
+    tiny = incoming.dedup_against_bloom_exact(
+        existing, "text", expected_items=10, fpp=0.5)
+    assert sorted(r["doc_id"] for r in tiny.collect()) == [2]
+
+
+def test_repetition_signals_and_ngram_chars(spark):
+    d = TimeSeriesDataFrame(spark.createDataFrame(
+        [(1, "aa\nbb\naa\n\ncc"), (2, "ab ab ab cd")],
+        "doc_id long, text string"))
+    rep = {r["doc_id"]: r for r in
+           d.repetition_signals("doc_id", "text").collect()}
+    assert rep[1]["n_lines"] == 4 and abs(rep[1]["dup_line_frac"] - 0.25) < 1e-12
+    assert rep[1]["n_paras"] == 2 and rep[1]["dup_para_frac"] == 0.0
+    ng = {r["doc_id"]: r for r in
+          d.ngram_char_repetition("doc_id", "text", 2).collect()}
+    # doc 2: bigrams "ab ab" x2 (len 5), "ab cd" x1; doc chars 11
+    assert abs(ng[2]["top_char_frac"] - 10.0 / 11.0) < 1e-12
+    assert abs(ng[2]["dup_char_frac"] - 10.0 / 11.0) < 1e-12

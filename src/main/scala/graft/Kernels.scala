@@ -109,6 +109,41 @@ object Kernels {
    * and dedups — the set form for overlap joins; `false` preserves
    * occurrence multiplicity — the multiset form for repetition counts.
    */
+  /**
+   * [[ngramHashes]] (multiset form) fused with per-position n-gram char
+   * lengths: one `(hash, chars)` struct per position, where chars = the
+   * window's token code-point lengths + n-1 joining spaces (= the length
+   * of the space-joined n-gram string, never built). Replaces the
+   * interpreted transform/aggregate/zip_with column chain that computed
+   * the lengths at ~O(n·tokens) lambda dispatches per row.
+   */
+  def ngramHashLens(tokens: ArrayData, n: Int): ArrayData = {
+    val cnt = tokens.numElements()
+    val m = cnt - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val th = new Array[Long](cnt)
+    val ps = new Array[Int](cnt + 1) // token-length prefix sums
+    var i = 0
+    while (i < cnt) {
+      val u = tokens.getUTF8String(i)
+      th(i) = tokenHash(u)
+      ps(i + 1) = ps(i) + u.numChars()
+      i += 1
+    }
+    val out = new Array[Any](m)
+    i = 0
+    while (i < m) {
+      var h = 42L
+      var j = i
+      val e = i + n
+      while (j < e) { h = XXH64.hashLong(th(j), h); j += 1 }
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](h, ps(i + n) - ps(i) + (n - 1)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def ngramHashes(tokens: ArrayData, n: Int, distinct: Boolean): ArrayData = {
     val cnt = tokens.numElements()
     val m = cnt - n + 1
@@ -1244,5 +1279,51 @@ object Kernels {
     else if (s.charAt(n - 1) == '\n') nLines += 1
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](nWords, nAlpha, nSym, nLines, nBullet, nEllipsis))
+  }
+
+  /**
+   * Gopher/MassiveText repetition counters over the document's own lines
+   * and paragraphs, in one pass per delimiter class:
+   * (n_lines, n_dup_lines, line_chars, dup_line_chars,
+   *  n_paras, n_dup_paras, para_chars, dup_para_chars).
+   *
+   * Units are literal non-overlapping splits (lines on `\n`, paragraphs on
+   * `\n\n` — the same sequential-scan semantics as DuckDB `string_split`);
+   * EMPTY units are excluded everywhere — consecutive newlines are document
+   * structure, not repeatable content (the same rule stripBoilerplate
+   * applies to blank lines). An occurrence is a duplicate when the
+   * identical unit string appeared earlier in the same document, so a unit
+   * occurring c times contributes c-1 duplicate occurrences. Char counts
+   * are Unicode code points (= both engines' `length()`), summed over
+   * non-empty units only.
+   *
+   * All outputs are exact integers so the derived fractions are identical
+   * integer ratios in any engine.
+   */
+  def dupUnitStats(u: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = u.toString
+    def scan(delim: String): Array[Long] = {
+      val seen = new java.util.HashMap[String, Integer]()
+      var n = 0L; var dup = 0L; var chars = 0L; var dupChars = 0L
+      var from = 0
+      var done = false
+      while (!done) {
+        val idx = s.indexOf(delim, from)
+        val end = if (idx < 0) { done = true; s.length } else idx
+        if (end > from) {
+          val cp = s.codePointCount(from, end).toLong
+          val unit = s.substring(from, end)
+          n += 1; chars += cp
+          val c = seen.merge(unit, 1, (a, b) => a + b)
+          if (c > 1) { dup += 1; dupChars += cp }
+        }
+        from = end + delim.length
+      }
+      Array(n, dup, chars, dupChars)
+    }
+    val l = scan("\n")
+    val p = scan("\n\n")
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](l(0), l(1), l(2), l(3), p(0), p(1), p(2), p(3)))
   }
 }

@@ -107,6 +107,33 @@ object QueriesLLM {
           threshold = 0.5)
         .select("doc_id", "source").orderBy("doc_id")
     }),
+    // Index-path incremental near dedup (the amortized 100 TB shape): the
+    // existing half is represented by its prebuilt self-describing MinHash
+    // index (built in-plan here; the parquet roundtrip incl. metadata is
+    // spec-tested), the incoming half is sketched fresh with the index's
+    // recorded parameters — survivors identical to dedup_against_minhash,
+    // so the two queries form a permanent recompute-vs-index bench A/B and
+    // share one oracle.
+    "dedup_against_index" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val idx = Dedup.buildMinHashIndex(d.filter(F.col("doc_id") % 2 === 0),
+        "doc_id", "text", numHashes = 128, shingleSize = 3)
+      Dedup.dedupAgainstIndex(d.filter(F.col("doc_id") % 2 === 1), idx,
+        "doc_id", "text", bands = 16, threshold = 0.5)
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+    // Bloom-prefiltered incremental exact dedup (%3 split): a distributed
+    // BloomFilterAggregate sketch of the existing digests reaches the
+    // driver (never a key), filter-negative incoming rows pass through
+    // without shuffling, positives are re-checked by the digest anti-join —
+    // survivors provably identical to the plain anti-join (no false
+    // negatives; false positives only cost a comparison).
+    "dedup_against_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.dedupAgainstBloomExact(d.filter(F.col("doc_id") % 3 === 0),
+          d.filter(F.col("doc_id") % 3 =!= 0), "text", fpp = 0.01)
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
     // Portable two-lane sketch (SQL-mirrorable hash) so the full pipeline —
     // token hash, majority vote, 16-bit banding, hamming filter — is
     // verified against the DuckDB oracle; uncapped buckets so the oracle's
@@ -362,6 +389,28 @@ object QueriesLLM {
       val tri = TextStats.ngramRepetition(d, "doc_id", "text", 3)
         .select(F.col("doc_id"), F.col("dup_frac").as("dup_trigram_frac"))
       bi.join(tri, "doc_id").orderBy("doc_id")
+    }),
+    // The line/paragraph half of the Gopher repetition suite: duplicate
+    // line / paragraph occurrence and char fractions, ONE kernel scan per
+    // row (no explode, no shuffle). Empty units excluded by contract.
+    "doc_rep_lines" -> ((s, dir) =>
+      TextStats.repetitionSignals(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    // Char-weighted n-gram repetition (the remaining Gopher signals):
+    // top-bigram char occupancy + duplicate-5-gram char fraction over doc
+    // chars; docs shorter than n tokens keep 0.0 via the left join.
+    "doc_rep_ngram_chars" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val top2 = TextStats.ngramCharRepetition(d, "doc_id", "text", 2)
+        .select(F.col("doc_id"), F.col("top_char_frac").as("top2_char_frac"))
+      val dup5 = TextStats.ngramCharRepetition(d, "doc_id", "text", 5)
+        .select(F.col("doc_id"), F.col("dup_char_frac").as("dup5_char_frac"))
+      d.select("doc_id").join(top2, Seq("doc_id"), "left")
+        .join(dup5, Seq("doc_id"), "left")
+        .select(F.col("doc_id"),
+          F.coalesce(F.col("top2_char_frac"), F.lit(0.0)).as("top2_char_frac"),
+          F.coalesce(F.col("dup5_char_frac"), F.lit(0.0)).as("dup5_char_frac"))
+        .orderBy("doc_id")
     }),
     // Benchmark decontamination: distinct 3-gram overlap of every
     // non-src2 doc against the src2 "benchmark" slice.
@@ -992,6 +1041,26 @@ object QueriesLLM {
          ORDER BY q_id, rank"""
   }
 
+  /** Shared by dedup_against_minhash and dedup_against_index: on this
+    * corpus the J gap below 0.9 is empty (see dedup_minhash_lsh), so the
+    * LSH+verify output equals the exact all-cross-pairs recomputation. */
+  private val dedupAgainstMinhashOracle: String = {
+    val isz = "len(list_intersect(a.sh, b.sh))"
+    val j = s"CAST($isz AS DOUBLE) / CAST(len(a.sh) + len(b.sh) - $isz AS DOUBLE)"
+    s"""WITH d AS (
+         SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+             for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS sh
+         FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+       dropped AS (
+         SELECT DISTINCT a.doc_id
+         FROM d a JOIN d b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+         WHERE $j >= 0.5)
+       SELECT doc_id, source FROM documents
+       WHERE doc_id % 2 = 1
+         AND doc_id NOT IN (SELECT doc_id FROM dropped)
+       ORDER BY doc_id"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "sample_by_hash" ->
       s"""$hashUnitCte
@@ -1054,22 +1123,23 @@ object QueriesLLM {
          WHERE doc_id % 2 = 1
            AND k NOT IN (SELECT k FROM k WHERE doc_id % 2 = 0)
          ORDER BY doc_id""",
-    "dedup_against_minhash" -> {
-      val isz = "len(list_intersect(a.sh, b.sh))"
-      val j = s"CAST($isz AS DOUBLE) / CAST(len(a.sh) + len(b.sh) - $isz AS DOUBLE)"
-      s"""WITH d AS (
-           SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
-               for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS sh
-           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
-         dropped AS (
-           SELECT DISTINCT a.doc_id
-           FROM d a JOIN d b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
-           WHERE $j >= 0.5)
-         SELECT doc_id, source FROM documents
-         WHERE doc_id % 2 = 1
-           AND doc_id NOT IN (SELECT doc_id FROM dropped)
-         ORDER BY doc_id"""
-    },
+    "dedup_against_minhash" -> dedupAgainstMinhashOracle,
+    // The index path is output-identical to the recompute path by
+    // construction (same sketches, same verification), so it shares the
+    // exact-recomputation oracle.
+    "dedup_against_index" -> dedupAgainstMinhashOracle,
+    // Bloom prefilter has no false negatives and every positive is
+    // re-verified by the digest anti-join, so the oracle is the plain
+    // exact-dedup recomputation on the %3 split.
+    "dedup_against_bloom" ->
+      """WITH k AS (SELECT doc_id, source,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             AS k
+         FROM documents)
+         SELECT doc_id, source FROM k
+         WHERE doc_id % 3 = 0
+           AND k NOT IN (SELECT k FROM k WHERE doc_id % 3 <> 0)
+         ORDER BY doc_id""",
     "doc_fingerprint" ->
       "SELECT doc_id, md5(text) AS md5 FROM documents ORDER BY doc_id",
     "doc_fingerprint_rolling" ->
@@ -1601,6 +1671,60 @@ object QueriesLLM {
                 FROM tc GROUP BY doc_id)
          SELECT ba.doc_id, n_bigrams, top_bigram_frac, dup_trigram_frac
          FROM ba JOIN ta USING (doc_id) ORDER BY ba.doc_id""",
+    "doc_rep_lines" ->
+      """WITH lu AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS x
+             FROM documents),
+         lc AS (SELECT doc_id, x, count(*) AS c, len(x) AS ch FROM lu
+                WHERE len(x) > 0 GROUP BY doc_id, x),
+         la AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+                  CAST(sum(c - 1) AS DOUBLE) / sum(c) AS dlf,
+                  CAST(sum((c - 1) * ch) AS DOUBLE) / sum(c * ch) AS dlcf
+                FROM lc GROUP BY doc_id),
+         pu AS (SELECT doc_id,
+                  unnest(string_split(text, chr(10) || chr(10))) AS x
+                FROM documents),
+         pc AS (SELECT doc_id, x, count(*) AS c, len(x) AS ch FROM pu
+                WHERE len(x) > 0 GROUP BY doc_id, x),
+         pa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_paras,
+                  CAST(sum(c - 1) AS DOUBLE) / sum(c) AS dpf,
+                  CAST(sum((c - 1) * ch) AS DOUBLE) / sum(c * ch) AS dpcf
+                FROM pc GROUP BY doc_id)
+         SELECT d.doc_id,
+           COALESCE(n_lines, 0) AS n_lines,
+           COALESCE(dlf, 0.0) AS dup_line_frac,
+           COALESCE(dlcf, 0.0) AS dup_line_char_frac,
+           COALESCE(n_paras, 0) AS n_paras,
+           COALESCE(dpf, 0.0) AS dup_para_frac,
+           COALESCE(dpcf, 0.0) AS dup_para_char_frac
+         FROM documents d LEFT JOIN la USING (doc_id)
+           LEFT JOIN pa USING (doc_id)
+         ORDER BY d.doc_id""",
+    "doc_rep_ngram_chars" ->
+      """WITH t AS (SELECT doc_id, len(text) AS dl,
+             string_split(text, ' ') AS toks FROM documents),
+         g2 AS (SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ')
+                  for i in range(1, greatest(len(toks) - 1, 0) + 1)]) AS g
+                FROM t),
+         c2 AS (SELECT doc_id, g, count(*) AS c, max(len(g))::BIGINT AS ch
+                FROM g2 GROUP BY doc_id, g),
+         a2 AS (SELECT doc_id, max((c << 32) + ch) AS top
+                FROM c2 GROUP BY doc_id),
+         g5 AS (SELECT doc_id, unnest([array_to_string(toks[i:i+4], ' ')
+                  for i in range(1, greatest(len(toks) - 4, 0) + 1)]) AS g
+                FROM t),
+         c5 AS (SELECT doc_id, g, count(*) AS c, max(len(g))::BIGINT AS ch
+                FROM g5 GROUP BY doc_id, g),
+         a5 AS (SELECT doc_id,
+                  sum(CASE WHEN c >= 2 THEN c * ch ELSE 0 END) AS dup_chars
+                FROM c5 GROUP BY doc_id)
+         SELECT t.doc_id,
+           CASE WHEN dl > 0 AND top IS NOT NULL
+             THEN CAST((top >> 32) * (top & 4294967295) AS DOUBLE) / dl
+             ELSE 0.0 END AS top2_char_frac,
+           CASE WHEN dl > 0 AND dup_chars IS NOT NULL
+             THEN CAST(dup_chars AS DOUBLE) / dl ELSE 0.0 END AS dup5_char_frac
+         FROM t LEFT JOIN a2 USING (doc_id) LEFT JOIN a5 USING (doc_id)
+         ORDER BY t.doc_id""",
     "doc_contamination" ->
       """WITH tr AS (SELECT doc_id,
              list_distinct([array_to_string(toks[i:i+2], ' ')

@@ -26,7 +26,8 @@ import graft.ts.{AsOfJoin, EmaOps, Summarizers, TimeSeriesOps}
  * incremental cross-corpus dedup shape (micro-batches of new documents
  * vs a static existing corpus: dedupAgainstExact composed directly on
  * the stream as a stream-static anti join, dedupAgainstMinHash via
- * foreachBatch).
+ * foreachBatch, and dedupAgainstIndex over a prebuilt cached MinHash
+ * index — the sketched-once production form).
  *
  * Usage: `runMain graft.StreamCheck [sfDir] [outJson]` — writes one JSON
  * object per op: {"match": bool, "stream_rows": n, "batch_rows": n,
@@ -413,6 +414,36 @@ object StreamCheck {
         .collect().toSeq
       require(batch.length < docsIncomingRows.length,
         "constructed existing corpus produced no near-dup drops")
+      (stream, batch)
+    }
+
+    record("dedup_against_index_stream") {
+      // the production streaming shape: the existing corpus' PREBUILT
+      // MinHash index is the static side (sketched once, reused by every
+      // micro-batch), only the incoming batch is sketched fresh
+      val index = Dedup.buildMinHashIndex(docsExisting, "doc_id", "text")
+        .cache()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+      val mem = MemoryStream[(Long, String)]
+      val q = mem.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val survivors = Dedup.dedupAgainstIndex(
+            b, index, "doc_id", "text", threshold = 0.5).collect()
+          buf.synchronized { buf ++= survivors }
+          ()
+        }.start()
+      val stream = try {
+        docsIncomingRows.grouped(
+          math.max(1, docsIncomingRows.length / 4)).foreach { c =>
+          mem.addData(c); q.processAllAvailable()
+        }
+        buf.synchronized(buf.toList)
+      } finally {
+        q.stop(); index.unpersist()
+      }
+      val batch = Dedup.dedupAgainstMinHash(
+        docsIncomingDF, docsExisting, "doc_id", "text", threshold = 0.5)
+        .collect().toSeq
       (stream, batch)
     }
 

@@ -488,32 +488,176 @@ object Dedup {
                           strict: Boolean = false): DataFrame = {
     require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
       s"bands must divide numHashes (got numHashes=$numHashes bands=$bands)")
-    val rowsPerBand = numHashes / bands
-    def sides(df: DataFrame, idAs: String, hsAs: String) =
+    def sides(df: DataFrame, idAs: String, hsAs: String, sigAs: String) =
       df.select(F.col(idCol).as(idAs),
-        hashedShingles(F.col(textCol), shingleSize).as(hsAs))
-    def buckets(hashed: DataFrame, id: String, hs: String) = hashed
+          hashedShingles(F.col(textCol), shingleSize).as(hsAs))
+        .select(F.col(idAs), F.col(hsAs),
+          minHashOfHashed(F.col(hsAs), numHashes).as(sigAs))
+    dedupAgainstCore(incoming, idCol,
+      sides(incoming, "__in_id", "__in_hs", "__in_sig"),
+      sides(existing, "__ex_id", "__ex_hs", "__ex_sig"),
+      bands, numHashes / bands, threshold, maxBucketSize, strict,
+      "dedupAgainstMinHash")
+  }
+
+  /** Hash-family tag stamped into [[buildMinHashIndex]] column metadata;
+    * bumped if the shingle/minhash kernels ever change family (see the
+    * signature-format note on [[minHashOfHashed]]). */
+  val MinHashIndexFamily = "graft-xxh64-chain-v2"
+  private val IdxNumHashes = "graft.minhash.numHashes"
+  private val IdxShingleK = "graft.minhash.shingleSize"
+  private val IdxFamily = "graft.minhash.family"
+
+  /**
+   * Persistent MinHash index of a corpus: one row per document with its
+   * hashed shingle set and MinHash signature, self-describing via column
+   * metadata (numHashes, shingleSize, hash family — all survive a parquet
+   * roundtrip). Build it ONCE per corpus generation, write it with the
+   * corpus, and run every incremental crawl through
+   * [[dedupAgainstIndex]] — at 100 TB the existing side's
+   * shingle+signature computation is the dominant cost of
+   * [[dedupAgainstMinHash]], and the index amortizes it to zero across
+   * crawls. Append survivors' index rows (`buildMinHashIndex` of the
+   * surviving slice) to keep the index current.
+   *
+   * Schema: (idCol, mh_shingles: array<long>, mh_sig: array<long>).
+   */
+  def buildMinHashIndex(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 128, shingleSize: Int = 3): DataFrame = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(IdxNumHashes, numHashes.toLong)
+      .putLong(IdxShingleK, shingleSize.toLong)
+      .putString(IdxFamily, MinHashIndexFamily)
+      .build()
+    df.select(F.col(idCol),
+        hashedShingles(F.col(textCol), shingleSize).as("mh_shingles"))
+      .select(F.col(idCol), F.col("mh_shingles"),
+        minHashOfHashed(F.col("mh_shingles"), numHashes).as("mh_sig", meta))
+  }
+
+  /**
+   * Incremental NEAR dedup of `incoming` against a corpus represented by
+   * its [[buildMinHashIndex]] output (in memory or read back from
+   * parquet) — identical survivors to [[dedupAgainstMinHash]] against the
+   * corpus itself, without touching the existing corpus' text: the
+   * incoming side is shingled+sketched fresh (with the index's recorded
+   * numHashes/shingleSize, so the two sides are comparable by
+   * construction), the existing side streams straight out of the index.
+   * Fails fast if the index lacks the self-describing metadata or was
+   * built by a different hash family.
+   */
+  def dedupAgainstIndex(incoming: DataFrame, index: DataFrame,
+                        idCol: String, textCol: String,
+                        bands: Int = 16, threshold: Double = 0.7,
+                        maxBucketSize: Int = 64,
+                        strict: Boolean = false): DataFrame = {
+    val meta = index.schema("mh_sig").metadata
+    require(meta.contains(IdxNumHashes) && meta.contains(IdxShingleK)
+        && meta.contains(IdxFamily),
+      "index is missing graft.minhash.* column metadata - build it with " +
+        "Dedup.buildMinHashIndex (and preserve the schema when persisting)")
+    val family = meta.getString(IdxFamily)
+    require(family == MinHashIndexFamily,
+      s"index hash family '$family' does not match this build " +
+        s"('$MinHashIndexFamily') - recompute the index rather than mixing " +
+        "sketch generations")
+    val numHashes = meta.getLong(IdxNumHashes).toInt
+    val shingleSize = meta.getLong(IdxShingleK).toInt
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands must divide the index's numHashes (got numHashes=$numHashes " +
+        s"bands=$bands)")
+    val inHashed = incoming
+      .select(F.col(idCol).as("__in_id"),
+        hashedShingles(F.col(textCol), shingleSize).as("__in_hs"))
+      .select(F.col("__in_id"), F.col("__in_hs"),
+        minHashOfHashed(F.col("__in_hs"), numHashes).as("__in_sig"))
+    val exHashed = index.select(F.col(idCol).as("__ex_id"),
+      F.col("mh_shingles").as("__ex_hs"), F.col("mh_sig").as("__ex_sig"))
+    dedupAgainstCore(incoming, idCol, inHashed, exHashed,
+      bands, numHashes / bands, threshold, maxBucketSize, strict,
+      "dedupAgainstIndex")
+  }
+
+  /** Shared incremental-LSH core: both sides arrive as (id, hashed
+    * shingles, signature); bucket on (band, bucket) with the capped /
+    * strict existing side, verify candidates by exact merge-walk Jaccard,
+    * return surviving incoming rows unchanged. */
+  private def dedupAgainstCore(incoming: DataFrame, idCol: String,
+                               inHashed: DataFrame, exHashed: DataFrame,
+                               bands: Int, rowsPerBand: Int, threshold: Double,
+                               maxBucketSize: Int, strict: Boolean,
+                               op: String): DataFrame = {
+    def buckets(hashed: DataFrame, id: String, sig: String) = hashed
       .select(F.col(id),
-        F.explode(lshBuckets(minHashOfHashed(F.col(hs), numHashes),
-          bands, rowsPerBand)).as("bk"))
+        F.explode(lshBuckets(F.col(sig), bands, rowsPerBand)).as("bk"))
       .select(F.col(id), F.col("bk.band").as("band"), F.col("bk.bucket").as("bucket"))
-    val inHashed = sides(incoming, "__in_id", "__in_hs")
-    val exHashed = sides(existing, "__ex_id", "__ex_hs")
     // existing side: capped sorted id list per bucket (bounded fan-out)
-    val exBuckets = buckets(exHashed, "__ex_id", "__ex_hs")
+    val exBuckets = buckets(exHashed, "__ex_id", "__ex_sig")
       .groupBy("band", "bucket")
       .agg(cappedBucketIds(F.collect_list(F.col("__ex_id")), maxBucketSize,
-        strict, "dedupAgainstMinHash").as("ex_ids"))
-    val cands = buckets(inHashed, "__in_id", "__in_hs")
+        strict, op).as("ex_ids"))
+    val cands = buckets(inHashed, "__in_id", "__in_sig")
       .join(exBuckets, Seq("band", "bucket"))
       .select(F.col("__in_id"), F.explode(F.col("ex_ids")).as("__ex_id"))
       .distinct()
     val verified = cands
-      .join(inHashed, Seq("__in_id"))
-      .join(exHashed, Seq("__ex_id"))
+      .join(inHashed.select("__in_id", "__in_hs"), Seq("__in_id"))
+      .join(exHashed.select("__ex_id", "__ex_hs"), Seq("__ex_id"))
       .filter(sortedJaccard(F.col("__in_hs"), F.col("__ex_hs")) >= threshold)
       .select(F.col("__in_id")).distinct()
     incoming.join(verified, incoming(idCol) === F.col("__in_id"), "left_anti")
+  }
+
+  /**
+   * Bloom-prefiltered incremental EXACT dedup — identical survivors to
+   * [[dedupAgainstExact]], built for the case where `existing` is the
+   * 100 TB side: a Bloom filter of the existing digests is built with
+   * Spark's own distributed `BloomFilterAggregate` (one fixed-size sketch
+   * reaches the driver — no key ever does), and only the incoming rows the
+   * filter claims to know (true dups + the fpp sliver) pay the anti-join
+   * shuffle; filter-negative rows are PROVABLY new (no false negatives)
+   * and pass straight through. The anti-join re-checks every positive, so
+   * a false positive costs a comparison, never a wrongly dropped row.
+   *
+   * Sizing: `expectedItems < 0` (default) counts `existing` first (one
+   * cheap column-pruned pass) — pass the known corpus cardinality to skip
+   * it. Bits are capped by Spark's
+   * `spark.sql.optimizer.runtime.bloomFilter.{maxNumItems,maxNumBits}`
+   * confs (defaults 4M items / 8 MB); beyond the cap the fpp degrades
+   * gracefully — more rows take the anti-join path, correctness is
+   * unaffected. Raise the confs for billion-document corpora (a 1e9-item
+   * 1% filter is ~1.2 GB: broadcast-able, and still the cheapest pass
+   * over a 100 TB existing side by far).
+   */
+  def dedupAgainstBloomExact(incoming: DataFrame, existing: DataFrame,
+                             textCol: String, normalize: Boolean = true,
+                             expectedItems: Long = -1L,
+                             fpp: Double = 0.03): DataFrame = {
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")
+    def key(c: Column) =
+      if (normalize) F.md5(F.array_join(normalizedTokens(c), " "))
+      else F.md5(c)
+    val exKeys = existing.select(key(F.col(textCol)).as("__da_key"))
+    val items = math.max(1L,
+      if (expectedItems >= 0L) expectedItems else exKeys.count())
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    val maxItems = conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_ITEMS)
+    val maxBits = conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_BITS)
+    val cappedItems = math.min(items, maxItems)
+    val bits = math.min(maxBits,
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(cappedItems, fpp))
+    val bf = exKeys
+      .select(GraftColumns.bloomFilterAgg(F.xxhash64(F.col("__da_key")),
+        cappedItems, bits).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    if (bf == null) return incoming // empty existing side: nothing to drop
+    val maybe = GraftColumns.bloomMightContain(bf,
+      F.xxhash64(key(incoming(textCol))))
+    incoming.filter(!maybe)
+      .unionByName(dedupAgainstExact(incoming.filter(maybe), existing,
+        textCol, normalize))
   }
 
   /** Exact n-gram (word-set) Jaccard similarity pairs within a blocking key

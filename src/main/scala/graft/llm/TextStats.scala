@@ -309,6 +309,92 @@ object TextStats {
   }
 
   /**
+   * The line/paragraph half of the Gopher/MassiveText repetition suite
+   * (Rae et al. 2021 §A1.1), per document:
+   *  - `dup_line_frac`: fraction of non-empty lines whose identical line
+   *    appeared earlier in the document (a line occurring c times counts
+   *    c-1 duplicates);
+   *  - `dup_line_char_frac`: fraction of non-empty-line characters (code
+   *    points) sitting in those duplicate occurrences;
+   *  - `dup_para_frac` / `dup_para_char_frac`: same over `\n\n`-delimited
+   *    paragraphs.
+   * Raw unit counts (`n_lines`, `n_paras`) ride along for auditability;
+   * documents with no non-empty units get 0.0 fractions. Empty units are
+   * excluded everywhere — blank lines are structure, not repeatable
+   * content (the stripBoilerplate rule). Complements [[ngramRepetition]]
+   * (the n-gram half of the suite).
+   *
+   * Shape at 100 TB: ONE kernel scan per row (graft.Kernels.dupUnitStats),
+   * no explode, no shuffle — output partitioning follows the input.
+   */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val st = org.apache.spark.sql.graft.GraftColumns.dupUnitStats(F.col(textCol))
+    def frac(num: Column, den: Column): Column =
+      F.when(den > 0L, num.cast("double") / den.cast("double")).otherwise(F.lit(0.0))
+    df.select(F.col(idCol), st.as("__rs"))
+      .select(F.col(idCol),
+        F.col("__rs.n_lines").as("n_lines"),
+        frac(F.col("__rs.n_dup_lines"), F.col("__rs.n_lines")).as("dup_line_frac"),
+        frac(F.col("__rs.dup_line_chars"), F.col("__rs.line_chars")).as("dup_line_char_frac"),
+        F.col("__rs.n_paras").as("n_paras"),
+        frac(F.col("__rs.n_dup_paras"), F.col("__rs.n_paras")).as("dup_para_frac"),
+        frac(F.col("__rs.dup_para_chars"), F.col("__rs.para_chars")).as("dup_para_char_frac"))
+  }
+
+  /**
+   * Character-weighted n-gram repetition (the remaining Gopher signals):
+   * per document,
+   *  - `top_char_frac`: chars occupied by the most frequent n-gram —
+   *    occurrences × n-gram length (tokens joined by one space, code
+   *    points) over the document's char length; count ties break toward
+   *    the LONGER gram (lexicographic max on (count, len), deterministic
+   *    in both engines);
+   *  - `dup_char_frac`: the same occurrence×length weight summed over all
+   *    n-grams occurring at least twice, over document chars.
+   * Overlapping occurrences each count their full length (the standard
+   * published implementation choice), so fractions may exceed 1 on
+   * degenerate text. Documents with fewer than n tokens produce no row
+   * (callers left-join + coalesce, like [[ngramRepetition]]).
+   *
+   * Shape at 100 TB: the same explode → two-level aggregation as
+   * [[ngramRepetition]] — grams travel as 64-bit fingerprints + an int
+   * length, never as strings; both come from ONE fused kernel call per
+   * row (graft.Kernels.ngramHashLens — a transform/aggregate/zip_with
+   * column chain for the lengths cost O(n·tokens) interpreted lambda
+   * dispatches per row, 10x the kernel's linear walk).
+   */
+  def ngramCharRepetition(df: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = org.apache.spark.sql.graft.GraftColumns
+      .ngramHashLens(tokens(F.col(textCol)), n)
+    val counts = df
+      .select(F.col(idCol), F.length(F.col(textCol)).as("__doc_chars"),
+        F.explode(grams).as("g"))
+      .groupBy(F.col(idCol), F.col("g.h").as("gram"))
+      .agg(F.count(F.lit(1)).as("c"), F.max(F.col("g.ch")).cast("long").as("ch"),
+        F.max(F.col("__doc_chars")).as("__doc_chars"))
+    // lexicographic max on (count, gram chars) as one packed long:
+    // count << 32 | chars (chars is an int, so < 2^32; count <= n_tokens
+    // < 2^31) — identical `max` + shift/mask arithmetic in any engine.
+    counts.groupBy(F.col(idCol)).agg(
+      F.sum("c").as("n_grams"),
+      F.max(F.shiftleft(F.col("c"), 32) + F.col("ch")).as("__top"),
+      F.sum(F.when(F.col("c") >= 2, F.col("c") * F.col("ch")).otherwise(0L))
+        .as("__dup_chars"),
+      F.max("__doc_chars").as("__doc_chars"))
+      .select(F.col(idCol), F.col("n_grams"),
+        F.when(F.col("__doc_chars") > 0,
+          (F.shiftright(F.col("__top"), 32)
+            * F.col("__top").bitwiseAND(F.lit(0xFFFFFFFFL))).cast("double")
+            / F.col("__doc_chars").cast("double")).otherwise(F.lit(0.0))
+          .as("top_char_frac"),
+        F.when(F.col("__doc_chars") > 0,
+          F.col("__dup_chars").cast("double") / F.col("__doc_chars").cast("double"))
+          .otherwise(F.lit(0.0)).as("dup_char_frac"))
+  }
+
+  /**
    * Split documents into fixed-size token windows with stride (overlapping
    * when stride < chunkSize) — the standard context-window chunking step
    * before tokenized training batches. Chunk starts are 0, stride, 2·stride,

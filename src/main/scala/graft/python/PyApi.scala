@@ -416,6 +416,16 @@ object PyApi {
                   chunkSize: Int, stride: Int): DataFrame =
     graft.llm.TextStats.chunkTokens(df, idCol, textCol, chunkSize, stride)
 
+  /** Line/paragraph duplicate fractions (one kernel scan per row). */
+  def repetitionSignals(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    graft.llm.TextStats.repetitionSignals(df, idCol, textCol)
+
+  /** Char-weighted n-gram repetition (top/dup char fractions). */
+  def ngramCharRepetition(df: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame =
+    graft.llm.TextStats.ngramCharRepetition(df, idCol, textCol, n)
+
   def ngramRepetition(df: DataFrame, idCol: String, textCol: String,
                       n: Int): DataFrame =
     graft.llm.TextStats.ngramRepetition(df, idCol, textCol, n)
@@ -458,6 +468,24 @@ object PyApi {
                           maxBucketSize: Int, strict: Boolean): DataFrame =
     graft.llm.Dedup.dedupAgainstMinHash(incoming, existing, idCol, textCol,
       numHashes, bands, shingleSize, threshold, maxBucketSize, strict)
+
+  /** Self-describing persistent MinHash index (write it with the corpus). */
+  def buildMinHashIndex(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int, shingleSize: Int): DataFrame =
+    graft.llm.Dedup.buildMinHashIndex(df, idCol, textCol, numHashes,
+      shingleSize)
+
+  def dedupAgainstIndex(incoming: DataFrame, index: DataFrame, idCol: String,
+                        textCol: String, bands: Int, threshold: Double,
+                        maxBucketSize: Int, strict: Boolean): DataFrame =
+    graft.llm.Dedup.dedupAgainstIndex(incoming, index, idCol, textCol,
+      bands, threshold, maxBucketSize, strict)
+
+  def dedupAgainstBloomExact(incoming: DataFrame, existing: DataFrame,
+                             textCol: String, normalize: Boolean,
+                             expectedItems: Long, fpp: Double): DataFrame =
+    graft.llm.Dedup.dedupAgainstBloomExact(incoming, existing, textCol,
+      normalize, expectedItems, fpp)
 
   /** Append n_blocked (blocklist token hits) and keep (= no hits). */
   def blocklistAudit(df: DataFrame, textCol: String,

@@ -32,6 +32,11 @@ object GraftColumns {
   def ngramHashes(tokens: Column, n: Int, distinct: Boolean): Column =
     col(NGramHashes(ex(tokens), n, distinct))
 
+  /** n-gram `(hash, chars)` structs in positional order; see
+    * Kernels.ngramHashLens. */
+  def ngramHashLens(tokens: Column, n: Int): Column =
+    col(NGramHashLens(ex(tokens), n))
+
   /** MinHash signature (array of `numHashes` longs) of a hashed-shingle array. */
   def minHashSig(hashedShingles: Column, numHashes: Int): Column =
     col(MinHashSignature(ex(hashedShingles), numHashes))
@@ -124,6 +129,30 @@ object GraftColumns {
   /** See [[GopherStats]]. */
   def gopherStats(text: Column): Column = col(GopherStats(ex(text)))
 
+  /** See [[DupUnitStats]]. */
+  def dupUnitStats(text: Column): Column = col(DupUnitStats(ex(text)))
+
+  /** Distributed Bloom-filter build over xxhash64(key) values — Spark's
+    * own runtime-filter aggregate (`BloomFilterAggregate`), exposed as a
+    * Column: one fixed-size sketch comes back, no key ever leaves its
+    * executor. `hashed` MUST be `xxhash64(key)` (seed 42) so probes via
+    * [[bloomMightContain]] hash identically. */
+  def bloomFilterAgg(hashed: Column, expectedItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    col(BloomFilterAggregate(ex(hashed), Literal(expectedItems), Literal(numBits),
+      0, 0).toAggregateExpression())
+  }
+
+  /** Membership probe against a serialized Bloom filter built by
+    * [[bloomFilterAgg]]; `hashed` must be `xxhash64(key)` of the same key
+    * expression. False positives at the configured fpp, never false
+    * negatives. */
+  def bloomMightContain(bloomBytes: Array[Byte], hashed: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    col(BloomFilterMightContain(Literal(bloomBytes, BinaryType), ex(hashed)))
+  }
+
   /** Σ aᵢ·bᵢ of two numeric arrays in double precision. */
   def dotProduct(a: Column, b: Column): Column = col(DotProductExpr(ex(a), ex(b)))
 
@@ -187,6 +216,29 @@ case class NGramHashes(child: Expression, n: Int, distinct: Boolean)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.Kernels.ngramHashes($c, $n, $distinct);")
   override protected def withNewChildInternal(newChild: Expression): NGramHashes =
     copy(child = newChild)
+}
+
+/** [[NGramHashes]] (multiset form) fused with per-position n-gram char
+  * lengths — `(h, ch)` structs, see graft.Kernels.ngramHashLens. */
+case class NGramHashLens(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"n-gram size must be >= 1, got $n")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(NGramHashLens.elementSchema,
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    graft.Kernels.ngramHashLens(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.Kernels.ngramHashLens($c, $n);")
+  override protected def withNewChildInternal(newChild: Expression): NGramHashLens =
+    copy(child = newChild)
+}
+
+object NGramHashLens {
+  val elementSchema: StructType = StructType(Seq(
+    StructField("h", LongType, nullable = false),
+    StructField("ch", IntegerType, nullable = false)))
 }
 
 case class MinHashSignature(child: Expression, numHashes: Int)
@@ -736,6 +788,36 @@ object GopherStats {
     StructField("n_lines", IntegerType, nullable = false),
     StructField("n_bullet_lines", IntegerType, nullable = false),
     StructField("n_ellipsis_lines", IntegerType, nullable = false)))
+}
+
+/** Line/paragraph repetition counters (graft.Kernels.dupUnitStats): for
+  * each delimiter class (lines on `\n`, paragraphs on `\n\n`), counts and
+  * code-point char sums of non-empty units and of duplicate occurrences
+  * (an occurrence whose identical unit appeared earlier in the doc). */
+case class DupUnitStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = DupUnitStats.schema
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    graft.Kernels.dupUnitStats(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.Kernels.dupUnitStats($c);")
+  override protected def withNewChildInternal(newChild: Expression): DupUnitStats =
+    copy(child = newChild)
+}
+
+object DupUnitStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_lines", LongType, nullable = false),
+    StructField("n_dup_lines", LongType, nullable = false),
+    StructField("line_chars", LongType, nullable = false),
+    StructField("dup_line_chars", LongType, nullable = false),
+    StructField("n_paras", LongType, nullable = false),
+    StructField("n_dup_paras", LongType, nullable = false),
+    StructField("para_chars", LongType, nullable = false),
+    StructField("dup_para_chars", LongType, nullable = false)))
 }
 
 /**

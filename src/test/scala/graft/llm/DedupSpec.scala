@@ -770,6 +770,121 @@ class DedupSpec extends SparkTestBase {
       .count() shouldBe 1L
   }
 
+  behavior of "buildMinHashIndex / dedupAgainstIndex"
+
+  private val idxExisting = Seq(
+    (10L, baseDoc),
+    (11L, (50 until 90).map(i => s"mid$i").mkString(" ")))
+    .toDF("doc_id", "text")
+  private val idxIncoming = Seq(
+    (1L, baseDoc + " extra tail"),                       // near-dup of 10
+    (2L, (100 until 140).map(i => s"other$i").mkString(" ")), // fresh
+    (3L, (50 until 90).map(i => s"mid$i").mkString(" ")))     // exact dup of 11
+    .toDF("doc_id", "text")
+
+  it should "match dedupAgainstMinHash survivors exactly" in {
+    val direct = Dedup.dedupAgainstMinHash(idxIncoming, idxExisting,
+      "doc_id", "text").select("doc_id").as[Long].collect().toSeq.sorted
+    val idx = Dedup.buildMinHashIndex(idxExisting, "doc_id", "text")
+    val viaIndex = Dedup.dedupAgainstIndex(idxIncoming, idx, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    viaIndex shouldBe direct
+    viaIndex shouldBe Seq(2L)
+  }
+
+  it should "survive a parquet roundtrip including its self-describing metadata" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhidx").toString
+    Dedup.buildMinHashIndex(idxExisting, "doc_id", "text",
+      numHashes = 64, shingleSize = 2).write.mode("overwrite").parquet(dir)
+    val idx = spark.read.parquet(dir)
+    val meta = idx.schema("mh_sig").metadata
+    meta.getLong("graft.minhash.numHashes") shouldBe 64L
+    meta.getLong("graft.minhash.shingleSize") shouldBe 2L
+    meta.getString("graft.minhash.family") shouldBe Dedup.MinHashIndexFamily
+    val viaIndex = Dedup.dedupAgainstIndex(idxIncoming, idx, "doc_id", "text",
+      bands = 8).select("doc_id").as[Long].collect().toSeq.sorted
+    val direct = Dedup.dedupAgainstMinHash(idxIncoming, idxExisting,
+      "doc_id", "text", numHashes = 64, bands = 8, shingleSize = 2)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    viaIndex shouldBe direct
+  }
+
+  it should "reject an index without graft.minhash metadata" in {
+    val fake = idxExisting.select(F.col("doc_id"),
+      F.array(F.lit(1L)).as("mh_shingles"), F.array(F.lit(1L)).as("mh_sig"))
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.dedupAgainstIndex(idxIncoming, fake, "doc_id", "text")
+  }
+
+  it should "reject an index from a different hash family" in {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.minhash.numHashes", 128L)
+      .putLong("graft.minhash.shingleSize", 3L)
+      .putString("graft.minhash.family", "some-older-family-v1").build()
+    val stale = idxExisting.select(F.col("doc_id"),
+      F.array(F.lit(1L)).as("mh_shingles"),
+      F.array(F.lit(1L)).as("mh_sig", meta))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstIndex(idxIncoming, stale, "doc_id", "text")
+    }
+    e.getMessage should include("hash family")
+  }
+
+  it should "reject band counts that do not divide the index's numHashes" in {
+    val idx = Dedup.buildMinHashIndex(idxExisting, "doc_id", "text",
+      numHashes = 128)
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.dedupAgainstIndex(idxIncoming, idx, "doc_id", "text", bands = 7)
+  }
+
+  behavior of "dedupAgainstBloomExact"
+
+  private val bloomExisting = Seq(
+    (10L, "alpha beta gamma"), (11L, "delta epsilon"), (12L, "zeta eta"))
+    .toDF("doc_id", "text")
+  private val bloomIncoming = Seq(
+    (1L, "alpha beta gamma"),       // exact dup
+    (2L, "gamma beta alpha alpha"), // normalized dup
+    (3L, "completely new words"),
+    (4L, "epsilon delta"))          // normalized dup of 11
+    .toDF("doc_id", "text")
+
+  it should "produce exactly the dedupAgainstExact survivors" in {
+    val direct = Dedup.dedupAgainstExact(bloomIncoming, bloomExisting, "text")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    val viaBloom = Dedup.dedupAgainstBloomExact(bloomIncoming, bloomExisting,
+      "text").select("doc_id").as[Long].collect().toSeq.sorted
+    viaBloom shouldBe direct
+    viaBloom shouldBe Seq(3L)
+  }
+
+  it should "honor an explicit expectedItems (skipping the sizing count)" in {
+    Dedup.dedupAgainstBloomExact(bloomIncoming, bloomExisting, "text",
+        expectedItems = 1000L)
+      .select("doc_id").as[Long].collect().toSeq.sorted shouldBe Seq(3L)
+  }
+
+  it should "honor normalize = false" in {
+    val kept = Dedup.dedupAgainstBloomExact(bloomIncoming, bloomExisting,
+        "text", normalize = false)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    kept shouldBe Seq(2L, 3L, 4L) // reorderings survive a raw digest
+  }
+
+  it should "keep everything against an empty corpus (null sketch guard)" in {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    Dedup.dedupAgainstBloomExact(bloomIncoming, empty, "text")
+      .count() shouldBe 4L
+  }
+
+  it should "stay correct when the filter is deliberately tiny (high fpp)" in {
+    // a 10-item filter for a 3-doc corpus at fpp 0.5: lots of false
+    // positives, zero false negatives - survivors must not change
+    Dedup.dedupAgainstBloomExact(bloomIncoming, bloomExisting, "text",
+        expectedItems = 10L, fpp = 0.5)
+      .select("doc_id").as[Long].collect().toSeq.sorted shouldBe Seq(3L)
+  }
+
   behavior of "oovCounts"
 
   it should "count tokens outside the vocabulary in one pass" in {
