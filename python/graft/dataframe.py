@@ -409,6 +409,22 @@ class TimeSeriesDataFrame(DataFrame):
         return self._with(_api(self).ngramRepetition(
             self._jdf, id_col, text_col, n))
 
+    def bpe_learn_merges(self, text_col, num_merges=16, max_words=10000):
+        """Distributed BPE vocabulary learning: ONE corpus pass builds a
+        bounded word-frequency table (count desc, word asc cut), the
+        merge loop runs driver-side on that table. Returns the
+        rank-ordered ``(merge_rank, lhs, rhs, merged)`` tokenizer model —
+        persist it next to the corpus."""
+        return self._with(_api(self).bpeLearnMerges(
+            self._jdf, text_col, num_merges, max_words))
+
+    def bpe_encode_count(self, text_col, merges):
+        """Append ``n_bpe`` = the document's encoded symbol count under a
+        learned merges frame (from ``bpe_learn_merges``, in memory or read
+        back from parquet) — one kernel scan per row."""
+        return self._with(_api(self).bpeEncodeCount(
+            self._jdf, text_col, merges._jdf))
+
     def repetition_signals(self, id_col, text_col):
         """The line/paragraph half of the Gopher repetition suite:
         duplicate line / paragraph occurrence and char fractions per

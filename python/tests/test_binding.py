@@ -975,3 +975,16 @@ def test_repetition_signals_and_ngram_chars(spark):
     # doc 2: bigrams "ab ab" x2 (len 5), "ab cd" x1; doc chars 11
     assert abs(ng[2]["top_char_frac"] - 10.0 / 11.0) < 1e-12
     assert abs(ng[2]["dup_char_frac"] - 10.0 / 11.0) < 1e-12
+
+
+def test_bpe_learn_and_encode(spark):
+    d = TimeSeriesDataFrame(spark.createDataFrame(
+        [(1, "abab ab"), (2, "abab"), (3, "zz abab")],
+        "doc_id long, text string"))
+    merges = d.bpe_learn_merges("text", num_merges=2, max_words=100)
+    rows = [(r["merge_rank"], r["lhs"], r["rhs"], r["merged"])
+            for r in merges.orderBy("merge_rank").collect()]
+    assert rows == [(1, "a", "b", "ab"), (2, "ab", "ab", "abab")]
+    enc = {r["doc_id"]: r["n_bpe"] for r in
+           d.bpe_encode_count("text", merges).collect()}
+    assert enc == {1: 2, 2: 1, 3: 3}

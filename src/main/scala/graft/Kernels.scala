@@ -1281,6 +1281,74 @@ object Kernels {
       Array[Any](nWords, nAlpha, nSym, nLines, nBullet, nEllipsis))
   }
 
+  /** Code-point character segmentation of a word (DuckDB `w[i]` indexing
+    * semantics — supplementary chars stay whole, unlike a UTF-16 walk). */
+  def bpeCodePointChars(w: String): Array[String] = {
+    val out = new Array[String](w.codePointCount(0, w.length))
+    var i = 0
+    var k = 0
+    while (i < w.length) {
+      val cc = Character.charCount(w.codePointAt(i))
+      out(k) = w.substring(i, i + cc)
+      k += 1
+      i += cc
+    }
+    out
+  }
+
+  /** One BPE merge pass over a word's symbol sequence: left-to-right
+    * greedy non-overlapping replacement of adjacent (l, r) with l+r —
+    * the published merge-application rule (a merged symbol never
+    * re-participates as `l` within the same pass). */
+  def bpeApplyMerge(sy: Array[String], l: String, r: String): Array[String] = {
+    if (sy.length < 2) return sy
+    val out = new scala.collection.mutable.ArrayBuffer[String](sy.length)
+    var i = 0
+    while (i < sy.length) {
+      if (i < sy.length - 1 && sy(i) == l && sy(i + 1) == r) {
+        out += (l + r)
+        i += 2
+      } else {
+        out += sy(i)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /**
+   * BPE-encoded symbol count of a document under a learned merge list:
+   * per whitespace word, code-point chars are merged by each (l, r) pair
+   * in rank order (left-to-right greedy per pass), and the surviving
+   * symbol counts sum over the document. Empty words (consecutive
+   * spaces) contribute nothing. `lefts`/`rights` are the rank-ordered
+   * merge sides (same length).
+   */
+  def bpeEncodeCount(u: org.apache.spark.unsafe.types.UTF8String,
+                     lefts: Array[String], rights: Array[String]): Int = {
+    val s = u.toString
+    val n = s.length
+    var total = 0
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        if (i > start) {
+          var sy = bpeCodePointChars(s.substring(start, i))
+          var m = 0
+          while (m < lefts.length && sy.length >= 2) {
+            sy = bpeApplyMerge(sy, lefts(m), rights(m))
+            m += 1
+          }
+          total += sy.length
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    total
+  }
+
   /**
    * Gopher/MassiveText repetition counters over the document's own lines
    * and paragraphs, in one pass per delimiter class:

@@ -363,6 +363,25 @@ object QueriesLLM {
         TextStats.tokenCount(F.col("text")).as("n_ws_tokens"),
         TextStats.bpeTokenCount(F.col("text")).as("n_bpe_tokens"))
         .orderBy("doc_id")),
+    // Distributed BPE vocabulary learning: ONE corpus pass builds the
+    // bounded word-frequency table, the merge loop runs driver-side on
+    // that table (the LM model-parameter pattern). The oracle replays
+    // every iteration in SQL — pair counts, byte-order tie-break argmax,
+    // sentinel-guarded left-to-right merge application.
+    "bpe_merges" -> ((s, dir) =>
+      Bpe.learnMerges(docs(s, dir), "text", numMerges = BpeK,
+        maxWords = BpeMaxWords).orderBy("merge_rank")),
+    // Encoding under the learned merges: one kernel scan per document;
+    // the oracle re-learns the merges in SQL and re-applies them per
+    // word occurrence.
+    "doc_bpe_count" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = Bpe.trainMerges(
+        Bpe.wordFreqs(d, "text", BpeMaxWords), BpeK)
+      d.select(F.col("doc_id"),
+        Bpe.encodeCount(F.col("text"), merges).cast("long").as("n_bpe"))
+        .orderBy("doc_id")
+    }),
     "pack_sequences" -> ((s, dir) =>
       Sampling.packSequences(docs(s, dir), "doc_id", "n_chars",
         budget = 1000L, numBuckets = 8)
@@ -1061,6 +1080,59 @@ object QueriesLLM {
        ORDER BY doc_id"""
   }
 
+  /** BPE registry parameters: 6 merges over the 2000 most frequent words. */
+  private val BpeK = 6
+  private val BpeMaxWords = 2000
+
+  /**
+   * CTE body replaying BPE training in SQL, one unrolled block per merge:
+   * `w` = the bounded word-frequency table (count desc, word asc cut —
+   * both engines' binary string order), `s0` = sentinel-bracketed symbol
+   * strings (`chr(1) || sym || chr(2)` per symbol, concatenated), then per
+   * iteration i: `p_i` counts ALL adjacent pairs weighted by word
+   * frequency, `m_i` picks the argmax (ties → smallest l, r — byte
+   * order), and `s_i` applies the merge via one `replace`: the sentinel
+   * brackets make the pattern consume exactly two whole adjacent symbols,
+   * so a sequential replace IS the left-to-right greedy merge pass
+   * (consecutive overlapping pairs stay unmerged, like the trainer).
+   * Every CTE is MATERIALIZED: DuckDB inlines CTEs by default, and the
+   * s_i -> (m_i -> p_i -> s_{i-1}, s_{i-1}) reference chain would expand
+   * exponentially in the merge count without it.
+   * Assumes the corpus contains neither chr(1) nor chr(2) — an ORACLE
+   * encoding constraint only; the engine has no such reserved chars. A
+   * corpus that exhausts its pairs before merge K would NULL the chain —
+   * impossible on real text with small K, asserted by the engine's own
+   * early-stop returning exactly K rows here.
+   */
+  private def bpeCtes(k: Int, maxWords: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""w AS MATERIALIZED (
+         SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+           SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         WHERE len(w) > 0
+         GROUP BY w ORDER BY c DESC, w LIMIT $maxWords),
+       s0 AS MATERIALIZED (SELECT c,
+         array_to_string([chr(1) || w[i] || chr(2)
+           for i in range(1, len(w) + 1)], '') AS s
+         FROM w)"""
+    for (i <- 1 to k) {
+      sb ++= s""",
+       p$i AS MATERIALIZED (SELECT p.l AS l, p.r AS r, CAST(sum(c) AS BIGINT) AS pc FROM (
+           SELECT c, unnest([{'l': sy[j], 'r': sy[j+1]}
+             for j in range(1, len(sy))]) AS p
+           FROM (SELECT c, string_split(s[2:len(s)-1], chr(2) || chr(1)) AS sy
+                 FROM s${i - 1}))
+         GROUP BY 1, 2),
+       m$i AS MATERIALIZED (SELECT l, r FROM p$i ORDER BY pc DESC, l, r LIMIT 1),
+       s$i AS MATERIALIZED (SELECT c, replace(s,
+           chr(1) || (SELECT l FROM m$i) || chr(2) || chr(1) ||
+             (SELECT r FROM m$i) || chr(2),
+           chr(1) || (SELECT l FROM m$i) || (SELECT r FROM m$i) || chr(2)) AS s
+         FROM s${i - 1})"""
+    }
+    sb.toString
+  }
+
   val oracleSql: Map[String, String] = Map(
     "sample_by_hash" ->
       s"""$hashUnitCte
@@ -1086,6 +1158,32 @@ object QueriesLLM {
          CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens
          FROM documents ORDER BY doc_id""",
+    "bpe_merges" -> {
+      val ranks = (1 to BpeK).map(i =>
+        s"SELECT $i AS merge_rank, l AS lhs, r AS rhs, l || r AS merged FROM m$i")
+        .mkString("\n         UNION ALL ")
+      s"""WITH ${bpeCtes(BpeK, BpeMaxWords)}
+         $ranks ORDER BY merge_rank"""
+    },
+    "doc_bpe_count" -> {
+      val encodes = (1 to BpeK).map(i => s""",
+         e$i AS MATERIALIZED (SELECT doc_id, replace(s,
+             chr(1) || (SELECT l FROM m$i) || chr(2) || chr(1) ||
+               (SELECT r FROM m$i) || chr(2),
+             chr(1) || (SELECT l FROM m$i) || (SELECT r FROM m$i) || chr(2)) AS s
+           FROM e${i - 1})""").mkString
+      s"""WITH ${bpeCtes(BpeK, BpeMaxWords)},
+         e0 AS MATERIALIZED (SELECT doc_id, array_to_string([chr(1) || w[i] || chr(2)
+             for i in range(1, len(w) + 1)], '') AS s
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents)
+           WHERE len(w) > 0)$encodes,
+         agg AS (SELECT doc_id, CAST(sum(len(string_split(s[2:len(s)-1],
+             chr(2) || chr(1)))) AS BIGINT) AS n_bpe
+           FROM e$BpeK GROUP BY doc_id)
+         SELECT d.doc_id, COALESCE(n_bpe, 0) AS n_bpe
+         FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id"""
+    },
     "pack_sequences" -> packSql("n_chars"),
     "skew_pack_sequences" ->
       packSql("CASE WHEN doc_id % 2 = 0 THEN 900 ELSE doc_id % 97 + 1 END"),

@@ -416,6 +416,23 @@ object PyApi {
                   chunkSize: Int, stride: Int): DataFrame =
     graft.llm.TextStats.chunkTokens(df, idCol, textCol, chunkSize, stride)
 
+  /** Distributed BPE training: bounded word-freq pass + driver merges. */
+  def bpeLearnMerges(df: DataFrame, textCol: String, numMerges: Int,
+                     maxWords: Int): DataFrame =
+    graft.llm.Bpe.learnMerges(df, textCol, numMerges, maxWords)
+
+  /** Append `n_bpe` = encoded symbol count under a learned merges frame
+    * (as produced by [[bpeLearnMerges]]; collected driver-side — it is
+    * model-parameter-sized by construction). */
+  def bpeEncodeCount(df: DataFrame, textCol: String,
+                     merges: DataFrame): DataFrame = {
+    val ms = merges.orderBy("merge_rank")
+      .select("lhs", "rhs").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    df.withColumn("n_bpe",
+      graft.llm.Bpe.encodeCount(F.col(textCol), ms))
+  }
+
   /** Line/paragraph duplicate fractions (one kernel scan per row). */
   def repetitionSignals(df: DataFrame, idCol: String,
                         textCol: String): DataFrame =

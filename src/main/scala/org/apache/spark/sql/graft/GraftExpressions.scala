@@ -96,6 +96,10 @@ object GraftColumns {
   def registrableDomainHeuristic(host: Column, labels: Seq[String]): Column =
     col(RegistrableDomainHeuristic(ex(host), labels))
 
+  /** BPE-encoded symbol count under a rank-ordered merge list. */
+  def bpeEncodeCount(text: Column, merges: Seq[(String, String)]): Column =
+    col(BpeEncodeCount(ex(text), merges))
+
   /** Integer micro-nat unigram LM score against a (token, quantized
     * logprob) model; OOV tokens take `defaultLp`. */
   def unigramScore(text: Column, model: Seq[(String, Long)],
@@ -577,6 +581,30 @@ case class StopwordLangId(child: Expression,
  * pass count and removing the regex engine's per-position prefix scans is
  * the difference between linear and superlinear cost in token run length.
  */
+/** BPE-encoded symbol count under a rank-ordered merge list (see
+  * graft.Kernels.bpeEncodeCount); the merges ride the closure like the
+  * LM models below. */
+case class BpeEncodeCount(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  @transient private lazy val lefts: Array[String] = merges.map(_._1).toArray
+  @transient private lazy val rights: Array[String] = merges.map(_._2).toArray
+  override protected def nullSafeEval(input: Any): Any =
+    graft.Kernels.bpeEncodeCount(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      lefts, rights)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lRef = ctx.addReferenceObj("bpeLefts", lefts, "java.lang.String[]")
+    val rRef = ctx.addReferenceObj("bpeRights", rights, "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.Kernels.bpeEncodeCount($c, $lRef, $rRef);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeCount =
+    copy(child = newChild)
+}
+
 /** Integer micro-nat unigram LM score (graft.Kernels.unigramScore): one
   * token walk per row against a hashed (token -> quantized logprob)
   * model; OOV tokens take `defaultLp`. */
