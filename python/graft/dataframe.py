@@ -425,6 +425,28 @@ class TimeSeriesDataFrame(DataFrame):
         return self._with(_api(self).bpeEncodeCount(
             self._jdf, text_col, merges._jdf))
 
+    def bm25_topk(self, id_col, text_col, queries, qid_col="q_id",
+                  qtext_col="qtext", k=10, k1=1.2, b=0.75):
+        """BM25 top-k retrieval of corpus documents for each row of the
+        (eval-set-sized) ``queries`` frame — the decontamination-search
+        shape. Only query-term occurrences ever shuffle; idf and corpus
+        totals broadcast back; a bounded top-k finisher ranks per query.
+        Returns ``(q_id, doc_id, rank, score_micro)``."""
+        return self._with(_api(self).bm25TopK(
+            self._jdf, id_col, text_col, queries._jdf, qid_col, qtext_col,
+            k, float(k1), float(b)))
+
+    def mixture_rates(self, strata_col, weight_col, targets, budget):
+        """Per-stratum sampling rates hitting explicit target mixture
+        shares under a total ``weight_col`` budget (DoReMi-style domain
+        weights as static downsampling). ``targets`` is a (stratum, share)
+        frame. Returns the full audit table ``(stratum, n_weight,
+        target_share, rate, expected_weight)`` — missing-but-targeted
+        strata appear with rate 1.0, untargeted data strata with rate 0.
+        Feed ``rate`` to :meth:`sample_by_rates`."""
+        return self._with(_api(self).mixtureRates(
+            self._jdf, strata_col, weight_col, targets._jdf, int(budget)))
+
     def repetition_signals(self, id_col, text_col):
         """The line/paragraph half of the Gopher repetition suite:
         duplicate line / paragraph occurrence and char fractions per

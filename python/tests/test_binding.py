@@ -988,3 +988,26 @@ def test_bpe_learn_and_encode(spark):
     enc = {r["doc_id"]: r["n_bpe"] for r in
            d.bpe_encode_count("text", merges).collect()}
     assert enc == {1: 2, 2: 1, 3: 3}
+
+
+def test_bm25_topk_and_mixture_rates(spark):
+    d = TimeSeriesDataFrame(spark.createDataFrame(
+        [(1, "the quick brown fox", "a"), (2, "quick quick fox", "a"),
+         (3, "lazy dog", "b"), (4, "unrelated words", "b")],
+        "doc_id long, text string, source string"))
+    q = spark.createDataFrame([(100, "quick fox")], "q_id long, qtext string")
+    hits = d.bm25_topk("doc_id", "text", q, k=2).orderBy("rank").collect()
+    assert [r["doc_id"] for r in hits] == [2, 1]  # doubled 'quick' wins
+    assert hits[0]["q_id"] == 100 and hits[0]["rank"] == 1
+    assert hits[0]["score_micro"] > hits[1]["score_micro"] > 0
+
+    t = spark.createDataFrame([("a", 0.5), ("c", 0.5)],
+                              "stratum string, share double")
+    d2 = TimeSeriesDataFrame(spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 10), (3, "b", 10), (4, "b", 10)],
+        "doc_id long, source string, w long"))
+    rates = {r["stratum"]: (r["n_weight"], r["rate"]) for r in
+             d2.mixture_rates("source", "w", t, budget=20).collect()}
+    assert rates["a"] == (20, 0.5)   # 0.5*20/20
+    assert rates["b"] == (20, 0.0)   # untargeted
+    assert rates["c"] == (0, 1.0)    # targeted but absent

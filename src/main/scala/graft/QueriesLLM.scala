@@ -351,6 +351,16 @@ object QueriesLLM {
     "sample_quota" -> ((s, dir) =>
       Sampling.quotaPerStratum(docs(s, dir), Seq("source"), "doc_id", n = 5)
         .select("doc_id", "source").orderBy("doc_id")),
+    // Target-share mixture rebalancing: explicit domain weights applied
+    // as per-source char-budget rates. Shares are power-of-two fractions
+    // (exact doubles on both engines); srcX exercises the missing-stratum
+    // guard, untargeted sources get rate 0, src0 the rate cap.
+    "mixture_rates" -> ((s, dir) =>
+      Sampling.mixtureRates(docs(s, dir), "source", "n_chars",
+        targets = Seq("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125,
+          "srcX" -> 0.125),
+        budget = 20000L)
+        .orderBy("stratum")),
     // PPS Poisson sample: inclusion probability min(1, rate * n_chars).
     "sample_by_weight" -> ((s, dir) =>
       Sampling.sampleByWeight(docs(s, dir), "doc_id", "n_chars", rate = 0.0015)
@@ -816,6 +826,21 @@ object QueriesLLM {
     "tfidf_top_terms" -> ((s, dir) =>
       TextStats.tfidfTopTerms(docs(s, dir), "doc_id", "text", k = 5)
         .orderBy("doc_id", "rank")),
+    // BM25 decontamination retrieval: 8 deterministic eval snippets (the
+    // smallest doc_ids ≡ 3 mod 7, first 6 whitespace tokens each) search
+    // the whole corpus; only query-term occurrences shuffle, idf/totals
+    // broadcast back, bounded TopKAgg finisher. The oracle replays the
+    // identical micro-nat quantization and tie order.
+    "bm25_topk" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val queries = d.filter(F.pmod(F.col("doc_id"), F.lit(7L)) === 3)
+        .orderBy("doc_id").limit(8)
+        .select(F.col("doc_id"),
+          F.array_join(F.slice(TextStats.tokens(F.col("text")), 1, 6), " "))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      Retrieval.bm25TopK(d, "doc_id", "text", queries, k = 5)
+        .orderBy("q_id", "rank")
+    }),
     // Asymmetric-distance top-k over the PQ-compressed corpus: queries
     // stay exact, corpus side is its codebook reconstruction — the scan
     // reads m codes instead of the raw vector (the 100 TB story).
@@ -1153,6 +1178,28 @@ object QueriesLLM {
           SELECT doc_id, source FROM h
           WHERE u < least(1.0, 0.0015 * CAST(n_chars AS DOUBLE))
           ORDER BY doc_id""",
+    // power-of-two shares cast from exact decimal literals; identical
+    // IEEE shapes (share * budget / weight, least with 1.0) as the engine
+    "mixture_rates" ->
+      """WITH w AS (SELECT source AS stratum,
+             CAST(sum(n_chars) AS BIGINT) AS n_weight
+           FROM documents GROUP BY 1),
+         t AS (SELECT * FROM (VALUES
+             ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.25 AS DOUBLE)),
+             ('src2', CAST(0.125 AS DOUBLE)), ('srcX', CAST(0.125 AS DOUBLE)))
+           v(stratum, target_share)),
+         j AS (SELECT stratum,
+             COALESCE(n_weight, 0) AS n_weight,
+             COALESCE(target_share, CAST(0.0 AS DOUBLE)) AS target_share
+           FROM w FULL OUTER JOIN t USING (stratum)),
+         r AS (SELECT stratum, n_weight, target_share,
+             CASE WHEN n_weight <= 0 THEN CAST(1.0 AS DOUBLE)
+                  ELSE least(CAST(1.0 AS DOUBLE),
+                             target_share * 20000 / n_weight) END AS rate
+           FROM j)
+         SELECT stratum, n_weight, target_share, rate,
+           rate * n_weight AS expected_weight
+         FROM r ORDER BY stratum""",
     "doc_token_bpe" ->
       """SELECT doc_id,
          CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
@@ -1634,6 +1681,46 @@ object QueriesLLM {
                FROM s)
          SELECT doc_id, term, rank, score_micro FROM r WHERE rank <= 5
          ORDER BY doc_id, rank""",
+    // Same query construction, df/idf/tf-norm quantization points and tie
+    // order as Retrieval.bm25TopK; (1.2 + 1.0) / (1.0 - 0.75) are written
+    // as the single IEEE ops both engines constant-fold identically.
+    "bm25_topk" ->
+      """WITH q AS (SELECT doc_id AS q_id,
+             array_to_string((string_split(text, ' '))[1:6], ' ') AS qtext
+           FROM documents WHERE doc_id % 7 = 3 ORDER BY doc_id LIMIT 8),
+         qt AS (SELECT DISTINCT q_id, term FROM (
+             SELECT q_id, unnest(string_split(qtext, ' ')) AS term FROM q)
+           WHERE term <> ''),
+         terms AS (SELECT DISTINCT term FROM qt),
+         tok AS (SELECT doc_id, dl, term FROM (
+             SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+               unnest(string_split(text, ' ')) AS term FROM documents)
+           WHERE term IN (SELECT term FROM terms)),
+         df_ AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM (
+             SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sumdl
+           FROM documents),
+         idf AS (SELECT term,
+             CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6)
+                  AS BIGINT) AS idf_micro,
+             CAST(sumdl AS DOUBLE) / n AS avgdl
+           FROM df_ CROSS JOIN tot),
+         tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2, 3),
+         sc AS (SELECT qt.q_id, tf.doc_id,
+             CAST(round(CAST(idf_micro AS DOUBLE) * (tf * (1.2 + 1.0)) /
+               (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / avgdl))))
+                  AS BIGINT) AS s_micro
+           FROM tf JOIN idf USING (term) JOIN qt USING (term)),
+         agg AS (SELECT q_id, doc_id, CAST(sum(s_micro) AS BIGINT) AS score_micro
+           FROM sc GROUP BY 1, 2),
+         r AS (SELECT q_id, doc_id, score_micro,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank
+           FROM agg)
+         SELECT q_id, doc_id, rank, score_micro FROM r WHERE rank <= 5
+         ORDER BY q_id, rank""",
     // the invariant holds for any valid sketch state, so the oracle is
     // the constant-true stratum × bucket grid (plus the stratum size,
     // which pins the grid to the real corpus)

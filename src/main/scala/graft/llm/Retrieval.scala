@@ -1,0 +1,109 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{functions => F}
+
+/**
+ * BM25 top-k retrieval of corpus documents for a small, driver-side query
+ * set — the lexical-search shape a training-data pipeline needs for
+ * benchmark decontamination ("which corpus docs look like this eval
+ * snippet") and targeted corpus audits. The query set is an eval-set-sized
+ * model parameter by contract (tens to thousands of strings), never a
+ * second corpus: its terms ride the closure into a post-explode filter, so
+ * ONLY query-term occurrences ever shuffle — corpus-sized text stays in
+ * the scan stage at any scale.
+ *
+ * 100 TB shape: two linear corpus passes (document frequency, then
+ * scoring; the tokenization is recomputed rather than persisting a
+ * data-sized (doc, term) cache — the same trade tfidfTopTerms documents),
+ * a ≤|query terms| idf table broadcast back, one (doc, term)-keyed
+ * aggregation whose volume is bounded by query-term occurrences, and a
+ * bounded TopKAgg finisher per query — no windows, no data-sized
+ * collects, no cartesians.
+ *
+ * Scoring is pinned for the DuckDB oracle replay: idf in integer
+ * micro-nats (Lucene-shaped, always positive)
+ * `round(ln((N - df + 0.5) / (df + 0.5) + 1) * 1e6)`, the classic tf
+ * normalization `tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))` evaluated in
+ * the exact same IEEE expression shape on both engines, and the per-term
+ * contribution re-quantized to integer micro-units so the per-(query,
+ * doc) sum is order-free. `dl` counts whitespace-split tokens including
+ * empties (split semantics, same as TextStats.tokenCount / the
+ * doc_token_stats oracle); query terms are the DISTINCT non-empty
+ * whitespace tokens of each query (query-side tf is ignored, the standard
+ * BM25 form). Ties rank by ascending document id on both engines.
+ */
+object Retrieval {
+
+  /**
+   * Top `k` documents per query by BM25. `queries` is (query id, query
+   * text); `k1`/`b` are the standard free parameters. Returns
+   * `(q_id, doc_id, rank, score_micro)` — `rank` 1-based by
+   * (score desc, doc_id asc), `score_micro` the integer micro-unit score.
+   * Queries with no term occurring in the corpus return no rows.
+   */
+  def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(Long, String)], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(queries.nonEmpty, "queries must be non-empty")
+    val qt: Seq[(Long, String)] = queries.flatMap { case (qid, t) =>
+      t.split(" ", -1).filter(_.nonEmpty).distinct.map(qid -> _)
+    }
+    require(qt.nonEmpty, "query set has no non-empty terms")
+    val allTerms = qt.map(_._2).distinct
+    val s = corpus.sparkSession
+    import s.implicits._
+    val qtDf = qt.toDF("q_id", "term")
+
+    // Pass 1: document frequency of each query term (bounded output —
+    // ≤ |query terms| rows) + 1-row corpus totals; both broadcast back.
+    val tq = corpus
+      .select(F.col(idCol).as("__doc"),
+        F.explode(TextStats.tokens(F.col(textCol))).as("term"))
+      .filter(F.col("term").isInCollection(allTerms))
+    // distinct (doc, term) then count(*) per term — plans as a plain
+    // two-phase distinct + count, not a count_distinct Expand.
+    val dfreq = tq.distinct()
+      .groupBy("term").agg(F.count(F.lit(1)).as("__df"))
+    val totals = corpus.agg(
+      F.count(F.lit(1)).as("__n"),
+      F.sum(TextStats.tokenCount(F.col(textCol)).cast("long")).as("__sumdl"))
+    val idf = dfreq.crossJoin(F.broadcast(totals))
+      .select(F.col("term"),
+        F.round(F.log((F.col("__n") - F.col("__df") + 0.5) /
+          (F.col("__df") + 0.5) + 1.0) * 1e6).cast("long").as("__idf_micro"),
+        (F.col("__sumdl").cast("double") / F.col("__n")).as("__avgdl"))
+
+    // Pass 2: per-(doc, query-term) tf + dl from one scan, scored per
+    // term in micro-units, summed per (query, doc), top-k finished.
+    // (1.0 - b) and (k1 + 1.0) are single IEEE ops both engines
+    // constant-fold identically — the oracle writes the same literals.
+    val scored = corpus
+      .select(F.col(idCol).as("__doc"),
+        TextStats.tokenCount(F.col(textCol)).cast("long").as("__dl"),
+        F.explode(TextStats.tokens(F.col(textCol))).as("term"))
+      .filter(F.col("term").isInCollection(allTerms))
+      .groupBy(F.col("__doc"), F.col("__dl"), F.col("term"))
+      .agg(F.count(F.lit(1)).as("__tf"))
+      .join(F.broadcast(idf), Seq("term"))
+      .join(F.broadcast(qtDf), Seq("term"))
+      .withColumn("__s_micro",
+        F.round(F.col("__idf_micro").cast("double") *
+          (F.col("__tf") * F.lit(k1 + 1.0)) /
+          (F.col("__tf") + F.lit(k1) *
+            (F.lit(1.0 - b) + F.lit(b) * (F.col("__dl") / F.col("__avgdl")))))
+          .cast("long"))
+      .groupBy(F.col("q_id"), F.col("__doc"))
+      .agg(F.sum(F.col("__s_micro")).as("__score"))
+
+    val top = TopKAgg.topKUdaf(k, corpus.schema(idCol).dataType)
+    scored.groupBy("q_id")
+      .agg(top(F.col("__doc"), F.col("__score").cast("double")).as("__top"))
+      .select(F.col("q_id"),
+        F.posexplode(F.col("__top.hits")).as(Seq("pos", "hit")))
+      .select(F.col("q_id"), F.col("hit.n_id").as("doc_id"),
+        (F.col("pos") + 1).as("rank"),
+        F.col("hit.cosine").cast("long").as("score_micro"))
+  }
+}

@@ -182,6 +182,50 @@ object Sampling {
     }.toMap
   }
 
+  /** Per-stratum sampling rates hitting explicit target mixture shares
+    * under a total weight budget — the "rebalance the corpus to this
+    * recipe" step (e.g. DoReMi-style domain weights applied as static
+    * downsampling): stratum s should contribute `share_s · budget` weight
+    * (tokens, chars — whatever `weightCol` measures), so its rate is
+    * `min(1, share_s · budget / W_s)` with `W_s` the stratum's current
+    * total weight. Returns the full audit table `(stratum, n_weight,
+    * target_share, rate, expected_weight)` — one row per stratum present
+    * in the data OR named in `targets` (a target naming a missing/empty
+    * stratum gets `rate` 1.0 and 0 expected weight, visible rather than
+    * silently dropped; a data stratum without a target gets share 0 and
+    * rate 0). Feed `rate` to [[sampleByRates]].
+    *
+    * Scale shape: ONE map-side-combinable weight aggregation (|strata|
+    * rows out) joined to the tiny targets frame — the join inputs are
+    * both model-parameter-sized, so join strategy is irrelevant. All
+    * arithmetic is the same IEEE double shapes on every engine
+    * (share · budget / weight, min with 1.0), so downstream
+    * hash-threshold comparisons reproduce exactly. */
+  def mixtureRates(df: DataFrame, strataCol: String, weightCol: String,
+                   targets: Seq[(String, Double)],
+                   budget: Long): DataFrame = {
+    require(targets.nonEmpty, "mixtureRates needs at least one target")
+    require(targets.forall(_._2 >= 0.0), "target shares must be >= 0")
+    require(targets.map(_._1).distinct.size == targets.size,
+      "target strata must be distinct")
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val weights = df.groupBy(F.col(strataCol).as("stratum"))
+      .agg(F.sum(F.col(weightCol).cast("long")).as("n_weight"))
+    val targetsDf = targets.toDF("stratum", "target_share")
+    weights.join(targetsDf, Seq("stratum"), "full_outer")
+      .select(
+        F.col("stratum"),
+        F.coalesce(F.col("n_weight"), F.lit(0L)).as("n_weight"),
+        F.coalesce(F.col("target_share"), F.lit(0.0)).as("target_share"))
+      .withColumn("rate",
+        F.when(F.col("n_weight") <= 0L, F.lit(1.0)).otherwise(
+          F.least(F.lit(1.0),
+            F.col("target_share") * budget / F.col("n_weight"))))
+      .withColumn("expected_weight", F.col("rate") * F.col("n_weight"))
+  }
+
   /** Deterministic fixed quota per stratum: the `n` rows of each stratum
     * with the smallest hash values (hash order = a stable pseudo-random
     * order; ties broken by id).

@@ -433,6 +433,29 @@ object PyApi {
       graft.llm.Bpe.encodeCount(F.col(textCol), ms))
   }
 
+  /** BM25 top-k retrieval against an eval-set-sized queries frame
+    * `(q_id, qtext)` (collected driver-side — the query set is model-
+    * parameter-sized by contract, never a second corpus). */
+  def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, qidCol: String, qtextCol: String,
+               k: Int, k1: Double, b: Double): DataFrame = {
+    val qs = queries.select(F.col(qidCol).cast("long"),
+        F.col(qtextCol).cast("string")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    graft.llm.Retrieval.bm25TopK(corpus, idCol, textCol, qs, k, k1, b)
+  }
+
+  /** Target-share mixture rebalancing audit table; feed `rate` to
+    * sampleByRates. `targets` is a (stratum, share) frame. */
+  def mixtureRates(df: DataFrame, strataCol: String, weightCol: String,
+                   targets: DataFrame, budget: Long): DataFrame = {
+    val ts = targets.select(
+        F.col(targets.columns(0)).cast("string"),
+        F.col(targets.columns(1)).cast("double")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    graft.llm.Sampling.mixtureRates(df, strataCol, weightCol, ts, budget)
+  }
+
   /** Line/paragraph duplicate fractions (one kernel scan per row). */
   def repetitionSignals(df: DataFrame, idCol: String,
                         textCol: String): DataFrame =

@@ -1,0 +1,114 @@
+package graft.llm
+
+import graft.SparkTestBase
+
+/**
+ * BM25 top-k retrieval (Retrieval.scala): the distributed plan against an
+ * independent direct-formula replay, rank/tie semantics, query-side term
+ * normalization, and plan shape (broadcast small sides, no corpus
+ * cartesians). The cross-engine replay is pinned by the bm25_topk
+ * registry row's DuckDB oracle.
+ */
+class RetrievalSpec extends SparkTestBase {
+
+  /** Independent direct-formula BM25 replay on a driver-side corpus —
+    * deliberately structured nothing like the distributed plan (per-doc
+    * loops; the only shared structure is the pinned quantization
+    * points). */
+  private def bruteBm25(corpus: Seq[(Long, String)],
+                        queries: Seq[(Long, String)], k: Int,
+                        k1: Double = 1.2,
+                        b: Double = 0.75): Seq[(Long, Long, Int, Long)] = {
+    val n = corpus.size.toLong
+    val dls = corpus.map { case (id, t) =>
+      id -> t.split(" ", -1).length.toLong
+    }.toMap
+    val avgdl = dls.values.sum.toDouble / n
+    def tf(text: String): Map[String, Long] =
+      text.split(" ", -1).filter(_.nonEmpty).groupBy(identity)
+        .map { case (w, o) => w -> o.length.toLong }
+    val tfs = corpus.map { case (id, t) => id -> tf(t) }.toMap
+    def df(term: String): Long =
+      corpus.count { case (id, _) => tfs(id).contains(term) }.toLong
+    def idfMicro(term: String): Long =
+      math.round(math.log((n - df(term) + 0.5) / (df(term) + 0.5) + 1.0) * 1e6)
+    queries.flatMap { case (qid, qtext) =>
+      val terms = qtext.split(" ", -1).filter(_.nonEmpty).distinct
+      val scores = corpus.flatMap { case (id, _) =>
+        if (!terms.exists(t => tfs(id).contains(t))) None
+        else Some(id -> terms.map { t =>
+          val f = tfs(id).getOrElse(t, 0L)
+          if (f == 0L) 0L
+          else math.round(idfMicro(t).toDouble * (f * (k1 + 1.0)) /
+            (f + k1 * ((1.0 - b) + b * (dls(id) / avgdl))))
+        }.sum)
+      }
+      scores.sortBy { case (id, s) => (-s, id) }.take(k).zipWithIndex
+        .map { case ((id, s), i) => (qid, id, i + 1, s) }
+    }
+  }
+
+  private val corpus = Seq(
+    1L -> "the quick brown fox jumps over the lazy dog",
+    2L -> "the quick quick fox",
+    3L -> "lazy dog sleeps all day long in the sun",
+    4L -> "brown bread and brown butter",
+    5L -> "a fox and a dog met a fox",
+    6L -> "completely unrelated text about spark plans")
+
+  private def corpusDf = {
+    import spark.implicits._
+    corpus.toDF("doc_id", "text")
+  }
+
+  behavior of "bm25TopK"
+
+  it should "match a direct-formula replay, ranks and ties included" in {
+    val queries = Seq(10L -> "quick fox", 11L -> "lazy dog", 12L -> "brown")
+    val got = Retrieval.bm25TopK(corpusDf, "doc_id", "text", queries, k = 3)
+      .orderBy("q_id", "rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSeq
+    got shouldBe bruteBm25(corpus, queries, k = 3)
+  }
+
+  it should "retrieve a document first for its own snippet" in {
+    val got = Retrieval.bm25TopK(corpusDf, "doc_id", "text",
+      Seq(20L -> "lazy dog sleeps all day"), k = 1).collect()
+    got should have size 1
+    got.head.getLong(1) shouldBe 3L
+  }
+
+  it should "ignore query-side term repetition and empty tokens" in {
+    val a = Retrieval.bm25TopK(corpusDf, "doc_id", "text",
+      Seq(30L -> "fox fox  fox"), k = 6).collect()
+      .map(r => (r.getLong(1), r.getLong(3))).toSeq
+    val bq = Retrieval.bm25TopK(corpusDf, "doc_id", "text",
+      Seq(30L -> "fox"), k = 6).collect()
+      .map(r => (r.getLong(1), r.getLong(3))).toSeq
+    a shouldBe bq
+  }
+
+  it should "return no rows for queries matching nothing" in {
+    Retrieval.bm25TopK(corpusDf, "doc_id", "text",
+      Seq(40L -> "zzzzz qqqqq"), k = 3).count() shouldBe 0L
+  }
+
+  it should "reject empty inputs" in {
+    an[IllegalArgumentException] should be thrownBy
+      Retrieval.bm25TopK(corpusDf, "doc_id", "text", Seq.empty, k = 3)
+    an[IllegalArgumentException] should be thrownBy
+      Retrieval.bm25TopK(corpusDf, "doc_id", "text", Seq(1L -> "  "), k = 3)
+    an[IllegalArgumentException] should be thrownBy
+      Retrieval.bm25TopK(corpusDf, "doc_id", "text", Seq(1L -> "x"), k = 0)
+  }
+
+  it should "broadcast the small sides and never shuffle-join the corpus" in {
+    val plan = Retrieval.bm25TopK(corpusDf, "doc_id", "text",
+      Seq(50L -> "fox"), k = 2).queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    (plan should not).include("CartesianProduct")
+    (plan should not).include("SortMergeJoin")
+  }
+}

@@ -335,6 +335,49 @@ class SamplingSpec extends SparkTestBase {
     r.keySet shouldBe Set("big", "mid", "small")
   }
 
+  behavior of "mixtureRates"
+
+  it should "compute capped target-share rates with full audit rows" in {
+    // weights: big 800, mid 150, small 50 (weight 1/row)
+    val d = skewed.withColumn("w", F.lit(1L))
+    val rows = Sampling.mixtureRates(d, "src", "w",
+      targets = Seq("big" -> 0.25, "small" -> 0.5, "ghost" -> 0.25),
+      budget = 400L)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    rows.keySet shouldBe Set("big", "mid", "small", "ghost")
+    // big: 0.25*400/800 = 0.125 -> expects 100
+    rows("big") shouldBe ((800L, 0.25, 0.125, 100.0))
+    // small: 0.5*400/50 = 4 -> capped at 1.0, expects the whole stratum
+    rows("small") shouldBe ((50L, 0.5, 1.0, 50.0))
+    // mid has no target: rate 0
+    rows("mid") shouldBe ((150L, 0.0, 0.0, 0.0))
+    // ghost is targeted but absent: visible row, rate 1, nothing expected
+    rows("ghost") shouldBe ((0L, 0.25, 1.0, 0.0))
+    // rates feed sampleByRates directly
+    val rates = rows.map { case (k, (_, _, r, _)) => k -> r }
+    val kept = Sampling.sampleByRates(d, "src", "id", rates)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    kept("small") shouldBe 50
+    kept.getOrElse("mid", 0L) shouldBe 0
+    kept("big").toDouble shouldBe (100.0 +- 30.0)
+  }
+
+  it should "reject duplicate or negative targets" in {
+    val d = skewed.withColumn("w", F.lit(1L))
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.mixtureRates(d, "src", "w",
+        Seq("big" -> 0.5, "big" -> 0.5), budget = 10L)
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.mixtureRates(d, "src", "w",
+        Seq("big" -> -0.1), budget = 10L)
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.mixtureRates(d, "src", "w", Seq.empty, budget = 10L)
+  }
+
   behavior of "selectTopByBudget"
 
   private val budgetRows = (0L until 200L)
