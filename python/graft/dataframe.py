@@ -447,6 +447,30 @@ class TimeSeriesDataFrame(DataFrame):
         return self._with(_api(self).mixtureRates(
             self._jdf, strata_col, weight_col, targets._jdf, int(budget)))
 
+    def dsir_log_weights(self, target, text_col="text", top_v=10000):
+        """DSIR importance weighting (Xie et al. 2023, bounded-vocab
+        variant): fit a Laplace-smoothed model of the ``target`` frame's
+        token distribution relative to THIS frame (the raw/proposal side;
+        top ``top_v`` raw tokens + a pooled out-of-vocabulary class) and
+        append ``lw_micro`` — the integer micro-nat log importance weight
+        ln(p_target/p_raw) per document. More positive = more target-like.
+        Two map-side-combinable count aggregations fit the model (top_v
+        parameters, never data); scoring is one kernel scan. Feed to
+        :meth:`gumbel_topk` to resample, or ``exp(lw_micro/1e6)`` for the
+        raw weight."""
+        return self._with(_api(self).dsirLogWeights(
+            self._jdf, target._jdf, text_col, int(top_v)))
+
+    def gumbel_topk(self, id_col, score_micro_col, k, seed=42):
+        """Sample ``k`` rows WITHOUT replacement with probability
+        proportional to ``exp(score/1e6)`` via Gumbel-top-k: keeps the k
+        largest ``score + round(Gumbel(0,1) * 1e6)`` keys, noise drawn
+        from the engine's portable seeded hash of ``id_col`` (appended as
+        ``gumbel_micro``). Deterministic, partition-independent, bounded
+        top-k (no global sort) — the DSIR resampling step."""
+        return self._with(_api(self).gumbelTopK(
+            self._jdf, id_col, score_micro_col, int(k), int(seed)))
+
     def repetition_signals(self, id_col, text_col):
         """The line/paragraph half of the Gopher repetition suite:
         duplicate line / paragraph occurrence and char fractions per

@@ -990,6 +990,29 @@ def test_bpe_learn_and_encode(spark):
     assert enc == {1: 2, 2: 1, 3: 3}
 
 
+def test_dsir_weights_and_gumbel_topk(spark):
+    raw = TimeSeriesDataFrame(spark.createDataFrame(
+        [(0, "a a a b"), (1, "a a c"), (2, "a b b"), (3, "a a a a")],
+        "doc_id long, text string"))
+    target = spark.createDataFrame([(10, "b b b a"), (11, "b b c")],
+                                   "doc_id long, text string")
+    w = {r["doc_id"]: r["lw_micro"] for r in
+         raw.dsir_log_weights(target, top_v=2).collect()}
+    assert len(w) == 4
+    assert w[2] > w[3]  # the b-heavy doc is more target-like than a-only
+
+    scored = TimeSeriesDataFrame(spark.createDataFrame(
+        [(i, 20000000 if i < 50 else 0) for i in range(100)],
+        "doc_id long, s long"))
+    picked = scored.gumbel_topk("doc_id", "s", k=20).collect()
+    assert len(picked) == 20
+    assert len({r["doc_id"] for r in picked}) == 20  # without replacement
+    assert sum(1 for r in picked if r["doc_id"] < 50) >= 18
+    again = {r["doc_id"] for r in
+             scored.gumbel_topk("doc_id", "s", k=20).collect()}
+    assert again == {r["doc_id"] for r in picked}  # deterministic
+
+
 def test_bm25_topk_and_mixture_rates(spark):
     d = TimeSeriesDataFrame(spark.createDataFrame(
         [(1, "the quick brown fox", "a"), (2, "quick quick fox", "a"),

@@ -841,6 +841,33 @@ object QueriesLLM {
       Retrieval.bm25TopK(d, "doc_id", "text", queries, k = 5)
         .orderBy("q_id", "rank")
     }),
+    // DSIR importance weights (bounded-vocab variant): log p_target/p_raw
+    // per document in integer micro-nats — two token-count aggs fit the
+    // 51-parameter model (top-50 raw vocab + pooled OOV, Laplace
+    // smoothed), one kernel scan weights the corpus. Target = the 'src0'
+    // stratum, the "looks like my curated domain" selection signal.
+    "dsir_weights" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val (model, oov) = Selection.dsirModel(
+        d, d.filter(F.col("source") === "src0"), "text", topV = 50)
+      d.select(F.col("doc_id"),
+          Selection.dsirLogWeight(F.col("text"), model, oov).as("lw_micro"))
+        .orderBy("doc_id")
+    }),
+    // Gumbel-top-k importance RESAMPLING over the DSIR weights: the 100
+    // documents sampled without replacement with probability proportional
+    // to exp(lw) — seeded portable noise, integer micro-nat keys, bounded
+    // TakeOrderedAndProject (no global sort).
+    "dsir_select" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val (model, oov) = Selection.dsirModel(
+        d, d.filter(F.col("source") === "src0"), "text", topV = 50)
+      Selection.gumbelTopK(
+        d.select(F.col("doc_id"),
+          Selection.dsirLogWeight(F.col("text"), model, oov).as("lw_micro")),
+        "doc_id", "lw_micro", k = 100, seed = 42L)
+        .select("doc_id", "lw_micro", "gumbel_micro").orderBy("doc_id")
+    }),
     // Asymmetric-distance top-k over the PQ-compressed corpus: queries
     // stay exact, corpus side is its codebook reconstruction — the scan
     // reads m codes instead of the raw vector (the 100 TB story).
@@ -953,6 +980,44 @@ object QueriesLLM {
            FROM documents)"""
 
   private val hashUnitCte = hashUnitCteSeed(42L)
+
+  /** CTE chain computing the DSIR per-document log importance weight
+    * (bounded top-50 raw vocab + pooled OOV, Laplace add-1, integer
+    * micro-nats; target = the 'src0' stratum) — mirrors
+    * `Selection.dsirModel` + `dsirLogWeight` expression-for-expression.
+    * Ends with `w(doc_id, lw_micro)`. */
+  private val dsirWeightCtes =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+           FROM documents),
+         rtot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+         rc AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+         vocab AS (SELECT t, c FROM rc ORDER BY c DESC, t LIMIT 50),
+         vn AS (SELECT CAST(count(*) + 1 AS BIGINT) AS v1 FROM vocab),
+         ttok AS (SELECT unnest(string_split(text, ' ')) AS t
+           FROM documents WHERE source = 'src0'),
+         ttot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ttok),
+         tc AS (SELECT t, count(*) AS c FROM ttok GROUP BY t),
+         lam AS (SELECT vocab.t,
+             CAST(round((ln(CAST(COALESCE(tc.c, 0) + 1 AS DOUBLE)
+                 / CAST((SELECT n FROM ttot) + (SELECT v1 FROM vn) AS DOUBLE))
+               - ln(CAST(vocab.c + 1 AS DOUBLE)
+                 / CAST((SELECT n FROM rtot) + (SELECT v1 FROM vn) AS DOUBLE)))
+               * 1000000.0) AS BIGINT) AS l
+           FROM vocab LEFT JOIN tc ON vocab.t = tc.t),
+         oov AS (SELECT
+             CAST(round((ln(CAST((SELECT n FROM ttot)
+                   - (SELECT COALESCE(sum(tc.c), 0)
+                      FROM vocab JOIN tc ON vocab.t = tc.t) + 1 AS DOUBLE)
+                 / CAST((SELECT n FROM ttot) + (SELECT v1 FROM vn) AS DOUBLE))
+               - ln(CAST((SELECT n FROM rtot)
+                   - (SELECT sum(c) FROM vocab) + 1 AS DOUBLE)
+                 / CAST((SELECT n FROM rtot) + (SELECT v1 FROM vn) AS DOUBLE)))
+               * 1000000.0) AS BIGINT) AS l),
+         w AS (SELECT d.doc_id, CAST(COALESCE(s.v, 0) AS BIGINT) AS lw_micro
+           FROM documents d LEFT JOIN (
+             SELECT tok.doc_id, sum(COALESCE(lam.l, (SELECT l FROM oov))) AS v
+             FROM tok LEFT JOIN lam ON tok.t = lam.t GROUP BY tok.doc_id) s
+           ON d.doc_id = s.doc_id)"""
 
   /** Recursive-CTE mirror of packSequences' bucketed greedy fill (budget
     * 1000, 8 buckets, seed 42) over document size expression `sizeExpr` —
@@ -1501,6 +1566,31 @@ object QueriesLLM {
            (SELECT doc_id, sum(v) AS v FROM scored GROUP BY doc_id) s
            ON d.doc_id = s.doc_id
          ORDER BY d.doc_id""",
+    "dsir_weights" ->
+      s"""$dsirWeightCtes
+         SELECT doc_id, lw_micro FROM w ORDER BY doc_id""",
+    "dsir_select" -> {
+      val seed = 42L + graft.llm.Selection.GumbelSalt
+      s"""$dsirWeightCtes,
+         g AS (SELECT doc_id, lw_micro,
+             (doc_id + $seed) % 4294967296 AS a0,
+             xor(a0, a0 >> 16) * 73244475 % 4294967296 AS a1,
+             xor(a1, a1 >> 16) * 73244475 % 4294967296 AS a2,
+             xor(a2, a2 >> 16) AS h1,
+             (doc_id + ${seed + 2654435761L}) % 4294967296 AS b0,
+             xor(b0, b0 >> 16) * 73244475 % 4294967296 AS b1,
+             xor(b1, b1 >> 16) * 73244475 % 4294967296 AS b2,
+             xor(b2, b2 >> 16) AS h2,
+             lw_micro + CAST(round(-ln(-ln(
+                 ((h1 % 2147483648) * 4294967296 + h2 + 1)
+                   / 9.223372036854778e18)) * 1000000.0) AS BIGINT)
+               AS gumbel_micro
+           FROM w)
+         SELECT doc_id, lw_micro, gumbel_micro FROM g
+         QUALIFY row_number() OVER (ORDER BY gumbel_micro DESC, doc_id ASC)
+           <= 100
+         ORDER BY doc_id"""
+    },
     "doc_blocklist" ->
       """SELECT doc_id,
          CAST(len(list_filter(string_split(text, ' '),

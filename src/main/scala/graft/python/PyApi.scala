@@ -456,6 +456,22 @@ object PyApi {
     graft.llm.Sampling.mixtureRates(df, strataCol, weightCol, ts, budget)
   }
 
+  /** DSIR importance weights: fit the bounded-vocab model of `target`
+    * relative to `df` (the raw/proposal side) and append `lw_micro` — the
+    * integer micro-nat log importance weight, one kernel scan. */
+  def dsirLogWeights(df: DataFrame, target: DataFrame, textCol: String,
+                     topV: Int): DataFrame = {
+    val (model, oov) =
+      graft.llm.Selection.dsirModel(df, target, textCol, topV)
+    df.withColumn("lw_micro",
+      graft.llm.Selection.dsirLogWeight(F.col(textCol), model, oov))
+  }
+
+  /** Gumbel-top-k weighted sampling without replacement. */
+  def gumbelTopK(df: DataFrame, idCol: String, scoreMicroCol: String,
+                 k: Int, seed: Long): DataFrame =
+    graft.llm.Selection.gumbelTopK(df, idCol, scoreMicroCol, k, seed)
+
   /** Line/paragraph duplicate fractions (one kernel scan per row). */
   def repetitionSignals(df: DataFrame, idCol: String,
                         textCol: String): DataFrame =
