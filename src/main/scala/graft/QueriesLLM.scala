@@ -248,6 +248,16 @@ object QueriesLLM {
     "ivf_train_assign" -> ((s, dir) =>
       Similarity.kmeansCells(embs(s, dir), "vec_id", "embedding",
         k = 8, iters = 2)._1.orderBy("vec_id")),
+    // Cluster-balanced diversity selection (the SemDeDup/D4-style "cap
+    // per semantic cluster" step): k-means cells over the embeddings,
+    // then a per-cell hash-order quota via the certified two-pass
+    // threshold selection — no corpus-wide window, no single-task sort.
+    "cluster_quota" -> ((s, dir) => {
+      val (assign, _) = Similarity.kmeansCells(embs(s, dir), "vec_id",
+        "embedding", k = 8, iters = 2)
+      Sampling.quotaPerStratum(assign, Seq("cell"), "vec_id", n = 20)
+        .select("vec_id", "cell").orderBy("vec_id")
+    }),
     "emb_norm_stats" -> ((s, dir) =>
       embs(s, dir)
         .select(F.col("label"),
@@ -980,6 +990,38 @@ object QueriesLLM {
            FROM documents)"""
 
   private val hashUnitCte = hashUnitCteSeed(42L)
+
+  /** CTE chain replaying `Similarity.kmeansCells(embeddings, k=8,
+    * iters=2)` (quantized integer Lloyd steps, smallest-id seeding) —
+    * ends with `a3(vec_id, cell)`, the assignment under the final
+    * centroids. Shared by ivf_train_assign and cluster_quota. */
+  private val kmeansA3Ctes = {
+    def cosq(x: String, y: String) = {
+      def d(v: String) = s"list_transform($v, t -> t::DOUBLE)"
+      s"list_dot_product(${d(x)}, ${d(y)}) / (sqrt(list_dot_product(${d(x)}, ${d(x)})) * sqrt(list_dot_product(${d(y)}, ${d(y)})))"
+    }
+    def assignStep(out: String, cents: String) =
+      s"""$out AS (SELECT vec_id, cell FROM (
+          SELECT e.vec_id, $cents.cell, row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${cosq("e.q", s"$cents.c")} DESC, $cents.cell ASC) AS rk
+          FROM e, $cents) WHERE rk = 1)"""
+    def updateStep(u: String, a: String, cm: String, cPrev: String, cNext: String) =
+      s"""$u AS (SELECT $a.cell, i AS pos,
+            CAST(floor((2*sum(e.q[i+1]) + count(*)) / (2.0*count(*))) AS BIGINT) AS cv
+          FROM $a JOIN e USING (vec_id), range(0, 64) r(i) GROUP BY $a.cell, i),
+       $cm AS (SELECT cell, list(cv ORDER BY pos) AS c FROM $u GROUP BY cell),
+       $cNext AS (SELECT $cPrev.cell, COALESCE($cm.c, $cPrev.c) AS c
+                  FROM $cPrev LEFT JOIN $cm USING (cell))"""
+    s"""WITH e AS (SELECT vec_id,
+           list_transform(embedding::DOUBLE[], x -> CAST(round(x*10000000.0) AS BIGINT)) AS q
+         FROM embeddings),
+       c0 AS (SELECT vec_id AS cell, q AS c FROM e WHERE vec_id < 8),
+       ${assignStep("a1", "c0")},
+       ${updateStep("u1", "a1", "c1m", "c0", "c1")},
+       ${assignStep("a2", "c1")},
+       ${updateStep("u2", "a2", "c2m", "c1", "c2")},
+       ${assignStep("a3", "c2")}"""
+  }
 
   /** CTE chain computing the DSIR per-document log importance weight
     * (bounded top-50 raw vocab + pooled OOV, Laplace add-1, integer
@@ -1895,34 +1937,28 @@ object QueriesLLM {
          SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
          ORDER BY id_a, id_b"""
     },
-    "ivf_train_assign" -> {
-      def cosq(x: String, y: String) = {
-        def d(v: String) = s"list_transform($v, t -> t::DOUBLE)"
-        s"list_dot_product(${d(x)}, ${d(y)}) / (sqrt(list_dot_product(${d(x)}, ${d(x)})) * sqrt(list_dot_product(${d(y)}, ${d(y)})))"
-      }
-      def assignStep(out: String, cents: String) =
-        s"""$out AS (SELECT vec_id, cell FROM (
-            SELECT e.vec_id, $cents.cell, row_number() OVER (PARTITION BY e.vec_id
-              ORDER BY ${cosq("e.q", s"$cents.c")} DESC, $cents.cell ASC) AS rk
-            FROM e, $cents) WHERE rk = 1)"""
-      def updateStep(u: String, a: String, cm: String, cPrev: String, cNext: String) =
-        s"""$u AS (SELECT $a.cell, i AS pos,
-              CAST(floor((2*sum(e.q[i+1]) + count(*)) / (2.0*count(*))) AS BIGINT) AS cv
-            FROM $a JOIN e USING (vec_id), range(0, 64) r(i) GROUP BY $a.cell, i),
-         $cm AS (SELECT cell, list(cv ORDER BY pos) AS c FROM $u GROUP BY cell),
-         $cNext AS (SELECT $cPrev.cell, COALESCE($cm.c, $cPrev.c) AS c
-                    FROM $cPrev LEFT JOIN $cm USING (cell))"""
-      s"""WITH e AS (SELECT vec_id,
-             list_transform(embedding::DOUBLE[], x -> CAST(round(x*10000000.0) AS BIGINT)) AS q
-           FROM embeddings),
-         c0 AS (SELECT vec_id AS cell, q AS c FROM e WHERE vec_id < 8),
-         ${assignStep("a1", "c0")},
-         ${updateStep("u1", "a1", "c1m", "c0", "c1")},
-         ${assignStep("a2", "c1")},
-         ${updateStep("u2", "a2", "c2m", "c1", "c2")},
-         ${assignStep("a3", "c2")}
-         SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM a3 ORDER BY vec_id"""
-    },
+    "ivf_train_assign" ->
+      s"""$kmeansA3Ctes
+         SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM a3 ORDER BY vec_id""",
+    // cluster-balanced diversity selection: per-cell hash-order quota over
+    // the same k-means assignment chain, the sample_quota QUALIFY form
+    "cluster_quota" ->
+      s"""$kmeansA3Ctes,
+         h AS (SELECT vec_id, cell,
+             (vec_id + 42) % 4294967296 AS a0,
+             xor(a0, a0 >> 16) * 73244475 % 4294967296 AS a1,
+             xor(a1, a1 >> 16) * 73244475 % 4294967296 AS a2,
+             xor(a2, a2 >> 16) AS h1,
+             (vec_id + ${42L + 2654435761L}) % 4294967296 AS b0,
+             xor(b0, b0 >> 16) * 73244475 % 4294967296 AS b1,
+             xor(b1, b1 >> 16) * 73244475 % 4294967296 AS b2,
+             xor(b2, b2 >> 16) AS h2,
+             ((h1 % 2147483648) * 4294967296 + h2) / 9.223372036854776e18 AS u
+           FROM a3)
+         SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM h
+         QUALIFY row_number() OVER (PARTITION BY cell ORDER BY u, vec_id)
+           <= 20
+         ORDER BY vec_id""",
     "emb_norm_stats" ->
       """WITH e AS (SELECT label,
            sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm

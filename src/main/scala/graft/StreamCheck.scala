@@ -447,6 +447,19 @@ object StreamCheck {
       (stream, batch)
     }
 
+    record("dsir_score_stream") {
+      // DSIR scoring on the firehose: the importance model is fit OFFLINE
+      // on a static raw/target corpus pair and rides the closure as
+      // broadcast parameters; per-row weighting is a pure kernel scan, so
+      // the streamed scores must equal the batch run row for row
+      val (model, oov) = graft.llm.Selection.dsirModel(
+        docsAll, docsAll.filter(F.col("doc_id") % 7 === 0), "text",
+        topV = 20)
+      val build = (df: DataFrame) => df.withColumn("lw_micro",
+        graft.llm.Selection.dsirLogWeight(F.col("event_type"), model, oov))
+      (runStream("sc_dsir", ev, 4)(build), build(evDF).collect().toSeq)
+    }
+
     record("future_left_join_stream") {
       val stream = runJoinStream("sc_future_asof", clicks, purchasesDeduped, 4)(
         (l, r) => StreamingOps.futureLeftJoinStream(l, r, tolerance = "6h",

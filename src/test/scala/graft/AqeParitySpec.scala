@@ -176,6 +176,27 @@ class AqeParitySpec extends SparkTestBase {
     parity("dedupAgainstMinHash")(() =>
       graft.llm.Dedup.dedupAgainstMinHash(incoming, existing,
         "doc_id", "text", threshold = 0.5))
+    // round-12 selection: the DSIR fit (two count aggs, AQE may coalesce
+    // either) + kernel scoring, and the Gumbel-top-k finisher
+    parity("dsirModel+gumbelTopK")(() => {
+      val target = docs.filter(F2.col("id") % 4 === 1)
+      val (model, oov) =
+        graft.llm.Selection.dsirModel(docs, target, "text", topV = 6)
+      graft.llm.Selection.gumbelTopK(
+        docs.select(F2.col("id"),
+          graft.llm.Selection.dsirLogWeight(F2.col("text"), model, oov)
+            .as("lw")),
+        "id", "lw", k = 30)
+    })
+    parity("clusterQuota")(() => {
+      val vecs = (0L until 90L).map { i =>
+        (i, Array.tabulate(8)(d => math.sin(i * 0.31 + d) * 5))
+      }.toDF("vec_id", "embedding").repartition(4)
+      val (assign, _) = graft.llm.Similarity.kmeansCells(
+        vecs, "vec_id", "embedding", k = 4, iters = 2)
+      graft.llm.Sampling.quotaPerStratum(assign, Seq("cell"), "vec_id",
+        n = 10)
+    })
   }
 
   private val F2 = org.apache.spark.sql.functions

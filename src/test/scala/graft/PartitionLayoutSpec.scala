@@ -224,6 +224,43 @@ class PartitionLayoutSpec extends SparkTestBase {
         "id", "text", k = 3))
   }
 
+  it should "produce identical DSIR selection results across layouts" in {
+    import org.apache.spark.sql.{functions => F}
+    // the round-12 selection operators: DSIR model fit (two token-count
+    // aggs + driver merge) trains INSIDE the closure, Gumbel-top-k is a
+    // bounded TakeOrderedAndProject, cluster-quota composes the k-means
+    // assignment with the certified per-stratum threshold selection
+    val docs = (0L until 120L).map { i =>
+      (i, s"w${i % 9} w${i % 5} the of w${i % 3} and w${i % 7} w${i % 2}")
+    }.toDF("id", "text").repartition(5)
+    val target = docs.filter(F.col("id") % 4 === 1)
+    invariant("dsirModel+LogWeight")(() => {
+      val (model, oov) =
+        graft.llm.Selection.dsirModel(docs, target, "text", topV = 6)
+      docs.select(F.col("id"),
+        graft.llm.Selection.dsirLogWeight(F.col("text"), model, oov)
+          .as("lw"))
+    })
+    invariant("gumbelTopK")(() => {
+      val (model, oov) =
+        graft.llm.Selection.dsirModel(docs, target, "text", topV = 6)
+      graft.llm.Selection.gumbelTopK(
+        docs.select(F.col("id"),
+          graft.llm.Selection.dsirLogWeight(F.col("text"), model, oov)
+            .as("lw")),
+        "id", "lw", k = 30)
+    })
+    val vecs = (0L until 90L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 0.31 + d) * 5))
+    }.toDF("vec_id", "embedding").repartition(4)
+    invariant("clusterQuota")(() => {
+      val (assign, _) = graft.llm.Similarity.kmeansCells(
+        vecs, "vec_id", "embedding", k = 4, iters = 2)
+      graft.llm.Sampling.quotaPerStratum(assign, Seq("cell"), "vec_id",
+        n = 10)
+    })
+  }
+
   it should "produce identical incremental-dedup survivors across layouts" in {
     // round-11 cross-corpus ops: a digest anti-join and an LSH-bucket
     // candidate join + Jaccard verify + anti-join — both cross-frame
