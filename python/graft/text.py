@@ -35,7 +35,8 @@ except ImportError:  # PySpark < 4.0
     from pyspark.sql.column import Column
 
 __all__ = ["lang_id", "quality_score", "token_count", "bpe_token_count",
-           "strip_markup", "encoding_stats", "encoding_keep", "gopher_stats"]
+           "strip_markup", "normalize_for_dedup", "encoding_stats",
+           "encoding_keep", "gopher_stats"]
 
 
 def _jcol(col):
@@ -76,6 +77,15 @@ def strip_markup(text):
     strip tags to spaces, decode the six standard entities, collapse
     whitespace — one kernel scan (string)."""
     return Column(_api().stripMarkupCol(_jcol(text)))
+
+
+def normalize_for_dedup(text):
+    """CCNet-style ASCII canonicalization for near-exact dedup: case
+    fold, digits 1-9 to '0', punctuation removed, whitespace collapsed
+    and trimmed; non-ASCII passes through — one kernel scan (string).
+    Hash the result (or group by it) to catch case/punctuation/number
+    variants raw exact dedup misses."""
+    return Column(_api().normalizeForDedupCol(_jcol(text)))
 
 
 def encoding_stats(text):

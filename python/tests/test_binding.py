@@ -346,6 +346,11 @@ def test_markup_and_encoding_columns(spark):
     assert rows[2]["enc"]["n_control"] == 0
     assert rows[1]["keep"] is True
     assert rows[2]["g"]["n_words"] == 1
+    from pyspark.sql import functions as SF
+    norm = docs.select(
+        text.normalize_for_dedup(SF.lit("Hello, World! 123")).alias("n")
+    ).head()["n"]
+    assert norm == "hello world 000"
 
 
 def test_shuffle_positions_permutation(spark):

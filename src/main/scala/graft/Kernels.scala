@@ -1394,4 +1394,46 @@ object Kernels {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](l(0), l(1), l(2), l(3), p(0), p(1), p(2), p(3)))
   }
+
+  /**
+   * CCNet-style text canonicalization for near-exact dedup (Wenzek et al.
+   * 2020 §4.1's normalization, ASCII-scoped for bit-exact cross-engine
+   * replay): ASCII uppercase folds to lowercase, ASCII digits 1-9 fold to
+   * '0', the 32 ASCII punctuation marks are removed, whitespace runs
+   * (space/tab/LF/CR/FF — the same class every text kernel here uses)
+   * collapse to one space, and edges are trimmed. Everything else —
+   * including all non-ASCII — passes through untouched, so the semantics
+   * are EXACTLY the portable chain
+   *
+   *   trim(regexp_replace(translate(translate(translate(s,
+   *     'A'..'Z' -> 'a'..'z'), '1'..'9' -> '0'*9), punct -> ''),
+   *     '[ \t\n\r\f]+', ' '))
+   *
+   * which any engine (Spark, DuckDB) evaluates identically — no locale,
+   * no Unicode case folding. One linear scan instead of five passes.
+   */
+  def normalizeText(u: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val s = u.toString
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var pendingSpace = false
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f') {
+        pendingSpace = true
+      } else if ((c >= 33 && c <= 47) || (c >= 58 && c <= 64) ||
+                 (c >= 91 && c <= 96) || (c >= 123 && c <= 126)) {
+        () // ASCII punctuation: removed (leaves the whitespace around it)
+      } else {
+        if (pendingSpace && sb.length > 0) sb.append(' ')
+        pendingSpace = false
+        if (c >= 'A' && c <= 'Z') sb.append((c + 32).toChar)
+        else if (c >= '1' && c <= '9') sb.append('0')
+        else sb.append(c)
+      }
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
 }

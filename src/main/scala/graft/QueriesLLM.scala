@@ -85,6 +85,24 @@ object QueriesLLM {
       Dedup.minHashDedupPairs(docs(s, dir), "doc_id", "text",
         numHashes = 128, bands = 16, shingleSize = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
+    // CCNet-style canonicalized exact dedup: every doc_id ≡ 0 mod 3 gets a
+    // constructed case/punctuation/whitespace variant appended to the
+    // corpus, and the normalize-then-hash groupBy must fold each variant
+    // back onto its original (keep_id = the original). Raw exact dedup
+    // misses all of these by construction.
+    "dedup_exact_norm" -> ((s, dir) => {
+      val d = docs(s, dir).select(F.col("doc_id"), F.col("text"))
+      val variants = d.filter(F.pmod(F.col("doc_id"), F.lit(3L)) === 0)
+        .select((F.col("doc_id") + 1000000000000L).as("doc_id"),
+          F.concat(
+            F.translate(F.col("text"), "abcdefghijklmnopqrstuvwxyz",
+              "ABCDEFGHIJKLMNOPQRSTUVWXYZ"),
+            F.lit(" !!\t")).as("text"))
+      val n = d.unionByName(variants).select(F.col("doc_id"),
+        TextStats.normalizeForDedup(F.col("text")).as("norm"))
+      Dedup.exactDedup(n, "doc_id", "norm", normalize = false)
+        .select("dup_key", "keep_id", "n_dupes").orderBy("keep_id")
+    }),
     // Incremental dedup of a "new crawl" (odd doc_ids) against the
     // existing corpus (even doc_ids): one digest-keyed left-anti join on
     // the normalized token-set key — the shape that holds when the
@@ -1417,6 +1435,27 @@ object QueriesLLM {
          WHERE $j >= 0.5
          ORDER BY id_a, id_b"""
     },
+    // The normalize chain (translate x3 + regexp_replace + trim) is the
+    // exact pinned semantics of the normalizeText kernel; the variant
+    // construction mirrors the engine's translate/concat expression.
+    "dedup_exact_norm" ->
+      s"""WITH u AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000000000,
+             translate(text, 'abcdefghijklmnopqrstuvwxyz',
+               'ABCDEFGHIJKLMNOPQRSTUVWXYZ') || ' !!' || chr(9)
+           FROM documents WHERE doc_id % 3 = 0),
+         n AS (SELECT doc_id,
+             trim(regexp_replace(translate(translate(translate(text,
+                 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+                 '123456789', '000000000'),
+                 '!"#$$%&''()*+,-./:;<=>?@[\\]^_`{|}~', ''),
+               '[ \t\n\r\f]+', ' ', 'g')) AS norm
+           FROM u)
+         SELECT md5(norm) AS dup_key, min(doc_id) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_dupes
+         FROM n GROUP BY 1 ORDER BY keep_id""",
     // Recomputes the ENTIRE portable-simhash pipeline in SQL: per-token
     // two-lane polynomial hash + 32-bit avalanche finisher (bounded BIGINT
     // arithmetic, bit-identical to Kernels.simHashPortable), per-doc

@@ -344,6 +344,9 @@ object StreamCheck {
         .withColumn("gopher_alpha",
           graft.llm.TextStats.gopherFlags(F.col("event_type"))
             .toMap.apply("alpha_ok"))
+        // round-12 kernel: CCNet-style dedup canonicalization
+        .withColumn("norm", graft.llm.TextStats.normalizeForDedup(
+          F.concat(F.lit("X! "), F.col("event_type"), F.lit(" 42\t"))))
       (runStream("sc_kernels", ev, 4)(build), build(evDF).collect().toSeq)
     }
 

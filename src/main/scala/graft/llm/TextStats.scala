@@ -187,6 +187,34 @@ object TextStats {
   def stripMarkup(text: Column): Column =
     org.apache.spark.sql.graft.GraftColumns.stripMarkup(text)
 
+  /** CCNet-style canonicalization for near-exact dedup (Wenzek et al.
+    * 2020 §4.1, ASCII-scoped for bit-exact cross-engine replay): ASCII
+    * case fold, digits 1-9 → '0', ASCII punctuation removed, whitespace
+    * runs collapsed to one space, edges trimmed; all non-ASCII passes
+    * through untouched. One codegen'd kernel scan with semantics exactly
+    * the portable [[normalizeForDedupChain]] — hash the result (or feed
+    * it to [[graft.llm.Dedup.exactDedup]]) to catch the
+    * case/punctuation/number variants raw exact dedup misses. */
+  def normalizeForDedup(text: Column): Column =
+    org.apache.spark.sql.graft.GraftColumns.normalizeText(text)
+
+  /** ASCII punctuation removed by [[normalizeForDedup]] (codes 33-47,
+    * 58-64, 91-96, 123-126). */
+  val AsciiPunct: String = (33 to 47).++(58 to 64).++(91 to 96)
+    .++(123 to 126).map(_.toChar).mkString
+
+  /** The portable five-pass column form of [[normalizeForDedup]] — the
+    * reference semantics the DuckDB oracle mirrors (translate ×3 +
+    * regexp_replace + trim). Parity on arbitrary input is pinned in
+    * KernelLaws. */
+  def normalizeForDedupChain(text: Column): Column =
+    F.trim(F.regexp_replace(
+      F.translate(F.translate(F.translate(text,
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"),
+        "123456789", "000000000"),
+        AsciiPunct, ""),
+      F.lit("[ \\t\\n\\r\\f]+"), F.lit(" ")))
+
   /** Encoding-quality counters struct `(n_chars, n_replacement,
     * n_control)` — Unicode code points, U+FFFD replacement chars, and
     * disallowed control chars (`[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]`) — the

@@ -404,6 +404,8 @@ object PyApi {
     graft.llm.TextStats.bpeTokenCount(text)
   def stripMarkupCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.llm.TextStats.stripMarkup(text)
+  def normalizeForDedupCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.llm.TextStats.normalizeForDedup(text)
   def encodingStatsCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.llm.TextStats.encodingStats(text)
   def encodingKeepCol(text: org.apache.spark.sql.Column,

@@ -127,6 +127,9 @@ object GraftColumns {
   /** See [[MarkupStrip]]. */
   def stripMarkup(text: Column): Column = col(MarkupStrip(ex(text)))
 
+  /** See [[NormalizeText]]. */
+  def normalizeText(text: Column): Column = col(NormalizeText(ex(text)))
+
   /** See [[EncodingStats]]. */
   def encodingStats(text: Column): Column = col(EncodingStats(ex(text)))
 
@@ -748,6 +751,24 @@ object PiiScrub {
     StructField("n_emails", IntegerType, nullable = false),
     StructField("n_phones", IntegerType, nullable = false),
     StructField("n_ips", IntegerType, nullable = false)))
+}
+
+/** CCNet-style ASCII text canonicalization (graft.Kernels.normalizeText):
+  * case fold, digit fold, punctuation strip, whitespace collapse + trim in
+  * one scan — semantics exactly the translate/regexp_replace/trim chain
+  * the kernel doc pins. */
+case class NormalizeText(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    graft.Kernels.normalizeText(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.Kernels.normalizeText($c);")
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
 }
 
 /** WET-style markup-to-text extraction (graft.Kernels.stripMarkup): one

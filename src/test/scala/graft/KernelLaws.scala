@@ -158,6 +158,42 @@ object KernelLaws extends Properties("Kernels") {
       Kernels.stripMarkup(UTF8String.fromString(s)).toString == stripMarkupRef(s)
     }
 
+  /** Char soup for the normalize kernel: uppercase/lowercase, digits,
+    * every ASCII punctuation mark, the five whitespace-class chars plus
+    * non-class controls (VT), and non-ASCII incl. astral pairs. */
+  private val normalizeSoup: Gen[String] = {
+    val frag = Gen.oneOf(
+      "ABC", "xyz", "MiXeD", "0", "123456789", "42", "a1B2",
+      "!\"#$%&'()*+,-./", ":;<=>?@", "[\\]^_`", "{|}~",
+      " ", "\t", "\n", "\r", "\f", "", " ",
+      "µß", "É", "😀", "中文", ".", "a.b", " . ")
+    Gen.chooseNum(0, 25).flatMap(n => Gen.listOfN(n, frag).map(_.mkString))
+  }
+
+  /** The translate/collapse/trim chain the normalize kernel doc pins. */
+  private def normalizeRef(s: String): String = {
+    def tr(in: String, from: String, to: String): String = {
+      val sb = new StringBuilder
+      in.foreach { c =>
+        val i = from.indexOf(c)
+        if (i < 0) sb.append(c)
+        else if (i < to.length) sb.append(to(i)) // else: removed
+      }
+      sb.toString
+    }
+    val lowered = tr(s, "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+      "abcdefghijklmnopqrstuvwxyz")
+    val digits = tr(lowered, "123456789", "000000000")
+    val noPunct = tr(digits, graft.llm.TextStats.AsciiPunct, "")
+    noPunct.replaceAll("[ \\t\\n\\r\\f]+", " ").replaceAll("^ | $", "")
+  }
+
+  property("normalizeText = translate/collapse/trim chain on random soup") =
+    forAll(normalizeSoup) { s =>
+      Kernels.normalizeText(UTF8String.fromString(s)).toString ==
+        normalizeRef(s)
+    }
+
   /** Char soup with controls, U+FFFD, tab/newline/CR, DEL, astral. */
   private val charSoup: Gen[String] = {
     val frag = Gen.oneOf("a", "Z9", "\uFFFD", "\u0000", "\u0001", "\u000B",

@@ -334,6 +334,26 @@ class TextOpsSpec extends SparkTestBase {
     }
   }
 
+  it should "match normalizeForDedup kernel to the translate/trim chain" in {
+    val fixtures = Seq(
+      "Hello, World! 123", "a.b", " . ", "A  B\t\nC", "!!!", "", "  ",
+      "xy", // VT is NOT in the whitespace class: passes through
+      "cafÉ ß 中文 😀", // non-ASCII untouched
+      "end.", ".start", "1999 was 20 years ago...", null)
+    val d = fixtures.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val bad = d.select(F.col("text"),
+      TextStats.normalizeForDedup(F.col("text")).as("k"),
+      TextStats.normalizeForDedupChain(F.col("text")).as("r"))
+      .where(F.col("k") =!= F.col("r") ||
+        (F.col("k").isNull =!= F.col("r").isNull)).collect()
+    withClue(bad.mkString("; ")) { bad shouldBe empty }
+    // spot semantics: the canonical CCNet fold
+    val one = d.filter(F.col("id") === 0)
+      .select(TextStats.normalizeForDedup(F.col("text"))).head().getString(0)
+    one shouldBe "hello world 000"
+  }
+
   it should "match rollingHash kernel to the aggregate fold bit-for-bit" in {
     val d = (textParityCorpus :+ null).zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
