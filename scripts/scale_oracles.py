@@ -46,6 +46,7 @@ import scale_oracles_emb
 # numpy, so those checks recompute the full search independently there.
 SCALE_INVARIANT = [
     "dedup_minhash_lsh", "near_dup_jaccard", "dedup_against_minhash",
+    "dedup_against_index",
     "dedup_clusters", "dedup_keep_docs", "dedup_keep_best",
     "ema_rows_es_current_core", "ema_rows_ewma_legacy", "skew_ema_rows_ewma",
 ] + scale_oracles_emb.SCALE_INVARIANT_EMB
@@ -175,15 +176,18 @@ def check_near_dup_jaccard(con, out_dir):
     return None
 
 
-def check_dedup_against_minhash(con, out_dir):
+def check_dedup_against_minhash(con, out_dir, name="dedup_against_minhash"):
     """Linear-shaped invariants for the incremental (incoming = odd
     doc_ids, existing = even) near-dedup: the all-cross-pairs SQL oracle
     is quadratic, so at scale we verify (1) output structure, (2) drop
     soundness — every dropped incoming doc really has a J >= 0.5 match in
     the existing half, recomputed exactly over shared-shingle candidates —
     and (3) keep completeness on a deterministic ~1% sample — no sampled
-    survivor has any J >= 0.5 existing match."""
-    err = _dump(out_dir, "dedup_against_minhash", con, "got_dam")
+    survivor has any J >= 0.5 existing match. dedup_against_index shares
+    the exact contract (same split / threshold / shingles / exact-Jaccard
+    verify; only the engine path differs — prebuilt index), so the same
+    invariants check it."""
+    err = _dump(out_dir, name, con, "got_dam")
     if err:
         return err
     bad = con.execute(
@@ -479,6 +483,9 @@ def run(name, con, out_dir, sf_dir):
         "near_dup_jaccard": lambda: check_near_dup_jaccard(con, out_dir),
         "dedup_against_minhash":
             lambda: check_dedup_against_minhash(con, out_dir),
+        "dedup_against_index":
+            lambda: check_dedup_against_minhash(
+                con, out_dir, name="dedup_against_index"),
         "dedup_clusters": lambda: check_dedup_clusters(con, out_dir),
         "dedup_keep_docs": lambda: check_dedup_keep_docs(con, out_dir),
         "dedup_keep_best": lambda: check_dedup_keep_best(con, out_dir),
