@@ -313,6 +313,21 @@ class TimeSeriesDataFrame(DataFrame):
             self._jdf, id_col, text_col, num_hashes, bands, shingle_size,
             threshold, max_bucket_size, bool(strict)))
 
+    def minhash_edit_pairs(self, id_col, text_col, num_hashes=128, bands=16,
+                           shingle_size=3, jaccard_floor=0.5, edit_sim=0.8,
+                           max_bucket_size=64, strict=False):
+        """Near-dup ``(id_a, id_b, jaccard, dist, edit_sim)`` pairs via the
+        two-tier design: MinHash-LSH + exact-Jaccard shortlist at
+        ``jaccard_floor``, then character-Levenshtein verify keeping pairs
+        with ``1 - dist/max(len) >= edit_sim`` — rejects reordered
+        boilerplate that token-set overlap alone over-merges. The DP tier
+        is quadratic in the longest candidate document (documented
+        contract); the shortlist tier carries the same never-silent bucket
+        cap as ``minhash_dedup_pairs``."""
+        return self._with(_api(self).minHashEditPairs(
+            self._jdf, id_col, text_col, num_hashes, bands, shingle_size,
+            jaccard_floor, edit_sim, max_bucket_size, bool(strict)))
+
     def simhash_pairs(self, id_col, text_col, max_hamming=3,
                       max_bucket_size=64, portable=False):
         """SimHash near-dup pairs. ``portable=True`` selects the
@@ -533,6 +548,23 @@ class TimeSeriesDataFrame(DataFrame):
         counter kernel pass, bit-stable thresholds."""
         return self._with(_api(self).gopherFilter(
             self._jdf, text_col, min_words, max_words))
+
+    def c4_clean(self, id_col, text_col, min_sentences=3, min_line_words=5):
+        """C4-style line cleaning (Raffel et al. 2020): drop lines that
+        don't end in terminal punctuation, hold fewer than
+        ``min_line_words`` words, or mention javascript; page-level audit
+        flags ``lorem_ok`` / ``brace_ok`` / ``keep`` (>= ``min_sentences``
+        sentences retained). One projection, no shuffle."""
+        return self._with(_api(self).c4Clean(
+            self._jdf, id_col, text_col, min_sentences, min_line_words))
+
+    def token_entropy(self, id_col, text_col):
+        """Within-document token-distribution Shannon entropy in integer
+        micro-nats (quantize-per-term-then-sum, exact in any engine):
+        ``n_tokens``, ``n_distinct``, ``ent_micro`` per document.
+        ``ent_micro / n_tokens / 1e6`` is nats per token."""
+        return self._with(_api(self).tokenEntropy(
+            self._jdf, id_col, text_col))
 
     def dedup_against_exact(self, existing, text_col, normalize=True):
         """Incremental exact dedup: drop rows of this frame whose content

@@ -288,6 +288,46 @@ def test_gopher_filter(spark):
     assert gf[1]["words_ok"] is False and gf[1]["keep"] is False
 
 
+def test_c4_clean_and_token_entropy(spark):
+    page = ("visit menu login cart\n"
+            "This content line has plenty of words in it.\n"
+            "Please enable javascript to view this site.\n"
+            "It reads well. It ends here too.")
+    docs = TimeSeriesDataFrame.from_df(spark.createDataFrame(
+        [(0, 1, page), (0, 2, "lorem ipsum fills this page entirely here.")],
+        "time long, doc_id long, text string"))
+    c4 = docs.c4_clean("doc_id", "text").orderBy("doc_id").collect()
+    assert c4[0]["text"] == ("This content line has plenty of words in it.\n"
+                             "It reads well. It ends here too.")
+    assert c4[0]["n_lines"] == 4 and c4[0]["n_kept"] == 2
+    assert c4[0]["n_sent"] == 3 and c4[0]["keep"] is True
+    assert c4[1]["lorem_ok"] is False and c4[1]["keep"] is False
+    ent = TimeSeriesDataFrame.from_df(spark.createDataFrame(
+        [(0, 1, "a a b")], "time long, doc_id long, text string")) \
+        .token_entropy("doc_id", "text").collect()
+    assert ent[0]["n_tokens"] == 3 and ent[0]["n_distinct"] == 2
+    assert ent[0]["ent_micro"] > 0
+    # single repeated token -> zero entropy
+    uni = TimeSeriesDataFrame.from_df(spark.createDataFrame(
+        [(0, 9, "same same same")], "time long, doc_id long, text string"))
+    assert uni.token_entropy("doc_id", "text").collect()[0]["ent_micro"] == 0
+
+
+def test_minhash_edit_pairs(spark):
+    base = " ".join(f"tok{i}" for i in range(1, 41))
+    near = base.replace("tok7", "tokX")
+    other = " ".join(f"other{i}" for i in range(1, 41))
+    docs = TimeSeriesDataFrame.from_df(spark.createDataFrame(
+        [(0, 1, base), (0, 2, near), (0, 3, other)],
+        "time long, doc_id long, text string"))
+    pairs = docs.minhash_edit_pairs(
+        "doc_id", "text", num_hashes=64, bands=16, shingle_size=3,
+        jaccard_floor=0.5, edit_sim=0.9).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    assert pairs[0]["dist"] == 1
+    assert pairs[0]["edit_sim"] == 1.0 - 1.0 / len(base)
+
+
 def test_dedup_against(spark):
     existing = TimeSeriesDataFrame.from_df(spark.createDataFrame(
         [(0, 10, "alpha beta gamma delta epsilon zeta eta theta")],

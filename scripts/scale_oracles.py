@@ -45,8 +45,8 @@ import scale_oracles_emb
 # materializes ~5.7e9 rows at 100x — while the corpus as BYTES fits in
 # numpy, so those checks recompute the full search independently there.
 SCALE_INVARIANT = [
-    "dedup_minhash_lsh", "near_dup_jaccard", "dedup_against_minhash",
-    "dedup_against_index",
+    "dedup_minhash_lsh", "dedup_lsh_edit", "near_dup_jaccard",
+    "dedup_against_minhash", "dedup_against_index",
     "dedup_clusters", "dedup_keep_docs", "dedup_keep_best",
     "ema_rows_es_current_core", "ema_rows_ewma_legacy", "skew_ema_rows_ewma",
 ] + scale_oracles_emb.SCALE_INVARIANT_EMB
@@ -129,6 +129,87 @@ def check_dedup_minhash_lsh(con, out_dir):
              (SELECT ca, cb FROM mh_truth EXCEPT SELECT ca, cb FROM gotp)),
           (SELECT count(*) FROM
              (SELECT ca, cb FROM gotp EXCEPT SELECT ca, cb FROM mh_truth))
+        """).fetchone()
+    if missing or extra:
+        return f"sampled completeness: {missing} true pairs missing, " \
+               f"{extra} unexpected pairs"
+    return None
+
+
+def check_dedup_lsh_edit(con, out_dir):
+    """Same shape as check_dedup_minhash_lsh plus the edit tier: soundness
+    recomputes Jaccard AND Levenshtein for every emitted pair (linear in
+    |pairs|, DP bounded by the corpus max doc length); sampled
+    completeness applies both thresholds (J >= 0.5, edit_sim >= 0.6) to
+    the exact shared-shingle candidate pairs of a deterministic ~1%
+    sample."""
+    err = _dump(out_dir, "dedup_lsh_edit", con, "got_de")
+    if err:
+        return err
+    bad = con.execute(
+        "SELECT count(*) FROM got_de WHERE id_a >= id_b").fetchone()[0]
+    if bad:
+        return f"{bad} pairs with id_a >= id_b"
+    dup = con.execute(
+        "SELECT count(*) - count(DISTINCT (id_a, id_b)) FROM got_de"
+    ).fetchone()[0]
+    if dup:
+        return f"{dup} duplicate pairs"
+    # soundness: J + Levenshtein recheck per emitted pair
+    touched = ("SELECT id_a FROM got_de UNION SELECT id_b FROM got_de")
+    sh = _SHINGLES.format(pred=f"WHERE doc_id IN ({touched})")
+    bad = con.execute(f"""
+        WITH d AS ({sh}),
+        t AS (SELECT doc_id, text FROM documents
+              WHERE doc_id IN ({touched}))
+        SELECT count(*) FROM got_de p
+        JOIN d a ON a.doc_id = p.id_a JOIN d b ON b.doc_id = p.id_b
+        JOIN t ta ON ta.doc_id = p.id_a JOIN t tb ON tb.doc_id = p.id_b
+        WHERE {_J} < 0.5 OR abs({_J} - p.jaccard) > 1e-9
+           OR levenshtein(ta.text, tb.text) <> p.dist
+           OR 1.0 - CAST(p.dist AS DOUBLE)
+                / CAST(greatest(length(ta.text), length(tb.text)) AS DOUBLE)
+              <> p.edit_sim
+           OR p.edit_sim < 0.6""").fetchone()[0]
+    if bad:
+        return f"{bad} emitted pairs fail Jaccard/Levenshtein recheck"
+    # completeness on a deterministic ~1% sample with both tiers applied
+    n_cand = con.execute(f"""
+        WITH d AS ({_SHINGLES.format(pred='')}),
+        s AS (SELECT * FROM d WHERE doc_id % 97 = 3),
+        sg AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        ag AS (SELECT doc_id, unnest(sh) AS g FROM d)
+        SELECT count(*) FROM sg JOIN ag USING (g)
+        WHERE sg.doc_id <> ag.doc_id""").fetchone()[0]
+    if n_cand > 50_000_000:
+        return f"completeness candidate blowup ({n_cand} rows) — shingle " \
+               "frequencies are no longer rare; sample check not run"
+    con.execute(f"""
+        CREATE OR REPLACE TABLE de_truth AS
+        WITH d AS ({_SHINGLES.format(pred='')}),
+        s AS (SELECT * FROM d WHERE doc_id % 97 = 3),
+        sg AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        ag AS (SELECT doc_id, unnest(sh) AS g FROM d),
+        cand AS (SELECT DISTINCT least(sg.doc_id, ag.doc_id) AS ca,
+                        greatest(sg.doc_id, ag.doc_id) AS cb
+                 FROM sg JOIN ag USING (g) WHERE sg.doc_id <> ag.doc_id),
+        jpass AS (SELECT ca, cb FROM cand
+                  JOIN d a ON a.doc_id = ca JOIN d b ON b.doc_id = cb
+                  WHERE {_J} >= 0.5)
+        SELECT ca, cb FROM jpass
+        JOIN documents ta ON ta.doc_id = ca
+        JOIN documents tb ON tb.doc_id = cb
+        WHERE 1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
+            / CAST(greatest(length(ta.text), length(tb.text)) AS DOUBLE)
+          >= 0.6""")
+    missing, extra = con.execute("""
+        WITH gotp AS (SELECT id_a AS ca, id_b AS cb FROM got_de
+                      WHERE id_a % 97 = 3 OR id_b % 97 = 3)
+        SELECT
+          (SELECT count(*) FROM
+             (SELECT ca, cb FROM de_truth EXCEPT SELECT ca, cb FROM gotp)),
+          (SELECT count(*) FROM
+             (SELECT ca, cb FROM gotp EXCEPT SELECT ca, cb FROM de_truth))
         """).fetchone()
     if missing or extra:
         return f"sampled completeness: {missing} true pairs missing, " \
@@ -480,6 +561,7 @@ def run(name, con, out_dir, sf_dir):
     error description."""
     fns = {
         "dedup_minhash_lsh": lambda: check_dedup_minhash_lsh(con, out_dir),
+        "dedup_lsh_edit": lambda: check_dedup_lsh_edit(con, out_dir),
         "near_dup_jaccard": lambda: check_near_dup_jaccard(con, out_dir),
         "dedup_against_minhash":
             lambda: check_dedup_against_minhash(con, out_dir),

@@ -755,6 +755,50 @@ object QueriesLLM {
         st.getField("n_control").as("n_control"),
         TextStats.encodingKeep(t).as("keep")).orderBy("doc_id")
     }),
+    // C4-style line cleaning (Raffel et al. 2020): the corpus is word soup
+    // with no line structure, so (like strip_boilerplate) the query builds
+    // deterministic pages — a short nav line (dropped: no terminal punct),
+    // a content line from the doc's own text (kept), an
+    // enable-javascript line for doc_id % 3 = 0 (dropped by the
+    // javascript rule), extra sentences for even doc_ids (drives the
+    // >= 3-sentences page rule), a CSS line for doc_id % 7 = 0 (dropped
+    // per-line AND fails the page-level curly-brace rule), and a lorem
+    // ipsum line for doc_id % 11 = 0 (retained per-line, fails the
+    // page-level lorem rule) — so every rule fires both ways.
+    "c4_clean" -> ((s, dir) => {
+      val nl = F.lit("\n")
+      val built = docs(s, dir).select(F.col("doc_id"), F.concat(
+          F.lit("visit menu login cart"), nl,
+          F.substring(F.col("text"), 1, 80), F.lit(" and so it goes."),
+          F.when(F.pmod(F.col("doc_id"), F.lit(3L)) === 0,
+            F.concat(nl, F.lit("Please enable javascript to view this site.")))
+            .otherwise(F.lit("")),
+          F.when(F.pmod(F.col("doc_id"), F.lit(2L)) === 0,
+            F.concat(nl, F.lit("It reads well. It ends here too.")))
+            .otherwise(F.lit("")),
+          F.when(F.pmod(F.col("doc_id"), F.lit(7L)) === 0,
+            F.concat(nl, F.lit("body { margin: 0; }")))
+            .otherwise(F.lit("")),
+          F.when(F.pmod(F.col("doc_id"), F.lit(11L)) === 0,
+            F.concat(nl, F.lit("standard lorem ipsum filler text here.")))
+            .otherwise(F.lit(""))).as("text"))
+      TextStats.c4Clean(built, "doc_id", "text").orderBy("doc_id")
+    }),
+    // Within-doc token-distribution Shannon entropy in integer micro-nats
+    // (quantize-per-term-then-sum, the unigramModel portability contract):
+    // the lexical-diversity quality signal complementing doc_repetition.
+    "doc_entropy" -> ((s, dir) =>
+      TextStats.tokenEntropy(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    // Jaccard-shortlist + edit-distance-verified near-dup pairs: LSH
+    // candidates at J >= 0.5 re-verified with character Levenshtein at
+    // edit similarity >= 0.6 — the two-tier design for corpora where
+    // token-set overlap over-merges reordered boilerplate.
+    "dedup_lsh_edit" -> ((s, dir) =>
+      Dedup.minHashEditPairs(docs(s, dir), "doc_id", "text",
+        numHashes = 128, bands = 16, shingleSize = 3, jaccardFloor = 0.5,
+        editSim = 0.6)
+        .orderBy("id_a", "id_b")),
     // The published Gopher/MassiveText quality-rule bundle as auditable
     // flags (words, mean word length, symbol ratio, bullet/ellipsis lines,
     // alpha-word fraction, stopword presence) + the conjunction keep.
@@ -1435,6 +1479,31 @@ object QueriesLLM {
          WHERE $j >= 0.5
          ORDER BY id_a, id_b"""
     },
+    "dedup_lsh_edit" -> {
+      // Same exact-Jaccard candidate tier as dedup_minhash_lsh (recall ~1
+      // at this band/row config), then the identical Levenshtein verify:
+      // edit_sim = 1 - lev/max(len) as an exact integer-ratio double.
+      val isz = "len(list_intersect(a.sh, b.sh))"
+      val j = s"CAST($isz AS DOUBLE) / CAST(len(a.sh) + len(b.sh) - $isz AS DOUBLE)"
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+           FROM documents),
+         d AS (
+           SELECT doc_id, text, list_distinct([array_to_string(toks[i:i+2], ' ')
+               for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS sh
+           FROM t),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, $j AS jaccard,
+               a.text AS ta, b.text AS tb
+           FROM d a JOIN d b ON a.doc_id < b.doc_id
+           WHERE $j >= 0.5)
+         SELECT id_a, id_b, jaccard,
+           CAST(levenshtein(ta, tb) AS BIGINT) AS dist,
+           1.0 - CAST(levenshtein(ta, tb) AS DOUBLE)
+             / CAST(greatest(length(ta), length(tb)) AS DOUBLE) AS edit_sim
+         FROM p
+         WHERE 1.0 - CAST(levenshtein(ta, tb) AS DOUBLE)
+             / CAST(greatest(length(ta), length(tb)) AS DOUBLE) >= 0.6
+         ORDER BY id_a, id_b"""
+    },
     // The normalize chain (translate x3 + regexp_replace + trim) is the
     // exact pinned semantics of the normalizeText kernel; the variant
     // construction mirrors the engine's translate/concat expression.
@@ -1723,6 +1792,56 @@ object QueriesLLM {
              + len(regexp_extract_all(t, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]')))
              * 1000 <= length(t) * 1 AS keep
          FROM t ORDER BY doc_id""",
+    // the page construction mirrors the engine's concat expression; the
+    // line rule is the pinned c4LineKeep semantics (trim-space, terminal
+    // [.!?"], >= 5 non-empty single-space words, no lowercased
+    // 'javascript'), page flags on the cleaned/original text per rule
+    "c4_clean" ->
+      """WITH b AS (SELECT doc_id,
+           'visit menu login cart' || chr(10) ||
+           substr(text, 1, 80) || ' and so it goes.' ||
+           CASE WHEN doc_id % 3 = 0 THEN chr(10) ||
+             'Please enable javascript to view this site.' ELSE '' END ||
+           CASE WHEN doc_id % 2 = 0 THEN chr(10) ||
+             'It reads well. It ends here too.' ELSE '' END ||
+           CASE WHEN doc_id % 7 = 0 THEN chr(10) ||
+             'body { margin: 0; }' ELSE '' END ||
+           CASE WHEN doc_id % 11 = 0 THEN chr(10) ||
+             'standard lorem ipsum filler text here.' ELSE '' END AS text
+           FROM documents),
+         k AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls,
+           list_filter(string_split(text, chr(10)),
+             l -> regexp_matches(trim(l), '[.!?"]$')
+               AND len(list_filter(string_split(trim(l), ' '),
+                     w -> w <> '')) >= 5
+               AND NOT contains(lower(trim(l)), 'javascript')) AS kept
+           FROM b),
+         c AS (SELECT doc_id, text AS orig,
+             array_to_string(kept, chr(10)) AS text,
+             CAST(len(ls) AS INT) AS n_lines, CAST(len(kept) AS INT) AS n_kept
+           FROM k)
+         SELECT doc_id, text, n_lines, n_kept,
+           CAST(len(regexp_extract_all(text, '[.!?]')) AS INT) AS n_sent,
+           NOT contains(lower(orig), 'lorem ipsum') AS lorem_ok,
+           NOT contains(orig, '{') AS brace_ok,
+           len(regexp_extract_all(text, '[.!?]')) >= 3
+             AND NOT contains(lower(orig), 'lorem ipsum')
+             AND NOT contains(orig, '{') AS keep
+         FROM c ORDER BY doc_id""",
+    "doc_entropy" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+           FROM documents),
+         c AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+         n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                 count(*) AS nd FROM c GROUP BY 1)
+         SELECT n.doc_id,
+           max(n.n) AS n_tokens,
+           CAST(max(n.nd) AS BIGINT) AS n_distinct,
+           CAST(-sum(CAST(round(c.c
+               * ln(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE))
+               * 1000000.0) AS BIGINT)) AS BIGINT) AS ent_micro
+         FROM c JOIN n ON c.doc_id = n.doc_id
+         GROUP BY n.doc_id ORDER BY n.doc_id""",
     "gopher_flags" ->
       """WITH g AS (SELECT doc_id,
            len(string_split(text, ' ')) AS nw,

@@ -158,6 +158,56 @@ object Dedup {
   }
 
   /**
+   * Near-duplicate pairs by Jaccard shortlist + edit-distance verify: the
+   * [[minHashDedupPairs]] candidates (banded MinHash-LSH, exact
+   * shingle-Jaccard >= `jaccardFloor`) re-verified with character-level
+   * Levenshtein distance — a pair survives when
+   * `1 - lev(a, b) / max(len(a), len(b)) >= editSim`. The standard
+   * two-tier design for corpora where token-SET overlap over-merges
+   * (reordered boilerplate, shuffled listings: high Jaccard, low edit
+   * similarity): the cheap set-similarity tier bounds the candidate
+   * count, the expensive O(len_a · len_b) DP runs only on survivors.
+   * Both tiers are built-ins (`levenshtein` is codegen'd); the
+   * similarity is an exact integer ratio in double, bit-identical in any
+   * engine. For corpora with very long documents, bound the DP with the
+   * thresholded `levenshtein(l, r, maxEdits)` builtin at a corpus-level
+   * length cap before trusting per-pair cost — this default form is
+   * quadratic in the LONGEST candidate document (documented contract,
+   * like [[jaccardPairsWithin]]'s block bound).
+   *
+   * Output: (id_a, id_b, jaccard, dist, edit_sim), id_a < id_b.
+   *
+   * Scale shape: candidate mining is [[minHashDedupPairs]]'s one
+   * (band, bucket) shuffle with the same never-silent bucket cap
+   * (`strict` / [[minHashBucketAudit]]); the verify tier adds two
+   * id-keyed equi-joins to fetch pair texts — candidates-sized, not
+   * corpus-sized — and one DP per candidate pair.
+   */
+  def minHashEditPairs(df: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int = 128, bands: Int = 16,
+                       shingleSize: Int = 3, jaccardFloor: Double = 0.5,
+                       editSim: Double = 0.8, maxBucketSize: Int = 64,
+                       strict: Boolean = false): DataFrame = {
+    require(editSim >= 0.0 && editSim <= 1.0,
+      s"editSim must be in [0, 1], got $editSim")
+    val cand = minHashDedupPairs(df, idCol, textCol, numHashes, bands,
+      shingleSize, jaccardFloor, maxBucketSize, strict)
+    val txt = df.select(F.col(idCol), F.col(textCol))
+    cand
+      .join(txt.select(F.col(idCol).as("id_a"), F.col(textCol).as("__t_a")),
+        Seq("id_a"))
+      .join(txt.select(F.col(idCol).as("id_b"), F.col(textCol).as("__t_b")),
+        Seq("id_b"))
+      .withColumn("dist",
+        F.levenshtein(F.col("__t_a"), F.col("__t_b")).cast("long"))
+      .withColumn("edit_sim", F.lit(1.0) - F.col("dist").cast("double") /
+        F.greatest(F.length(F.col("__t_a")), F.length(F.col("__t_b")))
+          .cast("double"))
+      .filter(F.col("edit_sim") >= editSim)
+      .select("id_a", "id_b", "jaccard", "dist", "edit_sim")
+  }
+
+  /**
    * Truncation audit for the LSH bucket cap — the "no silent caps" rule
    * as a first-class output: recomputes the banded buckets of
    * [[minHashDedupPairs]] (same parameters ⇒ identical buckets, the hash

@@ -824,4 +824,105 @@ object TextStats {
         (F.col("pos") + 1).as("rank"),
         F.col("hit.cosine").cast("long").as("score_micro"))
   }
+
+  // ────────────────────────────────────────────────────────────────────
+  // C4-style line cleaning (Raffel et al. 2020, "Exploring the Limits of
+  // Transfer Learning", §2.2 — the heuristics behind the C4 corpus).
+  // ────────────────────────────────────────────────────────────────────
+
+  /** The C4 per-line retention rule: after trimming ASCII spaces the line
+    * must (a) end in a terminal punctuation mark (`.`, `!`, `?`, `"`),
+    * (b) hold at least `minLineWords` non-empty single-space-split words,
+    * and (c) not contain the substring "javascript" after lowercasing
+    * (the published rule targets enable-javascript boilerplate lines).
+    * Pure built-ins (trim / rlike / filter / contains) — stays in
+    * whole-stage codegen and replays verbatim as SQL: the DuckDB form is
+    * `regexp_matches(trim(l), '[.!?"]$') AND
+    *  len(list_filter(string_split(trim(l), ' '), w -> w <> '')) >= k AND
+    *  NOT contains(lower(trim(l)), 'javascript')`. */
+  def c4LineKeep(line: Column, minLineWords: Int = 5): Column = {
+    val t = F.trim(line)
+    t.rlike("[.!?\"]$") &&
+      F.size(F.filter(F.split(t, " ", -1), w => w =!= "")) >= minLineWords &&
+      !F.contains(F.lower(t), F.lit("javascript"))
+  }
+
+  /**
+   * C4 document cleaning: drop lines failing [[c4LineKeep]], then flag
+   * documents by the published page-level rules — at least `minSentences`
+   * sentences retained (sentences counted as `.`/`!`/`?` occurrences in
+   * the CLEANED text), no "lorem ipsum" (lowercased) and no `{` anywhere
+   * in the ORIGINAL text (the curly-brace rule drops pages of leaked
+   * code/CSS). Emitted as flags plus the conjunction `keep`, never a
+   * silent filter, so a pipeline can audit WHY pages fall out — the same
+   * auditability convention as [[gopherFlags]] and [[hardFilterFlags]].
+   *
+   * Output: idCol, `text` (retained lines joined with `\n`), `n_lines`,
+   * `n_kept`, `n_sent`, `lorem_ok`, `brace_ok`, `keep`.
+   *
+   * Shape at 100 TB: ONE projection — every rule is a higher-order or
+   * string built-in over the row's own text. No shuffle, no UDF, no
+   * kernel, no state; linear in corpus bytes and embarrassingly parallel,
+   * with column pruning reaching the scan (only id + text are read).
+   */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+              minSentences: Int = 3, minLineWords: Int = 5): DataFrame = {
+    require(minSentences >= 0, s"minSentences must be >= 0, got $minSentences")
+    require(minLineWords >= 1, s"minLineWords must be >= 1, got $minLineWords")
+    val lines = F.split(F.col(textCol), "\n", -1)
+    val kept = F.filter(lines, l => c4LineKeep(l, minLineWords))
+    df.select(F.col(idCol),
+        F.array_join(kept, "\n").as("text"),
+        F.size(lines).as("n_lines"),
+        F.size(kept).as("n_kept"),
+        (!F.contains(F.lower(F.col(textCol)), F.lit("lorem ipsum"))).as("lorem_ok"),
+        (!F.contains(F.col(textCol), F.lit("{"))).as("brace_ok"))
+      .withColumn("n_sent",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]"), F.lit(0))))
+      .withColumn("keep",
+        F.col("n_sent") >= minSentences && F.col("lorem_ok") && F.col("brace_ok"))
+      .select(F.col(idCol), F.col("text"), F.col("n_lines"), F.col("n_kept"),
+        F.col("n_sent"), F.col("lorem_ok"), F.col("brace_ok"), F.col("keep"))
+  }
+
+  /**
+   * Within-document token-distribution Shannon entropy in integer
+   * micro-nats: for token counts c_w over doc total n,
+   * `ent_micro = -Σ_w round(c_w · ln(c_w / n) · 1e6)` — the per-term
+   * quantize-then-sum convention of [[unigramModel]], so the result is an
+   * exact integer, identical in any engine and any summation order (a
+   * float entropy sum would drift by ulps across merge orders and break
+   * exact cross-engine checks). Low entropy at a given length means a
+   * degenerate/repetitive token distribution; alongside
+   * [[ngramRepetition]] it is the standard lexical-diversity quality
+   * signal. Tokens are single-space splits (corpus convention — empties
+   * count, like [[tokenCount]]); `ent_micro / n_tokens / 1e6` is the
+   * per-token entropy in nats, `exp` of it the within-doc perplexity.
+   *
+   * Output: idCol, `n_tokens`, `n_distinct`, `ent_micro`.
+   *
+   * Shape at 100 TB: explode → (doc, token) count (map-side combinable —
+   * the shuffle carries one row per DISTINCT (doc, token), not per
+   * occurrence) → per-doc totals (second map-side-combinable agg on the
+   * doc key) → counts ⋈ totals equi-join on the doc key → final per-doc
+   * sum, which reuses the join's hash partitioning. No window, no
+   * collect, no broadcast, no driver state.
+   */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = df
+      .select(F.col(idCol).as("__te_id"),
+        F.explode(tokens(F.col(textCol))).as("t"))
+      .groupBy("__te_id", "t").agg(F.count(F.lit(1)).as("c"))
+    val totals = counts.groupBy("__te_id")
+      .agg(F.sum("c").as("n"), F.count(F.lit(1)).as("nd"))
+    counts.join(totals, "__te_id")
+      .withColumn("__term", F.round(F.col("c") *
+          F.log(F.col("c").cast("double") / F.col("n").cast("double")) * 1e6)
+        .cast("long"))
+      .groupBy("__te_id")
+      .agg(F.max("n").as("n_tokens"), F.max("nd").cast("long").as("n_distinct"),
+        (-F.sum("__term")).as("ent_micro"))
+      .select(F.col("__te_id").as(idCol), F.col("n_tokens"),
+        F.col("n_distinct"), F.col("ent_micro"))
+  }
 }

@@ -516,6 +516,23 @@ object PyApi {
                    maxWords: Int): DataFrame =
     graft.llm.TextStats.gopherFilter(df, textCol, minWords, maxWords)
 
+  /** C4-style line cleaning + page flags (Raffel et al. 2020). */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+              minSentences: Int, minLineWords: Int): DataFrame =
+    graft.llm.TextStats.c4Clean(df, idCol, textCol, minSentences, minLineWords)
+
+  /** Within-doc token-distribution entropy in integer micro-nats. */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.llm.TextStats.tokenEntropy(df, idCol, textCol)
+
+  /** Jaccard-shortlist + Levenshtein-verified near-dup pairs. */
+  def minHashEditPairs(df: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int, bands: Int, shingleSize: Int,
+                       jaccardFloor: Double, editSim: Double,
+                       maxBucketSize: Int, strict: Boolean): DataFrame =
+    graft.llm.Dedup.minHashEditPairs(df, idCol, textCol, numHashes, bands,
+      shingleSize, jaccardFloor, editSim, maxBucketSize, strict)
+
   def dedupAgainstExact(incoming: DataFrame, existing: DataFrame,
                         textCol: String, normalize: Boolean): DataFrame =
     graft.llm.Dedup.dedupAgainstExact(incoming, existing, textCol, normalize)
