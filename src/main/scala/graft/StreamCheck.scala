@@ -350,6 +350,23 @@ object StreamCheck {
       (runStream("sc_kernels", ev, 4)(build), build(evDF).collect().toSeq)
     }
 
+    record("c4_clean_stream") {
+      // the r12 C4 line-cleaning op is ONE projection of higher-order
+      // built-ins, so the whole operator (not just its kernels) must
+      // compose unchanged on a readStream frame and match batch row-for-row
+      // drop the watermark sentinel BEFORE the projection rewrites the
+      // column the harness's sentinel filter matches on (no-op on batch)
+      val build = (df: DataFrame) => graft.llm.TextStats.c4Clean(
+        df.filter(F.col("event_type") =!= "__wm_sentinel__")
+          .withColumn("text", F.concat(F.col("event_type"),
+          F.lit(" leads a good first line with words here.\n" +
+            "visit menu login cart\n" +
+            "Please enable javascript to continue reading.\n" +
+            "It reads well. It ends here too."))),
+        "time", "text")
+      (runStream("sc_c4", ev, 4)(build), build(evDF).collect().toSeq)
+    }
+
     // Incremental cross-corpus dedup on the firehose (judge r11 #4): the
     // streaming shape is "each micro-batch of new documents vs the STATIC
     // existing corpus". Survival of an incoming row depends only on the
