@@ -566,6 +566,14 @@ class TimeSeriesDataFrame(DataFrame):
         return self._with(_api(self).tokenEntropy(
             self._jdf, id_col, text_col))
 
+    def pmi_top_pairs(self, text_col, k=100, min_count=5):
+        """Corpus-level collocations: top-``k`` adjacent word pairs by
+        pointwise mutual information (Church & Hanks) in integer
+        micro-nats, pairs under ``min_count`` occurrences dropped.
+        Bounded global top-k — never a window."""
+        return self._with(_api(self).pmiTopPairs(
+            self._jdf, text_col, k, min_count))
+
     def dedup_against_exact(self, existing, text_col, normalize=True):
         """Incremental exact dedup: drop rows of this frame whose content
         digest (normalized token set by default) already exists in

@@ -313,6 +313,17 @@ def test_c4_clean_and_token_entropy(spark):
     assert uni.token_entropy("doc_id", "text").collect()[0]["ent_micro"] == 0
 
 
+def test_pmi_top_pairs(spark):
+    docs = TimeSeriesDataFrame.from_df(spark.createDataFrame(
+        [(0, 1, "new york a b a"), (0, 2, "b new york a b"),
+         (0, 3, "a b new york b a"), (0, 4, "new york b a a b")],
+        "time long, doc_id long, text string"))
+    top = docs.pmi_top_pairs("text", k=3, min_count=2).collect()
+    assert top[0]["pair"] == "new york" and top[0]["n_pair"] == 4
+    assert top[0]["pmi_micro"] > 0
+    assert len(top) == 3
+
+
 def test_minhash_edit_pairs(spark):
     base = " ".join(f"tok{i}" for i in range(1, 41))
     near = base.replace("tok7", "tokX")

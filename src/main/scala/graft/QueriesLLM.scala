@@ -784,6 +784,12 @@ object QueriesLLM {
             .otherwise(F.lit(""))).as("text"))
       TextStats.c4Clean(built, "doc_id", "text").orderBy("doc_id")
     }),
+    // Corpus-level PMI collocations (Church & Hanks): top-100 adjacent
+    // word pairs by pointwise mutual information in integer micro-nats,
+    // min 5 occurrences — bounded global top-k, never a window.
+    "pmi_top_pairs" -> ((s, dir) =>
+      TextStats.pmiTopPairs(docs(s, dir), "text", k = 100, minCount = 5L)
+        .orderBy(F.desc("pmi_micro"), F.asc("pair"))),
     // Within-doc token-distribution Shannon entropy in integer micro-nats
     // (quantize-per-term-then-sum, the unigramModel portability contract):
     // the lexical-diversity quality signal complementing doc_repetition.
@@ -1828,6 +1834,27 @@ object QueriesLLM {
              AND NOT contains(lower(orig), 'lorem ipsum')
              AND NOT contains(orig, '{') AS keep
          FROM c ORDER BY doc_id""",
+    "pmi_top_pairs" ->
+      """WITH ws AS (SELECT string_split(text, ' ') AS ws FROM documents),
+         tok AS (SELECT unnest(ws) AS w FROM ws),
+         uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+         bg AS (SELECT
+             unnest([ws[i] || ' ' || ws[i + 1] for i in range(1, len(ws))])
+               AS pair
+           FROM ws),
+         b AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bg),
+         bi AS (SELECT pair, CAST(count(*) AS BIGINT) AS n_pair FROM bg
+                GROUP BY pair HAVING count(*) >= 5)
+         SELECT bi.pair, bi.n_pair,
+           CAST(round(ln((CAST(bi.n_pair AS DOUBLE)
+                 * (SELECT n FROM n) * (SELECT n FROM n))
+               / (CAST((SELECT b FROM b) AS DOUBLE) * u1.c * u2.c))
+             * 1000000.0) AS BIGINT) AS pmi_micro
+         FROM bi
+         JOIN uni u1 ON u1.w = string_split(bi.pair, ' ')[1]
+         JOIN uni u2 ON u2.w = string_split(bi.pair, ' ')[2]
+         ORDER BY pmi_micro DESC, pair LIMIT 100""",
     "doc_entropy" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
            FROM documents),

@@ -886,6 +886,56 @@ object TextStats {
   }
 
   /**
+   * Corpus-level collocations: the top-`k` adjacent word pairs by
+   * pointwise mutual information (Church & Hanks 1990),
+   * `pmi = ln(p(w1,w2) / (p(w1)·p(w2)))` with `p(w1,w2) = c12/B` over
+   * bigram occurrences and `p(w) = c/N` over tokens, quantized to
+   * integer micro-nats via the pinned double expression
+   * `round(ln((c12·N·N) / (B·c1·c2)) · 1e6)` — products in double (no
+   * 64-bit overflow at any corpus size), one `ln`, identical IEEE graph
+   * in any engine. Pairs below `minCount` occurrences are dropped first
+   * (the standard PMI low-frequency guard: rare pairs otherwise dominate
+   * the ranking).
+   *
+   * Output: (pair, n_pair, pmi_micro), the top k by
+   * (pmi_micro desc, pair asc) — a deterministic total order, so the
+   * selected SET is engine-independent even at score ties.
+   *
+   * Shape at 100 TB: one token-count and one pair-count aggregation
+   * (both map-side combinable), two equi-joins of the ≥`minCount` pair
+   * table against the unigram counts, two 1-row broadcast totals, and a
+   * bounded global top-k (TakeOrderedAndProject: per-partition heaps +
+   * driver merge of k rows — never a window, never a full sort). The
+   * corpus is tokenized twice (tokens + bigrams) — the same documented
+   * trade as [[tfidfTopTerms]]: a persist would cache data-sized state
+   * to save one linear scan, the wrong trade at 100 TB.
+   */
+  def pmiTopPairs(df: DataFrame, textCol: String, k: Int = 100,
+                  minCount: Long = 5L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    val toks = df.select(F.explode(tokens(F.col(textCol))).as("w"))
+    val uni = toks.groupBy("w").agg(F.count(F.lit(1)).as("c"))
+    val bg = df.select(F.explode(ngrams(F.col(textCol), 2)).as("pair"))
+    val bi = bg.groupBy("pair").agg(F.count(F.lit(1)).as("n_pair"))
+      .filter(F.col("n_pair") >= minCount)
+      .withColumn("w1", F.split(F.col("pair"), " ").getItem(0))
+      .withColumn("w2", F.split(F.col("pair"), " ").getItem(1))
+    val nTot = toks.agg(F.count(F.lit(1)).as("__n"))
+    val bTot = bg.agg(F.count(F.lit(1)).as("__b"))
+    bi
+      .join(uni.select(F.col("w").as("w1"), F.col("c").as("__c1")), Seq("w1"))
+      .join(uni.select(F.col("w").as("w2"), F.col("c").as("__c2")), Seq("w2"))
+      .crossJoin(F.broadcast(nTot)).crossJoin(F.broadcast(bTot))
+      .withColumn("pmi_micro", F.round(F.log(
+          (F.col("n_pair").cast("double") * F.col("__n") * F.col("__n")) /
+          (F.col("__b").cast("double") * F.col("__c1") * F.col("__c2")))
+          * 1e6).cast("long"))
+      .select("pair", "n_pair", "pmi_micro")
+      .orderBy(F.desc("pmi_micro"), F.asc("pair")).limit(k)
+  }
+
+  /**
    * Within-document token-distribution Shannon entropy in integer
    * micro-nats: for token counts c_w over doc total n,
    * `ent_micro = -Σ_w round(c_w · ln(c_w / n) · 1e6)` — the per-term

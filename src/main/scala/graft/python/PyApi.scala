@@ -525,6 +525,11 @@ object PyApi {
   def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
     graft.llm.TextStats.tokenEntropy(df, idCol, textCol)
 
+  /** Corpus-level top-k PMI collocations in integer micro-nats. */
+  def pmiTopPairs(df: DataFrame, textCol: String, k: Int,
+                  minCount: Long): DataFrame =
+    graft.llm.TextStats.pmiTopPairs(df, textCol, k, minCount)
+
   /** Jaccard-shortlist + Levenshtein-verified near-dup pairs. */
   def minHashEditPairs(df: DataFrame, idCol: String, textCol: String,
                        numHashes: Int, bands: Int, shingleSize: Int,

@@ -138,6 +138,52 @@ class C4EntropySpec extends SparkTestBase {
     }
   }
 
+  behavior of "pmiTopPairs"
+
+  it should "rank collocations by quantized PMI with the min-count guard" in {
+    // "new york" always adjacent; "a" and "b" frequent but independent
+    val d = Seq(
+      (1L, "new york a b a"), (2L, "b new york a b"),
+      (3L, "a b new york b a"), (4L, "new york b a a b"))
+      .toDF("id", "text")
+    val got = TextStats.pmiTopPairs(d, "text", k = 3, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    got.head._1 shouldBe "new york" // the engineered collocation wins
+    got.head._2 shouldBe 4L
+    got.map(_._1).distinct.length shouldBe 3
+    // minCount guard: pairs seen once never appear at any k
+    val all = TextStats.pmiTopPairs(d, "text", k = 1000, minCount = 2L)
+      .collect().map(_.getString(0)).toSeq
+    all should not contain "a a" // occurs once (doc 4)
+  }
+
+  it should "match a plain-Scala replay on a random corpus" in {
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 10).map(i => s"w$i")
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (0 until (2 + rnd.nextInt(20)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val toks = docs.flatMap(_._2.split(" ", -1).toSeq)
+    val bgs = docs.flatMap(_._2.split(" ", -1).toSeq.sliding(2)
+      .filter(_.size == 2).map(_.mkString(" ")))
+    val n = toks.size
+    val b = bgs.size
+    val uc = toks.groupBy(identity).map { case (w, g) => w -> g.size }
+    val want = bgs.groupBy(identity).map { case (p, g) => p -> g.size }
+      .filter(_._2 >= 2)
+      .map { case (p, c12) =>
+        val Array(w1, w2) = p.split(" ")
+        val pmi = math.round(math.log(
+          (c12.toDouble * n * n) / (b.toDouble * uc(w1) * uc(w2))) * 1e6)
+        (p, c12.toLong, pmi)
+      }.toSeq.sortBy(t => (-t._3, t._1)).take(5)
+    val got = TextStats.pmiTopPairs(docs.toDF("id", "text"), "text",
+      k = 5, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe want
+  }
+
   behavior of "minHashEditPairs"
 
   it should "keep true near-dups and reject reordered boilerplate" in {
