@@ -1436,4 +1436,91 @@ object Kernels {
     }
     org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
   }
+
+  /** Portable 32-bit token fingerprint: lane 1 of [[simHashPortable]]
+    * exposed on its own — the codepoint polynomial fold
+    * `h = (h·1000003 + cp) mod 2^32` from FNV offset 2166136261 through
+    * the [[mix32]] avalanche finisher. Every intermediate stays below
+    * 2^53, so the DuckDB oracle replays it with plain BIGINT arithmetic
+    * (the identical list_reduce/xor chain the simhash oracle pins). */
+  def portableHash32(s: String): Long = {
+    var h = 2166136261L
+    var ci = 0
+    while (ci < s.length) {
+      val cp = s.codePointAt(ci)
+      h = (h * 1000003L + cp) & 0xFFFFFFFFL
+      ci += Character.charCount(cp)
+    }
+    mix32(h)
+  }
+
+  /**
+   * Hashing-trick feature buckets (Weinberger et al. 2009) of the
+   * whitespace tokens: one Int per `split(' ')` token (empty text → the
+   * one empty token, matching `string_split` semantics everywhere else),
+   * bucket = [[portableHash32]](token) mod `numBuckets`. One linear walk;
+   * feeds the hashed Naive Bayes trainer's explode+groupBy and is the
+   * exact bucket function the scoring kernel and the SQL oracle use.
+   */
+  def tokenBuckets(u: org.apache.spark.unsafe.types.UTF8String,
+                   numBuckets: Int): ArrayData = {
+    val s = u.toString
+    val n = s.length
+    var m = 1
+    var i = 0
+    while (i < n) { if (s.charAt(i) == ' ') m += 1; i += 1 }
+    val out = new Array[Int](m)
+    var w = 0
+    var tokStart = 0
+    i = 0
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        out(w) = (portableHash32(s.substring(tokStart, i)) % numBuckets).toInt
+        w += 1
+        tokStart = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /**
+   * Hashed multinomial Naive Bayes scoring in integer MICRO-NATS: for each
+   * label ℓ, `priors(ℓ) + Σ_tokens weights(ℓ·numBuckets + bucket(token))`,
+   * returning (argmax label, its score) with ties broken by label
+   * ascending (labels are passed pre-sorted). The weights matrix is
+   * Laplace-smoothed quantized logprobs — MODEL PARAMETERS (|labels| ×
+   * numBuckets longs) riding the closure, never data. One token walk per
+   * row: one [[portableHash32]] + |labels| integer adds per token, so
+   * scoring cost is linear in corpus bytes — the model-based quality /
+   * language filtering pass (fastText-style classifier, Joulin et al.
+   * 2016; CCNet, Wenzek et al. 2020) every curated-corpus pipeline runs
+   * over all 100 TB. Integer accumulation ⇒ merge-order-independent and
+   * bit-identical to the SQL oracle's join+sum replay.
+   */
+  def nbScore(u: org.apache.spark.unsafe.types.UTF8String, numBuckets: Int,
+              labels: Array[org.apache.spark.unsafe.types.UTF8String],
+              priors: Array[Long], weights: Array[Long])
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val s = u.toString
+    val n = s.length
+    val L = labels.length
+    val acc = java.util.Arrays.copyOf(priors, L)
+    var tokStart = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        val b = (portableHash32(s.substring(tokStart, i)) % numBuckets).toInt
+        var l = 0
+        while (l < L) { acc(l) += weights(l * numBuckets + b); l += 1 }
+        tokStart = i + 1
+      }
+      i += 1
+    }
+    var best = 0
+    var l = 1
+    while (l < L) { if (acc(l) > acc(best)) best = l; l += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](labels(best), acc(best)))
+  }
 }

@@ -698,6 +698,27 @@ object QueriesLLM {
             TextStats.StupidBackoffLp, oov).as("lp_micro"))
         .orderBy("doc_id")
     }),
+    // Model-based filtering, the training half: hashed-feature Naive
+    // Bayes sufficient statistics + smoothed micro-nat weights, learned
+    // in ONE explode+groupBy (combine output bounded by labels x 64
+    // buckets per task). The fastText-classifier role (CCNet/DCLM
+    // quality and language filters) with a one-shuffle trainer.
+    "nb_train" -> ((s, dir) =>
+      Classify.nbWeights(docs(s, dir), "text", "lang", numBuckets = 64)
+        .orderBy("label", "bucket")),
+    // Model-based filtering, the scoring half: every doc labeled with
+    // the argmax class + integer micro-nat log-posterior by one codegen
+    // kernel walk against the broadcast weight matrix. The oracle
+    // retrains AND rescores the whole pipeline in SQL (portable bucket
+    // hash chain -> counts -> smoothed weights -> join+sum -> argmax).
+    "nb_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val m = Classify.nbTrain(d, "text", "lang", numBuckets = 64)
+      val sc = Classify.nbScore(F.col("text"), m)
+      d.select(F.col("doc_id"), sc.getField("pred").as("pred"),
+          sc.getField("lp_micro").as("lp_micro"))
+        .orderBy("doc_id")
+    }),
     // Quality-aware dedup: among near-duplicates keep the BEST copy
     // (highest quality score, ties -> smallest id) instead of the
     // smallest id — the real-pipeline representative policy.
@@ -1096,6 +1117,18 @@ object QueriesLLM {
     * micro-nats; target = the 'src0' stratum) — mirrors
     * `Selection.dsirModel` + `dsirLogWeight` expression-for-expression.
     * Ends with `w(doc_id, lw_micro)`. */
+  /** Portable hashing-trick bucket over token column `t` — lane 1 of the
+    * simhash chain (polynomial fold + mix32 finisher, the arithmetic the
+    * dedup_simhash oracle already pins) mod `d`, as a SELECT-list
+    * fragment ending in `bucket`. Mirrors Kernels.tokenBuckets. */
+  private def nbBucketSql(d: Int): String =
+    s"""list_reduce(list_prepend(2166136261::BIGINT,
+             list_transform(range(1, length(t)+1), i -> unicode(t[i])::BIGINT)),
+           (h, c) -> (h * 1000003 + c) % 4294967296) AS p1,
+         xor(p1, p1 >> 16) * 73244475 % 4294967296 AS q1,
+         xor(q1, q1 >> 16) * 73244475 % 4294967296 AS r1,
+         CAST(xor(r1, r1 >> 16) % $d AS INTEGER) AS bucket"""
+
   private val dsirWeightCtes =
     """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
            FROM documents),
@@ -1671,6 +1704,53 @@ object QueriesLLM {
              FROM lab JOIN q ON q.doc_id = lab.id) WHERE rn = 1)
          SELECT doc_id, source FROM documents JOIN best ON doc_id = best.id
          ORDER BY doc_id""",
+    // Recomputes the ENTIRE hashed-NB trainer in SQL: portable bucket
+    // chain per token, (label, bucket) counts, Laplace-smoothed weights
+    // quantized to micro-nats.
+    "nb_train" ->
+      s"""WITH tok AS (SELECT lang AS label,
+             unnest(string_split(text, ' ')) AS t FROM documents),
+         hb AS (SELECT label, ${nbBucketSql(64)} FROM tok),
+         c AS (SELECT label, bucket, CAST(count(*) AS BIGINT) AS cnt
+               FROM hb GROUP BY 1, 2),
+         tl AS (SELECT label, sum(cnt) AS tot FROM c GROUP BY 1)
+         SELECT c.label, c.bucket, c.cnt,
+           CAST(round(ln((c.cnt + 1.0) / (tl.tot + 64.0)) * 1000000.0)
+             AS BIGINT) AS w_micro
+         FROM c JOIN tl USING (label) ORDER BY label, bucket""",
+    // Retrains AND rescores the NB pipeline: smoothed weights + doc
+    // priors, per-(doc, label) join+sum of micro-nat weights (absent
+    // buckets take the label's smoothed floor), argmax with label-asc
+    // tie-break — bit-identical to the kernel's integer accumulation.
+    "nb_score" ->
+      s"""WITH tok AS (SELECT doc_id, lang AS label,
+             unnest(string_split(text, ' ')) AS t FROM documents),
+         hb AS (SELECT doc_id, label, ${nbBucketSql(64)} FROM tok),
+         c AS (SELECT label, bucket, CAST(count(*) AS BIGINT) AS cnt
+               FROM hb GROUP BY 1, 2),
+         tl AS (SELECT label, sum(cnt) AS tot FROM c GROUP BY 1),
+         w AS (SELECT c.label, c.bucket,
+             CAST(round(ln((c.cnt + 1.0) / (tl.tot + 64.0)) * 1000000.0)
+               AS BIGINT) AS wm
+           FROM c JOIN tl USING (label)),
+         f AS (SELECT label,
+             CAST(round(ln(1.0 / (tot + 64.0)) * 1000000.0) AS BIGINT) AS w0
+           FROM tl),
+         pri AS (SELECT lang AS label,
+             CAST(round(ln(CAST(count(*) AS DOUBLE) /
+               (SELECT CAST(count(*) AS DOUBLE) FROM documents))
+               * 1000000.0) AS BIGINT) AS prior
+           FROM documents GROUP BY 1),
+         sc AS (SELECT hb.doc_id, f.label,
+             CAST(pri.prior + sum(COALESCE(w.wm, f.w0)) AS BIGINT) AS lp
+           FROM hb CROSS JOIN f
+           LEFT JOIN w ON w.label = f.label AND w.bucket = hb.bucket
+           JOIN pri ON pri.label = f.label
+           GROUP BY hb.doc_id, f.label, pri.prior),
+         best AS (SELECT doc_id, label, lp, row_number() OVER (
+             PARTITION BY doc_id ORDER BY lp DESC, label) AS rk FROM sc)
+         SELECT doc_id, label AS pred, lp AS lp_micro
+         FROM best WHERE rk = 1 ORDER BY doc_id""",
     "doc_unigram_lp" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
            FROM documents),

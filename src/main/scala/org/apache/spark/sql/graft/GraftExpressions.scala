@@ -136,6 +136,15 @@ object GraftColumns {
   /** See [[GopherStats]]. */
   def gopherStats(text: Column): Column = col(GopherStats(ex(text)))
 
+  /** Per-token hashing-trick feature buckets (see [[TokenBuckets]]). */
+  def tokenBuckets(text: Column, numBuckets: Int): Column =
+    col(TokenBuckets(ex(text), numBuckets))
+
+  /** Hashed Naive Bayes label+score (see [[NbScore]]). */
+  def nbScore(text: Column, numBuckets: Int, labels: Seq[String],
+              priors: Seq[Long], weights: Array[Long]): Column =
+    col(NbScore(ex(text), numBuckets, labels, priors, weights))
+
   /** See [[DupUnitStats]]. */
   def dupUnitStats(text: Column): Column = col(DupUnitStats(ex(text)))
 
@@ -810,6 +819,67 @@ object EncodingStats {
     StructField("n_chars", IntegerType, nullable = false),
     StructField("n_replacement", IntegerType, nullable = false),
     StructField("n_control", IntegerType, nullable = false)))
+}
+
+/** Hashing-trick feature buckets of the whitespace tokens
+  * (graft.Kernels.tokenBuckets): one Int per token, bucket =
+  * portableHash32(token) mod numBuckets — the Naive Bayes trainer's
+  * explode input and the exact bucket function its SQL oracle replays. */
+case class TokenBuckets(child: Expression, numBuckets: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(numBuckets >= 1, "numBuckets must be >= 1")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    graft.Kernels.tokenBuckets(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], numBuckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.Kernels.tokenBuckets($c, $numBuckets);")
+  override protected def withNewChildInternal(newChild: Expression): TokenBuckets =
+    copy(child = newChild)
+}
+
+/** Hashed multinomial Naive Bayes scorer (graft.Kernels.nbScore): argmax
+  * label + its integer micro-nat log-posterior under a Laplace-smoothed
+  * hashed-feature model. The (|labels| × numBuckets) weight matrix and
+  * priors ride the closure as model parameters, like the LM scorers. */
+case class NbScore(child: Expression, numBuckets: Int, labels: Seq[String],
+                   priors: Seq[Long], weights: Array[Long])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(labels.nonEmpty && labels == labels.sorted,
+    "labels must be non-empty and sorted (the tie-break order)")
+  require(priors.length == labels.length, "one prior per label")
+  require(weights.length == labels.length * numBuckets,
+    "weights must be |labels| x numBuckets")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = NbScore.schema
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  @transient private lazy val labelArr: Array[org.apache.spark.unsafe.types.UTF8String] =
+    labels.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray
+  @transient private lazy val priorArr: Array[Long] = priors.toArray
+  override protected def nullSafeEval(input: Any): Any =
+    graft.Kernels.nbScore(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      numBuckets, labelArr, priorArr, weights)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lRef = ctx.addReferenceObj("nbLabels", labelArr,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    val pRef = ctx.addReferenceObj("nbPriors", priorArr, "long[]")
+    val wRef = ctx.addReferenceObj("nbWeights", weights, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.Kernels.nbScore($c, $numBuckets, $lRef, $pRef, $wRef);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NbScore =
+    copy(child = newChild)
+}
+
+object NbScore {
+  val schema: StructType = StructType(Seq(
+    StructField("pred", StringType, nullable = false),
+    StructField("lp_micro", LongType, nullable = false)))
 }
 
 /** Gopher/MassiveText quality counters (graft.Kernels.gopherStats):
