@@ -574,6 +574,78 @@ class TimeSeriesDataFrame(DataFrame):
         return self._with(_api(self).pmiTopPairs(
             self._jdf, text_col, k, min_count))
 
+    def hybrid_topk(self, id_col, text_col, embeddings, queries,
+                    vec_id_col="vec_id", vec_col="embedding",
+                    qid_col="q_id", qtext_col="qtext", k_lex=20, k=5):
+        """Two-stage hybrid retrieval: the BM25 top-``k_lex`` lexical
+        shortlist reranked by embedding cosine (query vectors keyed by
+        ``qid_col`` in ``embeddings``). The corpus embedding table streams
+        once through a broadcast join against the model-sized shortlist;
+        bounded heap finisher. Returns ``(q_id, doc_id, lex_rank, rank)``."""
+        return self._with(_api(self).hybridTopK(
+            self._jdf, embeddings._jdf, id_col, text_col, vec_id_col,
+            vec_col, queries._jdf, qid_col, qtext_col, k_lex, k))
+
+    def cms_sketch(self, text_col, depth=4, width=256):
+        """Count-min sketch of the corpus token counts (Cormode &
+        Muthukrishnan): a (depth*width)-cell integer counter frame
+        (cell, cnt) built in ONE map-side-combinable aggregation — the
+        bounded-state replacement for exact counting when the vocabulary
+        can't shuffle. Estimates only ever over-count."""
+        return self._with(_api(self).cmsSketch(
+            self._jdf, text_col, depth, width))
+
+    def cms_heavy_hitters(self, text_col, k=30, depth=4, width=256):
+        """Exact top-``k`` token counts next to their count-min estimates
+        (token, cnt, cms_cnt) — ``cms_cnt >= cnt`` always; the exact side
+        audits the sketch's collision over-count."""
+        return self._with(_api(self).cmsHeavyHitters(
+            self._jdf, text_col, k, depth, width))
+
+    def nb_classify(self, text_col, label_col, num_buckets=256):
+        """Model-based filtering (the fastText-classifier role in
+        CCNet/DCLM pipelines): train a hashed-feature multinomial Naive
+        Bayes on (``text_col``, ``label_col``) — ONE map-side-combinable
+        aggregation, no gradient iterations — and append ``pred`` (argmax
+        label, ties -> label ascending) and ``lp_micro`` (integer
+        micro-nat log-posterior). Scoring is one kernel walk per row
+        against the broadcast weight matrix."""
+        return self._with(_api(self).nbClassify(
+            self._jdf, text_col, label_col, num_buckets))
+
+    def nb_weights(self, text_col, label_col, num_buckets=256):
+        """The hashed-NB model as a frame: (label, bucket, cnt, w_micro)
+        with Laplace-smoothed integer micro-nat weights. Zero-count
+        buckets are absent (they take the label's smoothed floor)."""
+        return self._with(_api(self).nbWeights(
+            self._jdf, text_col, label_col, num_buckets))
+
+    def domain_edges(self, url_col, html_col):
+        """(src_domain, dst_domain) multigraph edge list: registrable
+        domain of each page's URL -> domain of every double-quoted
+        absolute ``<a href>`` in its HTML (relative links drop). One
+        regexp scan + explode."""
+        return self._with(_api(self).domainEdges(
+            self._jdf, url_col, html_col))
+
+    def inlink_stats(self, url_col, html_col):
+        """Per-destination-domain fan-in: ``n_inlinks`` (total inbound
+        links) and ``n_src_domains`` (distinct linking domains)."""
+        return self._with(_api(self).inlinkStats(
+            self._jdf, url_col, html_col))
+
+    def page_rank(self, iters=3, damp_num=85, damp_den=100,
+                  src_col="src_domain", dst_col="dst_domain"):
+        """Fixed-iteration integer PageRank over this frame as a
+        (src, dst) edge list: every node starts at 1_000_000 micro-units;
+        ``rank' = ((damp_den-damp_num)*1e6)//damp_den +
+        (damp_num * sum(rank//outdeg over inbound))//damp_den``.
+        All-integer arithmetic -> bit-identical ranks under any
+        partitioning. Remainders and dangling-node mass are dropped
+        (standard fixed-point simplifications, part of the contract)."""
+        return self._with(_api(self).pageRank(
+            self._jdf, iters, damp_num, damp_den, src_col, dst_col))
+
     def dedup_against_exact(self, existing, text_col, normalize=True):
         """Incremental exact dedup: drop rows of this frame whose content
         digest (normalized token set by default) already exists in

@@ -1090,3 +1090,62 @@ def test_bm25_topk_and_mixture_rates(spark):
     assert rates["a"] == (20, 0.5)   # 0.5*20/20
     assert rates["b"] == (20, 0.0)   # untargeted
     assert rates["c"] == (0, 1.0)    # targeted but absent
+
+
+def test_nb_classify_and_weights(spark):
+    docs = TimeSeriesDataFrame(spark.createDataFrame(
+        [(1, "the cat sat on the mat", "en"),
+         (2, "el gato y el perro", "es"),
+         (3, "the dog ate the food", "en"),
+         (4, "la casa de la playa", "es")],
+        "doc_id long, text string, lang string"))
+    out = {r["doc_id"]: r["pred"]
+           for r in docs.nb_classify("text", "lang").collect()}
+    assert out == {1: "en", 2: "es", 3: "en", 4: "es"}
+    w = docs.nb_weights("text", "lang", num_buckets=32).collect()
+    assert len(w) > 0
+    assert all(r["w_micro"] < 0 for r in w)  # logprobs are negative
+
+
+def test_web_graph(spark):
+    pages = TimeSeriesDataFrame(spark.createDataFrame(
+        [(1, "https://s1.com/a",
+          '<a href="https://t.com/1">x</a><a href="/rel">r</a>'),
+         (2, "https://s2.com/b", '<a href="https://t.com/2">y</a>')],
+        "doc_id long, url string, html string"))
+    edges = pages.domain_edges("url", "html")
+    assert sorted((r["src_domain"], r["dst_domain"])
+                  for r in edges.collect()) == \
+        [("s1.com", "t.com"), ("s2.com", "t.com")]
+    stats = pages.inlink_stats("url", "html").collect()
+    assert (stats[0]["domain"], stats[0]["n_inlinks"],
+            stats[0]["n_src_domains"]) == ("t.com", 2, 2)
+    # integer replay: iter1 t=150000+85*2000000//100, iter2 from 150000 srcs
+    pr = {r["node"]: r["rank_micro"]
+          for r in edges.page_rank(iters=2).collect()}
+    assert pr == {"s1.com": 150000, "s2.com": 150000, "t.com": 405000}
+
+
+def test_cms_heavy_hitters(spark):
+    docs = TimeSeriesDataFrame(spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b c")], "doc_id long, text string"))
+    hh = {r["token"]: (r["cnt"], r["cms_cnt"]) for r in
+          docs.cms_heavy_hitters("text", k=3, width=4096).collect()}
+    assert hh["a"] == (4, 4) and hh["b"] == (2, 2) and hh["c"] == (1, 1)
+    cells = docs.cms_sketch("text", depth=2, width=1).collect()
+    assert sorted((r["cell"], r["cnt"]) for r in cells) == [(0, 7), (1, 7)]
+
+
+def test_hybrid_topk(spark):
+    corpus = TimeSeriesDataFrame(spark.createDataFrame(
+        [(1, "quick brown fox"), (2, "quick fox fox"), (3, "lazy dog")],
+        "doc_id long, text string"))
+    emb = TimeSeriesDataFrame(spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.5, 0.5]),
+         (50, [1.0, 0.0])], "vec_id long, embedding array<float>"))
+    q = spark.createDataFrame([(50, "fox")], "q_id long, qtext string")
+    out = corpus.hybrid_topk("doc_id", "text", emb, q, k_lex=5, k=2) \
+        .orderBy("rank").collect()
+    # lexically doc 2 wins (fox twice); cosine rerank puts doc 1 first
+    assert [(r["doc_id"], r["rank"]) for r in out] == [(1, 1), (2, 2)]
+    assert out[0]["lex_rank"] == 2 and out[1]["lex_rank"] == 1

@@ -1484,6 +1484,72 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Per-lane portable 32-bit token hash for the count-min sketch:
+    * lane i = [[mix32]]((poly(token) + i·2654435761) mod 2^32) — the same
+    * codepoint polynomial fold as [[portableHash32]], decorrelated across
+    * lanes by the Knuth-constant offset (the same second-lane recipe as
+    * `PortableHash.hash63`). Bounded operands ⇒ SQL-replayable. */
+  def portableLaneHash32(s: String, lane: Int): Long = {
+    var h = 2166136261L
+    var ci = 0
+    while (ci < s.length) {
+      val cp = s.codePointAt(ci)
+      h = (h * 1000003L + cp) & 0xFFFFFFFFL
+      ci += Character.charCount(cp)
+    }
+    mix32((h + lane.toLong * 2654435761L) & 0xFFFFFFFFL)
+  }
+
+  /**
+   * Count-min sketch update coordinates for every whitespace token of a
+   * document (Cormode & Muthukrishnan 2005): `depth` packed Ints per
+   * token, `lane·width + bucket(lane, token)`. Exploded + counted these
+   * ARE the sketch — a (depth·width)-cell integer counter table with
+   * map-side combine, replacing the unbounded exact vocabulary state.
+   * One token walk; each token hashes once per lane.
+   */
+  def cmsPairs(u: org.apache.spark.unsafe.types.UTF8String,
+               depth: Int, width: Int): ArrayData = {
+    val s = u.toString
+    val n = s.length
+    var m = 1
+    var i = 0
+    while (i < n) { if (s.charAt(i) == ' ') m += 1; i += 1 }
+    val out = new Array[Int](m * depth)
+    var w = 0
+    var tokStart = 0
+    i = 0
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        val tok = s.substring(tokStart, i)
+        var l = 0
+        while (l < depth) {
+          out(w) = l * width + (portableLaneHash32(tok, l) % width).toInt
+          w += 1
+          l += 1
+        }
+        tokStart = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** The `depth` packed sketch coordinates of ONE token (the probe side
+    * of [[cmsPairs]]): estimate(token) = min over lanes of the sketch
+    * cell at `lane·width + bucket`. */
+  def cmsTokenCoords(u: org.apache.spark.unsafe.types.UTF8String,
+                     depth: Int, width: Int): ArrayData = {
+    val tok = u.toString
+    val out = new Array[Int](depth)
+    var l = 0
+    while (l < depth) {
+      out(l) = l * width + (portableLaneHash32(tok, l) % width).toInt
+      l += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /**
    * Hashed multinomial Naive Bayes scoring in integer MICRO-NATS: for each
    * label ℓ, `priors(ℓ) + Σ_tokens weights(ℓ·numBuckets + bucket(token))`,

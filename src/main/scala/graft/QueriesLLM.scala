@@ -659,6 +659,34 @@ object QueriesLLM {
       Urls.capPerDomain(docs(s, dir).withColumn("url", docUrl),
           "doc_id", "url", n = 5)
         .select("doc_id", "source").orderBy("doc_id")),
+    // Outlink extraction from constructed page HTML: every double-quoted
+    // <a href> value, in one regexp scan (pattern shared verbatim with
+    // the RE2 oracle; the data-href decoy pins greedy last-href
+    // semantics in both engines).
+    "extract_links" -> ((s, dir) =>
+      docs(s, dir).select(F.col("doc_id"),
+          F.explode(WebGraph.extractLinks(docHtmlLinks)).as("href"))
+        .orderBy("doc_id", "href")),
+    // Domain-level link graph: inbound links + distinct linking domains
+    // per destination registrable domain (relative hrefs drop — null
+    // host). The fan-in signal URL filters threshold on.
+    "link_graph" -> ((s, dir) =>
+      WebGraph.inlinkStats(
+          docs(s, dir).withColumn("url", docUrl)
+            .withColumn("html", docHtmlLinks), "url", "html")
+        .orderBy("domain")),
+    // Integer-arithmetic PageRank (3 iterations, damping 85/100) over
+    // the domain multigraph: all micro-unit integer ops, so ranks are
+    // bit-identical under any partitioning and the oracle replays the
+    // iterations as chained CTEs. Per iteration: one join of the
+    // |domains|-row rank vector with the edge list + one combinable sum.
+    "pagerank_domains" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("url", docUrl)
+        .withColumn("html", docHtmlLinks)
+      WebGraph.pageRankMicro(WebGraph.domainEdges(d, "url", "html"),
+          iters = 3)
+        .orderBy("node")
+    }),
     // Query-count ∝ N scale point (judge r9 #1 done-criteria): 1% of the
     // corpus queries the IVF-PQ index, so BOTH sides of the search grow
     // with the data — the shape where a per-query window finisher would
@@ -698,6 +726,14 @@ object QueriesLLM {
             TextStats.StupidBackoffLp, oov).as("lp_micro"))
         .orderBy("doc_id")
     }),
+    // Count-min heavy-hitter audit: the exact top-30 token counts next
+    // to their estimates from a 4x256-cell CMS — the bounded-state
+    // (depth x width integers per task, map-side combinable) replacement
+    // for exact counting when the vocabulary can't shuffle. cms_cnt >=
+    // cnt by construction; the oracle rebuilds the identical sketch.
+    "cms_top_tokens" -> ((s, dir) =>
+      TextStats.cmsHeavyHitters(docs(s, dir), "text", k = 30)
+        .orderBy(F.col("cnt").desc, F.col("token"))),
     // Model-based filtering, the training half: hashed-feature Naive
     // Bayes sufficient statistics + smoothed micro-nat weights, learned
     // in ONE explode+groupBy (combine output bounded by labels x 64
@@ -940,6 +976,21 @@ object QueriesLLM {
       Retrieval.bm25TopK(d, "doc_id", "text", queries, k = 5)
         .orderBy("q_id", "rank")
     }),
+    // Two-stage hybrid retrieval: the bm25_topk shortlist at kLex=20
+    // reranked by embedding cosine (query vectors keyed by the query's
+    // doc id). The big embedding table streams once through a broadcast
+    // hash join against the model-sized shortlist; bounded heap finisher.
+    "hybrid_topk" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val queries = d.filter(F.pmod(F.col("doc_id"), F.lit(7L)) === 3)
+        .orderBy("doc_id").limit(8)
+        .select(F.col("doc_id"),
+          F.array_join(F.slice(TextStats.tokens(F.col("text")), 1, 6), " "))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      Retrieval.hybridTopK(d, embs(s, dir), "doc_id", "text",
+          "vec_id", "embedding", queries, kLex = 20, k = 5)
+        .orderBy("q_id", "rank")
+    }),
     // DSIR importance weights (bounded-vocab variant): log p_target/p_raw
     // per document in integer micro-nats — two token-count aggs fit the
     // 51-parameter model (top-50 raw vocab + pooled OOV, Laplace
@@ -1001,6 +1052,58 @@ object QueriesLLM {
     F.when(F.pmod(F.col("doc_id"), F.lit(2L)) === 0,
         F.concat(F.lit("#frag"), F.col("doc_id").cast("string")))
       .otherwise(F.lit("")))
+
+  /** Deterministic constructed page HTML with outlinks (see
+    * extract_links / link_graph / pagerank_domains): two absolute links
+    * per doc (one to a rotating Site{k} domain, one HTTPS-uppercase with
+    * www+port+fragment), a relative link every 5th doc (extracts but
+    * drops from the domain graph), a ref{k}.org link every 7th doc, plus
+    * a data-href decoy on the first anchor (pins greedy last-href
+    * semantics), an uppercase <A>, and an href-less <a name=...>. */
+  private def docHtmlLinks: Column = {
+    val id = F.col("doc_id")
+    val l1 = F.concat(F.lit("https://Site"),
+      F.pmod(id + 7, F.lit(20L)).cast("string"),
+      F.when(F.pmod(id, F.lit(4L)) === 0, F.lit(".CO.UK"))
+        .otherwise(F.lit(".com")),
+      F.lit("/p/"), F.pmod(id, F.lit(50L)).cast("string"))
+    val l2 = F.concat(F.lit("HTTPS://www.site"),
+      F.pmod(id * 3 + 2, F.lit(20L)).cast("string"),
+      F.lit(".com:8080/q#frag"))
+    val l3 = F.concat(F.lit("https://ref"),
+      F.pmod(id, F.lit(13L)).cast("string"), F.lit(".org/r"))
+    F.concat(
+      F.lit("<html><body><h1>"), F.col("source"),
+      F.lit("</h1><p>See <a data-href=\"skip\" href=\""), l1,
+      F.lit("\">one</a>, <A rel=\"nofollow\" href=\""), l2,
+      F.lit("\">two</A>"),
+      F.when(F.pmod(id, F.lit(5L)) === 0,
+        F.lit(", <a href=\"/local/page\">rel</a>")).otherwise(F.lit("")),
+      F.when(F.pmod(id, F.lit(7L)) === 0,
+        F.concat(F.lit(", <a href=\""), l3, F.lit("\">ref</a>")))
+        .otherwise(F.lit("")),
+      F.lit(". <a name=\"plain\">x</a><img src=\"i.png\"/></p></body></html>"))
+  }
+
+  /** The same page construction in DuckDB SQL. */
+  private val docHtmlLinksSql =
+    """('<html><body><h1>' || source || '</h1><p>See <a data-href="skip" href="'
+       || 'https://Site' || CAST((doc_id + 7) % 20 AS VARCHAR)
+       || CASE WHEN doc_id % 4 = 0 THEN '.CO.UK' ELSE '.com' END
+       || '/p/' || CAST(doc_id % 50 AS VARCHAR)
+       || '">one</a>, <A rel="nofollow" href="'
+       || 'HTTPS://www.site' || CAST((doc_id * 3 + 2) % 20 AS VARCHAR)
+       || '.com:8080/q#frag' || '">two</A>'
+       || CASE WHEN doc_id % 5 = 0
+            THEN ', <a href="/local/page">rel</a>' ELSE '' END
+       || CASE WHEN doc_id % 7 = 0
+            THEN ', <a href="https://ref' || CAST(doc_id % 13 AS VARCHAR)
+              || '.org/r">ref</a>' ELSE '' END
+       || '. <a name="plain">x</a><img src="i.png"/></p></body></html>')"""
+
+  /** WebGraph.HrefPattern as a DuckDB RE2 literal (single-quoted SQL
+    * string: RE2 itself interprets the \t\n\r\f escapes). */
+  private val hrefPatternSql = """<[aA][ \t\n\r\f][^>]*href="([^"]*)""""
 
   /** The same construction in DuckDB SQL. */
   private val docUrlSql =
@@ -1117,6 +1220,45 @@ object QueriesLLM {
     * micro-nats; target = the 'src0' stratum) — mirrors
     * `Selection.dsirModel` + `dsirLogWeight` expression-for-expression.
     * Ends with `w(doc_id, lw_micro)`. */
+  /** BM25 CTE chain (query construction, df/idf/tf-norm quantization,
+    * micro-nat scores) shared by bm25_topk and the hybrid rerank — ends
+    * with `r(q_id, doc_id, score_micro, rank)` unbounded. */
+  private val bm25Ctes: String =
+    """WITH q AS (SELECT doc_id AS q_id,
+             array_to_string((string_split(text, ' '))[1:6], ' ') AS qtext
+           FROM documents WHERE doc_id % 7 = 3 ORDER BY doc_id LIMIT 8),
+         qt AS (SELECT DISTINCT q_id, term FROM (
+             SELECT q_id, unnest(string_split(qtext, ' ')) AS term FROM q)
+           WHERE term <> ''),
+         terms AS (SELECT DISTINCT term FROM qt),
+         tok AS (SELECT doc_id, dl, term FROM (
+             SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+               unnest(string_split(text, ' ')) AS term FROM documents)
+           WHERE term IN (SELECT term FROM terms)),
+         df_ AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM (
+             SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sumdl
+           FROM documents),
+         idf AS (SELECT term,
+             CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6)
+                  AS BIGINT) AS idf_micro,
+             CAST(sumdl AS DOUBLE) / n AS avgdl
+           FROM df_ CROSS JOIN tot),
+         tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2, 3),
+         sc AS (SELECT qt.q_id, tf.doc_id,
+             CAST(round(CAST(idf_micro AS DOUBLE) * (tf * (1.2 + 1.0)) /
+               (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / avgdl))))
+                  AS BIGINT) AS s_micro
+           FROM tf JOIN idf USING (term) JOIN qt USING (term)),
+         agg AS (SELECT q_id, doc_id, CAST(sum(s_micro) AS BIGINT) AS score_micro
+           FROM sc GROUP BY 1, 2),
+         r AS (SELECT q_id, doc_id, score_micro,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank
+           FROM agg)"""
+
   /** Portable hashing-trick bucket over token column `t` — lane 1 of the
     * simhash chain (polynomial fold + mix32 finisher, the arithmetic the
     * dedup_simhash oracle already pins) mod `d`, as a SELECT-list
@@ -1704,6 +1846,39 @@ object QueriesLLM {
              FROM lab JOIN q ON q.doc_id = lab.id) WHERE rn = 1)
          SELECT doc_id, source FROM documents JOIN best ON doc_id = best.id
          ORDER BY doc_id""",
+    // Rebuilds the identical CMS in SQL: per-token per-lane hash chains
+    // (poly fold + Knuth-offset decorrelation + mix32), cell counts,
+    // exact top-30, min-over-lanes estimates.
+    "cms_top_tokens" -> {
+      val depth = 4; val width = 256
+      def cells(alias: String) = {
+        val lanes = (0 until depth).map { i =>
+          s"""(($alias + $i * 2654435761) % 4294967296) AS a$i,
+             xor(a$i, a$i >> 16) * 73244475 % 4294967296 AS b$i,
+             xor(b$i, b$i >> 16) * 73244475 % 4294967296 AS c$i,
+             CAST($i * $width + xor(c$i, c$i >> 16) % $width AS INTEGER)
+               AS cell$i"""
+        }.mkString(",\n         ")
+        s"""list_reduce(list_prepend(2166136261::BIGINT,
+             list_transform(range(1, length(t)+1), i -> unicode(t[i])::BIGINT)),
+           (h, c) -> (h * 1000003 + c) % 4294967296) AS $alias,
+         $lanes"""
+      }
+      val cellList = (0 until depth).map("cell" + _).mkString("[", ", ", "]")
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t
+             FROM documents),
+         hb AS (SELECT t, ${cells("p")} FROM tok),
+         cells AS (SELECT unnest($cellList) AS cell FROM hb),
+         sk AS (SELECT cell, CAST(count(*) AS BIGINT) AS c
+                FROM cells GROUP BY 1),
+         vc AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tok
+                GROUP BY 1 ORDER BY cnt DESC, t LIMIT 30),
+         pb AS (SELECT t, cnt, ${cells("q")} FROM vc),
+         pc AS (SELECT t AS token, cnt, unnest($cellList) AS cell FROM pb)
+         SELECT pc.token, pc.cnt, CAST(min(sk.c) AS BIGINT) AS cms_cnt
+         FROM pc JOIN sk USING (cell) GROUP BY 1, 2
+         ORDER BY cnt DESC, token"""
+    },
     // Recomputes the ENTIRE hashed-NB trainer in SQL: portable bucket
     // chain per token, (label, bucket) counts, Laplace-smoothed weights
     // quantized to micro-nats.
@@ -2082,41 +2257,30 @@ object QueriesLLM {
     // order as Retrieval.bm25TopK; (1.2 + 1.0) / (1.0 - 0.75) are written
     // as the single IEEE ops both engines constant-fold identically.
     "bm25_topk" ->
-      """WITH q AS (SELECT doc_id AS q_id,
-             array_to_string((string_split(text, ' '))[1:6], ' ') AS qtext
-           FROM documents WHERE doc_id % 7 = 3 ORDER BY doc_id LIMIT 8),
-         qt AS (SELECT DISTINCT q_id, term FROM (
-             SELECT q_id, unnest(string_split(qtext, ' ')) AS term FROM q)
-           WHERE term <> ''),
-         terms AS (SELECT DISTINCT term FROM qt),
-         tok AS (SELECT doc_id, dl, term FROM (
-             SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
-               unnest(string_split(text, ' ')) AS term FROM documents)
-           WHERE term IN (SELECT term FROM terms)),
-         df_ AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM (
-             SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
-         tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sumdl
-           FROM documents),
-         idf AS (SELECT term,
-             CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6)
-                  AS BIGINT) AS idf_micro,
-             CAST(sumdl AS DOUBLE) / n AS avgdl
-           FROM df_ CROSS JOIN tot),
-         tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
-           FROM tok GROUP BY 1, 2, 3),
-         sc AS (SELECT qt.q_id, tf.doc_id,
-             CAST(round(CAST(idf_micro AS DOUBLE) * (tf * (1.2 + 1.0)) /
-               (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / avgdl))))
-                  AS BIGINT) AS s_micro
-           FROM tf JOIN idf USING (term) JOIN qt USING (term)),
-         agg AS (SELECT q_id, doc_id, CAST(sum(s_micro) AS BIGINT) AS score_micro
-           FROM sc GROUP BY 1, 2),
-         r AS (SELECT q_id, doc_id, score_micro,
-             CAST(row_number() OVER (PARTITION BY q_id
-               ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank
-           FROM agg)
+      s"""$bm25Ctes
          SELECT q_id, doc_id, rank, score_micro FROM r WHERE rank <= 5
+         ORDER BY q_id, rank""",
+    // Stage-1 shortlist = the same BM25 CTEs at rank <= 20; stage-2
+    // rerank = cosine over the embedding pairs, row_number by
+    // (cos desc, doc_id) — the two-stage hybrid the engine finishes with
+    // a bounded heap instead of this oracle window.
+    "hybrid_topk" ->
+      s"""$bm25Ctes,
+         short AS (SELECT q_id, doc_id, rank AS lex_rank FROM r
+                   WHERE rank <= 20),
+         ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         rr AS (SELECT s.q_id, s.doc_id, s.lex_rank,
+             list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) *
+                sqrt(list_dot_product(b.v, b.v))) AS c
+           FROM short s
+           JOIN ev a ON a.vec_id = s.q_id
+           JOIN ev b ON b.vec_id = s.doc_id),
+         rk AS (SELECT q_id, doc_id, lex_rank,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY c DESC, doc_id) AS INTEGER) AS rank
+           FROM rr)
+         SELECT q_id, doc_id, lex_rank, rank FROM rk WHERE rank <= 5
          ORDER BY q_id, rank""",
     // the invariant holds for any valid sketch state, so the oracle is
     // the constant-true stratum × bucket grid (plus the stratum size,
@@ -2546,6 +2710,60 @@ object QueriesLLM {
          SELECT doc_id, source FROM d
          QUALIFY row_number() OVER (PARTITION BY dom ORDER BY u, doc_id) <= 5
          ORDER BY doc_id""",
+    // The identical RE2 pattern over the identical page construction.
+    "extract_links" ->
+      s"""WITH hpage AS (SELECT doc_id, $docHtmlLinksSql AS h FROM documents)
+         SELECT doc_id,
+           unnest(regexp_extract_all(h, '$hrefPatternSql', 1)) AS href
+         FROM hpage ORDER BY doc_id, href""",
+    // Replays extraction + host/domain lifting, drops non-absolute hrefs
+    // (empty host — Spark yields null there), aggregates fan-in.
+    "link_graph" ->
+      s"""WITH hpage AS (SELECT doc_id, $docHtmlLinksSql AS h FROM documents),
+         links AS (SELECT doc_id,
+             unnest(regexp_extract_all(h, '$hrefPatternSql', 1)) AS href
+           FROM hpage),
+         e AS (SELECT src, dst FROM (
+             SELECT ${domainSql(hostSql(docUrlSql))} AS src,
+               ${domainSql(hostSql("href"))} AS dst
+             FROM links JOIN documents USING (doc_id))
+           WHERE src IS NOT NULL AND src <> ''
+             AND dst IS NOT NULL AND dst <> '')
+         SELECT dst AS domain, CAST(count(*) AS BIGINT) AS n_inlinks,
+           CAST(count(DISTINCT src) AS BIGINT) AS n_src_domains
+         FROM e GROUP BY 1 ORDER BY domain""",
+    // Chained-CTE replay of the 3 integer PageRank iterations: rank div
+    // outdeg along every edge, rank' = 150000 + (85 * inbound) // 100 —
+    // the same micro-unit integer arithmetic, so ranks match exactly.
+    "pagerank_domains" -> {
+      def iter(prev: String, cur: String) =
+        s"""$cur AS (SELECT n.node,
+             CAST(150000 + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS r
+           FROM nodes n LEFT JOIN (
+             SELECT e.dst, CAST(sum(r.r // o.c) AS BIGINT) AS c
+             FROM e JOIN outd o ON e.src = o.src
+             JOIN $prev r ON r.node = e.src
+             GROUP BY e.dst) s ON s.dst = n.node)"""
+      s"""WITH hpage AS (SELECT doc_id, $docHtmlLinksSql AS h FROM documents),
+         links AS (SELECT doc_id,
+             unnest(regexp_extract_all(h, '$hrefPatternSql', 1)) AS href
+           FROM hpage),
+         e AS (SELECT src, dst FROM (
+             SELECT ${domainSql(hostSql(docUrlSql))} AS src,
+               ${domainSql(hostSql("href"))} AS dst
+             FROM links JOIN documents USING (doc_id))
+           WHERE src IS NOT NULL AND src <> ''
+             AND dst IS NOT NULL AND dst <> ''),
+         nodes AS (SELECT src AS node FROM e
+                   UNION SELECT dst AS node FROM e),
+         outd AS (SELECT src, CAST(count(*) AS BIGINT) AS c
+                  FROM e GROUP BY 1),
+         r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         ${iter("r0", "r1")},
+         ${iter("r1", "r2")},
+         ${iter("r2", "r3")}
+         SELECT node, r AS rank_micro FROM r3 ORDER BY node"""
+    },
     "pq_encode" ->
       s"""$pqCte
          SELECT a2_0.vec_id,

@@ -467,6 +467,24 @@ object StreamCheck {
       (stream, batch)
     }
 
+    record("nb_score_stream") {
+      // model-based filtering on the firehose: the hashed-NB classifier
+      // is trained OFFLINE on the static labeled corpus (one aggregation)
+      // and rides the closure as broadcast weight-matrix parameters;
+      // scoring is a stateless kernel walk, so streamed predictions must
+      // equal the batch run row for row
+      val docsLabeled = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(F.col("doc_id"), F.col("text"), F.col("lang"))
+        .filter(F.col("text").isNotNull && F.col("lang").isNotNull)
+      val nbModel = graft.llm.Classify.nbTrain(
+        docsLabeled, "text", "lang", numBuckets = 64)
+      val sc = graft.llm.Classify.nbScore(F.col("event_type"), nbModel)
+      val build = (df: DataFrame) => df
+        .withColumn("pred", sc.getField("pred"))
+        .withColumn("lp_micro", sc.getField("lp_micro"))
+      (runStream("sc_nb", ev, 4)(build), build(evDF).collect().toSeq)
+    }
+
     record("dsir_score_stream") {
       // DSIR scoring on the firehose: the importance model is fit OFFLINE
       // on a static raw/target corpus pair and rides the closure as

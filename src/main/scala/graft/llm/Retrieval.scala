@@ -106,4 +106,47 @@ object Retrieval {
         (F.col("pos") + 1).as("rank"),
         F.col("hit.cosine").cast("long").as("score_micro"))
   }
+
+  /**
+   * Hybrid retrieval: a BM25 lexical shortlist reranked by embedding
+   * cosine — the standard two-stage dense/sparse search (recall from the
+   * cheap inverted signal, precision from the vectors) used for
+   * decontamination and RAG-style corpus lookup. `queries` are (id, text)
+   * pairs whose ids also key their query embeddings in `emb`.
+   *
+   * Scale shape: stage 1 is [[bm25TopK]] (only query-term occurrences
+   * shuffle; bounded TopKAgg finisher), producing |queries|·kLex rows —
+   * model-sized. Stage 2 joins that shortlist (with the query vectors
+   * attached) BROADCAST against the corpus embedding table, so the big
+   * side streams once through one broadcast hash join, scores one cosine
+   * kernel per candidate, and finishes with the same bounded top-k heap —
+   * never a per-query window, never a corpus shuffle. Output:
+   * (q_id, doc_id, lex_rank, rank) with rank by cosine desc, doc_id asc.
+   */
+  def hybridTopK(corpus: DataFrame, emb: DataFrame, idCol: String,
+                 textCol: String, vecIdCol: String, vecCol: String,
+                 queries: Seq[(Long, String)], kLex: Int, k: Int): DataFrame = {
+    require(k >= 1 && kLex >= k, s"need 1 <= k <= kLex, got k=$k kLex=$kLex")
+    val qIds = queries.map(_._1)
+    val shortlist = bm25TopK(corpus, idCol, textCol, queries, kLex)
+      .select(F.col("q_id"), F.col("doc_id").as("n_id"),
+        F.col("rank").as("lex_rank"))
+    val qv = emb.filter(F.col(vecIdCol).isInCollection(qIds))
+      .select(F.col(vecIdCol).as("q_id"), F.col(vecCol).as("__qv"))
+    val cand = shortlist.join(qv, "q_id")
+    val dv = emb.select(F.col(vecIdCol).as("n_id"), F.col(vecCol).as("__dv"))
+    val scored = dv.join(F.broadcast(cand), "n_id")
+      .withColumn("__cos", Similarity.cosine(F.col("__qv"), F.col("__dv")))
+    val top = TopKAgg.topKUdaf(k, emb.schema(vecIdCol).dataType)
+    scored.groupBy("q_id")
+      .agg(top(F.col("n_id"), F.col("__cos")).as("__top"))
+      .select(F.col("q_id"),
+        F.posexplode(F.col("__top.hits")).as(Seq("pos", "hit")))
+      .select(F.col("q_id"), F.col("hit.n_id").as("doc_id"),
+        (F.col("pos") + 1).as("rank"))
+      .join(F.broadcast(shortlist
+          .withColumnRenamed("n_id", "doc_id")),
+        Seq("q_id", "doc_id"))
+      .select("q_id", "doc_id", "lex_rank", "rank")
+  }
 }

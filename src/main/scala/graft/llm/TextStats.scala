@@ -481,6 +481,47 @@ object TextStats {
       .limit(k)
 
   /**
+   * Count-min sketch of the corpus token counts (Cormode & Muthukrishnan
+   * 2005): a (`depth`·`width`)-cell integer counter table as a DataFrame
+   * (cell, cnt), cell = lane·width + portable-lane-hash(token) mod width.
+   * ONE explode+groupBy whose combine output is bounded by depth·width
+   * rows per task — the bounded-state replacement for exact token
+   * counting when the vocabulary itself is too large to shuffle (the
+   * 100 TB heavy-hitter pass). Estimates only ever OVER-count
+   * (estimate ≥ true count, error ≤ ε·N with ε ≈ e/width at the standard
+   * depth ≈ ln(1/δ)); all-integer and hash-portable, so the DuckDB
+   * oracle rebuilds the identical table.
+   */
+  def cmsSketch(df: DataFrame, textCol: String, depth: Int = 4,
+                width: Int = 256): DataFrame =
+    df.select(F.explode(
+        org.apache.spark.sql.graft.GraftColumns.cmsPairs(
+          F.col(textCol), depth, width)).as("cell"))
+      .groupBy("cell").agg(F.count(F.lit(1)).as("cnt"))
+
+  /**
+   * Sketch-vs-exact heavy-hitter audit: the exact top-`k` tokens with
+   * their true counts AND the count-min estimate for each
+   * (min over lanes of the sketch cell) — (token, cnt, cms_cnt) with
+   * cms_cnt ≥ cnt always. The exact side is the audit; production at
+   * vocabulary scales that can't shuffle runs the sketch alone and
+   * probes candidate tokens. The probe is a broadcast join of the k·depth
+   * coordinate rows against the ≤ depth·width-row sketch + one min-agg.
+   */
+  def cmsHeavyHitters(df: DataFrame, textCol: String, k: Int,
+                      depth: Int = 4, width: Int = 256): DataFrame = {
+    val sketch = cmsSketch(df, textCol, depth, width)
+      .withColumnRenamed("cnt", "__cms_cell_cnt")
+    topKTokens(df, textCol, k)
+      .select(F.col("token"), F.col("cnt"), F.explode(
+        org.apache.spark.sql.graft.GraftColumns.cmsTokenCoords(
+          F.col("token"), depth, width)).as("cell"))
+      .join(F.broadcast(sketch), "cell")
+      .groupBy("token", "cnt")
+      .agg(F.min("__cms_cell_cnt").as("cms_cnt"))
+  }
+
+  /**
    * Train a bounded unigram language model on a corpus: the `topK`
    * most-frequent whitespace tokens (ties → token asc, the [[topKTokens]]
    * order) with quantized log-probabilities `round(ln(count/total)·1e6)`

@@ -530,6 +530,53 @@ object PyApi {
                   minCount: Long): DataFrame =
     graft.llm.TextStats.pmiTopPairs(df, textCol, k, minCount)
 
+  /** Hashed-NB classifier: train on (textCol, labelCol) and append
+    * pred/lp_micro — the model-based filtering pass. */
+  def nbClassify(df: DataFrame, textCol: String, labelCol: String,
+                 numBuckets: Int): DataFrame =
+    graft.llm.Classify.nbClassify(df, textCol, labelCol, numBuckets)
+
+  /** Hashed-NB model dump: (label, bucket, cnt, w_micro). */
+  def nbWeights(df: DataFrame, textCol: String, labelCol: String,
+                numBuckets: Int): DataFrame =
+    graft.llm.Classify.nbWeights(df, textCol, labelCol, numBuckets)
+
+  /** Domain-level outlink edge list from raw page HTML. */
+  def domainEdges(df: DataFrame, urlCol: String, htmlCol: String): DataFrame =
+    graft.llm.WebGraph.domainEdges(df, urlCol, htmlCol)
+
+  /** Per-destination-domain inlink fan-in stats. */
+  def inlinkStats(df: DataFrame, urlCol: String, htmlCol: String): DataFrame =
+    graft.llm.WebGraph.inlinkStats(df, urlCol, htmlCol)
+
+  /** Hybrid retrieval: BM25 shortlist reranked by embedding cosine. */
+  def hybridTopK(corpus: DataFrame, emb: DataFrame, idCol: String,
+                 textCol: String, vecIdCol: String, vecCol: String,
+                 queries: DataFrame, qidCol: String, qtextCol: String,
+                 kLex: Int, k: Int): DataFrame = {
+    val qs = queries.select(F.col(qidCol).cast("long"),
+        F.col(qtextCol).cast("string")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    graft.llm.Retrieval.hybridTopK(corpus, emb, idCol, textCol, vecIdCol,
+      vecCol, qs, kLex, k)
+  }
+
+  /** Count-min sketch cell table (cell, cnt). */
+  def cmsSketch(df: DataFrame, textCol: String, depth: Int,
+                width: Int): DataFrame =
+    graft.llm.TextStats.cmsSketch(df, textCol, depth, width)
+
+  /** Exact top-k token counts next to their CMS estimates. */
+  def cmsHeavyHitters(df: DataFrame, textCol: String, k: Int, depth: Int,
+                      width: Int): DataFrame =
+    graft.llm.TextStats.cmsHeavyHitters(df, textCol, k, depth, width)
+
+  /** Integer micro-unit PageRank over a (src, dst) edge list. */
+  def pageRank(edges: DataFrame, iters: Int, dampNum: Long, dampDen: Long,
+               srcCol: String, dstCol: String): DataFrame =
+    graft.llm.WebGraph.pageRankMicro(edges, iters, dampNum, dampDen,
+      srcCol, dstCol)
+
   /** Jaccard-shortlist + Levenshtein-verified near-dup pairs. */
   def minHashEditPairs(df: DataFrame, idCol: String, textCol: String,
                        numHashes: Int, bands: Int, shingleSize: Int,

@@ -140,6 +140,14 @@ object GraftColumns {
   def tokenBuckets(text: Column, numBuckets: Int): Column =
     col(TokenBuckets(ex(text), numBuckets))
 
+  /** Count-min sketch update coordinates per token (see [[CmsPairs]]). */
+  def cmsPairs(text: Column, depth: Int, width: Int): Column =
+    col(CmsPairs(ex(text), depth, width))
+
+  /** Sketch coordinates of one token (see [[CmsTokenCoords]]). */
+  def cmsTokenCoords(token: Column, depth: Int, width: Int): Column =
+    col(CmsTokenCoords(ex(token), depth, width))
+
   /** Hashed Naive Bayes label+score (see [[NbScore]]). */
   def nbScore(text: Column, numBuckets: Int, labels: Seq[String],
               priors: Seq[Long], weights: Array[Long]): Column =
@@ -838,6 +846,43 @@ case class TokenBuckets(child: Expression, numBuckets: Int)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.Kernels.tokenBuckets($c, $numBuckets);")
   override protected def withNewChildInternal(newChild: Expression): TokenBuckets =
+    copy(child = newChild)
+}
+
+/** Count-min sketch update coordinates of a document's whitespace tokens
+  * (graft.Kernels.cmsPairs): depth packed Ints per token. Exploded and
+  * counted these ARE the sketch table. */
+case class CmsPairs(child: Expression, depth: Int, width: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(depth >= 1 && width >= 1, "depth and width must be >= 1")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    graft.Kernels.cmsPairs(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], depth, width)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.Kernels.cmsPairs($c, $depth, $width);")
+  override protected def withNewChildInternal(newChild: Expression): CmsPairs =
+    copy(child = newChild)
+}
+
+/** The depth packed sketch coordinates of ONE token — the probe side of
+  * [[CmsPairs]] (graft.Kernels.cmsTokenCoords). */
+case class CmsTokenCoords(child: Expression, depth: Int, width: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(depth >= 1 && width >= 1, "depth and width must be >= 1")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    graft.Kernels.cmsTokenCoords(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], depth, width)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.Kernels.cmsTokenCoords($c, $depth, $width);")
+  override protected def withNewChildInternal(newChild: Expression): CmsTokenCoords =
     copy(child = newChild)
 }
 

@@ -111,4 +111,37 @@ class RetrievalSpec extends SparkTestBase {
     (plan should not).include("CartesianProduct")
     (plan should not).include("SortMergeJoin")
   }
+
+  behavior of "hybridTopK"
+
+  it should "rerank the BM25 shortlist by cosine and keep lex_rank" in {
+    import spark.implicits._
+    // embeddings chosen so cosine order INVERTS the lexical order for
+    // query 50 ("fox"): doc 2/5 lead lexically, doc 1 leads by vector
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.6f, 0.8f)), (3L, Seq(0.0f, 1.0f)),
+      (4L, Seq(0.8f, 0.6f)), (5L, Seq(0.2f, 0.98f)), (6L, Seq(0.5f, 0.5f)),
+      (50L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val queries = Seq(50L -> "fox")
+    val lex = Retrieval.bm25TopK(corpusDf, "doc_id", "text", queries, k = 10)
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    lex.keySet shouldBe Set(1L, 2L, 5L) // docs containing "fox"
+    val got = Retrieval.hybridTopK(corpusDf, emb, "doc_id", "text",
+        "vec_id", "embedding", queries, kLex = 10, k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getInt(3))).toList
+    // cosine vs (1,0): doc1 = 1.0, doc2 = 0.6, doc5 = 0.2
+    got shouldBe List((1L, lex(1L), 1), (2L, lex(2L), 2), (5L, lex(5L), 3))
+  }
+
+  it should "stream the embedding table through a broadcast join" in {
+    import spark.implicits._
+    val emb = (1L to 6L).map(i => (i, Seq(i.toFloat, 1.0f))) :+
+      (50L, Seq(1.0f, 1.0f))
+    val plan = Retrieval.hybridTopK(corpusDf, emb.toDF("vec_id", "embedding"),
+      "doc_id", "text", "vec_id", "embedding", Seq(50L -> "fox"),
+      kLex = 5, k = 2).queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    (plan should not).include("CartesianProduct")
+  }
 }
