@@ -574,6 +574,15 @@ class TimeSeriesDataFrame(DataFrame):
         return self._with(_api(self).pmiTopPairs(
             self._jdf, text_col, k, min_count))
 
+    def readability(self, id_col, text_col):
+        """Flesch-Kincaid readability (Kincaid et al. 1975): exact surface
+        counters (``n_words``, ``n_sentences`` floored at 1,
+        ``n_syllables`` = vowel groups floored at 1 per word) from one
+        kernel scan, plus the grade ``fk_micro`` in integer micro-units —
+        too low reads as listicle/boilerplate, too high as OCR noise."""
+        return self._with(_api(self).readability(
+            self._jdf, id_col, text_col))
+
     def hybrid_topk(self, id_col, text_col, embeddings, queries,
                     vec_id_col="vec_id", vec_col="embedding",
                     qid_col="q_id", qtext_col="qtext", k_lex=20, k=5):

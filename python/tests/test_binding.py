@@ -1149,3 +1149,16 @@ def test_hybrid_topk(spark):
     # lexically doc 2 wins (fox twice); cosine rerank puts doc 1 first
     assert [(r["doc_id"], r["rank"]) for r in out] == [(1, 1), (2, 2)]
     assert out[0]["lex_rank"] == 2 and out[1]["lex_rank"] == 1
+
+
+def test_readability(spark):
+    docs = TimeSeriesDataFrame(spark.createDataFrame(
+        [(1, "The cat sat. It ran!"), (2, "")],
+        "doc_id long, text string"))
+    out = {r["doc_id"]: r for r in
+           docs.readability("doc_id", "text").collect()}
+    assert (out[1]["n_words"], out[1]["n_sentences"],
+            out[1]["n_syllables"]) == (5, 2, 5)
+    assert (out[2]["n_words"], out[2]["n_sentences"],
+            out[2]["n_syllables"]) == (1, 1, 1)
+    assert out[2]["fk_micro"] == round((0.39 + 11.8 - 15.59) * 1e6)

@@ -1484,6 +1484,51 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /**
+   * Flesch–Kincaid surface statistics in ONE scan (Kincaid et al. 1975):
+   * whitespace words (split-semantics: empty text = 1 word), sentence
+   * terminators ('.', '!', '?' occurrences, floored at 1), and syllables
+   * approximated as [aeiouyAEIOUY]+ vowel GROUPS per word floored at 1
+   * per word — exactly the portable form
+   *   greatest(regexp_count-style vowel-run count, 1) summed over tokens
+   * the DuckDB oracle replays with regexp_extract_all. The grade itself
+   * is left to the caller so the single IEEE expression shape is written
+   * once, in the projection both engines evaluate identically.
+   */
+  def fkStats(u: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = u.toString
+    val n = s.length
+    var words = 1
+    var sents = 0
+    var syll = 0L
+    var wordHadGroup = false // current word contributed >= 1 group
+    var inVowelRun = false
+    var wordSyll = 0L
+    var i = 0
+    def vowel(c: Char): Boolean = c match {
+      case 'a' | 'e' | 'i' | 'o' | 'u' | 'y' |
+           'A' | 'E' | 'I' | 'O' | 'U' | 'Y' => true
+      case _ => false
+    }
+    while (i <= n) {
+      val c = if (i == n) ' ' else s.charAt(i)
+      if (c == ' ') {
+        syll += (if (wordHadGroup) wordSyll else 1L) // floor 1 per word
+        if (i < n) words += 1
+        wordHadGroup = false; inVowelRun = false; wordSyll = 0L
+      } else {
+        if (c == '.' || c == '!' || c == '?') sents += 1
+        if (vowel(c)) {
+          if (!inVowelRun) { wordSyll += 1; wordHadGroup = true }
+          inVowelRun = true
+        } else inVowelRun = false
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](words, math.max(sents, 1), syll))
+  }
+
   /** Per-lane portable 32-bit token hash for the count-min sketch:
     * lane i = [[mix32]]((poly(token) + i·2654435761) mod 2^32) — the same
     * codepoint polynomial fold as [[portableHash32]], decorrelated across

@@ -726,6 +726,18 @@ object QueriesLLM {
             TextStats.StupidBackoffLp, oov).as("lp_micro"))
         .orderBy("doc_id")
     }),
+    // Flesch-Kincaid readability: exact surface counters (words,
+    // sentence terminators, vowel-group syllables) from one kernel scan
+    // + the grade in integer micro-units.
+    "doc_readability" -> ((s, dir) => {
+      val st = TextStats.fkStats(F.col("text"))
+      docs(s, dir).select(F.col("doc_id"),
+          st.getField("n_words").as("n_words"),
+          st.getField("n_sentences").as("n_sentences"),
+          st.getField("n_syllables").as("n_syllables"),
+          TextStats.fkGradeMicro(F.col("text")).as("fk_micro"))
+        .orderBy("doc_id")
+    }),
     // Count-min heavy-hitter audit: the exact top-30 token counts next
     // to their estimates from a 4x256-cell CMS — the bounded-state
     // (depth x width integers per task, map-side combinable) replacement
@@ -1846,6 +1858,24 @@ object QueriesLLM {
              FROM lab JOIN q ON q.doc_id = lab.id) WHERE rn = 1)
          SELECT doc_id, source FROM documents JOIN best ON doc_id = best.id
          ORDER BY doc_id""",
+    // The kernel's counters as their portable reference forms: split
+    // length, terminator count via translate-diff (floored at 1), and
+    // vowel-run count per token via regexp_extract_all (floored at 1).
+    "doc_readability" ->
+      """WITH st AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+           CAST(greatest(length(text) -
+             length(translate(text, '.!?', '')), 1) AS INTEGER) AS n_sentences,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+             t -> greatest(len(regexp_extract_all(t, '[aeiouyAEIOUY]+')), 1)))
+             AS BIGINT) AS n_syllables
+         FROM documents)
+         SELECT doc_id, n_words, n_sentences, n_syllables,
+           CAST(round((0.39 * (CAST(n_words AS DOUBLE) /
+               CAST(n_sentences AS DOUBLE))
+             + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+             - 15.59) * 1000000.0) AS BIGINT) AS fk_micro
+         FROM st ORDER BY doc_id""",
     // Rebuilds the identical CMS in SQL: per-token per-lane hash chains
     // (poly fold + Knuth-offset decorrelation + mix32), cell counts,
     // exact top-30, min-over-lanes estimates.

@@ -467,6 +467,47 @@ object StreamCheck {
       (stream, batch)
     }
 
+    record("dedup_within_stream") {
+      // WITHIN-stream stateful exact dedup (not stream-vs-static): the
+      // firehose dedupes against everything it has already seen, via
+      // Structured Streaming's dropDuplicates state store. Output is the
+      // normalized digest (which row of a duplicate group wins inside a
+      // micro-batch is engine-arbitrary; the digest SET is the contract),
+      // so streamed survivors must equal the batch distinct exactly.
+      // State here is one digest per distinct doc — production bounds it
+      // with dropDuplicatesWithinWatermark when duplicates are
+      // temporally local.
+      // inject punctuation/whitespace-variant copies (same normalized
+      // digest for EVERY doc — ASCII-scoped canonicalization strips
+      // them) with LATER ids, so duplicates arrive in later
+      // micro-batches and the state store must remember digests across
+      // batch boundaries
+      val selfDupRows = (docsIncomingRows ++ docsIncomingRows
+        .filter(_._1 % 5 == 1)
+        .map { case (id, t) => (id + 2000000L, t + " !!\t") })
+        .sortBy(_._1)
+      val mem = MemoryStream[(Long, String)]
+      val key = (df: DataFrame) => df.select(
+        F.md5(graft.llm.TextStats.normalizeForDedup(F.col("text")))
+          .as("dup_key"))
+      val out = key(mem.toDF().toDF("doc_id", "text"))
+        .dropDuplicates("dup_key")
+      val q = out.writeStream.format("memory").queryName("sc_dedup_stream")
+        .outputMode("append").start()
+      val stream = try {
+        selfDupRows.grouped(
+          math.max(1, selfDupRows.length / 4)).foreach { c =>
+          mem.addData(c); q.processAllAvailable()
+        }
+        spark.table("sc_dedup_stream").collect().toSeq
+      } finally q.stop()
+      val batch = key(selfDupRows.toDF("doc_id", "text")).distinct()
+        .collect().toSeq
+      require(batch.length < selfDupRows.length,
+        "constructed incoming stream contains no normalized-exact duplicates")
+      (stream, batch)
+    }
+
     record("nb_score_stream") {
       // model-based filtering on the firehose: the hashed-NB classifier
       // is trained OFFLINE on the static labeled corpus (one aggregation)

@@ -480,6 +480,30 @@ object TextStats {
       .orderBy(F.col("cnt").desc, F.col("token"))
       .limit(k)
 
+  /** Flesch–Kincaid surface counters: struct(n_words, n_sentences,
+    * n_syllables) — sentence terminators floored at 1, vowel-group
+    * syllables floored at 1 per word. One kernel scan. */
+  def fkStats(text: Column): Column =
+    org.apache.spark.sql.graft.GraftColumns.fkStats(text)
+
+  /**
+   * Flesch–Kincaid grade level (Kincaid et al. 1975) in integer
+   * micro-units: `round((0.39·(W/S) + 11.8·(Syl/W) − 15.59)·1e6)` over
+   * the [[fkStats]] counters — the classic readability quality signal
+   * (too low ⇒ listicle/boilerplate, too high ⇒ OCR noise / code). The
+   * expression is written as the single IEEE shape both engines evaluate
+   * identically; the counters are exact integers, so the only float ops
+   * are the two divisions and the affine combination.
+   */
+  def fkGradeMicro(text: Column): Column = {
+    val s = fkStats(text)
+    val w = s.getField("n_words").cast("double")
+    val sen = s.getField("n_sentences").cast("double")
+    val syl = s.getField("n_syllables").cast("double")
+    F.round((F.lit(0.39) * (w / sen) + F.lit(11.8) * (syl / w) -
+      F.lit(15.59)) * 1e6).cast("long")
+  }
+
   /**
    * Count-min sketch of the corpus token counts (Cormode & Muthukrishnan
    * 2005): a (`depth`·`width`)-cell integer counter table as a DataFrame

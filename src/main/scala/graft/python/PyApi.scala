@@ -561,6 +561,16 @@ object PyApi {
       vecCol, qs, kLex, k)
   }
 
+  /** Flesch–Kincaid surface counters + grade in integer micro-units. */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val st = graft.llm.TextStats.fkStats(F.col(textCol))
+    df.select(F.col(idCol),
+      st.getField("n_words").as("n_words"),
+      st.getField("n_sentences").as("n_sentences"),
+      st.getField("n_syllables").as("n_syllables"),
+      graft.llm.TextStats.fkGradeMicro(F.col(textCol)).as("fk_micro"))
+  }
+
   /** Count-min sketch cell table (cell, cnt). */
   def cmsSketch(df: DataFrame, textCol: String, depth: Int,
                 width: Int): DataFrame =

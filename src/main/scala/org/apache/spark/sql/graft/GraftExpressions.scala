@@ -140,6 +140,9 @@ object GraftColumns {
   def tokenBuckets(text: Column, numBuckets: Int): Column =
     col(TokenBuckets(ex(text), numBuckets))
 
+  /** Flesch–Kincaid surface counters (see [[FkStats]]). */
+  def fkStats(text: Column): Column = col(FkStats(ex(text)))
+
   /** Count-min sketch update coordinates per token (see [[CmsPairs]]). */
   def cmsPairs(text: Column, depth: Int, width: Int): Column =
     col(CmsPairs(ex(text), depth, width))
@@ -847,6 +850,31 @@ case class TokenBuckets(child: Expression, numBuckets: Int)
       s"${ev.value} = graft.Kernels.tokenBuckets($c, $numBuckets);")
   override protected def withNewChildInternal(newChild: Expression): TokenBuckets =
     copy(child = newChild)
+}
+
+/** Flesch–Kincaid surface counters (graft.Kernels.fkStats): words,
+  * sentence terminators (floored at 1), vowel-group syllables (floored at
+  * 1 per word) in one scan. */
+case class FkStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = FkStats.schema
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    graft.Kernels.fkStats(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.Kernels.fkStats($c);")
+  override protected def withNewChildInternal(newChild: Expression): FkStats =
+    copy(child = newChild)
+}
+
+object FkStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_sentences", IntegerType, nullable = false),
+    StructField("n_syllables", LongType, nullable = false)))
 }
 
 /** Count-min sketch update coordinates of a document's whitespace tokens
