@@ -197,6 +197,31 @@ class AqeParitySpec extends SparkTestBase {
       graft.llm.Sampling.quotaPerStratum(assign, Seq("cell"), "vec_id",
         n = 10)
     })
+    // round-12 classifier / graph / sketch / hybrid: trainer aggs and
+    // rerank joins AQE may coalesce or convert to broadcast
+    val labeled = (0L until 80L).map { i =>
+      val lang = if (i % 3 == 0) "es" else "en"
+      val t = if (lang == "en") s"the cat w${i % 11} runs over it ${i % 5}"
+              else s"el gato w${i % 11} corre y salta ${i % 5}"
+      (i, t, lang)
+    }.toDF("doc_id", "text", "lang").repartition(5)
+    parity("nbClassify")(() =>
+      graft.llm.Classify.nbClassify(labeled, "text", "lang", 32)
+        .select("doc_id", "pred", "lp_micro"))
+    parity("pageRankMicro")(() =>
+      graft.llm.WebGraph.pageRankMicro(
+        (0 until 200).map(i => (s"d${i % 17}", s"d${(i * 7 + 1) % 5}"))
+          .toDF("src_domain", "dst_domain").repartition(6)))
+    parity("cmsHeavyHitters")(() =>
+      graft.llm.TextStats.cmsHeavyHitters(labeled, "text", k = 10,
+        depth = 4, width = 64))
+    parity("hybridTopK")(() =>
+      graft.llm.Retrieval.hybridTopK(labeled,
+        (0L until 80L).map(i =>
+          (i, Seq((i % 7).toFloat + 1f, (i % 3).toFloat, 1f)))
+          .toDF("vec_id", "embedding").repartition(4),
+        "doc_id", "text", "vec_id", "embedding",
+        Seq(3L -> "the cat", 6L -> "el gato"), kLex = 10, k = 4))
   }
 
   private val F2 = org.apache.spark.sql.functions

@@ -291,4 +291,52 @@ class PartitionLayoutSpec extends SparkTestBase {
         graft.llm.TextStats.encodingStats(col("text"))
           .getField("n_chars").as("nc")))
   }
+
+  it should "produce identical classifier / graph / sketch / hybrid results" in {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.{functions => F}
+    val labeled = (0L until 80L).map { i =>
+      val lang = if (i % 3 == 0) "es" else "en"
+      val t = if (lang == "en") s"the cat w${i % 11} runs over it ${i % 5}"
+              else s"el gato w${i % 11} corre y salta ${i % 5}"
+      (i, t, lang)
+    }.toDF("doc_id", "text", "lang").repartition(5)
+    // trainer: the (label, bucket) count table must not depend on layout
+    invariant("nbWeights")(() =>
+      graft.llm.Classify.nbWeights(labeled, "text", "lang", 32))
+    // scorer: integer accumulation, layout-free by construction
+    invariant("nbClassify")(() =>
+      graft.llm.Classify.nbClassify(labeled, "text", "lang", 32)
+        .select("doc_id", "pred", "lp_micro"))
+    // all-integer PageRank over a skewed multigraph
+    val edges = (0 until 200).map { i =>
+      (s"d${i % 17}", s"d${(i * 7 + 1) % 5}") // fan-in skew onto 5 domains
+    }.toDF("src_domain", "dst_domain").repartition(6)
+    invariant("pageRankMicro")(() => graft.llm.WebGraph.pageRankMicro(edges))
+    val pages = (0L until 60L).map { i =>
+      (i, s"https://s${i % 9}.com/p$i",
+        s"""<a href="https://t${i % 4}.org/x">a</a>""" +
+          (if (i % 2 == 0) s"""<a href="https://u${i % 6}.com/y">b</a>""" else ""))
+    }.toDF("doc_id", "url", "html").repartition(5)
+    invariant("inlinkStats")(() =>
+      graft.llm.WebGraph.inlinkStats(pages, "url", "html"))
+    // CMS: integer cells + min-over-lanes estimates
+    invariant("cmsHeavyHitters")(() =>
+      graft.llm.TextStats.cmsHeavyHitters(labeled, "text", k = 10,
+        depth = 4, width = 64))
+    // hybrid retrieval: shortlist + rerank, ranks must be layout-free
+    val emb = (0L until 80L).map(i =>
+      (i, Seq((i % 7).toFloat + 1f, (i % 3).toFloat, 1f)))
+      .toDF("vec_id", "embedding").repartition(4)
+    invariant("hybridTopK")(() =>
+      graft.llm.Retrieval.hybridTopK(labeled, emb, "doc_id", "text",
+        "vec_id", "embedding",
+        Seq(3L -> "the cat", 6L -> "el gato"), kLex = 10, k = 4))
+    invariant("readability")(() =>
+      labeled.select(col("doc_id"),
+        graft.llm.TextStats.fkStats(col("text")).as("fk"),
+        graft.llm.TextStats.fkGradeMicro(col("text")).as("g"))
+        .select(col("doc_id"), F.col("fk.n_words"), F.col("fk.n_syllables"),
+          col("g")))
+  }
 }
