@@ -240,4 +240,92 @@ object KernelLaws extends Properties("Kernels") {
           l.startsWith("- ") || l.startsWith("* ") || l.startsWith("•")) &&
         row.getInt(5) == lines.count(_.endsWith("..."))
     }
+
+  // --- round-12 kernels: feature hashing, NB scoring, CMS, readability ---
+
+  private val textSoup: Gen[String] = Gen.listOf(Gen.frequency(
+    (6, Gen.alphaNumChar), (3, Gen.const(' ')), (1, Gen.oneOf('.', '!', '?')),
+    (1, Gen.oneOf('é', '漢', 'ß')))).map(_.mkString)
+
+  private def replayHash32(tok: String): Long = {
+    def mix(v0: Long): Long = {
+      var x = v0 & 0xFFFFFFFFL
+      x = ((x ^ (x >>> 16)) * 0x45d9f3bL) & 0xFFFFFFFFL
+      x = ((x ^ (x >>> 16)) * 0x45d9f3bL) & 0xFFFFFFFFL
+      x ^ (x >>> 16)
+    }
+    var h = 2166136261L
+    var i = 0
+    while (i < tok.length) {
+      val cp = tok.codePointAt(i)
+      h = (h * 1000003L + cp) & 0xFFFFFFFFL
+      i += Character.charCount(cp)
+    }
+    mix(h)
+  }
+
+  property("tokenBuckets = portable hash chain mod D over split tokens") =
+    forAll(textSoup, Gen.chooseNum(1, 128)) { (s, d) =>
+      val got = Kernels.tokenBuckets(UTF8String.fromString(s), d)
+        .toIntArray().toSeq
+      got == s.split(" ", -1).toSeq.map(t => (replayHash32(t) % d).toInt)
+    }
+
+  property("cmsPairs lane 0 = tokenBuckets; lanes decorrelate by Knuth offset") =
+    forAll(textSoup, Gen.chooseNum(1, 4), Gen.chooseNum(2, 64)) { (s, d, w) =>
+      val pairs = Kernels.cmsPairs(UTF8String.fromString(s), d, w).toIntArray()
+      val toks = s.split(" ", -1)
+      pairs.length == toks.length * d && toks.zipWithIndex.forall { case (t, i) =>
+        (0 until d).forall { l =>
+          pairs(i * d + l) == l * w +
+            (((replayHash32AtLane(t, l)) % w).toInt)
+        }
+      }
+    }
+
+  private def replayHash32AtLane(tok: String, lane: Int): Long = {
+    def mix(v0: Long): Long = {
+      var x = v0 & 0xFFFFFFFFL
+      x = ((x ^ (x >>> 16)) * 0x45d9f3bL) & 0xFFFFFFFFL
+      x = ((x ^ (x >>> 16)) * 0x45d9f3bL) & 0xFFFFFFFFL
+      x ^ (x >>> 16)
+    }
+    var h = 2166136261L
+    var i = 0
+    while (i < tok.length) {
+      val cp = tok.codePointAt(i)
+      h = (h * 1000003L + cp) & 0xFFFFFFFFL
+      i += Character.charCount(cp)
+    }
+    mix((h + lane.toLong * 2654435761L) & 0xFFFFFFFFL)
+  }
+
+  property("nbScore = brute-force argmax over the weight matrix, label-asc ties") =
+    forAll(textSoup, Gen.chooseNum(2, 5), Gen.chooseNum(1, 32)) { (s, nl, d) =>
+      val labels = (0 until nl).map(i => s"l$i").toArray
+      // deterministic pseudo-weights from the portable hash itself
+      val weights = Array.tabulate(nl * d)(i => -(replayHash32("w" + i) % 100000L))
+      val priors = Array.tabulate(nl)(i => -(replayHash32("p" + i) % 50000L))
+      val row = Kernels.nbScore(UTF8String.fromString(s), d,
+        labels.map(UTF8String.fromString), priors, weights)
+      val toks = s.split(" ", -1)
+      val scores = (0 until nl).map { l =>
+        priors(l) + toks.map(t =>
+          weights(l * d + (replayHash32(t) % d).toInt)).sum
+      }
+      val best = scores.zipWithIndex.maxBy { case (sc, i) => (sc, -i) }
+      row.getUTF8String(0).toString == labels(best._2) &&
+        row.getLong(1) == best._1
+    }
+
+  property("fkStats = split/regex reference with the documented floors") =
+    forAll(textSoup) { s =>
+      val row = Kernels.fkStats(UTF8String.fromString(s))
+      val words = s.split(" ", -1)
+      val sents = math.max(s.count(c => c == '.' || c == '!' || c == '?'), 1)
+      val syll = words.map(w =>
+        math.max("[aeiouyAEIOUY]+".r.findAllIn(w).size, 1).toLong).sum
+      row.getInt(0) == words.length && row.getInt(1) == sents &&
+        row.getLong(2) == syll
+    }
 }
