@@ -574,6 +574,16 @@ class TimeSeriesDataFrame(DataFrame):
         return self._with(_api(self).pmiTopPairs(
             self._jdf, text_col, k, min_count))
 
+    def lang_segments(self, id_col, text_col):
+        """Per-line language segmentation (the CCNet per-paragraph langid
+        pass at line granularity): per document the majority language of
+        the non-blank lines (ties -> label ascending), ``n_lines``,
+        ``n_langs``, and a ``mixed`` flag for routing mixed-language pages
+        to per-segment processing. One explode + one bounded count
+        aggregation + a struct-max argmax — no window."""
+        return self._with(_api(self).langSegments(
+            self._jdf, id_col, text_col))
+
     def readability(self, id_col, text_col):
         """Flesch-Kincaid readability (Kincaid et al. 1975): exact surface
         counters (``n_words``, ``n_sentences`` floored at 1,

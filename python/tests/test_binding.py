@@ -1162,3 +1162,16 @@ def test_readability(spark):
     assert (out[2]["n_words"], out[2]["n_sentences"],
             out[2]["n_syllables"]) == (1, 1, 1)
     assert out[2]["fk_micro"] == round((0.39 + 11.8 - 15.59) * 1e6)
+
+
+def test_lang_segments(spark):
+    docs = TimeSeriesDataFrame(spark.createDataFrame(
+        [(1, "the cat is on the mat and it\nel gato y el perro en la casa"
+             "\nthe dog is in the sun and it"),
+         (2, "   \n  ")],
+        "doc_id long, text string"))
+    out = {r["doc_id"]: r for r in
+           docs.lang_segments("doc_id", "text").collect()}
+    assert (out[1]["major_lang"], out[1]["n_lines"],
+            out[1]["n_langs"], out[1]["mixed"]) == ("en", 3, 2, True)
+    assert out[2]["major_lang"] is None and out[2]["mixed"] is None

@@ -726,6 +726,24 @@ object QueriesLLM {
             TextStats.StupidBackoffLp, oov).as("lp_micro"))
         .orderBy("doc_id")
     }),
+    // CCNet-style per-line language segmentation over constructed
+    // mixed-language pages (a Spanish line every 3rd doc, a German line
+    // every 4th, a whitespace-only line everywhere — excluded from the
+    // vote): per doc the majority language (ties -> label asc via the
+    // packed struct-max, no window), non-blank line count, distinct
+    // languages, and the mixed flag.
+    "doc_lang_segments" -> ((s, dir) => {
+      val page = F.concat(F.col("text"), F.lit("\n   "),
+        F.when(F.pmod(F.col("doc_id"), F.lit(3L)) === 0,
+          F.lit("\nel gato y el perro en la casa de la playa"))
+          .otherwise(F.lit("")),
+        F.when(F.pmod(F.col("doc_id"), F.lit(4L)) === 0,
+          F.lit("\nder hund und die katze ist von den nicht ein"))
+          .otherwise(F.lit("")))
+      TextStats.langSegments(
+          docs(s, dir).withColumn("text", page), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // Flesch-Kincaid readability: exact surface counters (words,
     // sentence terminators, vowel-group syllables) from one kernel scan
     // + the grade in integer micro-units.
@@ -1162,18 +1180,19 @@ object QueriesLLM {
   /** DuckDB mirror of TextStats.langId's CASE chain over `text` (shared by
     * doc_langid and corpus_report). RE2 (DuckDB) spells the CJK range
     * with braces; Java regex uses the literal characters. */
-  private val langIdCaseSql: String = {
+  private def langIdCaseSqlOn(col: String): String = {
     def h(ws: Seq[String]) =
-      s"len(list_filter(string_split(text, ' '), t -> t IN (${inList(ws)})))"
+      s"len(list_filter(string_split($col, ' '), t -> t IN (${inList(ws)})))"
     val en = h(TextStats.EnStop); val es = h(TextStats.EsStop)
     val de = h(TextStats.DeStop); val fr = h(TextStats.FrStop)
-    val zh = "length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))"
+    val zh = s"length(regexp_replace($col, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))"
     s"""CASE WHEN $en = greatest($en, $es, $de, $fr, $zh) THEN 'en'
              WHEN $es = greatest($en, $es, $de, $fr, $zh) THEN 'es'
              WHEN $de = greatest($en, $es, $de, $fr, $zh) THEN 'de'
              WHEN $fr = greatest($en, $es, $de, $fr, $zh) THEN 'fr'
              ELSE 'zh' END"""
   }
+  private lazy val langIdCaseSql: String = langIdCaseSqlOn("text")
 
   /** DuckDB mirror of Sampling.hashUnit at effective seed `seed` (same
     * bounded-integer avalanche arithmetic; the second lane adds the Knuth
@@ -1857,6 +1876,32 @@ object QueriesLLM {
                ORDER BY q.q DESC, lab.id ASC) AS rn
              FROM lab JOIN q ON q.doc_id = lab.id) WHERE rn = 1)
          SELECT doc_id, source FROM documents JOIN best ON doc_id = best.id
+         ORDER BY doc_id""",
+    // Replays the page construction, the per-line langId CASE chain,
+    // and the majority vote (row_number on count desc, lang asc = the
+    // engine's packed struct-max tie order).
+    "doc_lang_segments" ->
+      s"""WITH pg AS (SELECT doc_id, (text || chr(10) || '   '
+           || CASE WHEN doc_id % 3 = 0 THEN chr(10) ||
+                'el gato y el perro en la casa de la playa' ELSE '' END
+           || CASE WHEN doc_id % 4 = 0 THEN chr(10) ||
+                'der hund und die katze ist von den nicht ein' ELSE '' END)
+           AS page FROM documents),
+         ln AS (SELECT doc_id, unnest(string_split(page, chr(10))) AS line
+                FROM pg),
+         nz AS (SELECT doc_id, ${langIdCaseSqlOn("line")} AS lang
+                FROM ln WHERE trim(line) <> ''),
+         c AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n
+               FROM nz GROUP BY 1, 2),
+         top AS (SELECT doc_id, lang AS major_lang FROM (
+             SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id
+               ORDER BY n DESC, lang) AS rk FROM c) WHERE rk = 1),
+         agg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_lines,
+             CAST(count(*) AS BIGINT) AS n_langs FROM c GROUP BY 1)
+         SELECT d.doc_id, top.major_lang, agg.n_lines, agg.n_langs,
+           agg.n_langs > 1 AS mixed
+         FROM documents d LEFT JOIN top USING (doc_id)
+         LEFT JOIN agg USING (doc_id)
          ORDER BY doc_id""",
     // The kernel's counters as their portable reference forms: split
     // length, terminator count via translate-diff (floored at 1), and

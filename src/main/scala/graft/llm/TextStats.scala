@@ -480,6 +480,54 @@ object TextStats {
       .orderBy(F.col("cnt").desc, F.col("token"))
       .limit(k)
 
+  /**
+   * Per-line language segmentation (the CCNet per-paragraph langid pass,
+   * Wenzek et al. 2020 §4.2, at line granularity): language-ID every
+   * non-blank line with the stopword kernel, then per document the
+   * MAJORITY language (ties → label ascending), the non-blank line
+   * count, the distinct-language count, and a `mixed` flag — the signal
+   * for routing mixed-language pages to per-segment processing instead
+   * of one whole-doc label.
+   *
+   * Scale shape: one explode + one (doc, lang) count aggregation (both
+   * map-side combinable; ≤ |languages| rows per doc reach the reduce
+   * side) + a per-doc struct-max argmax (no window, no sort) + one left
+   * join back to the id spine. The tie-break is encoded in the packed
+   * struct (count, reverse label rank), so the argmax is deterministic
+   * under any partitioning. Documents with no non-blank lines get null
+   * segmentation columns.
+   */
+  def langSegments(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // closed langId label set, ALPHABETICAL (the majority tie-break order)
+    val labels = (LangLists.map(_._1) :+ "zh").sorted
+    val lines = df.select(F.col(idCol),
+        F.explode(F.split(F.col(textCol), "\n")).as("__ls_line"))
+      .filter(F.trim(F.col("__ls_line")) =!= "")
+      .select(F.col(idCol), langId(F.col("__ls_line")).as("__ls_lang"))
+    val counts = lines.groupBy(F.col(idCol), F.col("__ls_lang"))
+      .agg(F.count(F.lit(1)).as("__ls_n"))
+    // reverse label rank: ties on count pick the SMALLEST label, i.e. the
+    // largest (count, reverse-rank) struct
+    val rev = labels.zipWithIndex.foldLeft(F.lit(-1)) { case (acc, (l, i)) =>
+      F.when(F.col("__ls_lang") === l, labels.length - 1 - i).otherwise(acc)
+    }
+    val agg = counts
+      .select(F.col(idCol), F.col("__ls_lang"), F.col("__ls_n"),
+        F.struct(F.col("__ls_n").as("n"), rev.as("r")).as("__ls_pack"))
+      .groupBy(F.col(idCol))
+      .agg(F.max(F.col("__ls_pack")).as("__ls_top"),
+        F.sum(F.col("__ls_n")).as("n_lines"),
+        F.count(F.lit(1)).as("n_langs"))
+    val major = labels.zipWithIndex.foldLeft(F.lit(null: String)) {
+      case (acc, (l, i)) =>
+        F.when(F.col("__ls_top.r") === labels.length - 1 - i, l).otherwise(acc)
+    }
+    df.select(F.col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(F.col(idCol), major.as("major_lang"), F.col("n_lines"),
+        F.col("n_langs"), (F.col("n_langs") > 1).as("mixed"))
+  }
+
   /** Flesch–Kincaid surface counters: struct(n_words, n_sentences,
     * n_syllables) — sentence terminators floored at 1, vowel-group
     * syllables floored at 1 per word. One kernel scan. */

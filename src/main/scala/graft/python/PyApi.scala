@@ -561,6 +561,10 @@ object PyApi {
       vecCol, qs, kLex, k)
   }
 
+  /** Per-line language segmentation: majority lang + mixed flag. */
+  def langSegments(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.llm.TextStats.langSegments(df, idCol, textCol)
+
   /** Flesch–Kincaid surface counters + grade in integer micro-units. */
   def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val st = graft.llm.TextStats.fkStats(F.col(textCol))
