@@ -380,4 +380,28 @@ class PlanShapeSpec extends SparkTestBase {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     } shouldBe empty
   }
+
+  it should "plan the r12 classifier / sketch / segment ops window-free" in {
+    val docs = Seq((1L, "the cat sat", "en"), (2L, "el gato", "es"))
+      .toDF("doc_id", "text", "lang")
+    // NB sufficient statistics: explode + ONE hash-agg shuffle, no more
+    val counts = graft.llm.Classify.nbCounts(docs, "text", "lang", 16)
+    exchanges(counts) shouldBe 1
+    cartesians(counts) shouldBe 0
+    // CMS cell table: same single-shuffle shape
+    val sketch = graft.llm.TextStats.cmsSketch(docs, "text", 4, 32)
+    exchanges(sketch) shouldBe 1
+    cartesians(sketch) shouldBe 0
+    // language segmentation: no window, no cartesian, no global sort
+    val seg = graft.llm.TextStats.langSegments(docs, "doc_id", "text")
+    cartesians(seg) shouldBe 0
+    globalSorts(seg) shouldBe 0
+    plan(seg).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    } shouldBe empty
+    // readability: pure codegen'd scan — zero exchanges
+    val fk = docs.select(
+      graft.llm.TextStats.fkGradeMicro(F.col("text")))
+    exchanges(fk) shouldBe 0
+  }
 }
