@@ -2354,7 +2354,7 @@ object QueriesLLM {
          rk AS (SELECT q_id, doc_id, lex_rank,
              CAST(row_number() OVER (PARTITION BY q_id
                ORDER BY c DESC, doc_id) AS INTEGER) AS rank
-           FROM rr)
+           FROM rr WHERE NOT isnan(c))
          SELECT q_id, doc_id, lex_rank, rank FROM rk WHERE rank <= 5
          ORDER BY q_id, rank""",
     // the invariant holds for any valid sketch state, so the oracle is

@@ -80,6 +80,16 @@ object Classify {
    * driver. Rows with a null label are rejected — a corpus with unlabeled
    * rows should filter or impute BEFORE training, not silently drop mass.
    */
+  /** Half-away-from-zero rounding to long — the SAME primitive as Spark's
+    * `F.round` and DuckDB's `round()`, so driver-quantized parameters
+    * (here) and engine-quantized ones ([[nbWeights]] / the SQL oracle)
+    * agree even on exact .5 boundaries. `java.lang.Math.round` rounds
+    * half toward +infinity, which differs for the NEGATIVE micro-nat
+    * logprobs this model quantizes. */
+  private def microRound(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+
   def nbTrain(df: DataFrame, textCol: String, labelCol: String,
               numBuckets: Int): NbModel = {
     require(numBuckets >= 1, "numBuckets must be >= 1")
@@ -94,7 +104,7 @@ object Classify {
     val priors = new Array[Long](labels.length)
     docCounts.foreach { r =>
       priors(idx(r.getString(0))) =
-        math.round(math.log(r.getLong(1).toDouble / nDocs.toDouble) * 1e6)
+        microRound(math.log(r.getLong(1).toDouble / nDocs.toDouble) * 1e6)
     }
     val counts = nbCounts(df, textCol, labelCol, numBuckets).collect()
     val totals = new Array[Long](labels.length)
@@ -103,14 +113,14 @@ object Classify {
     var l = 0
     while (l < labels.length) {
       val floor =
-        math.round(math.log(1.0 / (totals(l) + numBuckets).toDouble) * 1e6)
+        microRound(math.log(1.0 / (totals(l) + numBuckets).toDouble) * 1e6)
       java.util.Arrays.fill(weights, l * numBuckets, (l + 1) * numBuckets,
         floor)
       l += 1
     }
     counts.foreach { r =>
       val li = idx(r.getString(0))
-      weights(li * numBuckets + r.getInt(1)) = math.round(math.log(
+      weights(li * numBuckets + r.getInt(1)) = microRound(math.log(
         (r.getLong(2) + 1.0) / (totals(li) + numBuckets).toDouble) * 1e6)
     }
     NbModel(labels, priors.toSeq, weights, numBuckets)

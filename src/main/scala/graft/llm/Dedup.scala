@@ -169,11 +169,19 @@ object Dedup {
    * count, the expensive O(len_a · len_b) DP runs only on survivors.
    * Both tiers are built-ins (`levenshtein` is codegen'd); the
    * similarity is an exact integer ratio in double, bit-identical in any
-   * engine. For corpora with very long documents, bound the DP with the
-   * thresholded `levenshtein(l, r, maxEdits)` builtin at a corpus-level
-   * length cap before trusting per-pair cost — this default form is
-   * quadratic in the LONGEST candidate document (documented contract,
-   * like [[jaccardPairsWithin]]'s block bound).
+   * engine. Per-pair DP cost is BOUNDED, not just pair count: a
+   * length-gap prefilter (`edit_sim >= editSim` implies
+   * `|len_a - len_b| <= (1-editSim)·max(len_a, len_b)` — every edit
+   * script needs at least `|len_a - len_b|` insertions/deletions) prunes
+   * pathologically mismatched pairs before any DP runs, and survivors
+   * use the THRESHOLDED `levenshtein(a, b, maxEdits)` builtin, whose
+   * banded DP costs O(maxEdits · max_len) = O((1-editSim) · max_len²)
+   * instead of the full O(len_a · len_b) — at editSim 0.8 a 5× bound on
+   * the worst same-length pair, and the threshold is exact: a pair the
+   * band rejects (distance > maxEdits ⇒ builtin returns -1) is exactly a
+   * pair the `edit_sim >= editSim` filter would have dropped, so the
+   * survivor set and every emitted `dist` are identical to the unbounded
+   * form.
    *
    * Output: (id_a, id_b, jaccard, dist, edit_sim), id_a < id_b.
    *
@@ -198,11 +206,23 @@ object Dedup {
         Seq("id_a"))
       .join(txt.select(F.col(idCol).as("id_b"), F.col(textCol).as("__t_b")),
         Seq("id_b"))
+      .withColumn("__len_max",
+        F.greatest(F.length(F.col("__t_a")), F.length(F.col("__t_b"))))
+      // Largest integer distance still satisfying edit_sim >= editSim; +1
+      // below keeps the threshold a strict upper bound so FP rounding in
+      // the final double comparison can never disagree with the band.
+      .withColumn("__max_edits",
+        F.floor(F.lit(1.0 - editSim) * F.col("__len_max").cast("double"))
+          .cast("int"))
+      // Necessary-condition prefilter: no DP at all for pairs whose raw
+      // length gap already exceeds the edit budget.
+      .filter(F.abs(F.length(F.col("__t_a")) - F.length(F.col("__t_b")))
+        <= F.col("__max_edits"))
       .withColumn("dist",
-        F.levenshtein(F.col("__t_a"), F.col("__t_b")).cast("long"))
+        F.expr("levenshtein(__t_a, __t_b, __max_edits + 1)").cast("long"))
+      .filter(F.col("dist") >= 0)
       .withColumn("edit_sim", F.lit(1.0) - F.col("dist").cast("double") /
-        F.greatest(F.length(F.col("__t_a")), F.length(F.col("__t_b")))
-          .cast("double"))
+        F.col("__len_max").cast("double"))
       .filter(F.col("edit_sim") >= editSim)
       .select("id_a", "id_b", "jaccard", "dist", "edit_sim")
   }

@@ -51,17 +51,23 @@ object Retrieval {
       t.split(" ", -1).filter(_.nonEmpty).distinct.map(qid -> _)
     }
     require(qt.nonEmpty, "query set has no non-empty terms")
-    val allTerms = qt.map(_._2).distinct
     val s = corpus.sparkSession
     import s.implicits._
     val qtDf = qt.toDF("q_id", "term")
+    // Term filter as a broadcast LEFT SEMI join, not isInCollection: an
+    // In/InSet literal would EMBED every distinct query term in the plan
+    // (twice — both scans), so at the contract ceiling (thousands of
+    // queries) the plan/codegen bloats with the query set. The semi-join
+    // keeps plan size O(1) and execution identical (broadcast hash
+    // semi-join probes the same hash set InSet would build).
+    val terms = F.broadcast(qtDf.select("term").distinct())
 
     // Pass 1: document frequency of each query term (bounded output —
     // ≤ |query terms| rows) + 1-row corpus totals; both broadcast back.
     val tq = corpus
       .select(F.col(idCol).as("__doc"),
         F.explode(TextStats.tokens(F.col(textCol))).as("term"))
-      .filter(F.col("term").isInCollection(allTerms))
+      .join(terms, Seq("term"), "left_semi")
     // distinct (doc, term) then count(*) per term — plans as a plain
     // two-phase distinct + count, not a count_distinct Expand.
     val dfreq = tq.distinct()
@@ -83,7 +89,7 @@ object Retrieval {
       .select(F.col(idCol).as("__doc"),
         TextStats.tokenCount(F.col(textCol)).cast("long").as("__dl"),
         F.explode(TextStats.tokens(F.col(textCol))).as("term"))
-      .filter(F.col("term").isInCollection(allTerms))
+      .join(terms, Seq("term"), "left_semi")
       .groupBy(F.col("__doc"), F.col("__dl"), F.col("term"))
       .agg(F.count(F.lit(1)).as("__tf"))
       .join(F.broadcast(idf), Seq("term"))
@@ -117,15 +123,24 @@ object Retrieval {
    * Scale shape: stage 1 is [[bm25TopK]] (only query-term occurrences
    * shuffle; bounded TopKAgg finisher), producing |queries|·kLex rows —
    * model-sized. Stage 2 joins that shortlist (with the query vectors
-   * attached) BROADCAST against the corpus embedding table, so the big
-   * side streams once through one broadcast hash join, scores one cosine
-   * kernel per candidate, and finishes with the same bounded top-k heap —
-   * never a per-query window, never a corpus shuffle. Output:
+   * attached) against the corpus embedding table — BROADCAST when the
+   * projected shortlist size (|queries| · kLex · vector bytes, vector
+   * width probed from one row) fits `maxBroadcastBytes`, so the big side
+   * streams once through one broadcast hash join; beyond that ceiling
+   * (thousands of queries × hundreds of kLex × 768-d doubles is
+   * multi-GB — a driver OOM, not a slow plan) it falls back to a plain
+   * id-keyed shuffle join, still candidate-volume-bounded. Scores one
+   * cosine kernel per candidate and finishes with the same bounded top-k
+   * heap — never a per-query window. Zero-norm embeddings (cosine 0/0 =
+   * NaN) are EXCLUDED from the rerank on both engines — NaN ordering is
+   * the one place Spark's comparator and SQL ORDER BY disagree, so the
+   * contract pins it by construction. Output:
    * (q_id, doc_id, lex_rank, rank) with rank by cosine desc, doc_id asc.
    */
   def hybridTopK(corpus: DataFrame, emb: DataFrame, idCol: String,
                  textCol: String, vecIdCol: String, vecCol: String,
-                 queries: Seq[(Long, String)], kLex: Int, k: Int): DataFrame = {
+                 queries: Seq[(Long, String)], kLex: Int, k: Int,
+                 maxBroadcastBytes: Long = 256L << 20): DataFrame = {
     require(k >= 1 && kLex >= k, s"need 1 <= k <= kLex, got k=$k kLex=$kLex")
     val qIds = queries.map(_._1)
     val shortlist = bm25TopK(corpus, idCol, textCol, queries, kLex)
@@ -134,9 +149,19 @@ object Retrieval {
     val qv = emb.filter(F.col(vecIdCol).isInCollection(qIds))
       .select(F.col(vecIdCol).as("q_id"), F.col(vecCol).as("__qv"))
     val cand = shortlist.join(qv, "q_id")
+    // One-row probe for the vector width; 8 bytes per element plus struct
+    // slack. Conservative (assumes every query fills its kLex slots).
+    val dim = emb.select(F.size(F.col(vecCol)).as("d")).head() match {
+      case r if !r.isNullAt(0) => r.getInt(0)
+      case _ => 0
+    }
+    val candBytes = queries.size.toLong * kLex * (dim.toLong * 8 + 64)
+    val candSized =
+      if (candBytes <= maxBroadcastBytes) F.broadcast(cand) else cand
     val dv = emb.select(F.col(vecIdCol).as("n_id"), F.col(vecCol).as("__dv"))
-    val scored = dv.join(F.broadcast(cand), "n_id")
+    val scored = dv.join(candSized, "n_id")
       .withColumn("__cos", Similarity.cosine(F.col("__qv"), F.col("__dv")))
+      .filter(!F.isnan(F.col("__cos")))
     val top = TopKAgg.topKUdaf(k, emb.schema(vecIdCol).dataType)
     scored.groupBy("q_id")
       .agg(top(F.col("n_id"), F.col("__cos")).as("__top"))
@@ -144,9 +169,13 @@ object Retrieval {
         F.posexplode(F.col("__top.hits")).as(Seq("pos", "hit")))
       .select(F.col("q_id"), F.col("hit.n_id").as("doc_id"),
         (F.col("pos") + 1).as("rank"))
-      .join(F.broadcast(shortlist
-          .withColumnRenamed("n_id", "doc_id")),
-        Seq("q_id", "doc_id"))
+      .join({
+        // Same guard for the vector-less lex-rank re-attach (≈96 B/row).
+        val sl = shortlist.withColumnRenamed("n_id", "doc_id")
+        if (queries.size.toLong * kLex * 96 <= maxBroadcastBytes)
+          F.broadcast(sl)
+        else sl
+      }, Seq("q_id", "doc_id"))
       .select("q_id", "doc_id", "lex_rank", "rank")
   }
 }

@@ -103,14 +103,29 @@ object WebGraph {
       i += 1
     }
     // One action materializes the final |domains|-row vector, then every
-    // intermediate cache is released — no residual cache after the call
-    // (the caller unpersists the result when done).
-    ranks.count()
+    // intermediate cache is released. The materialized count decides the
+    // return shape: up to `LocalizeRows` the vector is collected and
+    // re-created as a local DataFrame (rank vectors ARE model parameters —
+    // ≤ ~80 MB driver-side at the threshold), so the call leaves NO
+    // residual cache in the session; beyond it the persisted distributed
+    // vector is returned and the CALLER must unpersist when done.
+    val n = ranks.count()
     if (prev != null) prev.unpersist(blocking = false)
     e.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
-    ranks
+    if (n <= LocalizeRows) {
+      val rows = ranks.collect()
+      val schema = ranks.schema
+      ranks.unpersist(blocking = false)
+      val s = edges.sparkSession
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    } else ranks
   }
+
+  /** Rank-vector size up to which [[pageRankMicro]] localizes its result
+    * (collect + local DataFrame) instead of returning a persisted
+    * distributed one the caller must release. */
+  val LocalizeRows: Long = 2000000L
 
   /** Per-destination-domain inlink audit: total inbound links and
     * distinct linking domains — the fan-in signal URL filters threshold

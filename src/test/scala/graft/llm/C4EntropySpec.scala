@@ -267,4 +267,30 @@ class C4EntropySpec extends SparkTestBase {
     got shouldBe want
     want should not be empty
   }
+
+  it should "bound per-pair DP cost on pathological long documents" in {
+    // Shingle-SET-identical docs with a 4x character-length gap: perfect
+    // LSH candidates (jaccard 1.0) that an UNBOUNDED Levenshtein would
+    // pay ~3.5e9 DP cells for (~8 min in one task at the builtin's
+    // measured ~139 ns/cell). The length-gap prefilter kills them with
+    // zero DP; the surviving near-identical pair runs the BANDED
+    // thresholded DP (~2e7 cells). Time-bound pins the behavior (the
+    // stripMarkup adversarial-input precedent).
+    val unit = (1 to 400).map(i => s"w$i").mkString(" ") + " "
+    val a = unit * 13                         // ~30 KB
+    val b = unit * 52                         // ~120 KB, same shingle set
+    val c = a.dropRight(4) + "zzzz"           // dist 4 from a
+    val d = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val got = Dedup.minHashEditPairs(d, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleSize = 3, jaccardFloor = 0.5,
+      editSim = 0.98)
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val secs = (System.nanoTime() - t0) / 1e9
+    // (1,2) and (2,3) prefiltered on length gap; (1,3) survives with the
+    // exact distance the unbounded DP would report.
+    got shouldBe Set((1L, 3L, 4L))
+    secs should be < 60.0
+  }
 }

@@ -144,4 +144,46 @@ class RetrievalSpec extends SparkTestBase {
     plan should include("BroadcastHashJoin")
     (plan should not).include("CartesianProduct")
   }
+
+  it should "exclude zero-norm embeddings (NaN cosine) from the rerank" in {
+    import spark.implicits._
+    // doc 2 has a zero vector: cosine vs any query is 0/0 = NaN. The
+    // contract EXCLUDES it (both engines), so it must not outrank real
+    // candidates — and must not appear at all.
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 0.0f)), (5L, Seq(0.2f, 0.98f)),
+      (50L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Retrieval.hybridTopK(corpusDf, emb, "doc_id", "text",
+        "vec_id", "embedding", Seq(50L -> "fox"), kLex = 10, k = 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(3))).toList
+    got shouldBe List((1L, 1), (5L, 2))
+  }
+
+  it should "fall back to a shuffle join past the broadcast budget and " +
+    "stay correct at 1e3 queries x 1e2 kLex" in {
+    import spark.implicits._
+    // The contract ceiling the guard exists for: 1000 queries x kLex=100.
+    // With a tiny budget the projected shortlist size trips the guard, so
+    // stage 2 must plan WITHOUT the broadcast hint (no multi-GB driver
+    // collect at real scale) and return the identical rows.
+    val emb = ((1L to 6L).map(i => (i, Seq(i.toFloat, 1.0f))) ++
+      (1000L until 2000L).map(i => (i, Seq(1.0f, i.toFloat / 2000f))))
+      .toDF("vec_id", "embedding")
+    val queries = (1000L until 2000L).map(i =>
+      i -> (if (i % 2 == 0) "fox dog" else "quick brown")).toSeq
+    val guarded = Retrieval.hybridTopK(corpusDf, emb, "doc_id", "text",
+      "vec_id", "embedding", queries, kLex = 100, k = 3,
+      maxBroadcastBytes = 1024L)
+    val gPlan = guarded.queryExecution.executedPlan.toString
+    (gPlan should not).include("CartesianProduct")
+    val gRows = guarded.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toList
+    gRows should not be empty
+    val hinted = Retrieval.hybridTopK(corpusDf, emb, "doc_id", "text",
+        "vec_id", "embedding", queries, kLex = 100, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toList
+    gRows shouldBe hinted
+  }
 }

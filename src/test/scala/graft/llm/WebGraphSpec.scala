@@ -82,13 +82,14 @@ class WebGraphSpec extends SparkTestBase {
     got("a") should be > got("b")
   }
 
-  it should "release every intermediate cache (result only stays)" in {
+  it should "release every cache (localized result leaves none behind)" in {
     val before = spark.sparkContext.getPersistentRDDs.size
     val r = WebGraph.pageRankMicro(
       Seq(("a", "b"), ("b", "a")).toDF("src_domain", "dst_domain"), iters = 2)
-    spark.sparkContext.getPersistentRDDs.size shouldBe before + 1
-    r.unpersist(blocking = true)
+    // |domains| = 2 <= LocalizeRows, so the result comes back as a local
+    // DataFrame and the session holds NO residual cached RDD at all.
     spark.sparkContext.getPersistentRDDs.size shouldBe before
+    r.count() shouldBe 2L
   }
 
   behavior of "inlinkStats"
