@@ -48,6 +48,7 @@ SCALE_INVARIANT = [
     "dedup_minhash_lsh", "dedup_lsh_edit", "near_dup_jaccard",
     "dedup_against_minhash", "dedup_against_index",
     "dedup_clusters", "dedup_keep_docs", "dedup_keep_best",
+    "pipeline_e2e",
     "ema_rows_es_current_core", "ema_rows_ewma_legacy", "skew_ema_rows_ewma",
 ] + scale_oracles_emb.SCALE_INVARIANT_EMB
 
@@ -427,6 +428,174 @@ def check_dedup_keep_best(con, out_dir):
     return None
 
 
+# --------------------------------------------------------- pipeline_e2e
+
+_PIPE_STOP = "'the', 'a', 'is', 'of', 'to', 'and', 'in', 'that', 'it', 'on'"
+_PIPE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)*\.[A-Za-z]{2,}"
+_PIPE_PHONE = r"\+[0-9]{1,3}([ -]?[0-9]{2,4}){2,4}\b"
+_PIPE_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+_SHUFFLE_SALT = 5000011
+
+
+def _pipe_lanes(seed, from_):
+    """graft hashUnit lanes over an upstream CTE (mirrors the sf0.01
+    oracle's hashLanesFrom)."""
+    return f"""SELECT doc_id,
+        (doc_id + {seed}) % 4294967296 AS a0,
+        xor(a0, a0 >> 16) * 73244475 % 4294967296 AS a1,
+        xor(a1, a1 >> 16) * 73244475 % 4294967296 AS a2,
+        xor(a2, a2 >> 16) AS h1,
+        (doc_id + {seed + 2654435761}) % 4294967296 AS b0,
+        xor(b0, b0 >> 16) * 73244475 % 4294967296 AS b1,
+        xor(b1, b1 >> 16) * 73244475 % 4294967296 AS b2,
+        xor(b2, b2 >> 16) AS h2,
+        ((h1 % 2147483648) * 4294967296 + h2) / 9.223372036854776e18 AS u
+      FROM {from_}"""
+
+
+def check_pipeline_e2e(con, out_dir):
+    """Exact replay of the composed pipeline, linear-shaped: the only
+    quadratic stage (near-dup pair mining) is sourced from the VERIFIED
+    dedup_minhash_lsh dump restricted to the hard-filtered survivor set
+    (LSH candidacy is pair-local, so pairs(hf) = dump ∩ hf x hf); every
+    other stage — filter, components, span strip, PII scrub, quality
+    sample, packing, shuffle — is the same linear SQL the sf0.01 oracle
+    runs."""
+    err = _dump(out_dir, "pipeline_e2e", con, "got_pipe")
+    if err:
+        return err
+    err = _dump(out_dir, "dedup_minhash_lsh", con, "edges_pipe")
+    if err:
+        return err
+    n = "len(string_split(text, ' '))"
+    mtl = (f"(CAST(length(text) AS DOUBLE) - (CAST({n} AS DOUBLE) - 1.0))"
+           f" / CAST({n} AS DOUBLE)")
+    nq = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
+    uniq = "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)"
+    stopq = (f"CAST(len(list_filter(string_split(text, ' '), "
+             f"t -> t IN ({_PIPE_STOP}))) AS DOUBLE)")
+    mtlq = f"(CAST(length(text) AS DOUBLE) - ({nq} - 1.0)) / {nq}"
+    quality = f"""(((CASE WHEN {nq} >= 20 AND {nq} <= 1000 THEN 1.0 ELSE 0.5 END) * 0.25)
+        + ((CASE WHEN {mtlq} >= 3.0 AND {mtlq} <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.25)
+        + (({uniq} / {nq}) * 0.25) + (({stopq} / {nq}) * 0.25))"""
+    con.execute(f"""
+      CREATE OR REPLACE TABLE ref_pipe AS
+      WITH RECURSIVE
+      hf AS (SELECT doc_id, text FROM documents
+        WHERE ({n} >= 50 AND {n} <= 100000)
+          AND ({mtl} >= 3.0 AND {mtl} <= 10.0)
+          AND len(list_filter(string_split(text, ' '),
+                t -> t IN ({_PIPE_STOP}))) >= 2
+          AND position('{{' IN text) = 0
+          AND position('lorem ipsum' IN lower(text)) = 0),
+      e0 AS (SELECT id_a, id_b FROM edges_pipe
+        WHERE id_a IN (SELECT doc_id FROM hf)
+          AND id_b IN (SELECT doc_id FROM hf)),
+      und AS (SELECT id_a AS src, id_b AS dst FROM e0
+              UNION ALL SELECT id_b, id_a FROM e0),
+      comp(id, lbl) AS (
+        SELECT doc_id, doc_id FROM hf
+        UNION
+        SELECT u.dst, c.lbl FROM comp c JOIN und u ON u.src = c.id),
+      reps AS (SELECT id FROM comp GROUP BY id HAVING id = min(lbl)),
+      uq AS (SELECT hf.doc_id, hf.text FROM hf JOIN reps ON hf.doc_id = reps.id),
+      t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM uq),
+      g AS (SELECT doc_id, unnest(range(1, len(toks) - 2)) AS i, toks FROM t),
+      gr AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+               array_to_string(toks[i : i + 3], ' ') AS gram FROM g),
+      dg AS (SELECT gram FROM gr GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+      hh AS (SELECT gr.doc_id, gr.pos FROM gr JOIN dg USING (gram)),
+      cc AS (SELECT doc_id, pos,
+               CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 4
+                    THEN 1 ELSE 0 END AS cut FROM hh),
+      ss AS (SELECT doc_id, pos,
+               sum(cut) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM cc),
+      sp AS (SELECT doc_id, min(pos) AS start_pos, max(pos) + 4 AS end_pos
+             FROM ss GROUP BY doc_id, span_id),
+      tk AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS ti, toks FROM t),
+      tok AS (SELECT doc_id, ti, toks[ti] AS tok FROM tk),
+      kp AS (SELECT k.doc_id, k.ti, k.tok FROM tok k
+             WHERE NOT EXISTS (SELECT 1 FROM sp
+               WHERE sp.doc_id = k.doc_id
+                 AND k.ti - 1 >= sp.start_pos AND k.ti - 1 < sp.end_pos)),
+      ag AS (SELECT doc_id, array_to_string(list(tok ORDER BY ti), ' ') AS txt
+             FROM kp GROUP BY doc_id),
+      strp AS (SELECT t.doc_id, COALESCE(a.txt, '') AS txt
+               FROM t LEFT JOIN ag a USING (doc_id)),
+      inj AS (SELECT doc_id,
+          txt || ' contact u' || CAST(doc_id AS VARCHAR) ||
+          '@mail.example.com ip 10.' || CAST(doc_id % 250 AS VARCHAR) ||
+          '.0.1 call +1 555 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+          ' end' AS tt
+        FROM strp),
+      red AS (SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(tt,
+            '{_PIPE_EMAIL}', '<EMAIL>', 'g'),
+            '{_PIPE_PHONE}', '<PHONE>', 'g'),
+            '{_PIPE_IP}', '<IP>', 'g') AS text
+        FROM inj),
+      qw AS (SELECT doc_id, text, {quality} AS q FROM red),
+      hw AS ({_pipe_lanes(42, "qw")}),
+      smp AS (SELECT qw.doc_id, qw.text, qw.q FROM qw JOIN hw USING (doc_id)
+              WHERE hw.u < least(1.0, 0.9 * qw.q)),
+      hashed AS (SELECT doc_id,
+          CAST(len(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS sz,
+          (doc_id + 42) % 4294967296 AS c0,
+          xor(c0, c0 >> 16) * 73244475 % 4294967296 AS c1,
+          xor(c1, c1 >> 16) * 73244475 % 4294967296 AS c2,
+          xor(c2, c2 >> 16) AS ch,
+          ch % 8 AS pack_bucket,
+          (doc_id + 2654435803) % 4294967296 AS a0,
+          xor(a0, a0 >> 16) * 73244475 % 4294967296 AS a1,
+          xor(a1, a1 >> 16) * 73244475 % 4294967296 AS a2,
+          xor(a2, a2 >> 16) AS ah,
+          (doc_id + 5308871564) % 4294967296 AS b0,
+          xor(b0, b0 >> 16) * 73244475 % 4294967296 AS b1,
+          xor(b1, b1 >> 16) * 73244475 % 4294967296 AS b2,
+          xor(b2, b2 >> 16) AS bh,
+          ((ah % 2147483648) * 4294967296 + bh) / 9.223372036854776e18 AS u
+        FROM smp),
+      ranked AS (SELECT doc_id, sz, pack_bucket,
+          row_number() OVER (PARTITION BY pack_bucket ORDER BY u, doc_id) AS rn
+        FROM hashed),
+      packs AS (
+        SELECT pack_bucket, rn, doc_id,
+          CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_offset,
+          CAST(sz AS BIGINT) AS fill
+        FROM ranked WHERE rn = 1
+        UNION ALL
+        SELECT r.pack_bucket, r.rn, r.doc_id,
+          CASE WHEN p.fill + r.sz > 256 THEN p.pack_id + 1 ELSE p.pack_id END,
+          CASE WHEN p.fill + r.sz > 256 THEN CAST(0 AS BIGINT) ELSE p.fill END,
+          CASE WHEN p.fill + r.sz > 256 THEN CAST(r.sz AS BIGINT)
+               ELSE p.fill + r.sz END
+        FROM ranked r JOIN packs p
+          ON r.pack_bucket = p.pack_bucket AND r.rn = p.rn + 1),
+      shl AS ({_pipe_lanes(42 + _SHUFFLE_SALT, "smp")}),
+      pos AS (SELECT doc_id,
+          row_number() OVER (ORDER BY u, doc_id) - 1 AS shuffle_pos
+        FROM shl)
+      SELECT s.doc_id, md5(s.text) AS final_md5,
+        p.pack_bucket, p.pack_id, p.pack_offset, pos.shuffle_pos
+      FROM smp s JOIN packs p USING (doc_id) JOIN pos USING (doc_id)""")
+    n_bad, n_got, n_ref = con.execute("""
+        SELECT
+          (SELECT count(*) FROM got_pipe g JOIN ref_pipe r USING (doc_id)
+             WHERE g.final_md5 <> r.final_md5
+                OR g.pack_bucket <> r.pack_bucket
+                OR g.pack_id <> r.pack_id
+                OR g.pack_offset <> r.pack_offset
+                OR g.shuffle_pos <> r.shuffle_pos),
+          (SELECT count(*) FROM got_pipe),
+          (SELECT count(*) FROM ref_pipe)""").fetchone()
+    if n_got != n_ref:
+        return f"row count {n_got} != expected {n_ref}"
+    if n_bad:
+        return f"{n_bad} rows mismatch the conditional pipeline replay"
+    return None
+
+
 # ------------------------------------------------------------------ EMA
 
 _K = math.log(1.0 - 0.05)
@@ -571,6 +740,7 @@ def run(name, con, out_dir, sf_dir):
         "dedup_clusters": lambda: check_dedup_clusters(con, out_dir),
         "dedup_keep_docs": lambda: check_dedup_keep_docs(con, out_dir),
         "dedup_keep_best": lambda: check_dedup_keep_best(con, out_dir),
+        "pipeline_e2e": lambda: check_pipeline_e2e(con, out_dir),
         "ema_rows_es_current_core":
             lambda: check_ema_rows_es_current_core(con, out_dir, sf_dir),
         "ema_rows_ewma_legacy":

@@ -1059,6 +1059,47 @@ object QueriesLLM {
         "vec_id", "embedding", books, k = 5)
         .select("q_id", "n_id", "rank")
         .orderBy("q_id", "rank")
+    }),
+    // The README's own end-to-end pre-training pass as ONE registry row —
+    // operator COMPOSITION under a single oracle: hard filter → MinHash
+    // near-dedup to cluster representatives → duplicated-span strip →
+    // synthetic-PII scrub → quality-weighted PPS sample → BPE-count
+    // sequence packing → deterministic epoch shuffle. Single-op rows never
+    // exercise cross-stage schema/caching/determinism drift; this does.
+    // The oracle replays every stage in one recursive-CTE chain: the final
+    // text is pinned by md5, the pack and epoch-position tables exactly.
+    "pipeline_e2e" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val kept = TextStats.hardFilter(d, "text").filter(F.col("keep"))
+        .select("doc_id", "text")
+      val pairs = Dedup.minHashDedupPairs(kept, "doc_id", "text",
+        numHashes = 128, bands = 16, shingleSize = 3, threshold = 0.5)
+      val uniq = Dedup.dedupByClusters(kept, "doc_id", pairs)
+        .select("doc_id", "text")
+      val spans = Dedup.duplicateSpans(uniq, "doc_id", "text", n = 4)
+      val stripped = Dedup.stripDuplicateSpans(uniq, "doc_id", "text", spans)
+      // same deterministic synthetic-PII injection as pii_redact (the
+      // corpus has none), so the scrub stage does real work mid-chain
+      val injected = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com ip 10."),
+        F.pmod(F.col("doc_id"), F.lit(250L)).cast("string"),
+        F.lit(".0.1 call +1 555 "),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000L)).cast("string"), 4, "0"),
+        F.lit(" end"))
+      val scrubbed = stripped.withColumn("text", Pii.redact(injected))
+      val weighted = Sampling.sampleByWeight(
+        scrubbed.withColumn("q", TextStats.qualityScore(F.col("text"))),
+        "doc_id", "q", rate = 0.9)
+      val packed = Sampling.packSequences(
+        weighted.withColumn("n_tok", TextStats.bpeTokenCount(F.col("text"))),
+        "doc_id", "n_tok", budget = 256L, numBuckets = 8)
+      Sampling.shufflePositions(packed, "doc_id")
+        .select(F.col("doc_id"), F.md5(F.col("text")).as("final_md5"),
+          F.col("pack_bucket"), F.col("pack_id"), F.col("pack_offset"),
+          F.col("shuffle_pos"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1167,15 +1208,16 @@ object QueriesLLM {
 
   /** DuckDB mirror of TextStats.qualityScore over `text` (shared by
     * doc_quality and select_budget). */
-  private lazy val qualityExprSql: String = {
-    val n = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
-    val uniq = "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)"
-    val stop = s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopEn))) AS DOUBLE)"
-    val mtl = s"(CAST(length(text) AS DOUBLE) - ($n - 1.0)) / $n"
+  private def qualityExprSqlOn(col: String): String = {
+    val n = s"CAST(len(string_split($col, ' ')) AS DOUBLE)"
+    val uniq = s"CAST(len(list_distinct(string_split($col, ' '))) AS DOUBLE)"
+    val stop = s"CAST(len(list_filter(string_split($col, ' '), t -> t IN ($stopEn))) AS DOUBLE)"
+    val mtl = s"(CAST(length($col) AS DOUBLE) - ($n - 1.0)) / $n"
     s"""(((CASE WHEN $n >= 20 AND $n <= 1000 THEN 1.0 ELSE 0.5 END) * 0.25)
         + ((CASE WHEN $mtl >= 3.0 AND $mtl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.25)
         + (($uniq / $n) * 0.25) + (($stop / $n) * 0.25))"""
   }
+  private lazy val qualityExprSql: String = qualityExprSqlOn("text")
 
   /** DuckDB mirror of TextStats.langId's CASE chain over `text` (shared by
     * doc_langid and corpus_report). RE2 (DuckDB) spells the CJK range
@@ -1213,6 +1255,142 @@ object QueriesLLM {
            FROM documents)"""
 
   private val hashUnitCte = hashUnitCteSeed(42L)
+
+  /** [[hashUnitCteSeed]]'s lane arithmetic as a bare SELECT over an
+    * arbitrary upstream CTE (doc_id only) — the composed-pipeline oracle
+    * replays threshold draws over mid-chain survivor sets, not over
+    * `documents`. */
+  private def hashLanesFrom(seed: Long, from: String): String =
+    s"""SELECT doc_id,
+             (doc_id + $seed) % 4294967296 AS a0,
+             xor(a0, a0 >> 16) * 73244475 % 4294967296 AS a1,
+             xor(a1, a1 >> 16) * 73244475 % 4294967296 AS a2,
+             xor(a2, a2 >> 16) AS h1,
+             (doc_id + ${seed + 2654435761L}) % 4294967296 AS b0,
+             xor(b0, b0 >> 16) * 73244475 % 4294967296 AS b1,
+             xor(b1, b1 >> 16) * 73244475 % 4294967296 AS b2,
+             xor(b2, b2 >> 16) AS h2,
+             ((h1 % 2147483648) * 4294967296 + h2) / 9.223372036854776e18 AS u
+           FROM $from"""
+
+  /** DuckDB replay of the ENTIRE pipeline_e2e chain in one statement.
+    * Every stage reuses the exact SQL shape its single-op oracle is
+    * already verified with (doc_hard_filters' keep conjunction, the
+    * dedup_keep_docs recursive components over exact shingle-Jaccard
+    * pairs — LSH recall ~1 on this corpus, and candidacy is pair-local so
+    * the equality transfers to the filtered subset — dup_spans/strip_spans
+    * gram windows, pii_redact's staged regex chain, sample_by_weight's
+    * hash-unit threshold on the quality score, packSql's recursive greedy
+    * fill at budget 256, and shuffle_positions' salted order). */
+  private lazy val pipelineE2eOracle: String = {
+    val n = "len(string_split(text, ' '))"
+    val mtl = s"(CAST(length(text) AS DOUBLE) - (CAST($n AS DOUBLE) - 1.0)) / CAST($n AS DOUBLE)"
+    val keepWhere =
+      s"""($n >= 50 AND $n <= 100000)
+           AND ($mtl >= 3.0 AND $mtl <= 10.0)
+           AND len(list_filter(string_split(text, ' '), t -> t IN ($stopEn))) >= 2
+           AND position('{' IN text) = 0
+           AND position('lorem ipsum' IN lower(text)) = 0"""
+    val isz = "len(list_intersect(a.sh, b.sh))"
+    val j = s"CAST($isz AS DOUBLE) / CAST(len(a.sh) + len(b.sh) - $isz AS DOUBLE)"
+    s"""WITH RECURSIVE
+         hf AS (SELECT doc_id, text FROM documents WHERE $keepWhere),
+         dsh AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+             for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM hf)),
+         e0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM dsh a JOIN dsh b ON a.doc_id < b.doc_id WHERE $j >= 0.5),
+         und AS (SELECT id_a AS src, id_b AS dst FROM e0
+                 UNION ALL SELECT id_b, id_a FROM e0),
+         comp(id, lbl) AS (
+           SELECT doc_id, doc_id FROM hf
+           UNION
+           SELECT u.dst, c.lbl FROM comp c JOIN und u ON u.src = c.id),
+         reps AS (SELECT id FROM comp GROUP BY id HAVING id = min(lbl)),
+         uq AS (SELECT hf.doc_id, hf.text FROM hf JOIN reps ON hf.doc_id = reps.id),
+         t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM uq),
+         g AS (SELECT doc_id, unnest(range(1, len(toks) - 2)) AS i, toks FROM t),
+         gr AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+                  array_to_string(toks[i : i + 3], ' ') AS gram FROM g),
+         dg AS (SELECT gram FROM gr GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+         hh AS (SELECT gr.doc_id, gr.pos FROM gr JOIN dg USING (gram)),
+         cc AS (SELECT doc_id, pos,
+                  CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 4
+                       THEN 1 ELSE 0 END AS cut FROM hh),
+         ss AS (SELECT doc_id, pos,
+                  sum(cut) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM cc),
+         sp AS (SELECT doc_id, min(pos) AS start_pos, max(pos) + 4 AS end_pos
+                FROM ss GROUP BY doc_id, span_id),
+         tk AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS ti, toks FROM t),
+         tok AS (SELECT doc_id, ti, toks[ti] AS tok FROM tk),
+         kp AS (SELECT k.doc_id, k.ti, k.tok FROM tok k
+                WHERE NOT EXISTS (SELECT 1 FROM sp
+                  WHERE sp.doc_id = k.doc_id
+                    AND k.ti - 1 >= sp.start_pos AND k.ti - 1 < sp.end_pos)),
+         ag AS (SELECT doc_id, array_to_string(list(tok ORDER BY ti), ' ') AS txt
+                FROM kp GROUP BY doc_id),
+         strp AS (SELECT t.doc_id, COALESCE(a.txt, '') AS txt
+                  FROM t LEFT JOIN ag a USING (doc_id)),
+         inj AS (SELECT doc_id,
+             txt || ' contact u' || CAST(doc_id AS VARCHAR) ||
+             '@mail.example.com ip 10.' || CAST(doc_id % 250 AS VARCHAR) ||
+             '.0.1 call +1 555 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+             ' end' AS tt
+           FROM strp),
+         red AS (SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(tt,
+               '${Pii.EmailPattern}', '${Pii.EmailToken}', 'g'),
+               '${Pii.PhonePattern}', '${Pii.PhoneToken}', 'g'),
+               '${Pii.Ipv4Pattern}', '${Pii.IpToken}', 'g') AS text
+           FROM inj),
+         qw AS (SELECT doc_id, text, ${qualityExprSqlOn("text")} AS q FROM red),
+         hw AS (${hashLanesFrom(42L, "qw")}),
+         smp AS (SELECT qw.doc_id, qw.text, qw.q FROM qw JOIN hw USING (doc_id)
+                 WHERE hw.u < least(1.0, 0.9 * qw.q)),
+         hashed AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS sz,
+             (doc_id + 42) % 4294967296 AS c0,
+             xor(c0, c0 >> 16) * 73244475 % 4294967296 AS c1,
+             xor(c1, c1 >> 16) * 73244475 % 4294967296 AS c2,
+             xor(c2, c2 >> 16) AS ch,
+             ch % 8 AS pack_bucket,
+             (doc_id + 2654435803) % 4294967296 AS a0,
+             xor(a0, a0 >> 16) * 73244475 % 4294967296 AS a1,
+             xor(a1, a1 >> 16) * 73244475 % 4294967296 AS a2,
+             xor(a2, a2 >> 16) AS ah,
+             (doc_id + 5308871564) % 4294967296 AS b0,
+             xor(b0, b0 >> 16) * 73244475 % 4294967296 AS b1,
+             xor(b1, b1 >> 16) * 73244475 % 4294967296 AS b2,
+             xor(b2, b2 >> 16) AS bh,
+             ((ah % 2147483648) * 4294967296 + bh) / 9.223372036854776e18 AS u
+           FROM smp),
+         ranked AS (SELECT doc_id, sz, pack_bucket,
+             row_number() OVER (PARTITION BY pack_bucket ORDER BY u, doc_id) AS rn
+           FROM hashed),
+         packs AS (
+           SELECT pack_bucket, rn, doc_id,
+             CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_offset,
+             CAST(sz AS BIGINT) AS fill
+           FROM ranked WHERE rn = 1
+           UNION ALL
+           SELECT r.pack_bucket, r.rn, r.doc_id,
+             CASE WHEN p.fill + r.sz > 256 THEN p.pack_id + 1
+                  ELSE p.pack_id END,
+             CASE WHEN p.fill + r.sz > 256 THEN CAST(0 AS BIGINT)
+                  ELSE p.fill END,
+             CASE WHEN p.fill + r.sz > 256 THEN CAST(r.sz AS BIGINT)
+                  ELSE p.fill + r.sz END
+           FROM ranked r JOIN packs p
+             ON r.pack_bucket = p.pack_bucket AND r.rn = p.rn + 1),
+         shl AS (${hashLanesFrom(42L + Sampling.ShuffleSalt, "smp")}),
+         pos AS (SELECT doc_id,
+             row_number() OVER (ORDER BY u, doc_id) - 1 AS shuffle_pos
+           FROM shl)
+         SELECT s.doc_id, md5(s.text) AS final_md5,
+           p.pack_bucket, p.pack_id, p.pack_offset, pos.shuffle_pos
+         FROM smp s JOIN packs p USING (doc_id) JOIN pos USING (doc_id)
+         ORDER BY s.doc_id"""
+  }
 
   /** CTE chain replaying `Similarity.kmeansCells(embeddings, k=8,
     * iters=2)` (quantized integer Lloyd steps, smallest-id seeding) —
@@ -2875,6 +3053,7 @@ object QueriesLLM {
            FROM scored)
          SELECT q_id, n_id, rank FROM ranked WHERE rank <= 5
          ORDER BY q_id, rank"""
-    }
+    },
+    "pipeline_e2e" -> pipelineE2eOracle
   )
 }

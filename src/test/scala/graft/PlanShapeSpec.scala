@@ -404,4 +404,50 @@ class PlanShapeSpec extends SparkTestBase {
       graft.llm.TextStats.fkGradeMicro(F.col("text")))
     exchanges(fk) shouldBe 0
   }
+
+  it should "plan the composed e2e pipeline inside its exchange budget" in {
+    import graft.llm._
+    // The pipeline_e2e registry chain on a corpus where every stage does
+    // real work: docs 1/2 are a near-dup pair, docs 1/3 share a 4-gram
+    // span, doc 4 fails the hard filter. Cluster-label rounds materialize
+    // EAGERLY inside dupClusters (their per-round exchanges are pinned by
+    // DedupSpec); this pins the statically-visible rest of the chain.
+    val stopRun = "the of and to in that it was he for " // 10 stop words
+    val base = (stopRun * 5) + (1 to 20).map(i => s"word$i").mkString(" ")
+    val nearDup = base.replace("word7", "wordX")
+    val other = (stopRun * 5) +
+      (1 to 20).map(i => s"zz$i").mkString(" ") + " word1 word2 word3 word4"
+    val d = Seq((1L, base), (2L, nearDup), (3L, other), (4L, "too short"))
+      .toDF("doc_id", "text")
+    val kept = TextStats.hardFilter(d, "text").filter(F.col("keep"))
+      .select("doc_id", "text")
+    val pairs = Dedup.minHashDedupPairs(kept, "doc_id", "text",
+      numHashes = 128, bands = 16, shingleSize = 3, threshold = 0.5)
+    val uniq = Dedup.dedupByClusters(kept, "doc_id", pairs)
+      .select("doc_id", "text")
+    val spans = Dedup.duplicateSpans(uniq, "doc_id", "text", n = 4)
+    val stripped = Dedup.stripDuplicateSpans(uniq, "doc_id", "text", spans)
+    val scrubbed = stripped.withColumn("text",
+      graft.llm.Pii.redact(F.col("text")))
+    val weighted = Sampling.sampleByWeight(
+      scrubbed.withColumn("q", TextStats.qualityScore(F.col("text"))),
+      "doc_id", "q", rate = 0.9)
+    val packed = Sampling.packSequences(
+      weighted.withColumn("n_tok", TextStats.bpeTokenCount(F.col("text"))),
+      "doc_id", "n_tok", budget = 256L, numBuckets = 8)
+    cartesians(packed) shouldBe 0
+    globalSorts(packed) shouldBe 0
+    // Static exchange pin of the post-cluster chain (4 total): span
+    // mining's gram-frequency agg, the gram join-back, the per-doc span
+    // window (whose partitioning the span aggregate and the span-set
+    // join-back REUSE — no extra exchanges), and packSequences' bucket
+    // repartition; every other join broadcasts. A regression that adds a
+    // shuffle (lost partitioning reuse, a window that re-sorts, an
+    // un-broadcast join) trips this pin.
+    val e = exchanges(packed)
+    withClue(plan(packed).toString) { e shouldBe 4 }
+    // the stages actually produce work (filter kills 4, dedup kills 2)
+    packed.select("doc_id").collect().map(_.getLong(0)).sorted should
+      not contain 4L
+  }
 }
