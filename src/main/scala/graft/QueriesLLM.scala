@@ -162,6 +162,24 @@ object QueriesLLM {
       Dedup.simHashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3,
         maxBucketSize = Int.MaxValue, sketch = Dedup.simHashPortable)
         .orderBy("id_a", "id_b")),
+    // The PRODUCTION form of the same query — default bucket cap 64 —
+    // benched beside the uncapped oracle-complete row every round (the
+    // quality_buckets_fused precedent): the capped run is what a 100 TB
+    // job uses, so its cost and its truncation behavior must both stay
+    // tracked. The oracle replays the cap exactly (per band/bucket, the
+    // 64 smallest ids pair-mine).
+    "dedup_simhash_capped" -> ((s, dir) =>
+      Dedup.simHashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3,
+        maxBucketSize = 64, sketch = Dedup.simHashPortable)
+        .orderBy("id_a", "id_b")),
+    // The cap's audit as a first-class row: per-band bucket counts,
+    // over-cap buckets, and dropped ids — all-zero truncation certifies
+    // capped == uncapped on this corpus (which the A/B rows then confirm
+    // by identical output hashes).
+    "simhash_cap_audit" -> ((s, dir) =>
+      Dedup.simHashBucketAudit(docs(s, dir), "doc_id", "text",
+        maxBucketSize = 64, sketch = Dedup.simHashPortable)
+        .orderBy("band")),
     "near_dup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairsWithin(docs(s, dir), "doc_id", "text", "source", 0.5)
         .orderBy("id_a", "id_b")),
@@ -1256,6 +1274,45 @@ object QueriesLLM {
 
   private val hashUnitCte = hashUnitCteSeed(42L)
 
+  /** DuckDB replay of Kernels.simHashPortable's two-lane sketch + 16-bit
+    * banding, ending in `bits(doc_id, hi, lo)` and
+    * `bands(doc_id, bucket, band)` — shared by the uncapped/capped
+    * dedup_simhash A/B rows and the cap audit. */
+  private val simhashBandsCtes =
+    """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         hh AS (
+           SELECT doc_id,
+             list_reduce(list_prepend(2166136261::BIGINT,
+                 list_transform(range(1, length(t)+1), i -> unicode(t[i])::BIGINT)),
+               (h, c) -> (h * 1000003 + c) % 4294967296) AS p1,
+             xor(p1, p1 >> 16) * 73244475 % 4294967296 AS q1,
+             xor(q1, q1 >> 16) * 73244475 % 4294967296 AS r1,
+             xor(r1, r1 >> 16) AS h1,
+             list_reduce(list_prepend(40503::BIGINT,
+                 list_transform(range(1, length(t)+1), i -> unicode(t[i])::BIGINT)),
+               (h, c) -> (h * 69069 + c) % 4294967296) AS p2,
+             xor(p2, p2 >> 16) * 73244475 % 4294967296 AS q2,
+             xor(q2, q2 >> 16) * 73244475 % 4294967296 AS r2,
+             xor(r2, r2 >> 16) AS h2
+           FROM tok),
+         sk AS (SELECT doc_id, list(h1) AS hs1, list(h2) AS hs2, count(*) AS n
+                FROM hh GROUP BY doc_id),
+         bits AS (
+           SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 32), j ->
+               CASE WHEN 2 * len(list_filter(hs1, h -> ((h >> j) & 1) = 1)) > n
+                    THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS hi,
+             CAST(list_sum(list_transform(range(0, 32), j ->
+               CASE WHEN 2 * len(list_filter(hs2, h -> ((h >> j) & 1) = 1)) > n
+                    THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS lo
+           FROM sk),
+         bands AS (
+           SELECT doc_id,
+             ((CASE WHEN band < 2 THEN lo ELSE hi END) >> ((band % 2) * 16)) & 65535 AS bucket,
+             band
+           FROM bits, range(0, 4) r(band))"""
+
   /** [[hashUnitCteSeed]]'s lane arithmetic as a bare SELECT over an
     * arbitrary upstream CTE (doc_id only) — the composed-pipeline oracle
     * replays threshold draws over mid-chain survivor sets, not over
@@ -1920,39 +1977,7 @@ object QueriesLLM {
     // arithmetic, bit-identical to Kernels.simHashPortable), per-doc
     // majority-vote sketch halves, 4x16-bit band self-join, hamming filter.
     "dedup_simhash" ->
-      """WITH tok AS (
-           SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-         hh AS (
-           SELECT doc_id,
-             list_reduce(list_prepend(2166136261::BIGINT,
-                 list_transform(range(1, length(t)+1), i -> unicode(t[i])::BIGINT)),
-               (h, c) -> (h * 1000003 + c) % 4294967296) AS p1,
-             xor(p1, p1 >> 16) * 73244475 % 4294967296 AS q1,
-             xor(q1, q1 >> 16) * 73244475 % 4294967296 AS r1,
-             xor(r1, r1 >> 16) AS h1,
-             list_reduce(list_prepend(40503::BIGINT,
-                 list_transform(range(1, length(t)+1), i -> unicode(t[i])::BIGINT)),
-               (h, c) -> (h * 69069 + c) % 4294967296) AS p2,
-             xor(p2, p2 >> 16) * 73244475 % 4294967296 AS q2,
-             xor(q2, q2 >> 16) * 73244475 % 4294967296 AS r2,
-             xor(r2, r2 >> 16) AS h2
-           FROM tok),
-         sk AS (SELECT doc_id, list(h1) AS hs1, list(h2) AS hs2, count(*) AS n
-                FROM hh GROUP BY doc_id),
-         bits AS (
-           SELECT doc_id,
-             CAST(list_sum(list_transform(range(0, 32), j ->
-               CASE WHEN 2 * len(list_filter(hs1, h -> ((h >> j) & 1) = 1)) > n
-                    THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS hi,
-             CAST(list_sum(list_transform(range(0, 32), j ->
-               CASE WHEN 2 * len(list_filter(hs2, h -> ((h >> j) & 1) = 1)) > n
-                    THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS lo
-           FROM sk),
-         bands AS (
-           SELECT doc_id,
-             ((CASE WHEN band < 2 THEN lo ELSE hi END) >> ((band % 2) * 16)) & 65535 AS bucket,
-             band
-           FROM bits, range(0, 4) r(band)),
+      s"""$simhashBandsCtes,
          cand AS (
            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
@@ -1962,6 +1987,33 @@ object QueriesLLM {
              CAST(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) AS INTEGER) AS hamming
            FROM cand c JOIN bits x ON x.doc_id = c.id_a JOIN bits y ON y.doc_id = c.id_b)
          WHERE hamming <= 3 ORDER BY id_a, id_b""",
+    // capped: per (band, bucket) only the 64 smallest ids pair-mine —
+    // exactly the engine's slice(array_sort(collect_list(struct(id, sk))))
+    "dedup_simhash_capped" ->
+      s"""$simhashBandsCtes,
+         capped AS (SELECT doc_id, band, bucket FROM (
+             SELECT doc_id, band, bucket,
+               row_number() OVER (PARTITION BY band, bucket
+                 ORDER BY doc_id) AS rn
+             FROM bands) WHERE rn <= 64),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, hamming FROM (
+           SELECT c.id_a, c.id_b,
+             CAST(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) AS INTEGER) AS hamming
+           FROM cand c JOIN bits x ON x.doc_id = c.id_a JOIN bits y ON y.doc_id = c.id_b)
+         WHERE hamming <= 3 ORDER BY id_a, id_b""",
+    "simhash_cap_audit" ->
+      s"""$simhashBandsCtes,
+         bs AS (SELECT band, bucket, count(*) AS n FROM bands
+                GROUP BY band, bucket)
+         SELECT CAST(band AS INTEGER) AS band, count(*) AS n_buckets,
+           CAST(sum(CASE WHEN n > 64 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_truncated_buckets,
+           CAST(sum(greatest(n - 64, 0)) AS BIGINT) AS n_dropped_ids
+         FROM bs GROUP BY band ORDER BY band""",
     "ann_ivf_topk" -> {
       def cos(x: String, y: String) =
         s"list_dot_product($x, $y) / (sqrt(list_dot_product($x, $x)) * sqrt(list_dot_product($y, $y)))"

@@ -508,6 +508,52 @@ object StreamCheck {
       (stream, batch)
     }
 
+    record("near_dedup_within_stream") {
+      // WITHIN-stream stateful NEAR-dedup (the real firehose dedup shape):
+      // evolving LSH bucket state — min id per (band, bucket) — across
+      // micro-batches; a new doc landing in a bucket that already saw a
+      // smaller id emits a violation. One-token-edit copies with LATER
+      // ids arrive in later micro-batches, so the state store must hold
+      // the earlier docs' buckets across batch boundaries (shingle
+      // overlap of a 1-token edit is >> any banding miss probability at
+      // 16 bands). Fed id-ascending, the violation multiset must equal
+      // the batch rule id > min(id)-of-bucket EXACTLY.
+      val nearRows = (docsIncomingRows ++ docsIncomingRows
+        .filter(_._1 % 4 == 1)
+        .map { case (id, t) =>
+          val toks = t.split(" ")
+          (id + 3000000L,
+            toks.updated(toks.length / 2, "mutated").mkString(" "))
+        }).sortBy(_._1)
+      val mem = MemoryStream[(Long, String)]
+      val out = StreamingOps.nearDupViolationsStream(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        numHashes = 128, bands = 16, shingleSize = 3)
+      val q = out.writeStream.format("memory").queryName("sc_near_dedup")
+        .outputMode("append").start()
+      val stream = try {
+        nearRows.grouped(math.max(1, nearRows.length / 4)).foreach { c =>
+          mem.addData(c); q.processAllAvailable()
+        }
+        spark.table("sc_near_dedup").collect().toSeq
+      } finally q.stop()
+      val banded = nearRows.toDF("doc_id", "text").select(
+          F.col("doc_id").cast("long").as("id"),
+          F.explode(Dedup.lshBuckets(
+            Dedup.minHashSignature(F.col("text"), 128, 3), 16, 8)).as("bk"))
+        .select(F.col("id"), F.col("bk.band").cast("int").as("band"),
+          F.col("bk.bucket").cast("long").as("bucket"))
+      val mins = banded.groupBy("band", "bucket")
+        .agg(F.min("id").as("min_id"))
+      val batch = banded.join(mins, Seq("band", "bucket"))
+        .filter(F.col("id") > F.col("min_id"))
+        .select(F.col("id").as("doc_id"), F.col("band"), F.col("bucket"))
+        .collect().toSeq
+      require(batch.nonEmpty,
+        "constructed incoming stream contains no LSH near-collisions")
+      (stream, batch)
+    }
+
     record("nb_score_stream") {
       // model-based filtering on the firehose: the hashed-NB classifier
       // is trained OFFLINE on the static labeled corpus (one aggregation)

@@ -329,6 +329,38 @@ object Dedup {
     pairs.filter(F.col("hamming") <= maxHamming)
   }
 
+  /** Truncation audit for [[simHashPairs]]' bucket cap — the SimHash twin
+    * of [[minHashBucketAudit]] ("no silent caps" as a first-class output):
+    * recomputes the banded buckets for the same parameters and reports per
+    * band `(band, n_buckets, n_truncated_buckets, n_dropped_ids)` —
+    * all-zero truncation counts certify a capped [[simHashPairs]] run was
+    * exhaustive (its pair set = the uncapped pair set); a hot band names
+    * the bucket family that is collapsing. Same one groupBy(band, bucket)
+    * shuffle as the pair miner + a |bands|-row rollup. */
+  def simHashBucketAudit(df: DataFrame, idCol: String, textCol: String,
+                         maxBucketSize: Int = 64,
+                         sketch: Column => Column = simHash,
+                         bands: Int = 4): DataFrame = {
+    require(bands > 0 && 64 % bands == 0,
+      s"bands must divide 64, got $bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val withSketch = df.select(sketch(F.col(textCol)).as("sk"))
+    val bandStructs = (0 until bands).map(b =>
+      F.struct(F.lit(b).as("band"),
+        F.shiftright(F.col("sk"), b * width).bitwiseAND(F.lit(mask)).as("bucket")))
+    withSketch.select(F.explode(F.array(bandStructs: _*)).as("bk"))
+      .select(F.col("bk.band").as("band"), F.col("bk.bucket").as("bucket"))
+      .groupBy("band", "bucket").agg(F.count(F.lit(1)).as("n"))
+      .groupBy("band").agg(
+        F.count(F.lit(1)).as("n_buckets"),
+        F.sum(F.when(F.col("n") > maxBucketSize, 1L).otherwise(0L))
+          .as("n_truncated_buckets"),
+        F.sum(F.greatest(F.col("n") - maxBucketSize, F.lit(0L)))
+          .as("n_dropped_ids"))
+      .orderBy("band")
+  }
+
   private def pairsOf2(xs: Column): Column =
     F.flatten(F.transform(xs, (a, i) =>
       F.transform(F.slice(xs, i + 2, F.size(xs)), b =>

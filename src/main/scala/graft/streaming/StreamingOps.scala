@@ -170,6 +170,66 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark(keyCols)
       .drop(EventTs)
 
+  /**
+   * Within-stream NEAR-dedup — the firehose shape of
+   * [[graft.llm.Dedup.minHashDedupPairs]]: every incoming document is
+   * banded into its MinHash-LSH buckets; per (band, bucket) the state
+   * keeps the MINIMUM id seen so far, and any arrival whose bucket
+   * already holds a smaller id emits a violation row
+   * `(doc_id, band, bucket)` — "this document near-collides with an
+   * earlier one". Survivors = the input minus violated ids. The drop
+   * decision is pure LSH candidacy (the aggressive ingest-time policy);
+   * the batch pipeline's exact-Jaccard verify tier needs pair TEXTS,
+   * which bounded per-bucket state deliberately does not keep.
+   *
+   * Equivalence contract (pinned by STREAMCHECK): under id-ascending
+   * arrival (replay/backfill order) the violation multiset is EXACTLY
+   * the batch rule `id > min(id) of the bucket`. Under arbitrary arrival
+   * the stream is keep-first-by-arrival — still a deterministic function
+   * of the arrival order.
+   *
+   * Scale shape: one long of state per LIVE (band, bucket) — bands ×
+   * |distinct buckets touched|, orders below the corpus (production jobs
+   * bound it further with a state timeout; the equivalence check runs
+   * NoTimeout). Per micro-batch: one banding kernel scan + one keyed
+   * state shuffle, the same execution shape as the batch pair miner's
+   * single bucket exchange.
+   */
+  def nearDupViolationsStream(df: DataFrame, idCol: String, textCol: String,
+                              numHashes: Int = 128, bands: Int = 16,
+                              shingleSize: Int = 3): DataFrame = {
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands must divide numHashes (got numHashes=$numHashes bands=$bands)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rowsPerBand = numHashes / bands
+    val banded = df.select(
+        F.col(idCol).cast("long").as("id"),
+        F.explode(graft.llm.Dedup.lshBuckets(
+          graft.llm.Dedup.minHashSignature(F.col(textCol), numHashes,
+            shingleSize), bands, rowsPerBand)).as("bk"))
+      .select(F.col("id"), F.col("bk.band").cast("int").as("band"),
+        F.col("bk.bucket").cast("long").as("bucket"))
+      .as[(Long, Int, Long)]
+    banded.groupByKey { case (_, band, bucket) => (band, bucket) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Int, Long), rows: Iterator[(Long, Int, Long)],
+         state: GroupState[Long]) => {
+          var minId = state.getOption.getOrElse(Long.MaxValue)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+          // id order within the batch: with id-ascending arrival this
+          // makes stream == batch exactly; ids are unique per group (one
+          // row per doc per band)
+          rows.toSeq.sortBy(_._1).foreach { case (id, b, bk) =>
+            if (minId < id) out += ((id, b, bk))
+            else minId = id
+          }
+          if (minId != Long.MaxValue) state.update(minId)
+          out.iterator
+        })
+      .toDF("doc_id", "band", "bucket")
+  }
+
   /** Injective composite grouping string over the key columns (streaming
     * groupByKey needs one value; original key values ride in the packed
     * structs so output columns keep their types). Each value is

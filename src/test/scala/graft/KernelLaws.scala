@@ -328,4 +328,81 @@ object KernelLaws extends Properties("Kernels") {
       row.getInt(0) == words.length && row.getInt(1) == sents &&
         row.getLong(2) == syll
     }
+
+  property("unigramScore = split/lookup fold with the OOV default") =
+    forAll(textSoup, Gen.chooseNum(0L, 9L)) { (s, salt) =>
+      val toks = s.split(" ", -1)
+      val lp = new java.util.HashMap[String, java.lang.Long]()
+      // model over a pseudo-random half of the soup's own vocabulary
+      toks.distinct.filter(t => replayHash32(t + salt) % 2 == 0)
+        .foreach(t => lp.put(t, -(replayHash32("u" + t) % 100000L)))
+      val default = -(1000000L + salt)
+      val got = Kernels.unigramScore(UTF8String.fromString(s), lp, default, 64)
+      val want = toks.map { t =>
+        if (t.length <= 64 && lp.containsKey(t)) lp.get(t).longValue()
+        else default
+      }.sum
+      got == want
+    }
+
+  property("bigramScore = stupid-backoff fold over adjacent pairs") =
+    forAll(textSoup, Gen.chooseNum(0L, 9L)) { (s, salt) =>
+      val toks = s.split(" ", -1)
+      val uni = new java.util.HashMap[String, java.lang.Long]()
+      val bi = new java.util.HashMap[String, java.lang.Long]()
+      toks.distinct.filter(t => replayHash32(t + salt) % 2 == 0)
+        .foreach(t => uni.put(t, -(replayHash32("u" + t) % 100000L)))
+      toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq.distinct
+        .filter(p => replayHash32(p + salt) % 3 == 0)
+        .foreach(p => bi.put(p, -(replayHash32("b" + p) % 100000L)))
+      val backoff = -(400000L + salt)
+      val default = -(1000000L + salt)
+      val got = Kernels.bigramScore(UTF8String.fromString(s), bi, uni,
+        backoff, default, 64, 129)
+      val want = toks.sliding(2).filter(_.length == 2).map { w =>
+        val pair = w.mkString(" ")
+        if (pair.length <= 129 && bi.containsKey(pair)) bi.get(pair).longValue()
+        else backoff + (if (w(1).length <= 64 && uni.containsKey(w(1)))
+          uni.get(w(1)).longValue() else default)
+      }.sum
+      got == want
+    }
+
+  property("rollingTokenHash = xxhash64(acc, token) left fold from 0") =
+    forAll(tokens) { ts =>
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      val got = Kernels.rollingTokenHash(arr(ts))
+      // the documented contract: acc' = hashBytes(t, hashLong(acc, 42))
+      val want = ts.foldLeft(0L) { (acc, t) =>
+        val u = UTF8String.fromString(t)
+        XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes,
+          XXH64.hashLong(acc, 42L))
+      }
+      got == want
+    }
+
+  property("ngramHashes = chained window hashes; Lens pairs them with " +
+    "space-joined char lengths; distinct = sorted set") =
+    forAll(tokens, Gen.chooseNum(1, 4)) { (ts, n) =>
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      val want: Seq[Long] =
+        if (ts.length < n) Seq.empty
+        else ts.map(t => Kernels.tokenHash(UTF8String.fromString(t)))
+          .sliding(n).map(_.foldLeft(42L)((h, th) => XXH64.hashLong(th, h)))
+          .toSeq
+      val multis = Kernels.ngramHashes(arr(ts), n, distinct = false)
+        .toLongArray().toSeq
+      val dist = Kernels.ngramHashes(arr(ts), n, distinct = true)
+        .toLongArray().toSeq
+      val hl = Kernels.ngramHashLens(arr(ts), n)
+      val hlRows = (0 until hl.numElements()).map { i =>
+        val r = hl.getStruct(i, 2); (r.getLong(0), r.getInt(1))
+      }
+      multis == want &&
+        dist == want.distinct.sorted &&
+        hlRows.map(_._1) == want &&
+        hlRows.map(_._2) == (if (ts.length < n) Seq.empty
+          else ts.sliding(n).map(w =>
+            w.map(t => t.codePointCount(0, t.length)).sum + (n - 1)).toSeq)
+    }
 }
