@@ -460,7 +460,10 @@ def check_pipeline_e2e(con, out_dir):
     (LSH candidacy is pair-local, so pairs(hf) = dump ∩ hf x hf); every
     other stage — filter, components, span strip, PII scrub, quality
     sample, packing, shuffle — is the same linear SQL the sf0.01 oracle
-    runs."""
+    runs. Stages are MATERIALIZED as temp tables (not one CTE chain)
+    because the final recursive greedy-fill CTE re-evaluates any inlined
+    upstream once per recursion step — with the regex/quality chain
+    inlined that turned a seconds-long replay into ~15 minutes at 10x."""
     err = _dump(out_dir, "pipeline_e2e", con, "got_pipe")
     if err:
         return err
@@ -479,27 +482,32 @@ def check_pipeline_e2e(con, out_dir):
         + ((CASE WHEN {mtlq} >= 3.0 AND {mtlq} <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.25)
         + (({uniq} / {nq}) * 0.25) + (({stopq} / {nq}) * 0.25))"""
     con.execute(f"""
-      CREATE OR REPLACE TABLE ref_pipe AS
+      CREATE OR REPLACE TEMP TABLE pipe_hf AS
+      SELECT doc_id, text FROM documents
+      WHERE ({n} >= 50 AND {n} <= 100000)
+        AND ({mtl} >= 3.0 AND {mtl} <= 10.0)
+        AND len(list_filter(string_split(text, ' '),
+              t -> t IN ({_PIPE_STOP}))) >= 2
+        AND position('{{' IN text) = 0
+        AND position('lorem ipsum' IN lower(text)) = 0""")
+    con.execute("""
+      CREATE OR REPLACE TEMP TABLE pipe_uq AS
       WITH RECURSIVE
-      hf AS (SELECT doc_id, text FROM documents
-        WHERE ({n} >= 50 AND {n} <= 100000)
-          AND ({mtl} >= 3.0 AND {mtl} <= 10.0)
-          AND len(list_filter(string_split(text, ' '),
-                t -> t IN ({_PIPE_STOP}))) >= 2
-          AND position('{{' IN text) = 0
-          AND position('lorem ipsum' IN lower(text)) = 0),
       e0 AS (SELECT id_a, id_b FROM edges_pipe
-        WHERE id_a IN (SELECT doc_id FROM hf)
-          AND id_b IN (SELECT doc_id FROM hf)),
+        WHERE id_a IN (SELECT doc_id FROM pipe_hf)
+          AND id_b IN (SELECT doc_id FROM pipe_hf)),
       und AS (SELECT id_a AS src, id_b AS dst FROM e0
               UNION ALL SELECT id_b, id_a FROM e0),
       comp(id, lbl) AS (
-        SELECT doc_id, doc_id FROM hf
+        SELECT doc_id, doc_id FROM pipe_hf
         UNION
         SELECT u.dst, c.lbl FROM comp c JOIN und u ON u.src = c.id),
-      reps AS (SELECT id FROM comp GROUP BY id HAVING id = min(lbl)),
-      uq AS (SELECT hf.doc_id, hf.text FROM hf JOIN reps ON hf.doc_id = reps.id),
-      t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM uq),
+      reps AS (SELECT id FROM comp GROUP BY id HAVING id = min(lbl))
+      SELECT h.doc_id, h.text FROM pipe_hf h JOIN reps ON h.doc_id = reps.id""")
+    con.execute("""
+      CREATE OR REPLACE TEMP TABLE pipe_strp AS
+      WITH
+      t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM pipe_uq),
       g AS (SELECT doc_id, unnest(range(1, len(toks) - 2)) AS i, toks FROM t),
       gr AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
                array_to_string(toks[i : i + 3], ' ') AS gram FROM g),
@@ -519,15 +527,18 @@ def check_pipeline_e2e(con, out_dir):
                WHERE sp.doc_id = k.doc_id
                  AND k.ti - 1 >= sp.start_pos AND k.ti - 1 < sp.end_pos)),
       ag AS (SELECT doc_id, array_to_string(list(tok ORDER BY ti), ' ') AS txt
-             FROM kp GROUP BY doc_id),
-      strp AS (SELECT t.doc_id, COALESCE(a.txt, '') AS txt
-               FROM t LEFT JOIN ag a USING (doc_id)),
+             FROM kp GROUP BY doc_id)
+      SELECT t.doc_id, COALESCE(a.txt, '') AS txt
+      FROM t LEFT JOIN ag a USING (doc_id)""")
+    con.execute(f"""
+      CREATE OR REPLACE TEMP TABLE pipe_smp AS
+      WITH
       inj AS (SELECT doc_id,
           txt || ' contact u' || CAST(doc_id AS VARCHAR) ||
           '@mail.example.com ip 10.' || CAST(doc_id % 250 AS VARCHAR) ||
           '.0.1 call +1 555 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
           ' end' AS tt
-        FROM strp),
+        FROM pipe_strp),
       red AS (SELECT doc_id,
           regexp_replace(regexp_replace(regexp_replace(tt,
             '{_PIPE_EMAIL}', '<EMAIL>', 'g'),
@@ -535,10 +546,12 @@ def check_pipeline_e2e(con, out_dir):
             '{_PIPE_IP}', '<IP>', 'g') AS text
         FROM inj),
       qw AS (SELECT doc_id, text, {quality} AS q FROM red),
-      hw AS ({_pipe_lanes(42, "qw")}),
-      smp AS (SELECT qw.doc_id, qw.text, qw.q FROM qw JOIN hw USING (doc_id)
-              WHERE hw.u < least(1.0, 0.9 * qw.q)),
-      hashed AS (SELECT doc_id,
+      hw AS ({_pipe_lanes(42, "qw")})
+      SELECT qw.doc_id, qw.text, qw.q FROM qw JOIN hw USING (doc_id)
+      WHERE hw.u < least(1.0, 0.9 * qw.q)""")
+    con.execute("""
+      CREATE OR REPLACE TEMP TABLE pipe_ranked AS
+      WITH hashed AS (SELECT doc_id,
           CAST(len(regexp_extract_all(text,
             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS sz,
           (doc_id + 42) % 4294967296 AS c0,
@@ -555,30 +568,33 @@ def check_pipeline_e2e(con, out_dir):
           xor(b1, b1 >> 16) * 73244475 % 4294967296 AS b2,
           xor(b2, b2 >> 16) AS bh,
           ((ah % 2147483648) * 4294967296 + bh) / 9.223372036854776e18 AS u
-        FROM smp),
-      ranked AS (SELECT doc_id, sz, pack_bucket,
-          row_number() OVER (PARTITION BY pack_bucket ORDER BY u, doc_id) AS rn
-        FROM hashed),
+        FROM pipe_smp)
+      SELECT doc_id, sz, pack_bucket,
+        row_number() OVER (PARTITION BY pack_bucket ORDER BY u, doc_id) AS rn
+      FROM hashed""")
+    con.execute(f"""
+      CREATE OR REPLACE TABLE ref_pipe AS
+      WITH RECURSIVE
       packs AS (
         SELECT pack_bucket, rn, doc_id,
           CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_offset,
           CAST(sz AS BIGINT) AS fill
-        FROM ranked WHERE rn = 1
+        FROM pipe_ranked WHERE rn = 1
         UNION ALL
         SELECT r.pack_bucket, r.rn, r.doc_id,
           CASE WHEN p.fill + r.sz > 256 THEN p.pack_id + 1 ELSE p.pack_id END,
           CASE WHEN p.fill + r.sz > 256 THEN CAST(0 AS BIGINT) ELSE p.fill END,
           CASE WHEN p.fill + r.sz > 256 THEN CAST(r.sz AS BIGINT)
                ELSE p.fill + r.sz END
-        FROM ranked r JOIN packs p
+        FROM pipe_ranked r JOIN packs p
           ON r.pack_bucket = p.pack_bucket AND r.rn = p.rn + 1),
-      shl AS ({_pipe_lanes(42 + _SHUFFLE_SALT, "smp")}),
+      shl AS ({_pipe_lanes(42 + _SHUFFLE_SALT, "pipe_smp")}),
       pos AS (SELECT doc_id,
           row_number() OVER (ORDER BY u, doc_id) - 1 AS shuffle_pos
         FROM shl)
       SELECT s.doc_id, md5(s.text) AS final_md5,
         p.pack_bucket, p.pack_id, p.pack_offset, pos.shuffle_pos
-      FROM smp s JOIN packs p USING (doc_id) JOIN pos USING (doc_id)""")
+      FROM pipe_smp s JOIN packs p USING (doc_id) JOIN pos USING (doc_id)""")
     n_bad, n_got, n_ref = con.execute("""
         SELECT
           (SELECT count(*) FROM got_pipe g JOIN ref_pipe r USING (doc_id)
