@@ -320,10 +320,13 @@ class TimeSeriesDataFrame(DataFrame):
         two-tier design: MinHash-LSH + exact-Jaccard shortlist at
         ``jaccard_floor``, then character-Levenshtein verify keeping pairs
         with ``1 - dist/max(len) >= edit_sim`` — rejects reordered
-        boilerplate that token-set overlap alone over-merges. The DP tier
-        is quadratic in the longest candidate document (documented
-        contract); the shortlist tier carries the same never-silent bucket
-        cap as ``minhash_dedup_pairs``."""
+        boilerplate that token-set overlap alone over-merges. Per-pair DP
+        cost is bounded: a length-gap prefilter prunes impossible pairs
+        with zero DP and survivors run the banded thresholded
+        Levenshtein, O((1-edit_sim) * max_len^2) worst case with an
+        output identical to the unbounded form; the shortlist tier
+        carries the same never-silent bucket cap as
+        ``minhash_dedup_pairs``."""
         return self._with(_api(self).minHashEditPairs(
             self._jdf, id_col, text_col, num_hashes, bands, shingle_size,
             jaccard_floor, edit_sim, max_bucket_size, bool(strict)))
@@ -339,6 +342,16 @@ class TimeSeriesDataFrame(DataFrame):
                 self._jdf, id_col, text_col, max_hamming, max_bucket_size))
         return self._with(api.simHashPairs(
             self._jdf, id_col, text_col, max_hamming, max_bucket_size))
+
+    def simhash_bucket_audit(self, id_col, text_col, max_bucket_size=64,
+                             portable=False):
+        """Truncation audit for ``simhash_pairs``' bucket cap: per band,
+        ``(band, n_buckets, n_truncated_buckets, n_dropped_ids)`` for the
+        same banding — all-zero truncation counts certify a capped run
+        emitted the complete pair set; run it before trusting a capped
+        dedup on a new corpus."""
+        return self._with(_api(self).simHashBucketAudit(
+            self._jdf, id_col, text_col, max_bucket_size, bool(portable)))
 
     def jaccard_pairs_within(self, id_col, text_col, block_col, threshold,
                              max_block_size=2147483647):

@@ -261,6 +261,25 @@ def test_portable_simhash_pairs(spark):
     assert [(r["id_a"], r["id_b"]) for r in sh.collect()] == [(1, 2)]
 
 
+def test_simhash_bucket_audit(spark):
+    # 5 sketch-identical docs, cap 3: each of the 4 bands holds one
+    # over-cap bucket dropping 2 ids; with the cap raised the audit is
+    # all-clear, certifying capped == uncapped on this corpus.
+    hot = TimeSeriesDataFrame.from_df(spark.createDataFrame(
+        [(0, i, "same tokens every doc") for i in range(1, 6)],
+        "time long, doc_id long, text string"))
+    audit = hot.simhash_bucket_audit(
+        "doc_id", "text", max_bucket_size=3, portable=True) \
+        .orderBy("band").collect()
+    assert [r["band"] for r in audit] == [0, 1, 2, 3]
+    assert all(r["n_truncated_buckets"] == 1 and r["n_dropped_ids"] == 2
+               for r in audit)
+    clear = hot.simhash_bucket_audit(
+        "doc_id", "text", max_bucket_size=64, portable=True).collect()
+    assert all(r["n_truncated_buckets"] == 0 and r["n_dropped_ids"] == 0
+               for r in clear)
+
+
 # ------------------------------------------- corpus quality / pii / shuffle
 
 def test_hard_filter_and_pii(spark):

@@ -149,15 +149,21 @@ object Retrieval {
     val qv = emb.filter(F.col(vecIdCol).isInCollection(qIds))
       .select(F.col(vecIdCol).as("q_id"), F.col(vecCol).as("__qv"))
     val cand = shortlist.join(qv, "q_id")
-    // One-row probe for the vector width; 8 bytes per element plus struct
-    // slack. Conservative (assumes every query fills its kLex slots).
-    val dim = emb.select(F.size(F.col(vecCol)).as("d")).head() match {
-      case r if !r.isNullAt(0) => r.getInt(0)
-      case _ => 0
+    // Size guard with a lazy probe: when even a conservative 8192-dim
+    // ceiling keeps the projected shortlist under budget (the common
+    // small-query case), skip the probe job entirely; otherwise one row
+    // decides. 8 bytes per element plus struct slack, assuming every
+    // query fills its kLex slots.
+    val candCount = queries.size.toLong * kLex
+    val underAnyDim = candCount * (8192L * 8 + 64) <= maxBroadcastBytes
+    val fitsBudget = underAnyDim || {
+      val dim = emb.select(F.size(F.col(vecCol)).as("d")).head() match {
+        case r if !r.isNullAt(0) => r.getInt(0)
+        case _ => 0
+      }
+      candCount * (dim.toLong * 8 + 64) <= maxBroadcastBytes
     }
-    val candBytes = queries.size.toLong * kLex * (dim.toLong * 8 + 64)
-    val candSized =
-      if (candBytes <= maxBroadcastBytes) F.broadcast(cand) else cand
+    val candSized = if (fitsBudget) F.broadcast(cand) else cand
     val dv = emb.select(F.col(vecIdCol).as("n_id"), F.col(vecCol).as("__dv"))
     val scored = dv.join(candSized, "n_id")
       .withColumn("__cos", Similarity.cosine(F.col("__qv"), F.col("__dv")))

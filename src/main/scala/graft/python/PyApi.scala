@@ -332,6 +332,12 @@ object PyApi {
     graft.llm.Dedup.simHashPairs(df, idCol, textCol, maxHamming, maxBucketSize,
       sketch = graft.llm.Dedup.simHashPortable)
 
+  def simHashBucketAudit(df: DataFrame, idCol: String, textCol: String,
+                         maxBucketSize: Int, portable: Boolean): DataFrame =
+    graft.llm.Dedup.simHashBucketAudit(df, idCol, textCol, maxBucketSize,
+      if (portable) graft.llm.Dedup.simHashPortable
+      else graft.llm.Dedup.simHash)
+
   def fromDF(df: DataFrame, isSorted: Boolean, timeCol: String,
              unitToNanos: Long, numPartitions: Int): DataFrame =
     TimeSeriesOps.fromDF(df, isSorted, timeCol, unitToNanos, numPartitions)

@@ -222,6 +222,13 @@ class AqeParitySpec extends SparkTestBase {
           .toDF("vec_id", "embedding").repartition(4),
         "doc_id", "text", "vec_id", "embedding",
         Seq(3L -> "the cat", 6L -> "el gato"), kLex = 10, k = 4))
+    // round-13: the composed pipeline chain and the SimHash cap audit —
+    // every stage is hash-of-id / integer arithmetic, so the final pack
+    // and epoch-position tables must not move under adaptive planning
+    parity("pipelineChain")(() => PipelineChainFixture.run(spark))
+    parity("simHashBucketAudit")(() =>
+      graft.llm.Dedup.simHashBucketAudit(labeled, "doc_id", "text",
+        maxBucketSize = 2, sketch = graft.llm.Dedup.simHashPortable))
   }
 
   private val F2 = org.apache.spark.sql.functions

@@ -338,5 +338,12 @@ class PartitionLayoutSpec extends SparkTestBase {
         graft.llm.TextStats.fkGradeMicro(col("text")).as("g"))
         .select(col("doc_id"), F.col("fk.n_words"), F.col("fk.n_syllables"),
           col("g")))
+    // round-13: the composed pipeline chain and the SimHash cap audit —
+    // pack buckets, greedy fills, and epoch positions are hash-of-id
+    // arithmetic, layout-free by construction
+    invariant("pipelineChain")(() => PipelineChainFixture.run(spark))
+    invariant("simHashBucketAudit")(() =>
+      graft.llm.Dedup.simHashBucketAudit(labeled, "doc_id", "text",
+        maxBucketSize = 2, sketch = graft.llm.Dedup.simHashPortable))
   }
 }
