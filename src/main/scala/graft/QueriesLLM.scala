@@ -1088,12 +1088,23 @@ object QueriesLLM {
     // text is pinned by md5, the pack and epoch-position tables exactly.
     "pipeline_e2e" -> ((s, dir) => {
       val d = docs(s, dir)
+      // kept/uniq each feed SEVERAL downstream stages (pair mining,
+      // cluster ids, the representative semi-join; span mining and span
+      // strip), so they are persisted for the duration of the chain's
+      // construction. The construction is EAGER end-to-end (dupClusters
+      // materializes its label rounds, shufflePositions runs its sort
+      // for zipWithIndex), so both caches are released before the frame
+      // is returned — no residual cache, and the final consumption
+      // replays only the last sort's reduce side from shuffle files.
+      val cachedBefore = s.sparkContext.getPersistentRDDs.keySet
       val kept = TextStats.hardFilter(d, "text").filter(F.col("keep"))
         .select("doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = Dedup.minHashDedupPairs(kept, "doc_id", "text",
         numHashes = 128, bands = 16, shingleSize = 3, threshold = 0.5)
       val uniq = Dedup.dedupByClusters(kept, "doc_id", pairs)
         .select("doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val spans = Dedup.duplicateSpans(uniq, "doc_id", "text", n = 4)
       val stripped = Dedup.stripDuplicateSpans(uniq, "doc_id", "text", spans)
       // same deterministic synthetic-PII injection as pii_redact (the
@@ -1113,7 +1124,17 @@ object QueriesLLM {
       val packed = Sampling.packSequences(
         weighted.withColumn("n_tok", TextStats.bpeTokenCount(F.col("text"))),
         "doc_id", "n_tok", budget = 256L, numBuckets = 8)
-      Sampling.shufflePositions(packed, "doc_id")
+      val shuffled = Sampling.shufflePositions(packed, "doc_id")
+      kept.unpersist(blocking = false)
+      uniq.unpersist(blocking = false)
+      // dupClusters keeps its final label-round RDD persisted for lazy
+      // consumers; this chain consumed it eagerly (the span stages and
+      // the shuffle sort all ran above), so release everything the
+      // construction pinned — the query leaves NO residual cache.
+      s.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => cachedBefore(id) }
+        .values.foreach(_.unpersist(blocking = false))
+      shuffled
         .select(F.col("doc_id"), F.md5(F.col("text")).as("final_md5"),
           F.col("pack_bucket"), F.col("pack_id"), F.col("pack_offset"),
           F.col("shuffle_pos"))

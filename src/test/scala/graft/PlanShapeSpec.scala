@@ -450,4 +450,16 @@ class PlanShapeSpec extends SparkTestBase {
     packed.select("doc_id").collect().map(_.getLong(0)).sorted should
       not contain 4L
   }
+
+  it should "leave no residual cache after the pipeline_e2e registry row" in {
+    // the wrapper persists kept/uniq for the eager construction and
+    // sweeps everything it pinned (incl. dupClusters' label rounds)
+    // before returning — the run must ADD no cached RDD (set difference,
+    // not size: the ContextCleaner may concurrently release unrelated
+    // GC'd caches from earlier tests)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = QueriesLLM.queries("pipeline_e2e")(spark, "/root/testdata/sf0.001")
+    out.collect().length should be >= 0
+    (spark.sparkContext.getPersistentRDDs.keySet -- before) shouldBe empty
+  }
 }
