@@ -215,9 +215,16 @@ object Dedup {
         F.floor(F.lit(1.0 - editSim) * F.col("__len_max").cast("double"))
           .cast("int"))
       // Necessary-condition prefilter: no DP at all for pairs whose raw
-      // length gap already exceeds the edit budget.
+      // length gap already exceeds the edit budget. Carries the SAME +1
+      // FP margin as the levenshtein threshold below: __max_edits is
+      // floor(fl(1-editSim)·len_max) and fl(1-editSim) can round BELOW
+      // the exact value (fl(1-0.8) = 0.19999…), so a pure-indel boundary
+      // pair with gap = __max_edits + 1 can still satisfy the exact
+      // `edit_sim >= editSim` filter — the gap bound must not be tighter
+      // than the DP band or the survivor set diverges from the unbounded
+      // form.
       .filter(F.abs(F.length(F.col("__t_a")) - F.length(F.col("__t_b")))
-        <= F.col("__max_edits"))
+        <= F.col("__max_edits") + 1)
       .withColumn("dist",
         F.expr("levenshtein(__t_a, __t_b, __max_edits + 1)").cast("long"))
       .filter(F.col("dist") >= 0)
@@ -345,7 +352,12 @@ object Dedup {
       s"bands must divide 64, got $bands")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1L
-    val withSketch = df.select(sketch(F.col(textCol)).as("sk"))
+    // Same input projection as simHashPairs — id selected (then pruned by
+    // Catalyst: the audit counts rows, ids never affect it) so a missing /
+    // mistyped id column fails here exactly as it would in the pair miner,
+    // and the two signatures cannot drift silently.
+    val withSketch =
+      df.select(F.col(idCol).as("id"), sketch(F.col(textCol)).as("sk"))
     val bandStructs = (0 until bands).map(b =>
       F.struct(F.lit(b).as("band"),
         F.shiftright(F.col("sk"), b * width).bitwiseAND(F.lit(mask)).as("bucket")))

@@ -13,13 +13,16 @@ import org.apache.spark.sql.{functions => F}
  * ONLY query-term occurrences ever shuffle — corpus-sized text stays in
  * the scan stage at any scale.
  *
- * 100 TB shape: two linear corpus passes (document frequency, then
- * scoring; the tokenization is recomputed rather than persisting a
- * data-sized (doc, term) cache — the same trade tfidfTopTerms documents),
- * a ≤|query terms| idf table broadcast back, one (doc, term)-keyed
- * aggregation whose volume is bounded by query-term occurrences, and a
- * bounded TopKAgg finisher per query — no windows, no data-sized
- * collects, no cartesians.
+ * 100 TB shape: ONE tokenize+explode corpus pass (plan-asserted): the
+ * per-(doc, term) tf aggregation is the only token-level intermediate,
+ * and document frequency is a re-aggregation OF that table — its subtree
+ * shares the tf exchange, so Spark's ReuseExchange rule materializes the
+ * heavy scan once and both consumers read the shuffle files. A second,
+ * light corpus scan computes the 1-row (N, Σdl) totals without exploding
+ * or shuffling tokens. Then a ≤|query terms| idf table broadcast back,
+ * one (doc, term)-keyed aggregation whose volume is bounded by
+ * query-term occurrences, and a bounded TopKAgg finisher per query — no
+ * windows, no data-sized collects, no cartesians.
  *
  * Scoring is pinned for the DuckDB oracle replay: idf in integer
  * micro-nats (Lucene-shaped, always positive)
@@ -62,16 +65,30 @@ object Retrieval {
     // semi-join probes the same hash set InSet would build).
     val terms = F.broadcast(qtDf.select("term").distinct())
 
-    // Pass 1: document frequency of each query term (bounded output —
-    // ≤ |query terms| rows) + 1-row corpus totals; both broadcast back.
-    val tq = corpus
+    // THE corpus tokenize+explode pass (r13 ran it twice — once for
+    // document frequency, once for tf): per-(doc, query-term) tf + dl.
+    val tf = corpus
       .select(F.col(idCol).as("__doc"),
+        TextStats.tokenCount(F.col(textCol)).cast("long").as("__dl"),
         F.explode(TextStats.tokens(F.col(textCol))).as("term"))
       .join(terms, Seq("term"), "left_semi")
-    // distinct (doc, term) then count(*) per term — plans as a plain
-    // two-phase distinct + count, not a count_distinct Expand.
-    val dfreq = tq.distinct()
-      .groupBy("term").agg(F.count(F.lit(1)).as("__df"))
+      .groupBy(F.col("__doc"), F.col("__dl"), F.col("term"))
+      .agg(F.count(F.lit(1)).as("__tf"))
+    // tf has exactly ONE row per (doc, term) (__dl is functionally
+    // dependent on __doc), so counting rows per term IS the document
+    // frequency — a bounded ≤|query terms|-row re-aggregation of the tf
+    // table. Because this subtree contains the tf exchange verbatim,
+    // ReuseExchange materializes the scan+explode once and this branch
+    // reads the shuffle files (plan-asserted in RetrievalSpec). The
+    // count deliberately REFERENCES __tf through a statically-nullable
+    // conditional (always 1 at runtime — a count is >= 1): a plain
+    // count(*) would let column pruning drop count(1) from this branch's
+    // copy of the tf aggregate, de-canonicalizing the two exchanges and
+    // silently re-doubling the corpus scans.
+    val dfreq = tf.groupBy("term")
+      .agg(F.count(F.when(F.col("__tf") >= 1, 1)).as("__df"))
+    // 1-row corpus totals: a second corpus scan, but token-count only —
+    // no explode, no token shuffle.
     val totals = corpus.agg(
       F.count(F.lit(1)).as("__n"),
       F.sum(TextStats.tokenCount(F.col(textCol)).cast("long")).as("__sumdl"))
@@ -81,17 +98,11 @@ object Retrieval {
           (F.col("__df") + 0.5) + 1.0) * 1e6).cast("long").as("__idf_micro"),
         (F.col("__sumdl").cast("double") / F.col("__n")).as("__avgdl"))
 
-    // Pass 2: per-(doc, query-term) tf + dl from one scan, scored per
-    // term in micro-units, summed per (query, doc), top-k finished.
-    // (1.0 - b) and (k1 + 1.0) are single IEEE ops both engines
-    // constant-fold identically — the oracle writes the same literals.
-    val scored = corpus
-      .select(F.col(idCol).as("__doc"),
-        TextStats.tokenCount(F.col(textCol)).cast("long").as("__dl"),
-        F.explode(TextStats.tokens(F.col(textCol))).as("term"))
-      .join(terms, Seq("term"), "left_semi")
-      .groupBy(F.col("__doc"), F.col("__dl"), F.col("term"))
-      .agg(F.count(F.lit(1)).as("__tf"))
+    // Scoring: per-term micro-unit contributions summed per (query, doc),
+    // top-k finished. (1.0 - b) and (k1 + 1.0) are single IEEE ops both
+    // engines constant-fold identically — the oracle writes the same
+    // literals.
+    val scored = tf
       .join(F.broadcast(idf), Seq("term"))
       .join(F.broadcast(qtDf), Seq("term"))
       .withColumn("__s_micro",
@@ -151,16 +162,21 @@ object Retrieval {
     val cand = shortlist.join(qv, "q_id")
     // Size guard with a lazy probe: when even a conservative 8192-dim
     // ceiling keeps the projected shortlist under budget (the common
-    // small-query case), skip the probe job entirely; otherwise one row
-    // decides. 8 bytes per element plus struct slack, assuming every
+    // small-query case), skip the probe job entirely — this fast path
+    // HARD-ASSUMES vectors are <= 8192-dim; corpora with wider vectors
+    // pay the probe. Otherwise one cheap max-width aggregation decides:
+    // max (not a first-row peek) so a null or atypically short leading
+    // vector can't underestimate the widest row, and an EMPTY embedding
+    // table degrades to dim 0 (an empty result downstream) instead of
+    // throwing. 8 bytes per element plus struct slack, assuming every
     // query fills its kLex slots.
     val candCount = queries.size.toLong * kLex
     val underAnyDim = candCount * (8192L * 8 + 64) <= maxBroadcastBytes
     val fitsBudget = underAnyDim || {
-      val dim = emb.select(F.size(F.col(vecCol)).as("d")).head() match {
-        case r if !r.isNullAt(0) => r.getInt(0)
-        case _ => 0
-      }
+      val dim = emb.agg(F.max(F.size(F.col(vecCol))).as("d"))
+        .take(1).headOption
+        .flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+        .getOrElse(0)
       candCount * (dim.toLong * 8 + 64) <= maxBroadcastBytes
     }
     val candSized = if (fitsBudget) F.broadcast(cand) else cand

@@ -64,11 +64,20 @@ object WebGraph {
    * destination. `iters` is small and fixed (rank ordering stabilizes in
    * a few rounds; curation wants the ordering, not the eigenvector), so
    * the whole op is `iters` joins over the |domains|-sized vector.
+   *
+   * Result-persistence contract: up to `localizeRows` nodes the rank
+   * vector is collected and returned as a LOCAL DataFrame — the call
+   * leaves zero residual cache. Beyond that the persisted distributed
+   * vector is returned and the caller must `unpersist()` it when done.
+   * Callers that don't branch on size can always call `unpersist()` —
+   * it is a no-op on the localized form, stated here so the contract is
+   * not data-dependent from the caller's side.
    */
   def pageRankMicro(edges: DataFrame, iters: Int = 3,
                     dampNum: Long = 85L, dampDen: Long = 100L,
                     srcCol: String = "src_domain",
-                    dstCol: String = "dst_domain"): DataFrame = {
+                    dstCol: String = "dst_domain",
+                    localizeRows: Long = LocalizeRows): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
       "damping must satisfy 0 <= dampNum <= dampDen")
@@ -104,16 +113,19 @@ object WebGraph {
     }
     // One action materializes the final |domains|-row vector, then every
     // intermediate cache is released. The materialized count decides the
-    // return shape: up to `LocalizeRows` the vector is collected and
-    // re-created as a local DataFrame (rank vectors ARE model parameters —
-    // ≤ ~80 MB driver-side at the threshold), so the call leaves NO
-    // residual cache in the session; beyond it the persisted distributed
-    // vector is returned and the CALLER must unpersist when done.
+    // return shape: up to `localizeRows` the vector is collected and
+    // re-created as a local DataFrame (rank vectors ARE model parameters;
+    // at the 500k default that is ~20 MB of payload but ~150-200 MB of
+    // TRANSIENT driver heap once JVM Row/object overhead is counted —
+    // size the threshold to the driver, not the payload), so the call
+    // leaves NO residual cache in the session; beyond it the persisted
+    // distributed vector is returned and the CALLER must unpersist when
+    // done (unpersist on the localized form is a harmless no-op).
     val n = ranks.count()
     if (prev != null) prev.unpersist(blocking = false)
     e.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
-    if (n <= LocalizeRows) {
+    if (n <= localizeRows) {
       val rows = ranks.collect()
       val schema = ranks.schema
       ranks.unpersist(blocking = false)
@@ -122,10 +134,13 @@ object WebGraph {
     } else ranks
   }
 
-  /** Rank-vector size up to which [[pageRankMicro]] localizes its result
-    * (collect + local DataFrame) instead of returning a persisted
-    * distributed one the caller must release. */
-  val LocalizeRows: Long = 2000000L
+  /** Default rank-vector size up to which [[pageRankMicro]] localizes its
+    * result (collect + local DataFrame) instead of returning a persisted
+    * distributed one the caller must release. 500k rows ≈ 20 MB of
+    * payload but a several-fold larger transient driver-heap footprint
+    * (JVM Row/object overhead) — kept conservatively below typical driver
+    * budgets; override per call via `localizeRows`. */
+  val LocalizeRows: Long = 500000L
 
   /** Per-destination-domain inlink audit: total inbound links and
     * distinct linking domains — the fan-in signal URL filters threshold

@@ -268,6 +268,27 @@ class C4EntropySpec extends SparkTestBase {
     want should not be empty
   }
 
+  it should "keep pure-indel boundary pairs the FP-floored gap bound " +
+    "would drop" in {
+    // edit_sim lands EXACTLY on editSim = 0.8 for this pure-deletion pair
+    // (dist 8, len_max 40): fl(1.0-0.8) = 0.19999… floors __max_edits to
+    // 7, one BELOW the true bound 8, so a length-gap prefilter without
+    // the same +1 margin the DP band gets silently drops a pair the
+    // unbounded form (and the DuckDB oracle) keeps.
+    val prefix = "aa bb cc dd ee ff gg hh" // 23 chars, 8 shared 1-shingles
+    val a = prefix + " " + "z" * 16 // len 40
+    val b = prefix + " " + "z" * 8  // len 32: dist 8, edit_sim = 0.8
+    a.length shouldBe 40
+    b.length shouldBe 32
+    val d = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val got = Dedup.minHashEditPairs(d, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleSize = 1, jaccardFloor = 0.5,
+      editSim = 0.8).collect()
+    got should have size 1
+    got.head.getAs[Long]("dist") shouldBe 8L
+    got.head.getAs[Double]("edit_sim") shouldBe 0.8
+  }
+
   it should "bound per-pair DP cost on pathological long documents" in {
     // Shingle-SET-identical docs with a 4x character-length gap: perfect
     // LSH candidates (jaccard 1.0) that an UNBOUNDED Levenshtein would

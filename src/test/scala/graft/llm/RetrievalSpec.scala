@@ -112,6 +112,27 @@ class RetrievalSpec extends SparkTestBase {
     (plan should not).include("SortMergeJoin")
   }
 
+  it should "tokenize and explode the corpus exactly once (df reuses the " +
+    "tf exchange)" in {
+    // The document-frequency branch is a re-aggregation OF the tf table,
+    // so its subtree contains the tf exchange verbatim and ReuseExchange
+    // must materialize the heavy scan+explode once: exactly ONE
+    // GenerateExec in the whole physical plan (broadcast subtrees
+    // included), with the second consumer reading a ReusedExchange.
+    val p = Retrieval.bm25TopK(corpusDf, "doc_id", "text",
+      Seq(50L -> "fox dog"), k = 2).queryExecution.executedPlan
+    // corpus token explodes only — the bounded top-k finisher's
+    // posexplode over |q|·k hit arrays is not a corpus scan
+    val generates = p.collectWithSubqueries {
+      case g: org.apache.spark.sql.execution.GenerateExec
+        if g.generator.toString.contains("split") => g
+    }
+    withClue(p.toString) { generates should have size 1 }
+    p.collectWithSubqueries {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+    } should not be empty
+  }
+
   behavior of "hybridTopK"
 
   it should "rerank the BM25 shortlist by cosine and keep lex_rank" in {
@@ -157,6 +178,50 @@ class RetrievalSpec extends SparkTestBase {
         "vec_id", "embedding", Seq(50L -> "fox"), kLex = 10, k = 3)
       .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(3))).toList
     got shouldBe List((1L, 1), (5L, 2))
+  }
+
+  it should "degrade to an empty result (not throw) on an empty embedding " +
+    "table, probe path included" in {
+    import spark.implicits._
+    val emb = spark.emptyDataset[(Long, Seq[Float])]
+      .toDF("vec_id", "embedding")
+    // tiny budget forces underAnyDim = false, so the max-width probe runs
+    // against the EMPTY table (a first-row head() would throw here)
+    Retrieval.hybridTopK(corpusDf, emb, "doc_id", "text",
+      "vec_id", "embedding", Seq(50L -> "fox"), kLex = 5, k = 2,
+      maxBroadcastBytes = 1024L).count() shouldBe 0L
+  }
+
+  it should "probe the WIDEST vector, not the first row, when sizing the " +
+    "broadcast" in {
+    import spark.implicits._
+    // first row is a degenerate 1-dim vector; the widest is 4096-dim. A
+    // budget that fits the shortlist only at the first row's width must
+    // NOT broadcast: with max-probing, 60 queries x kLex 100 x 4096d x 8B
+    // ≈ 197 MB > 64 MB budget -> no broadcast hint on the rerank join.
+    val wide = Seq.fill(4096)(1.0f)
+    val emb = ((1L to 6L).map(i => (i, Seq(i.toFloat))) ++
+      (100L until 160L).map(i => (i, wide))).toDF("vec_id", "embedding")
+    val queries = (100L until 160L).map(i => i -> "fox dog").toSeq
+    // disable planner auto-broadcast so the only possible broadcast on
+    // the rerank join is OUR hint — at real scale the emb side's stats
+    // keep the planner honest; at test scale 66 rows would auto-broadcast
+    // and mask a wrong hint decision
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = Retrieval.hybridTopK(corpusDf, emb, "doc_id", "text",
+        "vec_id", "embedding", queries, kLex = 100, k = 3,
+        maxBroadcastBytes = 64L << 20)
+      // correctness either way; the guard property is NO driver-side
+      // broadcast of the vector-bearing candidate set — with a first-row
+      // probe (dim 1) the hint WOULD fire and plan a BroadcastHashJoin
+      // on __dv; max-probing sees 4096-d and falls back to sort-merge.
+      p.collect()
+      val planStr = p.queryExecution.executedPlan.toString
+      (planStr should not).include("CartesianProduct")
+      planStr should include("SortMergeJoin")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
   it should "fall back to a shuffle join past the broadcast budget and " +
