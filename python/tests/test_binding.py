@@ -1194,3 +1194,30 @@ def test_lang_segments(spark):
     assert (out[1]["major_lang"], out[1]["n_lines"],
             out[1]["n_langs"], out[1]["mixed"]) == ("en", 3, 2, True)
     assert out[2]["major_lang"] is None and out[2]["mixed"] is None
+
+
+def test_pipeline_composed(spark, tmp_path):
+    # the public composed pipeline: filter -> near-dedup -> span strip ->
+    # PII scrub -> PPS sample -> pack -> epoch shuffle, plus the
+    # boundary-mode bit-identity contract (persist vs parquet stages)
+    # docs need stopwords (stop_ok filter rule) and mean token length
+    # >= 3 (mwl rule); doc 3's unique tail interleaves stopwords so its
+    # post-strip quality stays > 0
+    stop_run = "the of and to in that it was he for " * 5
+    base = stop_run + " ".join("word%d" % i for i in range(1, 21))
+    near = base.replace("word7", "wordX")
+    other = (stop_run + " ".join("zzzz%d the" % i for i in range(1, 21))
+             + " word1 word2 word3 word4")
+    docs = TimeSeriesDataFrame(spark.createDataFrame(
+        [(1, base), (2, near), (3, other), (4, "too short")],
+        "doc_id long, text string"))
+    out = docs.pipeline(sample_rate=100.0).collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == [1, 3]  # 4 fails the hard filter; 2 dedups into 1
+    cols = set(out[0].asDict().keys())
+    assert {"doc_id", "text", "quality", "n_tokens", "pack_bucket",
+            "pack_id", "pack_offset", "shuffle_pos"} <= cols
+    # parquet stage boundaries (the cluster-scale form) are bit-identical
+    pq = docs.pipeline(sample_rate=100.0,
+                       stage_dir=str(tmp_path / "stages")).collect()
+    assert sorted(map(tuple, pq)) == sorted(map(tuple, out))
