@@ -554,6 +554,114 @@ object StreamCheck {
       (stream, batch)
     }
 
+    // -------- production-shaped (TTL) near-dedup: shared fixtures ------
+    // Driver-side replay of nearDupViolationsStreamTTL's micro-batch
+    // semantics: per (band, bucket), keep-first-by-arrival with batch-min
+    // tiebreak, event-time TTL eviction applied at each chunk boundary
+    // (Spark's no-data extra batch fires timeouts as soon as the
+    // watermark advances past them; chunk event times are hours apart so
+    // >/>= boundary conventions cannot matter).
+    def ttlReplay(chunks: Seq[Seq[(Long, String, Long)]], delayNs: Long,
+                  ttlNs: Long): Seq[Row] = {
+      val all = chunks.flatten
+      val banded = all.toDF("doc_id", "text", "time").select(
+          F.col("doc_id").cast("long").as("id"), F.col("time"),
+          F.explode(Dedup.lshBuckets(
+            Dedup.minHashSignature(F.col("text"), 128, 3), 16, 8)).as("bk"))
+        .select(F.col("id"), F.col("time"),
+          F.col("bk.band").cast("int").as("band"),
+          F.col("bk.bucket").cast("long").as("bucket"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      val chunkOf = chunks.zipWithIndex
+        .flatMap { case (c, i) => c.map(_._1 -> i) }.toMap
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      banded.groupBy(x => (x._3, x._4)).foreach { case ((band, bucket), rows) =>
+        var state: Option[(Long, Long)] = None // (keeper, last event ns)
+        for (i <- chunks.indices) {
+          val arr = rows.filter(x => chunkOf(x._1) == i)
+          if (arr.nonEmpty) state match {
+            case Some((k, last)) =>
+              arr.foreach(x => out += Row(x._1, band, bucket))
+              state = Some((k, math.max(last, arr.map(_._2).max)))
+            case None =>
+              val keeper = arr.map(_._1).min
+              arr.filter(_._1 != keeper)
+                .foreach(x => out += Row(x._1, band, bucket))
+              state = Some((keeper, arr.map(_._2).max))
+          }
+          val wmNs = chunks.take(i + 1).flatten.map(_._3).max - delayNs
+          state = state.filterNot { case (_, last) => wmNs > last + ttlNs }
+        }
+      }
+      out.toSeq
+    }
+    def runTtlStream(name: String,
+                     chunks: Seq[Seq[(Long, String, Long)]]): Seq[Row] = {
+      val mem = MemoryStream[(Long, String, Long)]
+      val out = StreamingOps.nearDupViolationsStreamTTL(
+        mem.toDF().toDF("doc_id", "text", "time"), "doc_id", "text", "time",
+        watermarkDelay = "10 minutes", stateTtl = "1 hour")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+        spark.table(name).collect().toSeq
+      } finally q.stop()
+    }
+    val minNs = 60L * 1000000000L
+    // fixture times sit one day past the epoch: Spark's stateful late-row
+    // filter drops rows at-or-before the CURRENT watermark, and the
+    // watermark initializes to 0 — an event exactly at epoch 0 is the one
+    // degenerate timestamp a real feed never produces
+    val ttlT0 = 86400L * 24L * 1000000000L / 24L
+    val ttlBaseToks = (1 to 40).map(i => s"tok$i")
+    val ttlBase = ttlBaseToks.mkString(" ")
+    def ttlVariant(pos: Int, m: String) =
+      ttlBaseToks.updated(pos, m).mkString(" ")
+
+    record("near_dedup_ttl_horizon") {
+      // the firehose horizon contract: (c1) keeper established with a
+      // within-batch min-id tiebreak; (c2) in-horizon duplicates flagged
+      // — INCLUDING a smaller id (0) arriving after the keeper (1):
+      // keep-first-by-arrival; (c3, c4) unrelated traffic advances the
+      // watermark past last-arrival + TTL, so the idle bucket state
+      // EVICTS; (c5) a post-horizon duplicate is NOT flagged — it
+      // becomes the fresh keeper; (c6) and flags the next one.
+      val chunks = Seq(
+        Seq((1L, ttlBase, ttlT0), (7L, ttlVariant(2, "mutA"), ttlT0 + 1L * minNs)),
+        Seq((2L, ttlVariant(8, "mutB"), ttlT0 + 10L * minNs),
+          (0L, ttlVariant(10, "mutE"), ttlT0 + 11L * minNs)),
+        Seq((9L, (1 to 40).map(i => s"urq$i").mkString(" "), ttlT0 + 180L * minNs)),
+        Seq((10L, (1 to 40).map(i => s"vrx$i").mkString(" "), ttlT0 + 190L * minNs)),
+        Seq((3L, ttlVariant(4, "mutC"), ttlT0 + 240L * minNs)),
+        Seq((4L, ttlVariant(5, "mutD"), ttlT0 + 250L * minNs)))
+      val stream = runTtlStream("sc_near_dedup_ttl", chunks)
+      val batch = ttlReplay(chunks, 10L * minNs, 60L * minNs)
+      val ids = batch.map(_.getLong(0)).toSet
+      require(ids(0L) && ids(4L) && !ids(3L) && !ids(1L),
+        s"fixture must exercise keep-first (0 flagged), eviction (3 clean) " +
+          s"and post-eviction flagging (4 flagged); got $ids")
+      (stream, batch)
+    }
+
+    record("near_dedup_ttl_out_of_order") {
+      // strictly DESCENDING ids across micro-batches: the exact-replay
+      // form would quietly adopt each smaller id as the new keeper; the
+      // production form must keep the FIRST arrival (5) and flag both
+      // later, smaller ids
+      val chunks = Seq(
+        Seq((5L, ttlBase, ttlT0)),
+        Seq((3L, ttlVariant(8, "mu1"), ttlT0 + 5L * minNs)),
+        Seq((1L, ttlVariant(12, "mu2"), ttlT0 + 10L * minNs)))
+      val stream = runTtlStream("sc_near_dedup_ttl_ooo", chunks)
+      val batch = ttlReplay(chunks, 10L * minNs, 60L * minNs)
+      val ids = batch.map(_.getLong(0)).toSet
+      require(ids == Set(3L, 1L),
+        s"out-of-order fixture must flag exactly the later ids; got $ids")
+      (stream, batch)
+    }
+
     record("nb_score_stream") {
       // model-based filtering on the firehose: the hashed-NB classifier
       // is trained OFFLINE on the static labeled corpus (one aggregation)

@@ -230,6 +230,95 @@ object StreamingOps {
       .toDF("doc_id", "band", "bucket")
   }
 
+  /**
+   * Production-shaped within-stream NEAR-dedup:
+   * [[nearDupViolationsStream]] hardened for an unbounded firehose.
+   * Three deltas from the exact-replay form:
+   *
+   *  - **Event-time state TTL**: each live (band, bucket) carries a
+   *    timeout at `last-arrival + stateTtl`; once the watermark (from
+   *    `timeCol` + `watermarkDelay`) passes it, the bucket's state is
+   *    EVICTED. State is bounded by the live horizon, not all history —
+   *    the trade is explicit: a duplicate arriving after its bucket went
+   *    idle past the TTL is NOT flagged (it becomes the fresh keeper).
+   *  - **Keep-FIRST-by-arrival under out-of-order ids**: an established
+   *    keeper stays the keeper — later arrivals are violations even with
+   *    SMALLER ids (the exact-replay form quietly adopts a later smaller
+   *    id; an ingest pipeline has already accepted the first doc, so the
+   *    later one must be the violation). Within one micro-batch the
+   *    smallest id wins — intra-batch order is not observable, so the
+   *    tiebreak must be content-deterministic.
+   *  - **No per-batch group buffering**: one streaming pass with O(1)
+   *    running state per group (the exact-replay form sorts each group
+   *    in memory); only the emitted violations are materialized.
+   *
+   * Input rows must be within-watermark (the operator keys its TTL on
+   * event time; feed a monotone-ish source or size `watermarkDelay` to
+   * the disorder) — Spark's stateful late-row filter silently DROPS rows
+   * at-or-before the current watermark, including the degenerate
+   * epoch-0 timestamp against the initial watermark. STREAMCHECK pins
+   * the horizon timeline and the out-of-order keeper contract against a
+   * driver-side replay of the micro-batch semantics. Output:
+   * (doc_id, band, bucket) violations.
+   */
+  def nearDupViolationsStreamTTL(df: DataFrame, idCol: String,
+                                 textCol: String, timeCol: String,
+                                 watermarkDelay: String, stateTtl: String,
+                                 numHashes: Int = 128, bands: Int = 16,
+                                 shingleSize: Int = 3): DataFrame = {
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands must divide numHashes (got numHashes=$numHashes bands=$bands)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ttlMs = TimeSeriesOps.parseDuration(stateTtl) / 1000000L
+    require(ttlMs > 0, s"stateTtl must be >= 1ms, got $stateTtl")
+    val rowsPerBand = numHashes / bands
+    val banded = df.select(
+        TimeSeriesOps.nanosToTimestamp(F.col(timeCol)).as("__ts"),
+        F.col(idCol).cast("long").as("id"),
+        F.explode(graft.llm.Dedup.lshBuckets(
+          graft.llm.Dedup.minHashSignature(F.col(textCol), numHashes,
+            shingleSize), bands, rowsPerBand)).as("bk"))
+      .select(F.col("__ts"), F.col("id"),
+        F.col("bk.band").cast("int").as("band"),
+        F.col("bk.bucket").cast("long").as("bucket"))
+      .withWatermark("__ts", watermarkDelay)
+      .as[(java.sql.Timestamp, Long, Int, Long)]
+    banded.groupByKey { case (_, _, band, bucket) => (band, bucket) }
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (key: (Int, Long),
+         rows: Iterator[(java.sql.Timestamp, Long, Int, Long)],
+         state: GroupState[(Long, Long)]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // one pass, O(1) running state: (keeper, max event ms).
+            // fromState pins an established keeper; otherwise the batch
+            // minimum wins and displaced candidates emit as violations.
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Int, Long)]
+            val fromState = state.exists
+            var keeper = state.getOption.map(_._1).getOrElse(Long.MinValue)
+            var maxMs = state.getOption.map(_._2).getOrElse(Long.MinValue)
+            var hasKeeper = fromState
+            rows.foreach { case (ts, id, b, bk) =>
+              val ms = ts.getTime
+              if (ms > maxMs) maxMs = ms
+              if (!hasKeeper) { keeper = id; hasKeeper = true }
+              else if (!fromState && id < keeper) {
+                out += ((keeper, b, bk)); keeper = id
+              } else out += ((id, b, bk))
+            }
+            state.update((keeper, maxMs))
+            // timeout must sit strictly past the current watermark
+            state.setTimeoutTimestamp(
+              math.max(maxMs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+        })
+      .toDF("doc_id", "band", "bucket")
+  }
+
   /** Injective composite grouping string over the key columns (streaming
     * groupByKey needs one value; original key values ride in the packed
     * structs so output columns keep their types). Each value is
