@@ -8,6 +8,22 @@ import org.apache.spark.sql.SparkSession
   * absorbs session/JIT/codegen start-up so the first measured entry isn't
   * penalized. */
 object Bench {
+  /** The PINNED headline subset for round-over-round comparison: ~20
+    * queries spanning the ts core (scan, as-of join, windowed and grouped
+    * summarize, EMA), the dedup/ANN families, retrieval, the heavy text
+    * kernels, sampling/packing, web-graph, and the composed pipeline.
+    * FROZEN by contract — comparisons depend on the set staying
+    * identical; new queries go to the full registry, never here. */
+  val Headline: Seq[String] = Seq(
+    "between", "left_join_asof", "left_join_asof_merge",
+    "summarize_windows_past", "summarize_cycles", "summarize_ols",
+    "ema_ewma_core", "merge",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_lsh_edit",
+    "dedup_simhash_capped", "emb_dedup_keep", "ann_ivf_topk",
+    "bm25_topk", "hybrid_topk",
+    "doc_bigram_lp", "c4_clean", "quality_buckets_fused",
+    "pack_sequences", "pagerank_domains", "pipeline_e2e")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -51,13 +67,21 @@ object Bench {
     // comma-separated query subset and/or change the pass count — a 100×
     // derived-data probe over the full registry at 2 passes would run for
     // the better part of an hour, so probes use a curated subset.
+    // SPARK_GRAFT_BENCH_HEADLINE=1 selects the PINNED headline subset at
+    // passes=4 and writes bench_headline.json — the stable
+    // round-over-round comparison artifact (the full interleaved registry
+    // grows every round, which degrades min-of-2's contention rejection
+    // and pollutes like-for-like totals).
+    val headline = sys.env.get("SPARK_GRAFT_BENCH_HEADLINE").contains("1")
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .orElse(if (headline) Some(Headline.toSet) else None)
     val registry = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
     }
-    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(2)
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt)
+      .getOrElse(if (headline) 4 else 2)
     // Passes are interleaved (whole registry, then the whole registry
     // again) rather than back-to-back per query, so a query's two samples
     // sit minutes apart and a contention burst cannot inflate both.
@@ -94,17 +118,22 @@ object Bench {
           p, (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
         true
       } catch { case _: Throwable => false }
-    val fullOk = writeJson("bench_out.json", fullLine)
+    val outFile = if (headline) "bench_headline.json" else "bench_out.json"
+    val fullOk = writeJson(outFile, fullLine)
     println(fullLine)
     val slowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(8)
       .map { case (k, v) => s"\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
-    val fullField = if (fullOk) "\"bench_out.json\"" else "null"
+    val fullField = if (fullOk) "\"" + outFile + "\"" else "null"
     val totalsLine =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","passes":$passes,"agg":"min","sf":"$sfDir","nqueries":${results.size},"errors":$errors,"full":$fullField,"slowest":$slowest}"""
     // The driver's stdout parser chokes on sbt's "[info] " prefix, so the
     // short totals object is ALSO written to its own well-known file that
-    // can be read without scraping stdout.
-    writeJson("bench_totals.json", totalsLine)
+    // can be read without scraping stdout. Headline runs keep their own
+    // totals file so a dev headline pass can never clobber the driver's
+    // full-registry capture.
+    writeJson(
+      if (headline) "bench_headline_totals.json" else "bench_totals.json",
+      totalsLine)
     println(totalsLine)
     spark.stop()
   }

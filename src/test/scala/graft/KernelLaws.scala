@@ -368,6 +368,74 @@ object KernelLaws extends Properties("Kernels") {
       got == want
     }
 
+  property("minHashSig element i = min over shingle hashes of XXH64(h, i)") =
+    forAll(sortedDistinct.suchThat(_.nonEmpty), Gen.chooseNum(1, 32)) {
+      (hs, k) =>
+        import org.apache.spark.sql.catalyst.expressions.XXH64
+        val sig = Kernels.minHashSig(new GenericArrayData(hs), k).toLongArray()
+        (0 until k).forall(i =>
+          sig(i) == hs.map(h => XXH64.hashLong(h, i.toLong)).min)
+    }
+
+  property("simHashPortable = per-lane majority vote of mixed codepoint " +
+    "folds (independent modular-arithmetic replay)") =
+    forAll(tokens) { ts =>
+      val m32 = 1L << 32
+      def mix(v: Long): Long = {
+        val a = ((v ^ (v >>> 16)) * 0x45d9f3bL) % m32
+        val b = ((a ^ (a >>> 16)) * 0x45d9f3bL) % m32
+        b ^ (b >>> 16)
+      }
+      def lane(t: String, h0: Long, mult: Long): Long =
+        mix(t.codePoints().toArray
+          .foldLeft(h0)((h, cp) => (h * mult + cp) % m32))
+      val f1 = ts.map(t => lane(t, 2166136261L, 1000003L))
+      val f2 = ts.map(t => lane(t, 40503L, 69069L))
+      def vote(fs: Array[Long]): Long =
+        (0 until 32).foldLeft(0L)((acc, b) =>
+          if (fs.count(f => ((f >> b) & 1L) == 1L) * 2 > ts.length)
+            acc | (1L << b)
+          else acc)
+      Kernels.simHashPortable(arr(ts)) == ((vote(f1) << 32) | vote(f2))
+    }
+
+  // boundary-adjacent PII soup: valid emails/IPs/phones, near-misses
+  // (half-anchored IPs, short TLDs, '+' runs inside words), and tokens
+  // that abut them without whitespace
+  private val piiSnippet: Gen[String] = Gen.oneOf(
+    "bob.smith+x@mail.example.com", "a@b.co", "x@y", "@nope.com", "a.b@c",
+    "u%d@sub-domain.example.org", "<a@b.cc>", "x.y@z.museum,",
+    "10.0.0.1", "255.255.255.255", "999.123.1.2", "1.2.3.4567", "1.2.3",
+    "a10.0.0.1b", "v1.2.3.4-rc", "ip:10.1.2.3.", "10.0.0.1@x.yz",
+    "+1 555 0123", "+44 20-7946-0958", "+123456", "+1 5", "(+1 555 2222)",
+    "call+1 555 0199", "+1 555 0100end")
+  private val piiDoc: Gen[String] = Gen.listOf(
+    Gen.oneOf(piiSnippet,
+      Gen.oneOf("word", "the", "x9", "", ".", "-", "a+b", "1.2")))
+    .map(_.mkString(" "))
+
+  property("piiScrub = staged java.util.regex replay (email → phone → ip," +
+    " counts per stage input)") =
+    forAll(piiDoc) { s =>
+      import graft.llm.Pii
+      def stage(in: String, pat: String, tok: String): (String, Int) = {
+        val p = java.util.regex.Pattern.compile(pat)
+        val n = {
+          val m = p.matcher(in)
+          var c = 0
+          while (m.find()) c += 1
+          c
+        }
+        (p.matcher(in).replaceAll(tok), n)
+      }
+      val (s1, ne) = stage(s, Pii.EmailPattern, Pii.EmailToken)
+      val (s2, np) = stage(s1, Pii.PhonePattern, Pii.PhoneToken)
+      val (s3, ni) = stage(s2, Pii.Ipv4Pattern, Pii.IpToken)
+      val row = Kernels.piiScrub(UTF8String.fromString(s))
+      row.getUTF8String(0).toString == s3 &&
+        row.getInt(1) == ne && row.getInt(2) == np && row.getInt(3) == ni
+    }
+
   property("rollingTokenHash = xxhash64(acc, token) left fold from 0") =
     forAll(tokens) { ts =>
       import org.apache.spark.sql.catalyst.expressions.XXH64

@@ -885,6 +885,51 @@ class DedupSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSeq.sorted shouldBe Seq(3L)
   }
 
+  behavior of "lshBuckets"
+
+  it should "bucket-collide exactly on equal band slices of the signature " +
+    "(banding law, seeded random corpus)" in {
+    // The property the whole LSH dedup family (and the streaming
+    // near-dedup chain, twice) rides on: for every doc pair and band,
+    // same rowsPerBand-hash signature slice <=> same bucket id. Planted
+    // exact copies and one-token edits make both sides of the iff
+    // non-vacuous; random docs supply the non-colliding mass.
+    val rnd = new scala.util.Random(11)
+    val base = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    for (i <- 0 until 24) {
+      val text =
+        if (i % 4 == 1) base(i - 1)._2 // exact copy: every band collides
+        else if (i % 4 == 2) { // one-token edit: most bands collide
+          val t = base(i - 1)._2.split(" ")
+          t.updated(rnd.nextInt(t.length), "mut").mkString(" ")
+        } else (0 until 30).map(_ => "t" + rnd.nextInt(40)).mkString(" ")
+      base += ((i.toLong, text))
+    }
+    val (bands, rpb) = (16, 4)
+    val sigCol = Dedup.minHashSignature(F.col("text"), bands * rpb, 2)
+    val rows = base.toSeq.toDF("doc_id", "text")
+      .select(F.col("doc_id"), sigCol.as("sig"),
+        Dedup.lshBuckets(sigCol, bands, rpb).as("bks"))
+      .collect()
+    val sigs = rows.map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val bks = rows.map { r =>
+      r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](2)
+        .map(b => b.getInt(0) -> b.getLong(1)).toMap
+    }.toMap
+    val ids = base.map(_._1)
+    var collisions = 0
+    var misses = 0
+    for (a <- ids; b <- ids if a < b; band <- 0 until bands) {
+      val sliceEq = sigs(a).slice(band * rpb, band * rpb + rpb) ==
+        sigs(b).slice(band * rpb, band * rpb + rpb)
+      val bucketEq = bks(a)(band) == bks(b)(band)
+      withClue(s"pair ($a,$b) band $band:") { bucketEq shouldBe sliceEq }
+      if (sliceEq) collisions += 1 else misses += 1
+    }
+    collisions should be > 0
+    misses should be > 0
+  }
+
   behavior of "oovCounts"
 
   it should "count tokens outside the vocabulary in one pass" in {
