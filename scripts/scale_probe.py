@@ -81,7 +81,14 @@ def main():
     ap.add_argument("--cpus", default="32")
     ap.add_argument("--exclude", default="",
                     help="comma-separated query names to skip at the "
-                         "scaled point (e.g. near_dup_jaccard)")
+                         "scaled point — BOTH the Verify/selfcheck pass "
+                         "and the scaled bench (e.g. near_dup_jaccard, "
+                         "whose engine side is contract-quadratic). "
+                         "Before this flag covered Verify, the only way "
+                         "to keep a query out of the 100x dump was an "
+                         "inherited SPARK_GRAFT_VERIFY_ONLY env var — "
+                         "the exact leak that silently kept 5 queries "
+                         "out of the r11 probe's Verify pass.")
     ap.add_argument("--selfcheck", action="store_true",
                     help="run graft.Verify + DuckDB selfcheck on the "
                          "derived dir before benching it")
@@ -112,10 +119,34 @@ def main():
 
     # 2. correctness on the derived data (the probe is worthless if the
     # enlarged inputs break a query silently)
+    excl = {q for q in args.exclude.split(",") if q}
     if args.selfcheck:
         vout = os.path.join(args.workdir, f"verify_{args.rep}x")
+        venv = {"SPARK_GRAFT_CPUS": args.cpus}
+        if excl:
+            # Verify only supports an allow-list, so turn the exclude set
+            # into one from the registry listing of a prior bench JSON
+            # (any binary — names, not numbers). Explicit failure beats a
+            # silently-full Verify pass that would run the excluded
+            # quadratic queries against 100x inputs.
+            names = None
+            for cand in (os.path.join(args.outdir, "bench_sf01.json"),
+                         os.path.join(REPO, "bench_out.json")):
+                if os.path.exists(cand):
+                    with open(cand) as f:
+                        names = set(json.load(f)["queries"])
+                    break
+            if names is None:
+                sys.exit("--exclude with --selfcheck needs a registry "
+                         "listing (scale_probe/bench_sf01.json or "
+                         "bench_out.json) to build the Verify allow-list")
+            unknown = excl - names
+            if unknown:
+                sys.exit(f"--exclude names not in the registry: "
+                         f"{sorted(unknown)}")
+            venv["SPARK_GRAFT_VERIFY_ONLY"] = ",".join(sorted(names - excl))
         sh(["sbt", "-batch", f"runMain graft.Verify {derived} {vout}"],
-           SPARK_GRAFT_CPUS=args.cpus)
+           **venv)
         # full registry, zero trims: the quadratic-oracle families run
         # their linear-shaped invariant checks (scripts/scale_oracles.py)
         # and float columns get an ulp guard for DuckDB's own
@@ -142,7 +173,6 @@ def main():
         base = run_bench(args.src, base_json, args.passes, args.cpus)
 
     # 4. scaled point (baseline's query list minus excludes)
-    excl = {q for q in args.exclude.split(",") if q}
     unknown = excl - set(base["queries"])
     if unknown:
         sys.exit(f"--exclude names not in the registry: {sorted(unknown)}")
