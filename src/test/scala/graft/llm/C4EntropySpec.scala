@@ -289,6 +289,55 @@ class C4EntropySpec extends SparkTestBase {
     got.head.getAs[Double]("edit_sim") shouldBe 0.8
   }
 
+  it should "keep the exact-boundary pair and drop the one-past pair " +
+    "for a sweep of thresholds (prefilter == unbounded survivor law)" in {
+    // Generalizes the single FP-floored pair above: for every editSim in
+    // the sweep, construct the LARGEST pure-deletion distance the final
+    // double comparison `1.0 - d/len >= editSim` keeps, plus the first
+    // distance it rejects. The keep side pins that neither the length-gap
+    // prefilter nor the banded-DP threshold is ever one tighter than the
+    // unbounded form's survivor set (the exact defect class the +1
+    // margins exist for: fl(1-0.8) = 0.19999… floors one below the true
+    // bound, while fl(1-0.6) = 0.40000…2 rounds above — the sweep covers
+    // both rounding directions). The drop side pins the margins don't
+    // ADMIT extra pairs either: dist is still checked exactly downstream.
+    // 30 shared DISTINCT words keep every pair a guaranteed LSH candidate
+    // at 1-shingles (J = 30/32 ≈ 0.94; 16 bands × width 4 miss prob
+    // ~3e-11, and minhash seeds are fixed — fully deterministic).
+    val prefix = (1 to 30).map(i => s"w$i").mkString(" ")
+    var active = 0
+    for (editSim <- Seq(0.5, 0.6, 0.7, 0.75, 0.8, 0.9, 0.95);
+         zLen <- Seq(30, 61, 200)) {
+      val lenA = prefix.length + 1 + zLen
+      // Largest d the ENGINE's double comparison keeps at this length —
+      // the test replicates the exact arithmetic rather than trusting
+      // floor((1-editSim)*lenA), whose FP rounding is the point.
+      val dKeep = (0 to zLen - 1)
+        .filter(d => 1.0 - d.toDouble / lenA >= editSim).max
+      // Skip combos where the whole z-run is inside the edit budget (no
+      // boundary exists at this length); zLen = 200 guarantees at least
+      // one active combo per threshold.
+      if (dKeep >= 1 && dKeep + 1 <= zLen - 1) {
+        active += 1
+        val a = prefix + " " + "z" * zLen
+        val bKeep = prefix + " " + "z" * (zLen - dKeep)
+        val bDrop = prefix + " " + "z" * (zLen - dKeep - 1)
+        val d = Seq((1L, a), (2L, bKeep), (3L, bDrop))
+          .toDF("doc_id", "text")
+        val got = Dedup.minHashEditPairs(d, "doc_id", "text",
+          numHashes = 64, bands = 16, shingleSize = 1, jaccardFloor = 0.5,
+          editSim = editSim)
+          .select("id_a", "id_b", "dist").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        withClue(s"editSim=$editSim lenA=$lenA dKeep=$dKeep: ") {
+          got should contain ((1L, 2L, dKeep.toLong))       // boundary kept
+          got.map(t => (t._1, t._2)) should not contain ((1L, 3L)) // past it
+        }
+      }
+    }
+    active should be >= 12 // every threshold exercised at least once
+  }
+
   it should "bound per-pair DP cost on pathological long documents" in {
     // Shingle-SET-identical docs with a 4x character-length gap: perfect
     // LSH candidates (jaccard 1.0) that an UNBOUNDED Levenshtein would
