@@ -702,6 +702,52 @@ object Kernels {
     acc
   }
 
+  /**
+   * Rolling polynomial hashes of EVERY k-codepoint window of `text`, in
+   * positional order: `h_i = Σ_j cp_{i+j} · B^{k-1-j} (mod 2^64)` with
+   * base B = 1000003 — one O(n) primitive loop per row, n−k+1 outputs,
+   * empty when the text has fewer than k codepoints. The candidate
+   * generator of the exact-substring dedup tier (Dedup.exactSubstrSpans):
+   * equal windows ALWAYS hash equal (the tier's no-false-negative half),
+   * collisions only add candidates that the content-verify stage removes.
+   * Windows are CODEPOINT-aligned so positions line up with SQL
+   * `substr()` character indexing (and with Spark's `substring`) on any
+   * input, not just ASCII.
+   */
+  def charWindowHashes(text: org.apache.spark.unsafe.types.UTF8String,
+                       k: Int): ArrayData = {
+    val s = text.toString
+    val len = s.length
+    // one pass to count codepoints; surrogate pairs collapse to one
+    val n = s.codePointCount(0, len)
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val cps = new Array[Int](n)
+    var ci = 0
+    var si = 0
+    while (si < len) {
+      val cp = s.codePointAt(si)
+      cps(ci) = cp
+      ci += 1
+      si += Character.charCount(cp)
+    }
+    val B = 1000003L
+    var pow = 1L // B^(k-1) mod 2^64
+    var j = 0
+    while (j < k - 1) { pow *= B; j += 1 }
+    val out = new Array[Long](n - k + 1)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * B + cps(i); i += 1 }
+    out(0) = h
+    i = k
+    while (i < n) {
+      h = (h - cps(i - k) * pow) * B + cps(i)
+      out(i - k + 1) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   // --- Fused PII scrub -----------------------------------------------------
   // Same three pattern classes as graft.llm.Pii, staged in the same order
   // (email -> phone -> ipv4), but evaluated in ONE kernel call per row with

@@ -553,6 +553,14 @@ object QueriesLLM {
         .select(F.col("doc_id"), F.md5(F.col("text")).as("stripped_md5"))
         .orderBy("doc_id")
     }),
+    // EXACT-substring duplicated spans at character granularity (r15 —
+    // the verified tier beside the fingerprint-approximate dup_spans):
+    // 40-codepoint windows whose literal content occurs at >= 2 sites
+    // corpus-wide, rolling-hash candidates re-grouped by content before
+    // the per-doc merge. 1-based positions, SQL substr convention.
+    "dedup_exact_substr" -> ((s, dir) =>
+      Dedup.exactSubstrSpans(docs(s, dir), "doc_id", "text", k = 40)
+        .orderBy("doc_id", "span_start")),
     // Deterministic train/validation/test assignment: exact binary
     // fractions (0.75/0.125/0.125) so the cumulative bounds are the same
     // doubles on every engine — a row's split never moves when the corpus
@@ -618,12 +626,15 @@ object QueriesLLM {
     // Budget-constrained selection: fill half the corpus' character budget
     // with the highest-quality docs. The library walks range refinements
     // (O(log) aggregations) instead of globally sorting the corpus; the
-    // oracle takes the straight window-prefix definition.
+    // oracle takes the straight window-prefix definition. The fraction
+    // form (r15) derives the budget INSIDE the walk's head pass —
+    // bit-identical to the old agg-then-absolute-budget shape, one fewer
+    // corpus aggregation scan.
     "select_budget" -> ((s, dir) => {
       val d = docs(s, dir)
-      val budget = d.agg(F.sum("n_chars")).head().getLong(0) / 2
       val scored = d.withColumn("q", TextStats.qualityScore(F.col("text")))
-      Sampling.selectTopByBudget(scored, "doc_id", "n_chars", "q", budget)
+      Sampling.selectTopByBudgetFraction(scored, "doc_id", "n_chars", "q",
+          num = 1L, den = 2L)
         .select("doc_id", "source").orderBy("doc_id")
     }),
     // IVF-PQ: coarse cells route the candidates, PQ codes carry the
@@ -1095,11 +1106,13 @@ object QueriesLLM {
       // in executor storage. Output is bit-identical across boundary
       // modes (every stage is content-deterministic), so the oracle
       // hash is unchanged from the r13 inline form. Zero residual cache
-      // either way. The fixed per-process tmp dir is overwritten per
-      // run (bench passes re-run the whole write+read — honest cost).
+      // either way. The stage dir is UNIQUE PER RUN (r15 — a fixed path
+      // let two concurrent drivers on one host interleave stage files)
+      // and reclaimed at JVM exit: the returned frame lazily re-reads
+      // the stage parquet, so deletion must wait for the caller's last
+      // action. Bench passes each pay the whole write+read — honest cost.
       val d = docs(s, dir)
-      val tmp = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_pipeline_e2e_stages")
+      val tmp = pipelineStageDir()
       // A/B knob for the boundary-mode bench comparison (BASELINE.md):
       // output is bit-identical across modes (PipelineSpec pins it), so
       // the correctness row is mode-independent; default = the 100 TB
@@ -1120,6 +1133,26 @@ object QueriesLLM {
   )
 
   private val stopEn = inList(TextStats.EnStop)
+
+  /** Unique-per-run parquet stage directory for the `pipeline_e2e` row,
+    * reclaimed recursively at JVM exit. Uniqueness (not overwrite-in-
+    * place) is the concurrency contract: two drivers benching on one
+    * host can never read each other's half-written `kept/`/`uniq/`
+    * stages. Exit-time (not eager) deletion because the returned frame
+    * lazily re-reads the stage files until the caller's final action. */
+  private def pipelineStageDir(): java.io.File = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pipeline_e2e_stages_").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(dir)
+    }))
+    dir
+  }
 
   /** Deterministic constructed URL per doc (see url_domain_stats): mixes
     * case, www, a ccTLD, an explicit port, a trailing slash and a
@@ -2912,6 +2945,28 @@ object QueriesLLM {
                  FROM keep GROUP BY doc_id)
          SELECT t.doc_id, md5(COALESCE(a.txt, '')) AS stripped_md5
          FROM t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""",
+    "dedup_exact_substr" ->
+      """WITH t AS (SELECT doc_id, text FROM documents),
+         p AS (SELECT doc_id,
+                 unnest(generate_series(1, greatest(length(text) - 40 + 1, 0)))
+                   AS pos FROM t),
+         s AS (SELECT p.doc_id, p.pos, substr(t.text, CAST(p.pos AS INT), 40)
+                 AS g FROM p JOIN t USING (doc_id)),
+         d AS (SELECT g FROM s GROUP BY g HAVING count(*) >= 2),
+         h AS (SELECT s.doc_id, s.pos FROM s JOIN d USING (g)),
+         m AS (SELECT doc_id, pos,
+                 CASE WHEN pos > coalesce(max(pos + 40) OVER
+                        (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      -9223372036854775808) THEN 1 ELSE 0 END AS brk FROM h),
+         i AS (SELECT doc_id, pos, sum(brk) OVER
+                 (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+               FROM m)
+         SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos + 40) - min(pos) AS BIGINT) AS span_len
+         FROM i GROUP BY doc_id, isl ORDER BY doc_id, span_start""",
     "sample_split" ->
       s"""${hashUnitCteSeed(42L + Sampling.SplitSalt)}
           SELECT doc_id,

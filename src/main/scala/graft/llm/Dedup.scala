@@ -895,6 +895,87 @@ object Dedup {
    * small), then a pure codegen'd token filter — spans per doc are few,
    * so the per-token `exists` probe is O(spans) on a local array.
    */
+  /**
+   * EXACT-substring duplicated-span detection at CHARACTER granularity —
+   * the verified tier beside the fingerprint-approximate, token-level
+   * [[duplicateSpans]] (documented contract differences: characters vs
+   * tokens; content-verified vs 64-bit-fingerprint trust; occurrence
+   * count ≥ 2 over ALL sites — Lee et al.'s ExactSubstr convention, so a
+   * within-document repeat qualifies — vs cross-doc distinct-doc
+   * frequency). For each document: the maximal merged character ranges
+   * covered by `k`-codepoint windows whose EXACT content occurs at ≥ 2
+   * sites corpus-wide. Every duplicated substring of length ≥ `k` is
+   * fully covered (all-positions enumeration — no sampling, no stride),
+   * and no never-duplicated window can appear (candidates are re-grouped
+   * by literal content before merging, so hash collisions die there).
+   * Output: one row per (doc, span) — idCol, `span_start` (1-based
+   * codepoint position, SQL `substr` convention), `span_len` (codepoints;
+   * always ≥ k). Overlapping or abutting windows merge, so a span is the
+   * union of duplicated-window coverage, same merge rule as
+   * [[duplicateSpans]].
+   *
+   * Shape at 100 TB (vs the reference's monolithic suffix array, which
+   * needs the corpus in one address space): candidates ride as 64-bit
+   * rolling hashes from ONE kernel call per row — the posexplode carries
+   * O(codepoints) (hash, pos) rows, the tier's documented contract-linear
+   * cost, analogous to the token-explode rows ([[duplicateSpans]],
+   * doc_entropy). One map-side-combinable hash count + a semi-join
+   * prefilter bounds every later stage to near-true-positive volume:
+   * literal window strings are extracted (per-doc position lists, ONE
+   * text join per doc, never text-per-site) and shuffled ONLY for
+   * candidate sites. Span merging is a per-doc window — state bounded by
+   * one document's hit positions, never corpus-wide.
+   */
+  def exactSubstrSpans(df: DataFrame, idCol: String, textCol: String,
+                       k: Int): DataFrame = {
+    require(k >= 1, s"window size must be >= 1, got $k")
+    val id = F.col(idCol)
+    val sites = df.select(id.as("__id"),
+        F.posexplode(org.apache.spark.sql.graft.GraftColumns
+          .charWindowHashes(F.col(textCol), k)).as(Seq("__p0", "__h")))
+      .select(F.col("__id"), (F.col("__p0") + 1).cast("long").as("pos"),
+        F.col("__h"))
+    // hash prefilter: window contents POSSIBLY at >= 2 sites (equal
+    // content always hashes equal -> no false negatives)
+    val dupH = sites.groupBy("__h").agg(F.count(F.lit(1)).as("__n"))
+      .filter(F.col("__n") >= 2L).select("__h")
+    val cand = sites.join(dupH, Seq("__h"), "left_semi")
+    // literal-content verify: per-doc candidate position lists, one text
+    // join per doc, then group the extracted k-char windows by CONTENT
+    val byDoc = cand.groupBy("__id")
+      .agg(F.collect_list(F.col("pos")).as("__ps"))
+    val extracted = byDoc
+      .join(df.select(id.as("__id"), F.col(textCol).as("__t")), Seq("__id"))
+      .select(F.col("__id"), F.explode(F.transform(F.col("__ps"), p =>
+          F.struct(p.as("pos"),
+            F.col("__t").substr(p.cast("int"), F.lit(k)).as("g"))))
+        .as("__site"))
+      .select(F.col("__id"), F.col("__site.pos").as("pos"),
+        F.col("__site.g").as("__g"))
+    val dupG = extracted.groupBy("__g").agg(F.count(F.lit(1)).as("__n"))
+      .filter(F.col("__n") >= 2L).select("__g")
+    val hits = extracted.join(dupG, Seq("__g"), "left_semi")
+      .select("__id", "pos")
+    // merge overlapping/abutting windows [pos, pos+k) into maximal spans
+    val W = org.apache.spark.sql.expressions.Window
+    val wPrev = W.partitionBy("__id").orderBy("pos")
+      .rowsBetween(W.unboundedPreceding, -1)
+    val wRun = W.partitionBy("__id").orderBy("pos")
+      .rowsBetween(W.unboundedPreceding, 0)
+    hits
+      .withColumn("__brk",
+        F.when(F.col("pos") > F.coalesce(
+          F.max(F.col("pos") + F.lit(k.toLong)).over(wPrev),
+          F.lit(Long.MinValue)), 1L).otherwise(0L))
+      .withColumn("__isl", F.sum("__brk").over(wRun))
+      .groupBy(F.col("__id"), F.col("__isl"))
+      .agg(F.min("pos").as("span_start"),
+        (F.max(F.col("pos") + F.lit(k.toLong)) - F.min(F.col("pos")))
+          .as("span_len"))
+      .select(F.col("__id").as(idCol), F.col("span_start"),
+        F.col("span_len"))
+  }
+
   def stripDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
                           spans: DataFrame): DataFrame = {
     require(!df.columns.contains("__spans"),

@@ -340,12 +340,49 @@ object Sampling {
    * score or null/negative tokens fail loudly (selection order would be
    * undefined). Like [[quotaPerStratum]], the driver-side walk runs
    * aggregation jobs at call time — model-parameter-sized results only.
+   *
+   * The FINAL filter deliberately re-evaluates the score expression on
+   * the raw input (one extra linear kernel scan): the alternative — a
+   * semi-join against the cached kept ids — would shuffle the full-width
+   * corpus (kept is typically a constant fraction of it, far past any
+   * broadcast ceiling), and a corpus shuffle loses to a corpus scan at
+   * every scale. Callers who already materialized the score pay nothing
+   * extra.
    */
   def selectTopByBudget(df: DataFrame, idCol: String, tokensCol: String,
                         scoreCol: String, budget: Long,
                         refineBuckets: Int = 1024,
                         sliceCap: Long = 262144): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
+    selectTopCore(df, idCol, tokensCol, scoreCol, _ => budget,
+      refineBuckets, sliceCap)
+  }
+
+  /**
+   * [[selectTopByBudget]] with the budget given as a FRACTION of the
+   * corpus token total: `budget = ⌊total · num / den⌋` (exact integer
+   * arithmetic). The point is one fewer corpus pass: the common caller
+   * shape ("fill half the budget") first aggregated the total itself and
+   * then called the absolute form — whose head pass re-aggregates the
+   * same total. Here the head pass's total IS the budget input, so the
+   * caller's pre-aggregation scan disappears and the selected set is
+   * bit-identical to `selectTopByBudget(df, …, total·num/den)`.
+   */
+  def selectTopByBudgetFraction(df: DataFrame, idCol: String,
+                                tokensCol: String, scoreCol: String,
+                                num: Long, den: Long,
+                                refineBuckets: Int = 1024,
+                                sliceCap: Long = 262144): DataFrame = {
+    require(num >= 0 && den >= 1,
+      s"need num >= 0 and den >= 1, got $num/$den")
+    selectTopCore(df, idCol, tokensCol, scoreCol,
+      t => ((BigInt(t) * num) / den).toLong, refineBuckets, sliceCap)
+  }
+
+  private def selectTopCore(df: DataFrame, idCol: String, tokensCol: String,
+                            scoreCol: String, budgetOf: Long => Long,
+                            refineBuckets: Int,
+                            sliceCap: Long): DataFrame = {
     require(refineBuckets >= 2 && sliceCap >= 1, "bad refinement parameters")
     val id = F.col(idCol)
     val tok = F.col(tokensCol).cast("long")
@@ -370,6 +407,8 @@ object Sampling {
       F.min(sc).as("smin"), F.max(sc).as("smax")).head()
     require(head.getLong(2) == 0L,
       s"selectTopByBudget: null/negative $tokensCol or null/NaN $scoreCol")
+    val budget = budgetOf(head.getLong(1))
+    require(budget >= 0, s"budget must be >= 0, got $budget")
     if (head.getLong(0) == 0L || head.getLong(1) <= budget) {
       proj.unpersist(blocking = false)
       return df // empty, or everything fits

@@ -644,39 +644,56 @@ object TextStats {
    * full corpus count, so the ratio is the true conditional frequency.
    * Same integer micro-nat portability contract as [[unigramModel]].
    *
-   * Scale shape: one token-count aggregation and one pair-count
-   * aggregation (both map-side combinable, the pair table keyed by the
-   * 2-gram string), a driver-merged top-B, and one bounded filtered
-   * collect of the ≤ topB distinct w1 counts — model parameters
-   * throughout, never data. Returns (bigram logprobs, unigram vocab,
-   * oovLp); pair `backoffLp` with them via [[StupidBackoffLp]] or your
-   * own discount.
+   * Scale shape: ONE fused corpus tokenize ([[gramCounts]] — r15; the r14
+   * form ran separate token and bigram explodes) into one
+   * map-side-combinable gram count, persisted (distinct-gram-sized, the
+   * model-build working set) so the four driver-side jobs below (total,
+   * vocab top-K, pair top-B, w1 counts) scan the corpus once between
+   * them; driver state stays model-parameter-sized throughout. Returns
+   * (bigram logprobs, unigram vocab, oovLp); pair `backoffLp` with them
+   * via [[StupidBackoffLp]] or your own discount.
    */
   def bigramModel(df: org.apache.spark.sql.DataFrame, textCol: String,
                   topK: Int, topB: Int)
       : (Seq[(String, Long)], Seq[(String, Long)], Long) = {
-    require(topK >= 1 && topB >= 1, "topK and topB must be >= 1")
-    val counted = df.select(F.explode(tokens(F.col(textCol))).as("token"))
-      .groupBy("token").agg(F.count(F.lit(1)).as("cnt"))
+    val counted = gramCounts(df, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val totalRow = counted.agg(F.sum("cnt")).head()
+    try bigramModelFromCounts(counted, topK, topB)
+    finally counted.unpersist(blocking = false)
+  }
+
+  /**
+   * [[bigramModel]] over a precomputed [[gramCounts]] table — the shared-
+   * intermediate form: one corpus can pay its single tokenize+count scan
+   * once (persist or parquet the gram table) and feed BOTH the bigram LM
+   * and [[pmiTopPairs]] from it. Identical output to [[bigramModel]]
+   * (pinned in TextOpsSpec). The caller owns the table's materialization;
+   * passing a lazy frame re-runs its plan per driver-side job below
+   * (total, vocab, pairs, w1 counts — four jobs).
+   */
+  def bigramModelFromCounts(gramCounts: org.apache.spark.sql.DataFrame,
+                            topK: Int, topB: Int)
+      : (Seq[(String, Long)], Seq[(String, Long)], Long) = {
+    require(topK >= 1 && topB >= 1, "topK and topB must be >= 1")
+    val toks = gramCounts.filter(!F.col("is_pair"))
+      .select(F.col("gram").as("token"), F.col("cnt"))
+    val totalRow = toks.agg(F.sum("cnt")).head()
     require(!totalRow.isNullAt(0) && totalRow.getLong(0) > 0L,
       "bigramModel: corpus has no tokens")
     val total = totalRow.getLong(0)
-    val vocab = counted.orderBy(F.col("cnt").desc, F.col("token"))
+    val vocab = toks.orderBy(F.col("cnt").desc, F.col("token"))
       .limit(topK).collect()
       .map(r => r.getString(0) ->
         math.round(math.log(r.getLong(1).toDouble / total.toDouble) * 1e6))
-    val pairs = df.select(F.explode(ngrams(F.col(textCol), 2)).as("bg"))
-      .groupBy("bg").agg(F.count(F.lit(1)).as("cnt"))
+    val pairs = gramCounts.filter(F.col("is_pair"))
+      .select(F.col("gram").as("bg"), F.col("cnt"))
       .orderBy(F.col("cnt").desc, F.col("bg"))
       .limit(topB).collect()
       .map(r => r.getString(0) -> r.getLong(1))
     val w1s = pairs.map(_._1.takeWhile(_ != ' ')).distinct.toSeq
-    val w1Counts = counted
+    val w1Counts = toks
       .filter(F.col("token").isin(w1s: _*))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    counted.unpersist(blocking = false)
     val bi = pairs.map { case (bg, c) =>
       bg -> math.round(
         math.log(c.toDouble / w1Counts(bg.takeWhile(_ != ' ')).toDouble) * 1e6)
@@ -1014,31 +1031,90 @@ object TextStats {
    * (pmi_micro desc, pair asc) — a deterministic total order, so the
    * selected SET is engine-independent even at score ties.
    *
-   * Shape at 100 TB: one token-count and one pair-count aggregation
-   * (both map-side combinable), two equi-joins of the ≥`minCount` pair
-   * table against the unigram counts, two 1-row broadcast totals, and a
-   * bounded global top-k (TakeOrderedAndProject: per-partition heaps +
-   * driver merge of k rows — never a window, never a full sort). The
-   * corpus is tokenized twice (tokens + bigrams) — the same documented
-   * trade as [[tfidfTopTerms]]: a persist would cache data-sized state
-   * to save one linear scan, the wrong trade at 100 TB.
+   * Shape at 100 TB: ONE corpus tokenize+explode (the fused
+   * [[gramCounts]] table — r15; the r14 form scanned the corpus four
+   * times), one map-side-combinable gram count whose exchange every
+   * derived branch reuses (per-kind counts and the N/B totals —
+   * ReuseExchange, plan-asserted in TextOpsSpec), two equi-joins of the
+   * ≥`minCount` pair table against the unigram counts, two 1-row
+   * broadcast totals, and a bounded global top-k
+   * (TakeOrderedAndProject: per-partition heaps + driver merge of k
+   * rows — never a window, never a full sort, never data-sized cache).
    */
   def pmiTopPairs(df: DataFrame, textCol: String, k: Int = 100,
-                  minCount: Long = 5L): DataFrame = {
+                  minCount: Long = 5L): DataFrame =
+    pmiTopPairsFromCounts(gramCounts(df, textCol), k, minCount)
+
+  /**
+   * Fused unigram+bigram occurrence counts in ONE corpus tokenize+explode:
+   * `(gram, cnt, is_pair)` where a gram with no space is a token
+   * (`is_pair` false) and a gram with a space is an adjacent pair
+   * (`"w1 w2"`, `is_pair` true). The classification is exact by
+   * construction — [[tokens]] splits on single spaces, so a token can
+   * never contain one, and [[ngrams]] joins with exactly one.
+   *
+   * This is THE shared intermediate of the two heaviest linear corpus
+   * passes ([[pmiTopPairs]] and [[bigramModel]]): both consume it, so a
+   * caller running both materializes it once (persist/parquet) and pays
+   * ONE corpus scan for the pair. Consumed lazily (the default inside
+   * [[pmiTopPairs]]), its single aggregation subtree is also what lets
+   * ReuseExchange collapse every derived branch — per-kind counts AND
+   * per-kind totals — onto one scan+shuffle (plan-asserted in
+   * TextOpsSpec). The r14 form tokenized the corpus four times in
+   * `pmiTopPairs` (counts + totals, tokens + bigrams) and twice more in
+   * `bigramModel`.
+   *
+   * Shape at 100 TB: one explode over tokens++bigrams (the array concat
+   * evaluates the token split once — subexpression elimination), one
+   * map-side-combinable count keyed by the gram string. The shuffle
+   * carries one row per DISTINCT gram, never per occurrence.
+   */
+  def gramCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(F.explode(F.concat(tokens(F.col(textCol)),
+        ngrams(F.col(textCol), 2))).as("gram"))
+      .groupBy("gram").agg(F.count(F.lit(1)).as("cnt"),
+        // deliberately an AGGREGATE over the key function, not a
+        // projected key column: a plain `contains(gram, ' ')` filter
+        // would be pushed below the aggregate INTO the explode branch,
+        // splitting the one shared exchange back into per-kind corpus
+        // scans (observed: 3 GenerateExec). An agg output cannot push
+        // past the shuffle, so every consumer's filter stays above it
+        // and ReuseExchange sees identical subtrees.
+        F.max(F.col("gram").contains(" ")).as("is_pair"))
+
+  /** [[pmiTopPairs]] over a precomputed [[gramCounts]] table (identical
+    * output, pinned in TextOpsSpec). Totals are re-aggregations OF the
+    * count table — `N` = Σ cnt over token grams, `B` = Σ cnt over pair
+    * grams — so no corpus re-scan hides here either. */
+  def pmiTopPairsFromCounts(gramCounts: DataFrame, k: Int = 100,
+                            minCount: Long = 5L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
-    val toks = df.select(F.explode(tokens(F.col(textCol))).as("w"))
-    val uni = toks.groupBy("w").agg(F.count(F.lit(1)).as("c"))
-    val bg = df.select(F.explode(ngrams(F.col(textCol), 2)).as("pair"))
-    val bi = bg.groupBy("pair").agg(F.count(F.lit(1)).as("n_pair"))
+    val uni = gramCounts.filter(!F.col("is_pair"))
+      .select(F.col("gram").as("w"), F.col("cnt").as("c"))
+    val biAll = gramCounts.filter(F.col("is_pair"))
+      .select(F.col("gram").as("pair"), F.col("cnt").as("n_pair"))
+    val bi = biAll
       .filter(F.col("n_pair") >= minCount)
-      .withColumn("w1", F.split(F.col("pair"), " ").getItem(0))
-      .withColumn("w2", F.split(F.col("pair"), " ").getItem(1))
-    val nTot = toks.agg(F.count(F.lit(1)).as("__n"))
-    val bTot = bg.agg(F.count(F.lit(1)).as("__b"))
+      // F.get (null on out-of-bounds), NOT getItem: the optimizer may
+      // evaluate these result projections before the is_pair filter
+      // lands, i.e. on unigram rows too — ANSI getItem would throw there
+      .withColumn("w1", F.get(F.split(F.col("pair"), " "), F.lit(0)))
+      .withColumn("w2", F.get(F.split(F.col("pair"), " "), F.lit(1)))
+    val nTot = uni.agg(F.sum("c").as("__n"))
+    val bTot = biAll.agg(F.sum("n_pair").as("__b"))
     bi
-      .join(uni.select(F.col("w").as("w1"), F.col("c").as("__c1")), Seq("w1"))
-      .join(uni.select(F.col("w").as("w2"), F.col("c").as("__c2")), Seq("w2"))
+      // null-safe equality, NOT a using-column equi-join: a plain join
+      // key makes Catalyst infer isnotnull(w1/w2) constraints and push
+      // them BELOW each branch's aggregate (they are functions of the
+      // grouping key), de-canonicalizing the five copies of the shared
+      // gram exchange so ReuseExchange keeps three corpus scans alive.
+      // <=> infers nothing; w1/w2 are never null for true pairs, so the
+      // matched set is identical. Plan-asserted in C4EntropySpec.
+      .join(uni.select(F.col("w").as("__w1j"), F.col("c").as("__c1")),
+        F.col("w1") <=> F.col("__w1j"))
+      .join(uni.select(F.col("w").as("__w2j"), F.col("c").as("__c2")),
+        F.col("w2") <=> F.col("__w2j"))
       .crossJoin(F.broadcast(nTot)).crossJoin(F.broadcast(bTot))
       .withColumn("pmi_micro", F.round(F.log(
           (F.col("n_pair").cast("double") * F.col("__n") * F.col("__n")) /

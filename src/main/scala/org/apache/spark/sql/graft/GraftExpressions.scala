@@ -70,6 +70,11 @@ object GraftColumns {
     * `aggregate(tokens, 0L, (acc, t) => xxhash64(acc, t))` fold. */
   def rollingTokenHash(tokens: Column): Column = col(RollingTokenHash(ex(tokens)))
 
+  /** Rolling polynomial hashes of every k-codepoint window of a text
+    * column, positionally ordered; see Kernels.charWindowHashes. */
+  def charWindowHashes(text: Column, k: Int): Column =
+    col(CharWindowHashes(ex(text), k))
+
   /** Context-window chunk structs `(start, n_tokens, chunk_text)` for
     * single-space-tokenized text, one offset-walk kernel call per row. */
   def chunkSpans(text: Column, chunkSize: Int, stride: Int): Column =
@@ -527,6 +532,25 @@ case class RollingTokenHash(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.Kernels.rollingTokenHash($c);")
   override protected def withNewChildInternal(newChild: Expression): RollingTokenHash =
+    copy(child = newChild)
+}
+
+/** Rolling polynomial hashes of every k-codepoint window — the candidate
+  * generator of the exact-substring dedup tier; one primitive loop per
+  * row, see graft.Kernels.charWindowHashes. */
+case class CharWindowHashes(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1, s"window size must be >= 1, got $k")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    graft.Kernels.charWindowHashes(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.Kernels.charWindowHashes($c, $k);")
+  override protected def withNewChildInternal(newChild: Expression): CharWindowHashes =
     copy(child = newChild)
 }
 

@@ -268,6 +268,18 @@ class BoilerplateTfidfSpec extends SparkTestBase {
     edge(1).isNullAt(1) shouldBe true
   }
 
+  it should "produce the identical model from a precomputed gramCounts " +
+    "table (the shared-intermediate form)" in {
+    val d = Seq((1L, "a b a b c"), (2L, "a b x"), (3L, "c  x a b"))
+      .toDF("id", "text")
+    val fresh = TextStats.bigramModel(d, "text", topK = 3, topB = 2)
+    val counts = TextStats.gramCounts(d, "text").persist()
+    try {
+      TextStats.bigramModelFromCounts(counts, topK = 3, topB = 2) shouldBe
+        fresh
+    } finally counts.unpersist(blocking = false): Unit
+  }
+
   it should "ignore empty tokens and docs with no tokens" in {
     val d = Seq((1L, "x  y"), (2L, ""), (3L, null: String)).toDF("id", "text")
     val out = TextStats.tfidfTopTerms(d, "id", "text", k = 3)

@@ -184,6 +184,55 @@ class C4EntropySpec extends SparkTestBase {
     got shouldBe want
   }
 
+  it should "tokenize the corpus exactly once (fused gramCounts + " +
+    "ReuseExchange totals)" in {
+    // All four consumers of the fused gram table — unigram counts, bigram
+    // counts, and the N/B totals — re-aggregate ONE groupBy(gram)
+    // subtree, so ReuseExchange must materialize the single scan+explode
+    // once: exactly one GenerateExec in the whole physical plan, with
+    // the other branches reading ReusedExchange nodes. (The r14 form
+    // tokenized the corpus four times.)
+    val d = Seq((1L, "new york a b a"), (2L, "b new york a b"))
+      .toDF("id", "text")
+    val p = TextStats.pmiTopPairs(d, "text", k = 3, minCount = 2L)
+      .queryExecution.executedPlan
+    val generates = p.collectWithSubqueries {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    withClue(p.toString) { generates should have size 1 }
+    p.collectWithSubqueries {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+    } should not be empty
+  }
+
+  it should "produce identical results from a precomputed gramCounts " +
+    "table (the shared-intermediate form)" in {
+    val d = Seq(
+      (1L, "new york a b a"), (2L, "b new york a b"),
+      (3L, "a b new york b a"), (4L, "new york b a a b"))
+      .toDF("id", "text")
+    val fresh = TextStats.pmiTopPairs(d, "text", k = 100, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val counts = TextStats.gramCounts(d, "text").persist()
+    try {
+      val shared = TextStats.pmiTopPairsFromCounts(counts, k = 100,
+        minCount = 2L)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      shared shouldBe fresh
+    } finally counts.unpersist(blocking = false): Unit
+  }
+
+  it should "classify fused grams exactly (empty tokens are unigrams, " +
+    "short docs emit no bigrams)" in {
+    // "a  b" has an empty middle token (no space in it -> unigram);
+    // a 1-token doc contributes no bigrams at all
+    val d = Seq((1L, "a  b"), (2L, "solo")).toDF("id", "text")
+    val got = TextStats.gramCounts(d, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldBe Map("a" -> 1L, "" -> 1L, "b" -> 1L, "solo" -> 1L,
+      "a " -> 1L, " b" -> 1L)
+  }
+
   behavior of "minHashEditPairs"
 
   it should "keep true near-dups and reject reordered boilerplate" in {

@@ -567,6 +567,59 @@ class DedupSpec extends SparkTestBase {
     run(d) shouldBe run(d.repartition(13))
   }
 
+  behavior of "exactSubstrSpans"
+
+  it should "find exact cross-doc duplicated substrings and merge " +
+    "overlapping windows" in {
+    // docs 1 and 2 share the 12-char run "hello world!"; doc 3 disjoint
+    val d = Seq(
+      (1L, "xx hello world! yy"),
+      (2L, "hello world! qq rr"),
+      (3L, "totally different stuff")).toDF("id", "text")
+    val got = Dedup.exactSubstrSpans(d, "id", "text", k = 8)
+      .orderBy("id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // shared content "hello world! " (13 chars, trailing space shared):
+    // doc 1 at 4..16, doc 2 at 1..13 — the union of its 8-char windows
+    got shouldBe Seq((1L, 4L, 13L), (2L, 1L, 13L))
+  }
+
+  it should "count within-document repeats as duplication (ExactSubstr " +
+    "convention, unlike duplicateSpans)" in {
+    val d = Seq(
+      (1L, "abcdefgh__abcdefgh"),
+      (2L, "nothing shared at all here")).toDF("id", "text")
+    val got = Dedup.exactSubstrSpans(d, "id", "text", k = 8)
+      .orderBy("span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe Seq((1L, 1L, 8L), (1L, 11L, 8L))
+  }
+
+  it should "merge abutting spans and ignore sub-k duplicates" in {
+    // shared run of exactly 2k chars -> one merged span; a k-1 shared
+    // run produces nothing
+    val twoK = "0123456789abcdef" // 16 chars, k = 8
+    val d = Seq(
+      (1L, s"AA$twoK"),
+      (2L, s"$twoK BB"),
+      (3L, "shortie"), (4L, "shortie")).toDF("id", "text")
+    val got = Dedup.exactSubstrSpans(d, "id", "text", k = 8)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // "shortie" is 7 chars < k -> no windows at all
+    got shouldBe Seq((1L, 3L, 16L), (2L, 1L, 16L))
+  }
+
+  it should "be independent of input partitioning" in {
+    val d = (0L until 60L)
+      .map(i => (i, s"prefix${i % 7} shared-run-of-text-${i % 3} tail$i"))
+      .toDF("id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.exactSubstrSpans(df, "id", "text", k = 12)
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    run(d) shouldBe run(d.repartition(13))
+  }
+
   behavior of "stripDuplicateSpans"
 
   it should "remove span tokens everywhere and pass span-less docs through" in {

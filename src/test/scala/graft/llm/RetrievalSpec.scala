@@ -166,6 +166,40 @@ class RetrievalSpec extends SparkTestBase {
     (plan should not).include("CartesianProduct")
   }
 
+  it should "hold the broadcast fast path whenever |queries|*kLex is " +
+    "under the dim-free ceiling (scale-independent decision)" in {
+    // The r14 100x probe saw hybrid_topk's exponent drift 0.15 -> 0.31;
+    // this pins the adjudication: with |queries|*kLex*(8192*8+64) under
+    // maxBroadcastBytes the rerank join is ALWAYS broadcast — the guard
+    // never consults corpus size, so the fallback cannot be the drift.
+    // The growth is the BM25 shortlist stage's contract-linear corpus
+    // scan (same alpha class as bm25_topk itself).
+    import spark.implicits._
+    val emb = (1L to 6L).map(i => (i, Seq(i.toFloat, 1.0f))) :+
+      (50L, Seq(1.0f, 1.0f))
+    val p = Retrieval.hybridTopK(corpusDf, emb.toDF("vec_id", "embedding"),
+      "doc_id", "text", "vec_id", "embedding", Seq(50L -> "fox"),
+      kLex = 5, k = 2).queryExecution.executedPlan
+    // registry-row shape: 1 query x kLex 5 -> far under any ceiling
+    val smjs = p.collectWithSubqueries {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    withClue(p.toString) { smjs shouldBe empty }
+  }
+
+  it should "produce identical results on the non-broadcast fallback " +
+    "path" in {
+    import spark.implicits._
+    val emb = ((1L to 6L).map(i => (i, Seq(i.toFloat, 1.0f))) :+
+      (50L, Seq(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    def run(maxBytes: Long) =
+      Retrieval.hybridTopK(corpusDf, emb, "doc_id", "text", "vec_id",
+          "embedding", Seq(50L -> "fox"), kLex = 5, k = 3,
+          maxBroadcastBytes = maxBytes)
+        .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    run(256L << 20) shouldBe run(1L) // forced fallback = same rows
+  }
+
   it should "exclude zero-norm embeddings (NaN cosine) from the rerank" in {
     import spark.implicits._
     // doc 2 has a zero vector: cosine vs any query is 0/0 = NaN. The

@@ -425,6 +425,25 @@ class SamplingSpec extends SparkTestBase {
     idsS shouldBe (0L until 10L).map(i => f"id$i%03d")
   }
 
+  it should "select the identical set in fraction form (budget derived " +
+    "inside the head pass)" in {
+    val df = budgetRows.toDF("id", "toks", "score").repartition(5)
+    val total = budgetRows.map(_._2).sum
+    for ((num, den) <- Seq((1L, 2L), (1L, 3L), (2L, 3L), (0L, 1L))) {
+      val absolute = Sampling.selectTopByBudget(df, "id", "toks", "score",
+          total * num / den)
+        .select("id").as[Long].collect().sorted.toSeq
+      val fraction = Sampling.selectTopByBudgetFraction(df, "id", "toks",
+          "score", num, den)
+        .select("id").as[Long].collect().sorted.toSeq
+      withClue(s"$num/$den: ") { fraction shouldBe absolute }
+    }
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.selectTopByBudgetFraction(df, "id", "toks", "score", -1L, 2L)
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.selectTopByBudgetFraction(df, "id", "toks", "score", 1L, 0L)
+  }
+
   it should "short-circuit when everything fits and reject bad inputs" in {
     val df = budgetRows.toDF("id", "toks", "score")
     Sampling.selectTopByBudget(df, "id", "toks", "score", Long.MaxValue)
