@@ -1348,6 +1348,14 @@ object Kernels {
     * re-participates as `l` within the same pass). */
   def bpeApplyMerge(sy: Array[String], l: String, r: String): Array[String] = {
     if (sy.length < 2) return sy
+    // no-match fast path (r15): most merges touch no adjacency in most
+    // words — find the first (l, r) site before allocating anything and
+    // return the input array untouched (callers never mutate symbol
+    // arrays) when there is none. Output is identical: the builder loop
+    // below starts from the same state the scan proved unchanged.
+    var f = 0
+    while (f < sy.length - 1 && !(sy(f) == l && sy(f + 1) == r)) f += 1
+    if (f >= sy.length - 1) return sy
     val out = new scala.collection.mutable.ArrayBuffer[String](sy.length)
     var i = 0
     while (i < sy.length) {
@@ -1370,23 +1378,58 @@ object Kernels {
    * spaces) contribute nothing. `lefts`/`rights` are the rank-ordered
    * merge sides (same length).
    */
+  /** Per-thread (merge-table, word) -> encoded-count memo for
+    * [[bpeEncodeCount]]: natural-language corpora repeat words massively,
+    * and the encode is a pure function of (word, merges), so each task
+    * thread pays the O(merges × word) walk once per DISTINCT word instead
+    * of once per occurrence. Keyed by the merge table's ARRAY IDENTITY
+    * (codegen resolves the merge sides through one stable
+    * addReferenceObj per expression, so identity is a correct and free
+    * key; two logically-equal tables simply don't share entries). Capped:
+    * beyond [[BpeMemoCap]] distinct words the encode computes uncached —
+    * bounded memory, no eviction thrash, identical results. */
+  private val BpeMemoCap = 1 << 16
+  private val bpeMemo =
+    new ThreadLocal[java.util.IdentityHashMap[AnyRef, java.util.HashMap[String, Integer]]] {
+      override def initialValue() =
+        new java.util.IdentityHashMap[AnyRef, java.util.HashMap[String, Integer]]()
+    }
+
+  private def bpeEncodeWordCount(word: String, lefts: Array[String],
+                                 rights: Array[String]): Int = {
+    var sy = bpeCodePointChars(word)
+    var m = 0
+    while (m < lefts.length && sy.length >= 2) {
+      sy = bpeApplyMerge(sy, lefts(m), rights(m))
+      m += 1
+    }
+    sy.length
+  }
+
   def bpeEncodeCount(u: org.apache.spark.unsafe.types.UTF8String,
                      lefts: Array[String], rights: Array[String]): Int = {
     val s = u.toString
     val n = s.length
+    val memo = {
+      val byTable = bpeMemo.get()
+      var m = byTable.get(lefts)
+      if (m == null) { m = new java.util.HashMap[String, Integer](); byTable.put(lefts, m) }
+      m
+    }
     var total = 0
     var start = 0
     var i = 0
     while (i <= n) {
       if (i == n || s.charAt(i) == ' ') {
         if (i > start) {
-          var sy = bpeCodePointChars(s.substring(start, i))
-          var m = 0
-          while (m < lefts.length && sy.length >= 2) {
-            sy = bpeApplyMerge(sy, lefts(m), rights(m))
-            m += 1
+          val w = s.substring(start, i)
+          val hit = memo.get(w)
+          if (hit != null) total += hit.intValue()
+          else {
+            val c = bpeEncodeWordCount(w, lefts, rights)
+            if (memo.size() < BpeMemoCap) memo.put(w, Integer.valueOf(c))
+            total += c
           }
-          total += sy.length
         }
         start = i + 1
       }

@@ -288,13 +288,22 @@ object Similarity {
                        indexIdCol: String = "id",
                        indexCellCol: String = "cell",
                        indexCodesCol: String = "codes"): DataFrame = {
-    val c = index.select(F.col(indexIdCol).as("n_id"),
-      F.col(indexCellCol).as("cell"),
-      pqDecode(F.col(indexCodesCol), codebooks).as("n_vec"))
     val q = queries.select(F.col(idCol).as("q_id"),
         F.col(vecCol).cast("array<double>").as("q_vec"))
       .withColumn("cell",
         F.explode(probeCells(F.col("q_vec"), coarse, nprobe)))
+    // r15: decode only rows in cells some query probes — the semi filter
+    // sits BELOW the pqDecode projection, so index rows in never-probed
+    // cells are never reconstructed (the r14 form decoded the full index
+    // and let the cell join discard the misses; with a bounded query set
+    // most cells are never probed). Decode stays once-per-row (above the
+    // semi, below the q join), never once-per-match. Result-identical: the
+    // semi drops only rows the equi-join would drop.
+    val c = index.select(F.col(indexIdCol).as("n_id"),
+        F.col(indexCellCol).as("cell"), F.col(indexCodesCol).as("__codes"))
+      .join(F.broadcast(q.select("cell").distinct()), Seq("cell"), "left_semi")
+      .select(F.col("n_id"), F.col("cell"),
+        pqDecode(F.col("__codes"), codebooks).as("n_vec"))
     val scored = c.join(F.broadcast(q), Seq("cell"))
       .filter(F.col("q_id") =!= F.col("n_id"))
       .withColumn("cosine", cosine(F.col("q_vec"), F.col("n_vec")))

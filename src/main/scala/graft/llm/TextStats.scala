@@ -931,14 +931,19 @@ object TextStats {
       .filter(F.col("term") =!= "")
     val tf = toks.groupBy("__tf_id", "term").agg(F.count(F.lit(1)).as("__tf"))
     // document frequency re-derived FROM the tf aggregate: its rows are
-    // distinct (doc, term), so count(*) per term = distinct docs — this
-    // plans as a plain two-phase distinct + count rather than a
-    // count_distinct Expand. Catalyst prunes the unused count from this
-    // branch, which defeats ReuseExchange (the two (id, term) aggregates
-    // differ), so the corpus IS tokenized twice; the alternative — an
-    // explicit persist of the (doc, term) table — would trade a second
-    // linear scan for a data-sized cache, the wrong trade at 100 TB.
-    val dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).as("__df"))
+    // distinct (doc, term), so counting rows per term = distinct docs.
+    // The count deliberately REFERENCES __tf through a statically-nullable
+    // conditional (always 1 at runtime — a count is >= 1): a plain
+    // count(*) would let column pruning drop count(1) from this branch's
+    // copy of the tf aggregate, de-canonicalizing the two exchanges and
+    // re-doubling the corpus tokenize. With the reference kept, both
+    // branches contain the IDENTICAL tf subtree and ReuseExchange
+    // materializes the explode+count once (r15; the exact fuse bm25TopK
+    // shipped in r14 — plan-asserted in BoilerplateTfidfSpec). The r14
+    // form documented the double tokenize as the lesser evil vs a
+    // data-sized persist; the re-aggregation needs neither.
+    val dfreq = tf.groupBy("term")
+      .agg(F.count(F.when(F.col("__tf") >= 1, 1)).as("__df"))
     val n = df.select(F.count(F.lit(1)).as("__n"))
     val scored = tf.join(dfreq, Seq("term")).crossJoin(F.broadcast(n))
       .withColumn("__idf_micro",

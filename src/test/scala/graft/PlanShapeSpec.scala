@@ -323,13 +323,15 @@ class PlanShapeSpec extends SparkTestBase {
     plan(tf).toString should include("ObjectHashAggregate")
     globalSorts(tf) shouldBe 0
     // the df branch re-derives document frequency from the tf aggregate:
-    // no count_distinct Expand anywhere in the plan, and exactly the two
-    // token explodes (tf branch + pruned distinct branch; Catalyst's
-    // aggregate pruning defeats exchange reuse — documented on the op)
+    // no count_distinct Expand anywhere in the plan, and exactly ONE
+    // token explode — r15 keeps the df count referencing __tf so both
+    // consumers' tf subtrees stay identical and ReuseExchange
+    // materializes the scan+explode once (the r14 form let aggregate
+    // pruning defeat the reuse and tokenized twice)
     plan(tf).toString should not include "Expand"
     plan(tf).collect {
       case g: org.apache.spark.sql.execution.GenerateExec => g
-    }.size shouldBe 3 // 2 token explodes + the final posexplode of hits
+    }.size shouldBe 2 // 1 token explode + the final posexplode of hits
   }
 
   it should "plan duplicateSpans' final span aggregate on the window's partitioning" in {

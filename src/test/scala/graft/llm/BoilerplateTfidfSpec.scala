@@ -129,6 +129,27 @@ class BoilerplateTfidfSpec extends SparkTestBase {
     out((3L, 2)) shouldBe ("c", 2 * idf(2))
   }
 
+  it should "tokenize the corpus exactly once (df re-aggregated through " +
+    "the tf exchange)" in {
+    // dfreq counts rows of the (doc, term) tf aggregate THROUGH a
+    // reference to __tf, keeping both consumers' subtrees identical so
+    // ReuseExchange materializes the single scan+explode once — the same
+    // fuse bm25TopK pinned in r14 (the r15-previous form tokenized the
+    // corpus twice, documented as a ReuseExchange defeat).
+    val d = Seq((1L, "a a b"), (2L, "a c"), (3L, "b b c c d"))
+      .toDF("id", "text")
+    val p = TextStats.tfidfTopTerms(d, "id", "text", k = 2)
+      .queryExecution.executedPlan
+    val generates = p.collectWithSubqueries {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    // one token explode + the TopKAgg posexplode finisher
+    withClue(p.toString) { generates should have size 2 }
+    p.collectWithSubqueries {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+    } should not be empty
+  }
+
   behavior of "corpusDiff"
 
   it should "classify added/removed/changed/unchanged by content hash" in {

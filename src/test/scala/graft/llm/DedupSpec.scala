@@ -87,6 +87,50 @@ class DedupSpec extends SparkTestBase {
       Dedup.minHashDedupPairs(docs, "doc_id", "text", numHashes = 100, bands = 16)
   }
 
+  it should "mine buckets once and prefilter the verify tier to candidate " +
+    "ids (r15 plan shape)" in {
+    // The verify tier's shingle-set (and, for the edit form, text) fetches
+    // must be LeftSemi-prefiltered to the candidate id set so the shingle
+    // kernel runs corpus-wide exactly once (the mining pass) — and the
+    // candidate-id build sides must REUSE the mining subtree's exchange
+    // rather than re-mining (the r14 form evaluated the kernel over the
+    // full corpus three times per query, five for the edit form).
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base),
+      (3L, (1 to 38).map(i => s"tok$i").mkString(" ") + " other words"),
+      (4L, (100 to 140).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    for (df <- Seq(
+        Dedup.minHashDedupPairs(docs, "doc_id", "text",
+          numHashes = 64, bands = 16, shingleSize = 3, threshold = 0.5),
+        Dedup.minHashEditPairs(docs, "doc_id", "text",
+          numHashes = 64, bands = 16, shingleSize = 3,
+          jaccardFloor = 0.5, editSim = 0.5))) {
+      val p = df.queryExecution.executedPlan
+      // exactly ONE mining pipeline: the (band,bucket) collect_list
+      // aggregation appears as one partial+final pair; every other copy
+      // reads a ReusedExchange
+      p.collectWithSubqueries {
+        case o: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => o
+      } should have size 2
+      p.collectWithSubqueries {
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+      } should not be empty
+      withClue(p.toString) {
+        p.toString should include("LeftSemi")
+      }
+    }
+    // and the prefilter changes no results: the edit form's survivors on
+    // this corpus are exactly the high-overlap trio
+    val got = Dedup.minHashEditPairs(docs, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleSize = 3,
+      jaccardFloor = 0.5, editSim = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    got shouldBe Set((1L, 2L), (1L, 3L), (2L, 3L))
+  }
+
   // a hot bucket by construction: identical docs share every band bucket
   private def hotCorpus(n: Int) =
     (1 to n).map(i => (i.toLong, (0 until 30).map(j => s"hot$j").mkString(" ")))
