@@ -1378,7 +1378,7 @@ object Kernels {
    * spaces) contribute nothing. `lefts`/`rights` are the rank-ordered
    * merge sides (same length).
    */
-  /** Per-thread (merge-table, word) -> encoded-count memo for
+  /** Per-thread, PER-TASK (merge-table, word) -> encoded-count memo for
     * [[bpeEncodeCount]]: natural-language corpora repeat words massively,
     * and the encode is a pure function of (word, merges), so each task
     * thread pays the O(merges × word) walk once per DISTINCT word instead
@@ -1387,13 +1387,20 @@ object Kernels {
     * addReferenceObj per expression, so identity is a correct and free
     * key; two logically-equal tables simply don't share entries). Capped:
     * beyond [[BpeMemoCap]] distinct words the encode computes uncached —
-    * bounded memory, no eviction thrash, identical results. */
+    * bounded memory, no eviction thrash, identical results. The memo is
+    * DROPPED when the thread moves to a new task (task-attempt id
+    * mismatch): a long-lived executor/local-mode thread pool otherwise
+    * accumulates dead merge-tables' word maps across queries for the
+    * life of the JVM — observed as GC pressure inflating UNRELATED
+    * queries in a 169-query bench session. Within one task the hit rate
+    * is what matters (each task walks thousands of rows); cross-task
+    * reuse was never the win. */
   private val BpeMemoCap = 1 << 16
-  private val bpeMemo =
-    new ThreadLocal[java.util.IdentityHashMap[AnyRef, java.util.HashMap[String, Integer]]] {
-      override def initialValue() =
-        new java.util.IdentityHashMap[AnyRef, java.util.HashMap[String, Integer]]()
-    }
+  private final class BpeMemoState(val taskId: Long) {
+    val byTable =
+      new java.util.IdentityHashMap[AnyRef, java.util.HashMap[String, Integer]]()
+  }
+  private val bpeMemo = new ThreadLocal[BpeMemoState]
 
   private def bpeEncodeWordCount(word: String, lefts: Array[String],
                                  rights: Array[String]): Int = {
@@ -1411,9 +1418,19 @@ object Kernels {
     val s = u.toString
     val n = s.length
     val memo = {
-      val byTable = bpeMemo.get()
-      var m = byTable.get(lefts)
-      if (m == null) { m = new java.util.HashMap[String, Integer](); byTable.put(lefts, m) }
+      // -1 marks driver-local evaluation (tests, constant folding): one
+      // map per driver thread, still capped.
+      val tid = org.apache.spark.TaskContext.get() match {
+        case null => -1L
+        case tc   => tc.taskAttemptId()
+      }
+      var st = bpeMemo.get()
+      if (st == null || st.taskId != tid) {
+        st = new BpeMemoState(tid)
+        bpeMemo.set(st)
+      }
+      var m = st.byTable.get(lefts)
+      if (m == null) { m = new java.util.HashMap[String, Integer](); st.byTable.put(lefts, m) }
       m
     }
     var total = 0

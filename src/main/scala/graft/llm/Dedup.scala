@@ -129,43 +129,8 @@ object Dedup {
         "a remainder would silently weaken the LSH family, and " +
         "bands > numHashes would collapse every document into one bucket")
     val rowsPerBand = numHashes / bands
-    val (pairs, sh) = lshCandidatesAndShingles(df, idCol, textCol,
-      numHashes, bands, rowsPerBand, shingleSize, maxBucketSize, strict,
-      "minHashDedupPairs")
-    // Exact Jaccard over the hashed shingle sets (collision probability on
-    // 64-bit hashes is negligible); re-uses the same one-hash-per-shingle
-    // sorted representation instead of rebuilding shingles per pair side.
-    pairs
-      .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
-      .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
-      .withColumn("jaccard", sortedJaccard(F.col("sh_a"), F.col("sh_b")))
-      .filter(F.col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
-  }
-
-  /** Shared LSH candidate miner: banded-MinHash candidate pairs (unverified,
-    * distinct, id_a < id_b) plus the CANDIDATE-PREFILTERED shingle-set side
-    * table `(id, sh)` the verify tier joins against. The prefilter is the
-    * r15 optimization (guide §3.2): the r14 verify joins each evaluated the
-    * shingle kernel over the FULL corpus (three full kernel passes per
-    * query); here a left-semi join against the candidate id set pushes
-    * below the kernel projection, so the two verify branches pay the kernel
-    * only for rows that can reach a pair. The semi's build side re-states
-    * the mining subtree, but its top-level distinct exchange is reused
-    * (ReuseExchange — plan-asserted in DedupSpec), so mining still runs
-    * once. Result sets are unchanged: a semi-join only drops rows the
-    * verify equi-joins would drop anyway. */
-  private def lshCandidatesAndShingles(df: DataFrame, idCol: String,
-                                       textCol: String, numHashes: Int,
-                                       bands: Int, rowsPerBand: Int,
-                                       shingleSize: Int, maxBucketSize: Int,
-                                       strict: Boolean, op: String,
-                                       carryText: Boolean = false)
-      : (DataFrame, DataFrame) = {
-    val baseCols = Seq(F.col(idCol).as("id"),
-      hashedShingles(F.col(textCol), shingleSize).as("hs")) ++
-      (if (carryText) Seq(F.col(textCol).as("__txt")) else Nil)
-    val hashed = df.select(baseCols: _*)
+    val hashed = df.select(F.col(idCol).as("id"),
+      hashedShingles(F.col(textCol), shingleSize).as("hs"))
     val withSig = hashed.select(F.col("id"),
       minHashOfHashed(F.col("hs"), numHashes).as("sig"))
     val buckets = withSig
@@ -175,19 +140,32 @@ object Dedup {
     // bucket-size cap bounds the pair fan-out per bucket.
     val pairs = buckets.groupBy("band", "bucket")
       .agg(cappedBucketIds(F.collect_list(F.col("id")), maxBucketSize,
-        strict, op).as("ids"))
+        strict, "minHashDedupPairs").as("ids"))
       .filter(F.size(F.col("ids")) > 1)
       .select(F.explode(pairsOf(F.col("ids"))).as("p"))
       .select(F.col("p.a").as("id_a"), F.col("p.b").as("id_b"))
       .distinct()
-    val candIds = pairs.select(F.col("id_a").as("id"))
-      .union(pairs.select(F.col("id_b").as("id")))
-      .distinct()
-    val shCols = Seq(F.col("id"), F.col("hs").as("sh")) ++
-      (if (carryText) Seq(F.col("__txt")) else Nil)
-    val sh = hashed.join(candIds, Seq("id"), "left_semi")
-      .select(shCols: _*)
-    (pairs, sh)
+    // Exact Jaccard over the hashed shingle sets (collision probability on
+    // 64-bit hashes is negligible); re-uses the same one-hash-per-shingle
+    // sorted representation instead of rebuilding shingles per pair side.
+    //
+    // Deliberately NOT candidate-prefiltered (r15 measured negative): a
+    // left-semi of `hashed` against the candidate ids before the verify
+    // joins cuts the shingle kernel from three full passes to one, but
+    // the semi's broadcast build adds a stage barrier per branch and
+    // Catalyst keeps one rebuilt copy of the mining pipeline alive in the
+    // build side — measured 1.12× SLOWER at 10× rep (7.13 s vs 6.38 s,
+    // back-to-back same-window A/B, controls ±7%), and the same on the
+    // whole family (edit 1.07×, against 1.16–1.45×). The kernel passes
+    // are barrier-free map work; they are the cheaper side of that trade
+    // at every scale we can measure.
+    val sh = hashed.select(F.col("id"), F.col("hs").as("sh"))
+    pairs
+      .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
+      .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
+      .withColumn("jaccard", sortedJaccard(F.col("sh_a"), F.col("sh_b")))
+      .filter(F.col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
   }
 
   /**
@@ -221,10 +199,8 @@ object Dedup {
    * Scale shape: candidate mining is [[minHashDedupPairs]]'s one
    * (band, bucket) shuffle with the same never-silent bucket cap
    * (`strict` / [[minHashBucketAudit]]); the verify tier adds two
-   * id-keyed equi-joins against ONE candidate-prefiltered
-   * (id, shingles, text) side table (r15 — shingle sets and texts ride
-   * the same joins, and the kernel + text fetch run only on candidate
-   * rows), and one banded DP per candidate pair.
+   * id-keyed equi-joins to fetch pair texts — candidates-sized, not
+   * corpus-sized — and one DP per candidate pair.
    */
   def minHashEditPairs(df: DataFrame, idCol: String, textCol: String,
                        numHashes: Int = 128, bands: Int = 16,
@@ -233,29 +209,20 @@ object Dedup {
                        strict: Boolean = false): DataFrame = {
     require(editSim >= 0.0 && editSim <= 1.0,
       s"editSim must be in [0, 1], got $editSim")
-    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
-      s"bands must divide numHashes (got numHashes=$numHashes bands=$bands): " +
-        "a remainder would silently weaken the LSH family, and " +
-        "bands > numHashes would collapse every document into one bucket")
-    // r15: ONE candidate-prefiltered (id, shingles, text) side table feeds
-    // both the Jaccard verify and the DP's text fetch — the r14 form ran
-    // minHashDedupPairs (three full-corpus shingle kernel passes) and then
-    // joined the full-width corpus TWICE MORE for pair texts; now the
-    // shingle kernel runs once corpus-wide (mining) plus once over
-    // candidates, and texts ride the same two candidate-sized joins as the
-    // shingle sets. The jaccard column and every later filter are the same
-    // expressions as before — the survivor set and emitted values are
-    // bit-identical (oracle row unchanged).
-    val (cand0, side) = lshCandidatesAndShingles(df, idCol, textCol,
-      numHashes, bands, numHashes / bands, shingleSize, maxBucketSize,
-      strict, "minHashEditPairs", carryText = true)
-    cand0
-      .join(side.select(F.col("id").as("id_a"), F.col("sh").as("sh_a"),
-        F.col("__txt").as("__t_a")), Seq("id_a"))
-      .join(side.select(F.col("id").as("id_b"), F.col("sh").as("sh_b"),
-        F.col("__txt").as("__t_b")), Seq("id_b"))
-      .withColumn("jaccard", sortedJaccard(F.col("sh_a"), F.col("sh_b")))
-      .filter(F.col("jaccard") >= jaccardFloor)
+    // Text fetch via two id-keyed joins over the candidate pairs (the
+    // join OUTPUT is candidate-sized; the text side streams map-only
+    // under the broadcast of the small pair set). An r15 experiment that
+    // carried texts on a candidate-prefiltered side table measured 1.07×
+    // slower at 10× (same-window A/B) — see minHashDedupPairs' note on
+    // why the semi-prefilter loses.
+    val cand = minHashDedupPairs(df, idCol, textCol, numHashes, bands,
+      shingleSize, jaccardFloor, maxBucketSize, strict)
+    val txt = df.select(F.col(idCol), F.col(textCol))
+    cand
+      .join(txt.select(F.col(idCol).as("id_a"), F.col(textCol).as("__t_a")),
+        Seq("id_a"))
+      .join(txt.select(F.col(idCol).as("id_b"), F.col(textCol).as("__t_b")),
+        Seq("id_b"))
       .withColumn("__len_max",
         F.greatest(F.length(F.col("__t_a")), F.length(F.col("__t_b"))))
       // Largest integer distance still satisfying edit_sim >= editSim; +1
@@ -764,19 +731,19 @@ object Dedup {
       .join(exBuckets, Seq("band", "bucket"))
       .select(F.col("__in_id"), F.explode(F.col("ex_ids")).as("__ex_id"))
       .distinct()
-    // r15 verify-side prefilter (same move as minHashDedupPairs): each
-    // side's shingle table is semi-joined to the candidate ids BEFORE its
-    // kernel projection evaluates, so the verify joins carry candidate
-    // rows only instead of re-sketching both full sides (the r14 form's
-    // second full kernel pass per side). cands' own distinct exchange is
-    // what the semi's build sides reuse — mining still runs once.
-    val inSh = inHashed.select("__in_id", "__in_hs")
-      .join(cands.select("__in_id").distinct(), Seq("__in_id"), "left_semi")
-    val exSh = exHashed.select("__ex_id", "__ex_hs")
-      .join(cands.select("__ex_id").distinct(), Seq("__ex_id"), "left_semi")
+    // Verify joins fetch the shingle sets straight from the full-side
+    // kernel tables (map-only under a broadcast of the small candidate
+    // set). An r15 experiment semi-prefiltered both fetches to the
+    // candidate ids; it measured 1.45× slower at 10× on
+    // dedup_against_index (same-window A/B, controls ±7%) — the semi's
+    // broadcast barriers plus one Catalyst-rebuilt copy of the mining
+    // pipeline in the build side (RemoveRedundantAggregates collapses any
+    // aggregate stacked on cands' distinct, severing exchange reuse)
+    // outweigh the saved barrier-free kernel passes. See
+    // minHashDedupPairs for the family-wide numbers.
     val verified = cands
-      .join(inSh, Seq("__in_id"))
-      .join(exSh, Seq("__ex_id"))
+      .join(inHashed.select("__in_id", "__in_hs"), Seq("__in_id"))
+      .join(exHashed.select("__ex_id", "__ex_hs"), Seq("__ex_id"))
       .filter(sortedJaccard(F.col("__in_hs"), F.col("__ex_hs")) >= threshold)
       .select(F.col("__in_id")).distinct()
     incoming.join(verified, incoming(idCol) === F.col("__in_id"), "left_anti")

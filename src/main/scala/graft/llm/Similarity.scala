@@ -164,10 +164,16 @@ object Similarity {
       .filter(F.col("id_a") < F.col("id_b"))
       .select(F.col("id_a"), F.col("id_b"),
         F.round(cosine(F.col("v_a"), F.col("v_b")), 6).as("cosine"))
-      // a pair sharing several probed cells appears once per cell with an
-      // identical cosine; collapse before the threshold filter
-      .dropDuplicates("id_a", "id_b")
+      // threshold BEFORE the cross-cell collapse (r15, guide §2.3): the
+      // cosine is a pure function of the pair, so every cell-copy of a
+      // pair carries the identical value and filtering first drops the
+      // same rows it would drop after — but now only SURVIVORS (typically
+      // a small fraction of candidate pairs) shuffle through the distinct
+      // exchange instead of the full per-cell candidate fan-out.
       .filter(F.col("cosine") >= threshold)
+      // a pair sharing several probed cells appears once per cell with an
+      // identical cosine; collapse the survivors
+      .dropDuplicates("id_a", "id_b")
   }
 
   /**
@@ -288,22 +294,20 @@ object Similarity {
                        indexIdCol: String = "id",
                        indexCellCol: String = "cell",
                        indexCodesCol: String = "codes"): DataFrame = {
+    // Decode once per index row, then the cell equi-join routes probes.
+    // An r15 experiment semi-prefiltered the decode to probed cells only;
+    // it measured 1.2× (fixed 10-query set) to 1.56× (1%-of-corpus query
+    // set, where the probed-cell set approaches ALL cells and the semi
+    // saves nothing) SLOWER at 10× — the extra broadcast stage barrier
+    // costs more than the skipped decodes at any scale we can measure,
+    // and the decode is barrier-free map work.
+    val c = index.select(F.col(indexIdCol).as("n_id"),
+      F.col(indexCellCol).as("cell"),
+      pqDecode(F.col(indexCodesCol), codebooks).as("n_vec"))
     val q = queries.select(F.col(idCol).as("q_id"),
         F.col(vecCol).cast("array<double>").as("q_vec"))
       .withColumn("cell",
         F.explode(probeCells(F.col("q_vec"), coarse, nprobe)))
-    // r15: decode only rows in cells some query probes — the semi filter
-    // sits BELOW the pqDecode projection, so index rows in never-probed
-    // cells are never reconstructed (the r14 form decoded the full index
-    // and let the cell join discard the misses; with a bounded query set
-    // most cells are never probed). Decode stays once-per-row (above the
-    // semi, below the q join), never once-per-match. Result-identical: the
-    // semi drops only rows the equi-join would drop.
-    val c = index.select(F.col(indexIdCol).as("n_id"),
-        F.col(indexCellCol).as("cell"), F.col(indexCodesCol).as("__codes"))
-      .join(F.broadcast(q.select("cell").distinct()), Seq("cell"), "left_semi")
-      .select(F.col("n_id"), F.col("cell"),
-        pqDecode(F.col("__codes"), codebooks).as("n_vec"))
     val scored = c.join(F.broadcast(q), Seq("cell"))
       .filter(F.col("q_id") =!= F.col("n_id"))
       .withColumn("cosine", cosine(F.col("q_vec"), F.col("n_vec")))

@@ -644,22 +644,52 @@ object TextStats {
    * full corpus count, so the ratio is the true conditional frequency.
    * Same integer micro-nat portability contract as [[unigramModel]].
    *
-   * Scale shape: ONE fused corpus tokenize ([[gramCounts]] — r15; the r14
-   * form ran separate token and bigram explodes) into one
-   * map-side-combinable gram count, persisted (distinct-gram-sized, the
-   * model-build working set) so the four driver-side jobs below (total,
-   * vocab top-K, pair top-B, w1 counts) scan the corpus once between
-   * them; driver state stays model-parameter-sized throughout. Returns
+   * Scale shape: two corpus passes — a token count persisted at
+   * TOKEN-distinct size (small: natural-language vocabularies saturate)
+   * feeding the three token-side driver jobs (total, vocab top-K, w1
+   * counts), and one bigram count consumed ONCE by a TakeOrdered top-B
+   * (never materialized: bigram-distinct is near corpus-sized, so
+   * persisting it costs more than the tokenize pass it saves — measured
+   * at 10×, the fused-persist form was 1.9× slower, 15.2 s → 29.4 s).
+   * Callers that ALSO need [[pmiTopPairs]] on the same corpus should
+   * materialize ONE [[gramCounts]] table themselves and call
+   * [[bigramModelFromCounts]] — identical output (pinned in
+   * BoilerplateTfidfSpec), one corpus scan for the pair of operators.
+   * Driver state stays model-parameter-sized throughout. Returns
    * (bigram logprobs, unigram vocab, oovLp); pair `backoffLp` with them
    * via [[StupidBackoffLp]] or your own discount.
    */
   def bigramModel(df: org.apache.spark.sql.DataFrame, textCol: String,
                   topK: Int, topB: Int)
       : (Seq[(String, Long)], Seq[(String, Long)], Long) = {
-    val counted = gramCounts(df, textCol)
+    require(topK >= 1 && topB >= 1, "topK and topB must be >= 1")
+    val counted = df.select(F.explode(tokens(F.col(textCol))).as("token"))
+      .groupBy("token").agg(F.count(F.lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try bigramModelFromCounts(counted, topK, topB)
-    finally counted.unpersist(blocking = false)
+    try {
+      val totalRow = counted.agg(F.sum("cnt")).head()
+      require(!totalRow.isNullAt(0) && totalRow.getLong(0) > 0L,
+        "bigramModel: corpus has no tokens")
+      val total = totalRow.getLong(0)
+      val vocab = counted.orderBy(F.col("cnt").desc, F.col("token"))
+        .limit(topK).collect()
+        .map(r => r.getString(0) ->
+          math.round(math.log(r.getLong(1).toDouble / total.toDouble) * 1e6))
+      val pairs = df.select(F.explode(ngrams(F.col(textCol), 2)).as("bg"))
+        .groupBy("bg").agg(F.count(F.lit(1)).as("cnt"))
+        .orderBy(F.col("cnt").desc, F.col("bg"))
+        .limit(topB).collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      val w1s = pairs.map(_._1.takeWhile(_ != ' ')).distinct.toSeq
+      val w1Counts = counted
+        .filter(F.col("token").isin(w1s: _*))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val bi = pairs.map { case (bg, c) =>
+        bg -> math.round(
+          math.log(c.toDouble / w1Counts(bg.takeWhile(_ != ' ')).toDouble) * 1e6)
+      }
+      (bi.toSeq, vocab.toSeq, math.round(math.log(1.0 / total.toDouble) * 1e6))
+    } finally counted.unpersist(blocking = false)
   }
 
   /**

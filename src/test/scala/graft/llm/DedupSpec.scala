@@ -87,14 +87,16 @@ class DedupSpec extends SparkTestBase {
       Dedup.minHashDedupPairs(docs, "doc_id", "text", numHashes = 100, bands = 16)
   }
 
-  it should "mine buckets once and prefilter the verify tier to candidate " +
-    "ids (r15 plan shape)" in {
-    // The verify tier's shingle-set (and, for the edit form, text) fetches
-    // must be LeftSemi-prefiltered to the candidate id set so the shingle
-    // kernel runs corpus-wide exactly once (the mining pass) — and the
-    // candidate-id build sides must REUSE the mining subtree's exchange
-    // rather than re-mining (the r14 form evaluated the kernel over the
-    // full corpus three times per query, five for the edit form).
+  it should "mine buckets once (the (band,bucket) aggregation appears as " +
+    "exactly one partial+final pair)" in {
+    // Plan-shape pin for the verify tier's fetch strategy: the bucket
+    // collect_list aggregation must run ONCE (one partial + one final
+    // ObjectHashAggregate); the verify joins fetch shingle sets from the
+    // barrier-free kernel tables directly. (An r15 experiment LeftSemi-
+    // prefiltered those fetches to the candidate ids; it measured
+    // 1.07-1.45× slower at 10× because the semi's broadcast barriers and
+    // a Catalyst-rebuilt mining copy in the build side outweigh the saved
+    // map-only kernel passes — reverted, documented on the operator.)
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val docs = Seq(
       (1L, base), (2L, base),
@@ -108,21 +110,14 @@ class DedupSpec extends SparkTestBase {
           numHashes = 64, bands = 16, shingleSize = 3,
           jaccardFloor = 0.5, editSim = 0.5))) {
       val p = df.queryExecution.executedPlan
-      // exactly ONE mining pipeline: the (band,bucket) collect_list
-      // aggregation appears as one partial+final pair; every other copy
-      // reads a ReusedExchange
       p.collectWithSubqueries {
         case o: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => o
       } should have size 2
-      p.collectWithSubqueries {
-        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
-      } should not be empty
       withClue(p.toString) {
-        p.toString should include("LeftSemi")
+        p.toString should not include "LeftSemi"
       }
     }
-    // and the prefilter changes no results: the edit form's survivors on
-    // this corpus are exactly the high-overlap trio
+    // the survivor set on this corpus is exactly the high-overlap trio
     val got = Dedup.minHashEditPairs(docs, "doc_id", "text",
       numHashes = 64, bands = 16, shingleSize = 3,
       jaccardFloor = 0.5, editSim = 0.5)
