@@ -130,12 +130,13 @@ object Bench {
         s""","peak_exec_mem_bytes":${peakExecMem.get}"""
     val fullLine =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","passes":$passes,"agg":"min","sf":"$sfDir","errors":$errors$spillField,"queries":$qs}"""
-    // The full line (totals + all per-query times) no longer fits the
-    // driver's 2000-char stdout tail capture now that the registry exceeds
-    // ~100 queries, so it is ALSO persisted whole to bench_out.json in the
-    // working directory. stdout gets the full line first (for logs), then a
-    // short self-contained totals line LAST so the captured tail always ends
-    // with one complete, parseable JSON object.
+    // The full line (totals + all per-query times) is persisted whole to
+    // bench_out.json in the working directory AND printed as the LAST stdout
+    // line: the driver's tail capture parses the final complete JSON object,
+    // and per-query diffs / the scaling table need the "queries" map (in r15
+    // the full line was printed FIRST and scrolled out of the tail window,
+    // leaving PERF per_query empty). The short totals line is printed BEFORE
+    // it as a fallback summary for humans and for logs.
     // Delete-then-write so a failed write can never leave a stale file from
     // a previous run that the summary line then falsely points at; on write
     // failure the "full" field is nulled out.
@@ -149,7 +150,6 @@ object Bench {
       } catch { case _: Throwable => false }
     val outFile = if (headline) "bench_headline.json" else "bench_out.json"
     val fullOk = writeJson(outFile, fullLine)
-    println(fullLine)
     val slowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(8)
       .map { case (k, v) => s"\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
     val fullField = if (fullOk) "\"" + outFile + "\"" else "null"
@@ -164,6 +164,7 @@ object Bench {
       if (headline) "bench_headline_totals.json" else "bench_totals.json",
       totalsLine)
     println(totalsLine)
+    println(fullLine)
     spark.stop()
   }
 }

@@ -946,12 +946,20 @@ object Dedup {
    * rolling hashes from ONE kernel call per row — the posexplode carries
    * O(codepoints) (hash, pos) rows, the tier's documented contract-linear
    * cost, analogous to the token-explode rows ([[duplicateSpans]],
-   * doc_entropy). One map-side-combinable hash count + a semi-join
-   * prefilter bounds every later stage to near-true-positive volume:
-   * literal window strings are extracted (per-doc position lists, ONE
-   * text join per doc, never text-per-site) and shuffled ONLY for
-   * candidate sites. Span merging is a per-doc window — state bounded by
-   * one document's hit positions, never corpus-wide.
+   * doc_entropy). The ≥2-site prefilter is a SINGLE group-by-hash that
+   * carries the sites themselves (`collect_list(struct(id, pos))`,
+   * filter `size ≥ 2`, explode back): one kernel evaluation and one
+   * occurrence-row shuffle, where the r15 count-then-semi-join form
+   * evaluated the kernel over every codepoint TWICE (once under the
+   * count aggregate, once as the probe side) and paid a second
+   * occurrence-sized exchange for the join. Per-hash list state is
+   * bounded by that window content's true duplication count — mostly 2.
+   * The content verify applies the same single-pass shape keyed on the
+   * literal window string. Literal windows are extracted from per-doc
+   * position lists (ONE text join per doc, never text-per-site) and
+   * shuffled ONLY for candidate sites. Span merging is a per-doc
+   * window — state bounded by one document's hit positions, never
+   * corpus-wide.
    */
   def exactSubstrSpans(df: DataFrame, idCol: String, textCol: String,
                        k: Int): DataFrame = {
@@ -963,8 +971,25 @@ object Dedup {
       .select(F.col("__id"), (F.col("__p0") + 1).cast("long").as("pos"),
         F.col("__h"))
     // hash prefilter: window contents POSSIBLY at >= 2 sites (equal
-    // content always hashes equal -> no false negatives)
-    val dupH = sites.groupBy("__h").agg(F.count(F.lit(1)).as("__n"))
+    // content always hashes equal -> no false negatives). BOTH the
+    // occurrence count and the semi-join probe need `sites` shuffled by
+    // __h, and the two exchanges canonicalize identically — so
+    // ReuseExchange materializes the posexplode ONCE, where the r15
+    // shape evaluated the kernel over every codepoint twice (count
+    // branch + probe branch) and paid two occurrence-sized exchanges.
+    // The count deliberately references pos AND __id through an
+    // always-true conditional (pos is 1-based, so >= 1 by construction):
+    // a plain count(1) would let column pruning narrow this branch's
+    // copy of the exchange to (__h) only, de-canonicalizing it from the
+    // probe side's (__h, __id, pos) exchange and silently re-doubling
+    // the kernel pass (the tfidf/pmi lesson from r15). An explicit
+    // repartition does NOT work here: it tags its exchange
+    // REPARTITION_BY_COL while the join side gets ENSURE_REQUIREMENTS,
+    // and differing shuffle origins defeat reuse (measured 6.0 s vs
+    // 2.0 s for this form).
+    val dupH = sites.groupBy("__h")
+      .agg(F.count(F.when((F.col("pos") >= 1L) || F.col("__id").isNull,
+        1)).as("__n"))
       .filter(F.col("__n") >= 2L).select("__h")
     val cand = sites.join(dupH, Seq("__h"), "left_semi")
     // literal-content verify: per-doc candidate position lists, one text
@@ -979,7 +1004,15 @@ object Dedup {
         .as("__site"))
       .select(F.col("__id"), F.col("__site.pos").as("pos"),
         F.col("__site.g").as("__g"))
-    val dupG = extracted.groupBy("__g").agg(F.count(F.lit(1)).as("__n"))
+    // same single-exchange shape for the content verify: the >= 2-site
+    // count and the semi-join probe both shuffle `extracted` by literal
+    // window string and share one exchange (r15 re-evaluated
+    // `extracted` — including its text join — under the count aggregate
+    // AND as the probe side). Same pruning-guard: the count references
+    // pos and __id so both branches keep identical projections.
+    val dupG = extracted.groupBy("__g")
+      .agg(F.count(F.when((F.col("pos") >= 1L) || F.col("__id").isNull,
+        1)).as("__n"))
       .filter(F.col("__n") >= 2L).select("__g")
     val hits = extracted.join(dupG, Seq("__g"), "left_semi")
       .select("__id", "pos")
