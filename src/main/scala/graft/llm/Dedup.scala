@@ -420,9 +420,18 @@ object Dedup {
                   maxRounds: Int = 50): DataFrame = {
     // cache the edge list: its lineage is typically a whole candidate
     // pipeline (e.g. MinHash-LSH), which every propagation round would
-    // otherwise recompute from scratch
-    val edges = pairs.select(F.col(aCol).as("src"), F.col(bCol).as("dst"))
-      .union(pairs.select(F.col(bCol).as("src"), F.col(aCol).as("dst")))
+    // otherwise recompute from scratch. Both directions come from ONE
+    // explode over the pair list (the r15 union carried two copies of the
+    // whole candidate pipeline — evaluated twice when the cache first
+    // materializes unless exchange reuse happened to fire), and the cache
+    // is pre-partitioned by `src`: every round's message join needs
+    // exactly that partitioning, so the per-round exchange of the edge
+    // list disappears — only the (much smaller) label vector shuffles.
+    val edges = pairs.select(F.explode(F.array(
+        F.struct(F.col(aCol).as("src"), F.col(bCol).as("dst")),
+        F.struct(F.col(bCol).as("src"), F.col(aCol).as("dst")))).as("__e"))
+      .select(F.col("__e.src").as("src"), F.col("__e.dst").as("dst"))
+      .repartition(F.col("src"))
       .persist()
     var labels = ids.select(F.col(idCol).as("id"), F.col(idCol).as("lbl"))
     val lblType = labels.schema("lbl").dataType

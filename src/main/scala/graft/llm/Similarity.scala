@@ -422,15 +422,39 @@ object Similarity {
     val dim = initRows.head.length
     require(dim % m == 0, s"dim $dim must be divisible by m=$m")
     val sub = dim / m
-    val books = (0 until m).map { j =>
-      val qj = q.select(F.col("id"),
-        F.slice(F.col("q"), j * sub + 1, sub).as("q"))
-      val init = initRows.map(_.slice(j * sub, j * sub + sub))
-      lloydIterate(qj, init, iters)
-        .toSeq.map(_.toSeq.map(v => (v / quantScale).toFloat))
+    // All m subspace trainers FUSED into one job per Lloyd iteration: the
+    // r15 shape ran m sequential jobs (one scan + one aggregation each)
+    // over the same cached frame; one pass computes every subspace's
+    // cosine-argmax assignment and (j, cell, pos)-keyed integer sums at
+    // once — identical per-subspace arithmetic (exact integer sums +
+    // round-half-up means are order-free), m× fewer scans and shuffles.
+    var books: Array[Array[Array[Long]]] =
+      (0 until m).map(j => initRows.map(_.slice(j * sub, j * sub + sub))).toArray
+    for (_ <- 1 to iters) {
+      val cur = books
+      val assigned = q.select(F.explode(F.array((0 until m).map { j =>
+          val qj = F.slice(F.col("q"), j * sub + 1, sub)
+          val flatD = cur(j).flatten.map(_.toDouble)
+          F.struct(F.lit(j).as("j"),
+            org.apache.spark.sql.graft.GraftColumns.centroidCell(
+              F.transform(qj, _.cast("double")), flatD, sub).as("cell"),
+            qj.as("qj"))
+        }: _*)).as("s"))
+        .select(F.col("s.j").as("j"), F.col("s.cell").as("cell"),
+          F.posexplode(F.col("s.qj")).as(Seq("pos", "v")))
+      val sums = assigned.groupBy("j", "cell", "pos")
+        .agg(F.sum("v").as("s"), F.count(F.lit(1)).as("n"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      sums.foreach { r =>
+        val (j, cell, pos) = (r.getInt(0), r.getInt(1), r.getInt(2))
+        val (s, n) = (r.getLong(3), r.getLong(4))
+        next(j)(cell)(pos) = Math.floorDiv(2 * s + n, 2 * n)
+      }
+      books = next
     }
     q.unpersist(blocking = false)
-    books
+    books.toSeq.map(_.toSeq.map(_.toSeq.map(v => (v / quantScale).toFloat)))
   }
 
   /** PQ code assignment: `codes(j)` = the cosine-argmax cell of subspace

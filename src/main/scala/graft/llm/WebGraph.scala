@@ -81,10 +81,21 @@ object WebGraph {
     require(iters >= 1, "iters must be >= 1")
     require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
       "damping must satisfy 0 <= dampNum <= dampDen")
-    val e = edges.select(F.col(srcCol).as("__wg_src"),
+    // Collapse the multigraph to WEIGHTED edges once: parallel (src, dst)
+    // edges each contribute the identical integer `rank div outdeg`, so
+    // summing w copies equals w * (rank div outdeg) exactly — bit-identical
+    // under the pinned integer contract. Every iteration then joins the
+    // |distinct domain pairs|-row weighted list instead of the
+    // |links|-row multigraph (at corpus scale, orders of magnitude fewer
+    // rows per round), and the outdegree (= Σ w per src, still counting
+    // parallel edges) rides ON the persisted edge frame so each round is
+    // ONE join + one combinable sum instead of two joins.
+    val ew = edges.select(F.col(srcCol).as("__wg_src"),
       F.col(dstCol).as("__wg_dst"))
+      .groupBy("__wg_src", "__wg_dst").agg(F.count(F.lit(1)).as("__wg_w"))
+    val outdeg = ew.groupBy("__wg_src").agg(F.sum("__wg_w").as("__wg_out"))
+    val e = ew.join(outdeg, "__wg_src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val outdeg = e.groupBy("__wg_src").agg(F.count(F.lit(1)).as("__wg_out"))
     val nodes = e.select(F.col("__wg_src").as("node"))
       .union(e.select(F.col("__wg_dst").as("node"))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -94,10 +105,10 @@ object WebGraph {
     var prev: DataFrame = null
     var i = 0
     while (i < iters) {
-      val contribs = e.join(outdeg, "__wg_src")
+      val contribs = e
         .join(ranks, F.col("__wg_src") === F.col("node"))
         .select(F.col("__wg_dst"),
-          F.expr("rank_micro div __wg_out").as("__wg_c"))
+          (F.col("__wg_w") * F.expr("rank_micro div __wg_out")).as("__wg_c"))
         .groupBy("__wg_dst").agg(F.sum("__wg_c").as("__wg_in"))
       val next = nodes
         .join(contribs, F.col("node") === F.col("__wg_dst"), "left")
